@@ -1,0 +1,61 @@
+"""Catalog: register the curated parquet tables as queryable views.
+
+Replaces the reference's Glue-crawler + Athena-catalog layer
+(reference emr-no-vpc.py:159-169, README.md:13): after ingest the
+reference ran a crawler so the query engine could see new partitions;
+in Spark the session catalog serves that role directly —
+``register_views`` is the crawler, ``spark.table``/``spark.sql`` is
+Athena.
+
+All reads are schema-explicit parquet scans; nothing is inferred at
+query time (the reference's v7→v8 lesson: runtime inference/casting is
+"REALLY slow", reference sparkle-v7.py:14, sparkle-v8.py:15).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The driver-fixture star schema + extension tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one table. Parquet => predicate pushdown +
+    column pruning + partition pruning happen in the file source.
+
+    Nanosecond-timestamp shim: `events.ts` is parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos via the
+    legacy nanosAsLong conf and floor-divide to microseconds —
+    exactly the truncation DuckDB applies when it reads the same
+    column as TIMESTAMP, so both engines see identical values.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every fixture table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,42 @@
+"""Vector math over array<float|double> columns — built-in
+higher-order functions only (JVM-side, codegen'd), no UDF in the hot
+path. Used by the similarity-search and embedding-dedup operators.
+
+At 100 TB the dot product per candidate pair is the inner loop; doing
+it with F.zip_with + F.aggregate keeps it inside Tungsten instead of
+round-tripping to Python. (A SIMD-friendlier alternative is a Pandas
+UDF over float32 numpy blocks — measured locally the built-in path
+wins below ~1k dims because it avoids Arrow transfer entirely.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (sequential fold — ordering is
+    deterministic, which matters for oracle comparison)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    """L2 norm."""
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; inputs should be cast to array<double> first
+    so both engines accumulate in double precision."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double_array(c: Column) -> Column:
+    return c.cast("array<double>")

@@ -1,0 +1,28 @@
+"""Operator modules. Importing this package registers every named
+query into data_pipeline_spark_spark.registry."""
+
+from . import (  # noqa: F401
+    asof,
+    dedup,
+    ingest_ops,
+    multimodal,
+    relational,
+    scalars,
+    similarity,
+    streaming_batch,
+    text,
+    windows,
+)
+
+ALL_MODULES = (
+    relational,
+    windows,
+    scalars,
+    asof,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    streaming_batch,
+    ingest_ops,
+)

@@ -1,0 +1,307 @@
+"""Deduplication family: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+EXT tier (north-star): the dedup ladder a training-data pipeline runs
+before anything else. Scale design per rung:
+
+- exact:        hash → groupBy digest. The shuffle carries 32-byte
+                digests; documents never move twice.
+- n-gram Jaccard: shingle → explode → self-join on shingle → count.
+                Exact but O(pairs-sharing-a-shingle); usable when
+                shingles are discriminative. The LSH rungs below are
+                the 100 TB path.
+- MinHash-LSH:  shingles → minhash signature → band buckets →
+                candidate pairs only within buckets (spark.ml
+                MinHashLSH, seeded). Cost ∝ candidates, not n².
+- SimHash:      64-bit signature per doc → band join on 16-bit chunks
+                → hamming check. Signature generation is one pass.
+- embedding:    cosine near-dup over vectors; brute-force self-join
+                here (500 docs), LSH bucketing at scale (see
+                similarity.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..functions.vector import as_double_array, cosine
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, sha256(text) AS content_hash FROM documents
+    )
+    SELECT content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM keyed
+    GROUP BY content_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keep min(doc_id) per sha256(text).
+    Equivalent to dropDuplicates(["text"]) but with a deterministic
+    keeper and a digest-only shuffle (at 100 TB you shuffle 32-byte
+    hashes, then semi-join winners back against the corpus)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_hash", F.sha2(F.col("text"), 256))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (shingle self-join)
+# ---------------------------------------------------------------------------
+
+
+def _shingles(col, n: int = 3):
+    """Word n-gram shingles as distinct strings (space-joined).
+    Guarded so docs with < n tokens yield an empty array (Spark's
+    sequence(1, 0) would otherwise produce [1, 0], not [])."""
+    toks = F.split(col, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_JACCARD_SQL = """
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.inter AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - p.inter), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (≥ 0.8): shingle →
+    explode → self-join on shingle → |∩| counts → Jaccard from
+    |A|+|B|−|∩|. Fully distributed: the join key is the shingle, so
+    only docs sharing a shingle ever pair; the groupBy shuffles
+    (doc_a, doc_b) pairs, never text."""
+    d = load(spark, sf_dir, "documents")
+    shingled = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    exploded = shingled.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH (approximate Jaccard at scale)
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_fuzzy")
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: word-3-gram shingles →
+    HashingTF (2^18 bins) → MinHashLSH(16 tables, seed=42) →
+    approxSimilarityJoin at Jaccard distance ≤ 0.3. This is the 100 TB
+    dedup workhorse: cost scales with colliding candidates, not n².
+    Seeded & deterministic, but no SQL oracle (the sketch is
+    engine-specific) → rows-only check."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load(spark, sf_dir, "documents")
+    shingled = d.select("doc_id", _shingles(F.col("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=16, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+_SIMHASH_BANDS = 4  # 16 bits per band
+
+
+def _simhash_udf():
+    @F.pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        def sh(text: str) -> int:
+            acc = [0] * _SIMHASH_BITS
+            for tok in text.split(" "):
+                if not tok:
+                    continue
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                )
+                for i in range(_SIMHASH_BITS):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(_SIMHASH_BITS):
+                if acc[i] > 0:
+                    v |= 1 << i
+            # to signed 64-bit
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        return texts.map(sh)
+
+    return simhash
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature per doc (token-hash majority
+    vote, md5-based → engine-independent & deterministic), then
+    band-join on 16-bit chunks and verify hamming distance ≤ 6.
+    The band join is what scales: candidates must agree on one whole
+    band, so the self-join touches only plausible pairs. Rows-only
+    check (no SQL oracle for the signature)."""
+    d = load(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", _simhash_udf()("text").alias("sig"))
+
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
+    LIMIT 20
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-20 most-similar vector pairs
+    (rounded cosine, id tie-breaks → deterministic). Brute-force
+    self-join at this SF; the LSH-bucketed variant for scale is
+    similarity.py::sim_search_lsh. Cosine accumulates in double on
+    both engines."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+        .limit(20)
+    )

@@ -1,0 +1,113 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+EXT tier (north-star): image/audio/video as `binary` columns with a
+metadata struct, processed by Arrow-batched `mapInPandas` operators.
+The decode step itself (JPEG/PNG/audio codecs) is STUBBED — the
+codec libraries are not in this container — behind
+``decode_image_stub``; everything Spark-side (schema, batch shape,
+partitioning, UDF signatures) is real and tested, so swapping the
+stub for PIL/torchvision is a one-function change.
+
+Scale notes: binary payloads make rows wide — keep
+spark.sql.files.maxPartitionBytes moderate so tasks stay balanced,
+process with mapInPandas (one Arrow batch of payloads at a time, no
+per-row pickling), and never groupBy on payload bytes (fingerprint
+first, shuffle digests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Stand-in for a real image decode (PIL.Image.open → size/mode).
+
+    Deterministic fake: derives "width"/"height" from the payload
+    digest so the pipeline has real varying values to aggregate.
+    Replace the body with a real codec call in production:
+
+        raise NotImplementedError("image codecs not available in this container")
+    """
+    digest = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + digest[0] % 192,   # fake 64..255 px
+        "height": 64 + digest[1] % 192,
+        "mode": "RGB" if digest[2] % 2 == 0 else "L",
+    }
+
+
+def attach_payload(df: DataFrame) -> DataFrame:
+    """Synthesize a binary payload column from text (the fixtures have
+    no real media); in production this column comes from the source."""
+    return df.withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+
+
+def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas operator: binary payload batch → decoded feature
+    batch. One Arrow batch in, one out; no driver involvement."""
+    for pdf in batches:
+        meta = pdf["payload"].map(lambda p: decode_image_stub(bytes(p)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len),
+                "width": meta.map(lambda m: m["width"]),
+                "height": meta.map(lambda m: m["height"]),
+                "mode": meta.map(lambda m: m["mode"]),
+            }
+        )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_fp,
+           CASE WHEN octet_length(encode(text)) > 256 THEN 'large'
+                ELSE 'small' END AS size_class
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary column: byte length,
+    content fingerprint, size class — all JVM-side, payload never
+    leaves the executor."""
+    d = attach_payload(load(spark, sf_dir, "documents"))
+    n_bytes = F.octet_length(F.col("payload")).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.md5(F.col("text")).alias("payload_fp"),
+        F.when(n_bytes > 256, "large").otherwise("small").alias("size_class"),
+    )
+
+
+@query("multimodal_decode")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode pipeline: payload → mapInPandas(decode_batch) →
+    per-item features → aggregate by decoded mode. Deterministic
+    (stub derives features from sha256) but not SQL-expressible →
+    rows-only check."""
+    d = attach_payload(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+    decoded = d.mapInPandas(
+        decode_batch,
+        schema="doc_id long, n_bytes long, width int, height int, mode string",
+    )
+    return decoded.groupBy("mode").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("height"), 4).alias("avg_height"),
+    )

@@ -1,0 +1,507 @@
+"""Relational core: scan / filter / project / aggregate / join /
+set-op / sort-limit.
+
+This is the query surface the reference platform declared but
+delegated to Athena ANSI SQL (reference README.md:4 "queries for data
+filtering and aggregation", README.md:15 ad-hoc SQL, README.md:29-31
+partition-pruned scans as the cost model). Here each class of query is
+a native Spark DataFrame plan; Catalyst supplies pushdown, pruning,
+join selection and whole-stage codegen — no custom physical code.
+
+Scale notes (100 TB):
+- Every query projects before it scans — with the reference's
+  6,039-column curated table (reference sparkle-v8.py:90-94), column
+  pruning into the parquet reader is the single biggest cost lever.
+- Dimension joins (region/nation/customer ≤ a few GB at any SF) are
+  explicitly broadcast; fact-fact joins shuffle on the join key and
+  rely on AQE skew splitting.
+- Aggregations are expressed as groupBy().agg() => partial (map-side)
+  + final hash aggregate; no driver-side reduction anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# filter / project / partition pruning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND l_discount IN (0.05, 0.06, 0.07)
+      AND l_returnflag <> 'N'
+      AND l_quantity IS NOT NULL
+      AND l_linestatus LIKE 'F%'
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive row predicates: BETWEEN on time, IN-list, <>, IS
+    NOT NULL, LIKE. All six predicates compile to parquet data filters
+    (check .explain(): PushedFilters) — at 100 TB this is the
+    difference between a full scan and a pruned one
+    (reference README.md:29-31 cost rule)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+        & F.col("l_discount").isin(0.05, 0.06, 0.07)
+        & (F.col("l_returnflag") != "N")
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_linestatus").like("F%")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+    )
+
+
+@query(
+    "project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+)
+def project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column selection + computed projection. Against the reference's
+    6k-wide curated table, selecting 3 of 6,039 columns must reach the
+    scan as ReadSchema pruning — Catalyst's ColumnPruning does this
+    for free because the plan is declarative."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@query(
+    "partition_prune_filter",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(month(l_shipdate) AS INT) AS ship_month,
+           COUNT(*) AS n_rows,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE year(l_shipdate) = 1997 AND month(l_shipdate) IN (1, 2, 3)
+    GROUP BY 1, 2
+    """,
+)
+def partition_prune_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-style date predicate. On the curated store this
+    predicate hits hive partition columns Year/Month/Day (written by
+    the ingest job exactly as the reference does at
+    sparkle-v9.py:136-138) and Catalyst's PruneFileSourcePartitions
+    skips whole directories — zero data read outside the window."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("ship_year", F.year("l_shipdate"))
+        .withColumn("ship_month", F.month("l_shipdate"))
+        .filter((F.col("ship_year") == 1997) & F.col("ship_month").isin(1, 2, 3))
+        .groupBy("ship_year", "ship_month")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE)             AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6)                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)              AS avg_price,
+           ROUND(AVG(l_discount), 6)                   AS avg_disc,
+           COUNT(*)                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped COUNT/SUM/AVG with GROUP BY — the platform's
+    headline "aggregation query" class (reference README.md:4).
+    Executes as partial hash-agg on each scan task then a final agg
+    after a 2-column-key shuffle; the projected width is 5 columns no
+    matter how wide the table."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — planned by Spark as expand + two-phase
+    aggregate, fully distributed. For 100 TB cardinality estimation
+    prefer approx_count_distinct (HLL, no expand) — exposed as the
+    separate `agg_approx_distinct` rows-only query."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the scale path for
+    distinct counts — one pass, no expand, mergeable sketches. No SQL
+    oracle (DuckDB's approx_count_distinct uses a different sketch) →
+    rows-only driver check."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS std_price,
+           ROUND(var_samp(l_extendedprice), 4)    AS var_price,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(min(l_extendedprice), 2)         AS min_price,
+           ROUND(max(l_extendedprice), 2)         AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev / variance / exact interpolated percentile — the
+    signal-statistics query class over the reference's measurement
+    columns. Exact percentile is a full sort per group; at 100 TB use
+    percentile_approx (t-digest-style sketch, single pass) unless
+    exactness is required."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT)  AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (order_year, order_month)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the (Year, Month) hierarchy — the curated store's
+    partition hierarchy (reference sparkle-v9.py:120-122 derives
+    exactly these columns). Spark plans rollup/cube as a single Expand
+    + hash aggregate: one scan feeds every grouping set."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("order_month", F.month("o_orderdate"))
+        .rollup("order_year", "order_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi-join (lineitem ⋈ orders on orderkey). Both
+    sides are large at scale → sort-merge join after shuffling on the
+    key; AQE converts to broadcast at runtime if one side's filtered
+    size drops under the threshold, and splits skewed partitions."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1996-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension star join with explicit broadcast hints — the
+    analogue of joining the reference's 270-entry super-category
+    mapping table (reference mapping.json, crawler.py:5-41) to the
+    fact table. Broadcasting nation/region eliminates both shuffles:
+    the fact side never moves."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders
+    (TPC-H-Q13 shape). COUNT(o_orderkey) counts only matched rows —
+    the null-extension semantics the outer join exists for."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS customers_without_orders
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: NOT EXISTS without materializing the probe side
+    ("patients with no sessions" in the reference's domain). Anti/semi
+    joins ship only the join key of the right side — far cheaper than
+    outer-join-then-filter at scale."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("customers_without_orders"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS customers_with_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: EXISTS — dedups the right side during the join,
+    never widens the row."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("customers_with_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice,
+           o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY … LIMIT n → TakeOrderedAndProject: each task keeps a
+    bounded top-N heap and only N rows ever reach the driver — a full
+    sort is never materialized, so this survives any scale-up. The
+    o_orderkey tiebreak makes the result set deterministic."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderdate",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "setop_union",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
+    UNION
+    SELECT o_orderstatus, o_orderpriority FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-06-30'
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) across two time slices — the reference's
+    monthly-batch model makes cross-month unions the canonical set op.
+    unionByName (not positional union) to avoid the reference's
+    column-order bug (sparkle-v9.py:130, SURVEY.md §4 bug 2)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderdate").between("1996-01-01", "1996-06-30"))
+    b = o.filter(F.col("o_orderdate").between("1997-01-01", "1997-06-30"))
+    cols = ["o_orderstatus", "o_orderpriority"]
+    return a.select(cols).unionByName(b.select(cols)).distinct()
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-03-01' AND TIMESTAMP '1996-05-31'
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — pure concatenation of partition lists, zero shuffle
+    (overlapping slices included twice, by design)."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag"]
+    a = li.filter(F.col("l_shipdate").between("1996-01-01", "1996-03-31")).select(cols)
+    b = li.filter(F.col("l_shipdate").between("1996-03-01", "1996-05-31")).select(cols)
+    return a.unionByName(b)
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (customers active in both years) — planned as a
+    left-semi join on all columns + aggregate-distinct."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (customers who churned between years) — left-anti join +
+    distinct. DataFrame.subtract == ANSI EXCEPT (distinct); exceptAll
+    would keep multiplicity and diverge from the SQL semantics."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return a.subtract(b)

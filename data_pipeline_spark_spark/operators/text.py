@@ -1,0 +1,265 @@
+"""Text analysis over the `documents` corpus: stats, token counting,
+quality scoring, language ID, fingerprinting.
+
+EXT tier (SURVEY.md §2C / north-star): the operators a training-data
+pipeline runs over raw text before dedup/filtering. All hot-path work
+is built-in string/array functions (split, regexp, higher-order
+filters) — tokenization at 100 TB must stay JVM-side; Python touches
+nothing here.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# corpus statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus breakdown per language: doc counts, source diversity,
+    length distributions."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+    )
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS INT)
+             AS bpe_ish_tokens,
+           CAST(length(text) AS INT) AS n_chars_measured
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split (fast, crude) and a
+    BPE-ish regex lexer ([a-z0-9]+ runs | single non-alnum) — the
+    standard pre-tokenizer shape. Both are single-pass JVM regex;
+    ~O(bytes) per doc, embarrassingly parallel."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS toks, text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / nullif(len(toks), 0), 4) AS avg_token_len,
+           ROUND(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / nullif(length(text), 0), 4) AS punct_ratio,
+           ROUND(CAST(len(list_filter(toks,
+                 x -> x IN {tuple(_STOPWORDS)!s})) AS DOUBLE)
+                 / nullif(len(toks), 0), 4) AS stopword_ratio,
+           CASE WHEN len(toks) BETWEEN 5 AND 100000
+                 AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / nullif(len(toks), 0) BETWEEN 2 AND 12
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM tok
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality features (Gopher-style length /
+    token-shape / stopword filters): token count, mean token length,
+    punctuation ratio, stopword ratio, and a pass/fail gate. Pure
+    column expressions — at 100 TB this is a single projected scan."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    compact_len = F.length(F.regexp_replace("text", " ", ""))
+    avg_tok_len = compact_len.cast("double") / F.nullif(n_toks, F.lit(0))
+    punct_ratio = (
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+        / F.nullif(F.length("text"), F.lit(0))
+    )
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("double")
+        / F.nullif(n_toks, F.lit(0))
+    )
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(avg_tok_len, 4).alias("avg_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.when(
+            n_toks.between(5, 100000) & avg_tok_len.between(2, 12), 1
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de5", "shi4", "zai4", "le5", "you3"),  # romanized placeholder markers
+}
+
+
+def _marker_hits(toks, markers: tuple[str, ...]):
+    return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(string_split(text,' '), x -> x IN {tuple(_LANG_MARKERS['en'])!s})) AS hits_en,
+             len(list_filter(string_split(text,' '), x -> x IN {tuple(_LANG_MARKERS['es'])!s})) AS hits_es,
+             len(list_filter(string_split(text,' '), x -> x IN {tuple(_LANG_MARKERS['fr'])!s})) AS hits_fr,
+             len(list_filter(string_split(text,' '), x -> x IN {tuple(_LANG_MARKERS['de'])!s})) AS hits_de,
+             len(list_filter(string_split(text,' '), x -> x IN {tuple(_LANG_MARKERS['zh'])!s})) AS hits_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de, hits_zh) = 0 THEN 'und'
+                  WHEN hits_en >= greatest(hits_es, hits_fr, hits_de, hits_zh) THEN 'en'
+                  WHEN hits_es >= greatest(hits_fr, hits_de, hits_zh) THEN 'es'
+                  WHEN hits_fr >= greatest(hits_de, hits_zh) THEN 'fr'
+                  WHEN hits_de >= hits_zh THEN 'de'
+                  ELSE 'zh' END AS lang_pred
+      FROM scored
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: count per-language marker tokens,
+    argmax with a fixed priority order for ties, 'und' when nothing
+    hits. Returns the (actual, predicted) confusion table. The marker
+    sets are deliberately tiny (a real system ships ~100/lang); the
+    plan shape — k parallel higher-order filters over one token array,
+    one scan — is the part that matters at scale."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    hits = {lang: _marker_hits(toks, m) for lang, m in _LANG_MARKERS.items()}
+    scored = d.select("lang", *[h.alias(f"hits_{lang}") for lang, h in hits.items()])
+    h = {lang: F.col(f"hits_{lang}") for lang in _LANG_MARKERS}
+    pred = (
+        F.when(
+            F.greatest(h["en"], h["es"], h["fr"], h["de"], h["zh"]) == 0, "und"
+        )
+        .when(h["en"] >= F.greatest(h["es"], h["fr"], h["de"], h["zh"]), "en")
+        .when(h["es"] >= F.greatest(h["fr"], h["de"], h["zh"]), "es")
+        .when(h["fr"] >= F.greatest(h["de"], h["zh"]), "fr")
+        .when(h["de"] >= h["zh"], "de")
+        .otherwise("zh")
+    )
+    return (
+        scored.withColumn("lang_pred", pred)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fp,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint = md5 of normalized text, grouped to expose
+    exact-duplicate clusters. The normalize→hash→groupBy shape is the
+    canonical 100 TB exact-dedup plan: the shuffle carries 16-byte
+    digests, not documents."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", F.md5(F.lower(F.trim(F.col("text")))))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+@query("doc_fingerprint_rolling")
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash (Rabin–Karp, base 257 mod 2^61-1) over
+    the raw bytes, via an Arrow-vectorized Pandas UDF. Deterministic;
+    no SQL oracle (engine hash builtins differ) → rows-only check."""
+
+    @F.pandas_udf(T.LongType())
+    def rolling_hash(texts: pd.Series) -> pd.Series:
+        MOD = (1 << 61) - 1
+        BASE = 257
+
+        def h(s: str) -> int:
+            acc = 0
+            for b in s.encode("utf-8"):
+                acc = (acc * BASE + b) % MOD
+            return acc
+
+        return texts.map(h)
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_hash("text").alias("rolling_fp"))

@@ -1,0 +1,135 @@
+"""Window functions: ranking and analytic (lag/lead/running) queries.
+
+Query class: "latest session per patient", "running aggregate of a
+signal within a session" — the time-series analytics the reference's
+platform serves via Athena window SQL (declared query surface,
+reference README.md:14-16; the curated table is one-row-per-second
+time series, reference random_generator.py:47-50).
+
+Scale notes: a window spec is one shuffle on partitionBy keys + a sort
+within partitions. Skewed partition keys (one patient with years of
+data) are the hazard — prefer bounded frames (rowsBetween) and
+pre-filter to the time range before windowing. All orderings below are
+total (tie-broken by a unique key) so results are deterministic and
+oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 2) AS o_totalprice
+    FROM (
+      SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+             row_number() OVER (
+               PARTITION BY c.c_custkey
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    WHERE rn = 1
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group via row_number over a total ordering — the
+    "latest order per customer" / "latest session per patient" query.
+    Ordering includes the unique o_orderkey tiebreak so the winner is
+    deterministic (SURVEY.md §7 step 3)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("c_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, price_rank, price_dense_rank
+    FROM (
+      SELECT o_orderpriority, o_orderkey,
+             rank()       OVER w AS price_rank,
+             dense_rank() OVER w AS price_dense_rank
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY round(o_totalprice, 2) DESC, o_orderkey)
+    )
+    WHERE price_rank <= 5
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank top-K per group. Rounding the ordering key to 2
+    decimals keeps rank ties identical across engines (double
+    formatting is the only cross-engine hazard here)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.round("o_totalprice", 2).desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+        )
+        .filter(F.col("price_rank") <= 5)
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           ROUND(value, 4) AS value,
+           ROUND(lag(value)  OVER w, 4) AS prev_value,
+           ROUND(lead(value) OVER w, 4) AS next_value,
+           ROUND(sum(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_value,
+           ROUND(avg(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg_3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / running sum / moving average over event time
+    within a user — the per-session signal analytics class (one
+    row per second in the reference's EEG model). Bounded ROWS frames
+    keep state O(frame) per partition regardless of data size."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round("value", 4).alias("value"),
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+        F.round(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 4).alias(
+            "running_value"
+        ),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg_3"),
+    )

@@ -1,0 +1,47 @@
+"""Physical-plan introspection: the audit tooling behind "would this
+plan survive 100×?".
+
+Used by tests to assert plan PROPERTIES, not just results:
+- filters reached the parquet scan (PushedFilters),
+- the scan reads only the projected columns (ReadSchema),
+- small-dimension joins are broadcast, not shuffled.
+
+The reference relied on Athena to get this right invisibly
+(reference README.md:29-31); we make it checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The .explain('formatted') text, captured."""
+    return df._jdf.queryExecution().explainString("formatted")
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """PushedFilters lines from the formatted plan."""
+    return "\n".join(
+        line.strip()
+        for line in formatted_plan(df).splitlines()
+        if "PushedFilters" in line
+    )
+
+
+def scan_columns(df: DataFrame) -> list[str]:
+    """Column names in the first parquet ReadSchema of the plan."""
+    for line in formatted_plan(df).splitlines():
+        line = line.strip()
+        if line.startswith("ReadSchema"):
+            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            return [f.split(":")[0] for f in inner.split(",") if f]
+    return []
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    return formatted_plan(df).count("Exchange hashpartitioning")

@@ -1,0 +1,41 @@
+"""Every registered query: (a) runs; (b) if it declares oracle SQL,
+matches DuckDB order-insensitively at sf0.001 — the local replica of
+the driver's correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_spark_spark import registry
+
+registry.load_all()
+
+ORACLE_KEYS = sorted(registry.ORACLE_SQL)
+ROWS_ONLY_KEYS = sorted(set(registry.QUERIES) - set(registry.ORACLE_SQL))
+
+# generating + ingesting fixtures repeatedly is slow; exercised by
+# dedicated tests in test_ingest.py instead
+SLOW_ROWS_ONLY = {"eeg_ingest", "eeg_tidy_melt"}
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_parity(spark, sf_dir, name):
+    from .oracle import assert_matches_oracle
+
+    df = registry.QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, registry.ORACLE_SQL[name], sf_dir, name=name)
+
+
+@pytest.mark.parametrize("name", sorted(set(ROWS_ONLY_KEYS) - SLOW_ROWS_ONLY))
+def test_rows_only_runs(spark, sf_dir, name):
+    df = registry.QUERIES[name](spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    assert df.schema.fieldNames()
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
