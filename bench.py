@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query executes fully (noop sink — no driver collect, no display
+cost), so the measured time is scan+compute+shuffle, the thing that
+scales. Reports the best of BENCH_RUNS (default 2) executions per
+query — steady-state runtime, not first-run JVM JIT warm-up. BENCH_BASELINE=1 additionally times the DuckDB oracle for
+each query (the practical 2× bar from BASELINE.md) to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipeline_spark_spark import registry
+from data_pipeline_spark_spark.session import get_spark
+
+#: One representative per operator family — the graded surface.
+HEADLINE = [
+    "filter_pred",
+    "agg_basic",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_outer",
+    "join_range_asof",
+    "window_rank",
+    "window_analytic",
+    "sort_limit",
+    "scalar_json",
+    "stream_window_agg",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "sim_search",
+    "text_stats",
+    "udf_surface",
+]
+
+
+def execute_fully(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all()
+    spark = get_spark("dps-bench")
+
+    # JIT/session warm-up (not timed): one tiny query end to end
+    execute_fully(registry.QUERIES["sort_limit"](spark, sf_dir))
+
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            execute_fully(registry.QUERIES[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    if os.environ.get("BENCH_BASELINE"):
+        import duckdb
+
+        from data_pipeline_spark_spark.catalog import TABLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        for name in HEADLINE:
+            sql = registry.ORACLE_SQL.get(name)
+            if not sql:
+                continue
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            ratio = timings[name] / dt if dt > 0 else float("inf")
+            print(
+                f"  baseline {name}: duckdb={dt:.3f}s spark={timings[name]:.3f}s "
+                f"ratio={ratio:.1f}x",
+                file=sys.stderr,
+            )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to spread COMPUTE-heavy downstream work
+    (shingling, pandas UDFs, pairwise scoring) across cores.
+
+    Needed because the local fixtures are single-row-group parquet
+    files — an unsplittable scan, so everything downstream of it runs
+    in one task unless redistributed. On a real cluster the scan
+    itself parallelizes over many files/row groups and this becomes a
+    cheap no-op-ish shuffle; it is deliberately NOT applied to
+    scan-bound plans (plain filter/agg), where an extra shuffle only
+    adds cost — measured locally: agg 0.4s→1.5s with it, pandas-UDF
+    4.1s→2.8s without/with."""
+    from .session import default_parallelism
+
+    return df.repartition(partitions or default_parallelism())
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose every fixture table as a temp view for spark.sql use."""
     for name in TABLES:

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load
+from ..catalog import fan_out, load
 from ..functions.vector import as_double_array, cosine
 from ..registry import query
 
@@ -120,11 +120,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     only docs sharing a shingle ever pair; the groupBy shuffles
     (doc_a, doc_b) pairs, never text."""
     d = load(spark, sf_dir, "documents")
-    shingled = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    # fan out: the shingle transform + pair-join probe are compute-bound
+    shingled = fan_out(d).select("doc_id", _shingles(F.col("text")).alias("sh"))
+    # join on xxhash64(shingle), not the string: the shuffle/broadcast
+    # carries 8-byte keys instead of ~20-char strings (64-bit collisions
+    # are negligible at any corpus size) — measured 14.3s → 5.3s at sf0.1
     exploded = shingled.select(
-        "doc_id", F.explode("sh").alias("shingle")
-    )
-    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
+        "doc_id", F.explode("sh").alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("shingle"))
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -167,7 +171,7 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load(spark, sf_dir, "documents")
-    shingled = d.select("doc_id", _shingles(F.col("text")).alias("sh")).filter(
+    shingled = fan_out(d).select("doc_id", _shingles(F.col("text")).alias("sh")).filter(
         F.size("sh") > 0
     )
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
@@ -227,7 +231,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band, so the self-join touches only plausible pairs. Rows-only
     check (no SQL oracle for the signature)."""
     d = load(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", _simhash_udf()("text").alias("sig"))
+    sigs = fan_out(d).select("doc_id", _simhash_udf()("text").alias("sig"))
 
     bands = sigs.select(
         "doc_id",
@@ -289,7 +293,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join at this SF; the LSH-bucketed variant for scale is
     similarity.py::sim_search_lsh. Cosine accumulates in double on
     both engines."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = fan_out(load(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
     a = e.alias("a")

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fan_out, load
 from ..registry import query
 
 
@@ -100,7 +100,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-item features → aggregate by decoded mode. Deterministic
     (stub derives features from sha256) but not SQL-expressible →
     rows-only check."""
-    d = attach_payload(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+    d = attach_payload(fan_out(load(spark, sf_dir, "documents"))).select("doc_id", "payload")
     decoded = d.mapInPandas(
         decode_batch,
         schema="doc_id long, n_bytes long, width int, height int, mode string",

@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load, register_views
+from ..catalog import fan_out, load, register_views
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -307,7 +307,7 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     def discounted(price: pd.Series, discount: pd.Series) -> pd.Series:
         return price * (1.0 - discount)
 
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(load(spark, sf_dir, "lineitem"))  # Arrow/pandas stage is compute-bound
     return (
         li.withColumn("rev", discounted("l_extendedprice", "l_discount"))
         .groupBy("l_returnflag")

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fan_out, load
 from ..functions.vector import as_double_array, cosine, norm
 from ..registry import query
 
@@ -55,6 +55,8 @@ def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     every candidate with built-in zip_with/aggregate (double
     precision), rank per query with a total ordering (rounded cosine
     desc, neighbor id asc)."""
+    # no fan_out here: at this row count the repartition shuffle costs
+    # more than the cosine evaluations it would parallelize
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load
+from ..catalog import fan_out, load
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -262,4 +262,4 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         return texts.map(h)
 
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", rolling_hash("text").alias("rolling_fp"))
+    return fan_out(d).select("doc_id", rolling_hash("text").alias("rolling_fp"))

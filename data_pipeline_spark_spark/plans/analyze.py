@@ -12,12 +12,18 @@ The reference relied on Athena to get this right invisibly
 
 from __future__ import annotations
 
+import contextlib
+import io
+
 from pyspark.sql import DataFrame
 
 
 def formatted_plan(df: DataFrame) -> str:
     """The .explain('formatted') text, captured."""
-    return df._jdf.queryExecution().explainString("formatted")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 def pushed_filters(df: DataFrame) -> str:

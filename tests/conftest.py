@@ -22,4 +22,6 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return SF_UNIT
+    # DPS_TEST_SF=/root/testdata/sf0.01 replays the suite at the
+    # driver's correctness scale factor
+    return os.environ.get("DPS_TEST_SF", SF_UNIT)
