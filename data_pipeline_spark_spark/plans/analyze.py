@@ -50,4 +50,8 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("Exchange hashpartitioning")
+    """Hash-partitioning exchanges in the plan (broadcast exchanges
+    excluded — those are the cheap kind)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))

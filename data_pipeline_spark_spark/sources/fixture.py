@@ -32,8 +32,11 @@ def generate_corpus(
     rows_per_session: int = 100,
     n_signals: int = 20,
     seed: int = 42,
+    patient_offset: int = 0,
 ) -> list[str]:
-    """Write a deterministic corpus of session CSVs; returns paths."""
+    """Write a deterministic corpus of session CSVs; returns paths.
+    ``patient_offset`` shifts patient numbering so a second corpus can
+    land in the same staging dir without filename collisions."""
     rng = random.Random(seed)
     os.makedirs(out_dir, exist_ok=True)
     header = ["ClockDateTime", "Time"] + [f"S{i + 1}_1" for i in range(n_signals)]
@@ -42,7 +45,7 @@ def generate_corpus(
         for i in range(n_signals)
     ]
     paths = []
-    for p in range(1, n_patients + 1):
+    for p in range(1 + patient_offset, n_patients + 1 + patient_offset):
         n_sessions = 1 + rng.randrange(max_sessions)
         for s in range(1, n_sessions + 1):
             year = rng.randrange(2015, 2024)

@@ -90,8 +90,20 @@ def windowed_event_counts(
     late data. The batch twin (operators/streaming_batch.py) is what
     the DuckDB oracle verifies; this streaming form is exercised by
     tests with a memory sink."""
+    # same nanosecond-timestamp shim as catalog.load: read TIMESTAMP(NANOS)
+    # as long nanos, floor to microseconds
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(events_path).schema
-    stream = spark.readStream.schema(batch_schema).parquet(events_path)
+    # the streaming file source wants a DIRECTORY; narrow to the one
+    # table file with a glob filter
+    base_dir, file_name = os.path.split(events_path)
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", file_name)
+        .parquet(base_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")

@@ -1,0 +1,159 @@
+"""EEG ingest pipeline tests (SURVEY.md §2A re-expression).
+
+Pins: prelude skip, metadata extraction, the ×1e5 timestamp decode,
+partitioned write, ledger idempotency (the reference's
+read-union-append duplication bug #1 must NOT reproduce), schema
+registry, supercategory fold, wide→tidy melt.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_spark_spark.sources import eeg_csv
+from data_pipeline_spark_spark.sources.fixture import generate_corpus
+from data_pipeline_spark_spark.sources.schema_rules import (
+    fold_supercategories,
+    type_for_column,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("eeg_in"))
+    paths = generate_corpus(
+        d, n_patients=2, max_sessions=2, rows_per_session=50, n_signals=10, seed=7
+    )
+    return d, paths
+
+
+def test_probe_header(spark, corpus):
+    _, paths = corpus
+    h = eeg_csv.probe_header(spark, paths[0])
+    assert h.metadata["PatientID"].startswith("P")
+    assert h.metadata["PatientName"].startswith("Patient ")
+    assert h.columns[:2] == ["ClockDateTime", "Time"]
+    assert len(h.columns) == 12  # 2 + 10 signals
+    # supercategory fold: labels span groups of SUPERCAT_SPAN columns
+    assert "" in h.supercategories  # ClockDateTime/Time are unlabeled
+    assert any(k.startswith("Group ") for k in h.supercategories)
+
+
+def test_read_session_skips_prelude_and_decodes(spark, corpus):
+    _, paths = corpus
+    df = eeg_csv.read_session(spark, paths[0])
+    assert df.count() == 50  # 8 prelude rows skipped
+    row = df.orderBy("ClockDateTime").first()
+    # ×1e5 decode (reference sparkle-v9.py:114-118): Timestamp must
+    # round-trip the encoded ClockDateTime to the exact second
+    expected = dt.datetime.fromtimestamp(
+        round(row.ClockDateTime * 1e5), tz=dt.timezone.utc
+    ).replace(tzinfo=None)
+    assert row.Timestamp == expected
+    assert (row.Year, row.Month, row.Day) == (
+        expected.year,
+        expected.month,
+        expected.day,
+    )
+    # v5-semantics metadata (not v9's empty literals)
+    assert row.PatientID != ""
+    assert row.PatientBirthDate is not None
+
+
+def test_one_second_cadence(spark, corpus):
+    _, paths = corpus
+    df = eeg_csv.read_session(spark, paths[0])
+    ts = [r.Timestamp for r in df.orderBy("Time").collect()]
+    deltas = {(b - a).total_seconds() for a, b in zip(ts, ts[1:])}
+    assert deltas == {1.0}  # 1 Hz rows (reference random_generator.py:47)
+
+
+def test_ingest_idempotent(spark, corpus, tmp_path):
+    src, paths = corpus
+    out = str(tmp_path / "curated")
+    n1 = eeg_csv.ingest(spark, src, out, run_id="r1")
+    assert n1 == len(paths)
+    count1 = spark.read.parquet(os.path.join(out, "data")).count()
+
+    # re-run over the same staging dir: MUST be a no-op (reference
+    # bug #1: re-read + union + append duplicated everything)
+    n2 = eeg_csv.ingest(spark, src, out, run_id="r2")
+    assert n2 == 0
+    count2 = spark.read.parquet(os.path.join(out, "data")).count()
+    assert count1 == count2
+
+
+def test_ingest_incremental_new_file(spark, corpus, tmp_path):
+    src, paths = corpus
+    out = str(tmp_path / "curated")
+    eeg_csv.ingest(spark, src, out, run_id="r1")
+    before = spark.read.parquet(os.path.join(out, "data")).count()
+
+    generate_corpus(src, n_patients=1, max_sessions=1,
+                    rows_per_session=30, n_signals=10, seed=99)
+    n = eeg_csv.ingest(spark, src, out, run_id="r2")
+    assert n >= 1
+    after = spark.read.parquet(os.path.join(out, "data")).count()
+    assert after == before + 30 * n
+
+
+def test_partitioned_layout_and_registry(spark, corpus, tmp_path):
+    src, _ = corpus
+    out = str(tmp_path / "curated")
+    eeg_csv.ingest(spark, src, out, run_id="r1")
+    # hive partition dirs Year=/Month=/Day= (reference sparkle-v9.py:136-138)
+    years = [p for p in os.listdir(os.path.join(out, "data")) if p.startswith("Year=")]
+    assert years
+    reg_dir = os.path.join(out, "_schema_registry")
+    files = os.listdir(reg_dir)
+    assert files
+    payload = json.load(open(os.path.join(reg_dir, files[0])))
+    names = {e["Name"] for e in payload}
+    assert {"Timestamp", "PatientID", "ClockDateTime"} <= names
+    assert all({"Name", "Type"} <= set(e) for e in payload)
+    # partition pruning works against the curated store
+    curated = eeg_csv.register_curated(spark, out, view="eeg_test")
+    one_year = curated.filter(F.col("Year") == int(years[0].split("=")[1]))
+    assert one_year.count() > 0
+
+
+def test_melt_tidy(spark, corpus, tmp_path):
+    src, paths = corpus
+    out = str(tmp_path / "curated")
+    eeg_csv.ingest(spark, src, out, run_id="r1")
+    curated = eeg_csv.register_curated(spark, out, view="eeg_melt")
+    h = eeg_csv.probe_header(spark, paths[0])
+    signals = [c for c in h.columns if c.startswith("S")]
+    tidy = eeg_csv.melt_signals(curated, signals)
+    assert tidy.columns == ["Timestamp", "PatientID", "channel", "value"]
+    assert tidy.count() == curated.count() * len(signals)
+
+
+def test_type_rules():
+    # reference gen_schema.py:5-14 name-based rules
+    assert type_for_column("Comment") == "string"
+    assert type_for_column("TestTime") == "string"
+    assert type_for_column("ClockDateTime") == "timestamp"
+    assert type_for_column("I42_1") == "double"
+
+
+def test_supercat_fold():
+    # reference crawler.py:27-32: label applies to its span
+    sc = ["", "", "A", "", "B", ""]
+    hdr = ["ts", "t", "c1", "c2", "c3", "c4"]
+    m = fold_supercategories(sc, hdr)
+    assert m == {"": ["ts", "t"], "A": ["c1", "c2"], "B": ["c3", "c4"]}
+
+
+def test_empty_input_guard(spark, tmp_path):
+    src = tmp_path / "empty_in"
+    src.mkdir()
+    out = str(tmp_path / "curated")
+    assert eeg_csv.ingest(spark, str(src), out) == 0  # no crash, no output
+    assert not os.path.exists(os.path.join(out, "data"))

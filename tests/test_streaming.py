@@ -1,0 +1,59 @@
+"""Structured Streaming tests: availableNow incremental ingest
+(checkpoint = exactly-once ledger) and event-time windowed aggregation
+(streaming result == batch result)."""
+
+from __future__ import annotations
+
+import os
+
+from data_pipeline_spark_spark.sources.fixture import generate_corpus
+from data_pipeline_spark_spark.streaming.ingest import (
+    stream_ingest_eeg,
+    windowed_event_counts,
+)
+
+
+def test_stream_ingest_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "staging")
+    generate_corpus(src, n_patients=2, max_sessions=1,
+                    rows_per_session=40, n_signals=8, seed=3)
+    out = str(tmp_path / "curated_stream")
+
+    n1 = stream_ingest_eeg(spark, src, out)
+    assert n1 == 2 * 40
+
+    # second availableNow run over the same dir: checkpoint makes it a no-op
+    n2 = stream_ingest_eeg(spark, src, out)
+    assert n2 == n1
+
+    # new file arrives → only its rows are added
+    generate_corpus(src, n_patients=1, max_sessions=1,
+                    rows_per_session=25, n_signals=8, seed=11,
+                    patient_offset=10)
+    n3 = stream_ingest_eeg(spark, src, out)
+    assert n3 == n1 + 25
+
+    assert os.path.isdir(os.path.join(out, "_checkpoint"))
+
+
+def test_windowed_stream_matches_batch(spark, sf_dir):
+    from data_pipeline_spark_spark.operators.streaming_batch import stream_window_agg
+
+    stream_df = windowed_event_counts(spark, os.path.join(sf_dir, "events.parquet"))
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in stream_window_agg(spark, sf_dir).collect()
+    }
+    assert got == want
