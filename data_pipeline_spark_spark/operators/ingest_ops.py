@@ -104,6 +104,83 @@ def eeg_supercat_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("eeg_distinct_files")
+def eeg_distinct_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct source files of a multi-file read via
+    input_file_name() (reference sparkle-v5.py:55-58) — the lineage
+    primitive behind per-file processing."""
+    src = fixture_dir()
+    paths = eeg_csv.list_input_files(src)
+    h = eeg_csv.probe_header(spark, paths[0])
+    schema = eeg_csv.build_schema(h.columns)
+    df = spark.read.schema(schema).csv(paths)
+    files = (
+        df.select(F.input_file_name().alias("path"))
+        .distinct()
+        .select(F.element_at(F.split("path", "/"), -1).alias("file"))
+        .orderBy("file")
+    )
+    return files
+
+
+@query("eeg_row_offset_filter")
+def eeg_row_offset_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prelude skip two ways (reference sparkle-v5.py:89
+    rdd.zipWithIndex().filter(idx > 7) vs our declarative
+    ClockDateTime-null filter) — both must agree. Returns the counts
+    side by side per file."""
+    rows = []
+    for path in eeg_csv.list_input_files(fixture_dir()):
+        rdd_count = (
+            spark.sparkContext.textFile(path)
+            .zipWithIndex()
+            .filter(lambda x: x[1] > 7)
+            .count()
+        )
+        df_count = eeg_csv.read_session(spark, path).count()
+        rows.append((os.path.basename(path), rdd_count, df_count))
+    return spark.createDataFrame(
+        rows, "file string, rdd_skip_count long, filter_skip_count long"
+    )
+
+
+@query("eeg_csv_scan_infer")
+def eeg_csv_scan_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-INFERRED scan of a session file (reference
+    sparkle-v5.py:87 / sparkle-v7.py:134) — kept as the explicit
+    anti-pattern: inference forces an extra pass and, with the
+    metadata prelude, degrades every column to string (why v8 went
+    schema-explicit: 'REALLY slow', sparkle-v7.py:14). Returns the
+    inferred shape so the contrast is visible."""
+    path = eeg_csv.list_input_files(fixture_dir())[0]
+    inferred = spark.read.option("inferSchema", "true").csv(path)
+    str_cols = sum(1 for _, t in inferred.dtypes if t == "string")
+    return spark.createDataFrame(
+        [(os.path.basename(path), len(inferred.columns), str_cols, inferred.count())],
+        "file string, n_columns int, n_string_columns int, n_rows long",
+    )
+
+
+@query("eeg_cast_by_prefix")
+def eeg_cast_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-prefix bulk cast (reference sparkle-v7.py:151-154: every
+    I*-column → double) applied to an all-string read of a session
+    file; returns the resulting dtype per column."""
+    from ..sources.schema_rules import cast_by_prefix
+
+    path = eeg_csv.list_input_files(fixture_dir())[0]
+    h = eeg_csv.probe_header(spark, path)
+    # all-string read with positional names (the CSV reader sizes rows
+    # from the first line, so the width must be schema-explicit here too)
+    str_schema = ", ".join(f"c{i} string" for i in range(len(h.columns)))
+    raw = spark.read.schema(str_schema).csv(path)
+    renamed = raw.toDF(*h.columns)  # rename_all (reference sparkle-v5.py:95)
+    cast = cast_by_prefix(renamed, "S", "double")
+    return spark.createDataFrame(
+        sorted(cast.dtypes), "column string, dtype string"
+    )
+
+
 @query("eeg_tidy_melt")
 def eeg_tidy_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide → tidy unpivot of the curated signals + broadcast join to

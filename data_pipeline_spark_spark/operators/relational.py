@@ -431,6 +431,43 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pivot_wide",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+             AS total_f
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts per priority × status. An
+    EXPLICIT pivot value list — never let pivot() infer values at
+    scale (that's an extra distinct scan). Planned as a single hash
+    aggregate with conditional expressions; the unpivot inverse is
+    sources/eeg_csv.melt_signals."""
+    o = load(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        F.col("F_total").alias("total_f"),
+    )
+
+
+@query(
     "setop_union",
     oracle="""
     SELECT o_orderstatus, o_orderpriority FROM orders

@@ -98,6 +98,69 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): lag(ts) per
+    user → new-session flag → running sum as session id → per-session
+    aggregates. One shuffle on user_id, linear within partition — the
+    batch twin of streaming session_window(ts, gap). The canonical
+    time-series operator for the reference's per-second session data
+    (one EEG recording = one session, random_generator.py:32)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            # microsecond precision — a seconds cast would truncate and
+            # disagree with interval arithmetic on sub-second gaps
+            | (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
     "window_analytic",
     oracle="""
     SELECT user_id, event_id, ts,

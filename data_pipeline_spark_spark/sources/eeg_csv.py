@@ -221,7 +221,20 @@ def ingest(
     export_schema_registry(batch, output_dir, run_id=run_id)
     processed.update(os.path.basename(f) for f in todo)
     _write_ledger(output_dir, processed)
+    append_ingest_log(output_dir, run_id or "batch", [os.path.basename(f) for f in todo])
     return len(todo)
+
+
+def append_ingest_log(output_dir: str, run_id: str, files: list[str]) -> str:
+    """Append one line per ingested file to the run log (reference
+    lambda-initiator-v2.py:47-65 logged filenames + timestamp to a
+    CSV log on every trigger)."""
+    log_path = os.path.join(output_dir, "_ingest_log.csv")
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
+    with open(log_path, "a") as f:
+        for name in files:
+            f.write(f"{stamp},{run_id},{name}\n")
+    return log_path
 
 
 def register_curated(spark: SparkSession, output_dir: str, view: str = "eeg") -> DataFrame:

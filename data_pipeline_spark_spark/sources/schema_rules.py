@@ -52,6 +52,21 @@ def fold_supercategories(
     return mapping
 
 
+def cast_by_prefix(df: DataFrame, prefix: str, type_name: str = "double") -> DataFrame:
+    """Cast every column whose name starts with ``prefix`` (reference
+    sparkle-v7.py:151-154 cast all I* columns to double). One SELECT,
+    not a withColumn loop — n chained withColumns build n projection
+    nodes and blow up analysis time on 6k-wide schemas."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(c).cast(type_name).alias(c) if c.startswith(prefix) else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def supercat_mapping_df(
     spark: SparkSession, mapping: dict[str, list[str]]
 ) -> DataFrame:

@@ -157,3 +157,24 @@ def test_empty_input_guard(spark, tmp_path):
     out = str(tmp_path / "curated")
     assert eeg_csv.ingest(spark, str(src), out) == 0  # no crash, no output
     assert not os.path.exists(os.path.join(out, "data"))
+
+
+def test_ingest_log(spark, corpus, tmp_path):
+    src, paths = corpus
+    out = str(tmp_path / "curated")
+    eeg_csv.ingest(spark, src, out, run_id="logrun")
+    log = os.path.join(out, "_ingest_log.csv")
+    lines = open(log).read().strip().splitlines()
+    # other tests may have appended files to the shared corpus dir
+    assert len(lines) == len(eeg_csv.list_input_files(src))
+    assert all(",logrun," in line for line in lines)
+
+
+def test_cast_by_prefix_single_projection(spark):
+    from data_pipeline_spark_spark.sources.schema_rules import cast_by_prefix
+
+    df = spark.createDataFrame([("1.5", "2.5", "x")], "S1 string, S2 string, note string")
+    out = cast_by_prefix(df, "S", "double")
+    assert dict(out.dtypes) == {"S1": "double", "S2": "double", "note": "string"}
+    row = out.first()
+    assert row.S1 == 1.5 and row.note == "x"
