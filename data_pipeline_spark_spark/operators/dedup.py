@@ -114,43 +114,63 @@ _JACCARD_SQL = """
 
 @query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (≥ 0.8): shingle →
-    explode → self-join on shingle → |∩| counts → Jaccard from
-    |A|+|B|−|∩|. Fully distributed: the join key is the shingle, so
-    only docs sharing a shingle ever pair; the groupBy shuffles
-    (doc_a, doc_b) pairs, never text."""
+    """Exact word-3-gram Jaccard near-dup pairs (≥ 0.8), via
+    group-pairs: shingle → explode → groupBy(xxhash64(shingle)) →
+    generate (doc_a, doc_b) combinations inside each posting list →
+    count pairs → Jaccard from |A|+|B|−|∩| (sizes ride along in the
+    structs, so no size-joins at all). One narrow shuffle of 8-byte
+    hashes plus one pair-count shuffle; measured ~15% faster than the
+    shingle self-join at sf0.1 (3.9s vs 4.5s) with two joins fewer.
+
+    Skew caveat for 100 TB: a stop-shingle shared by k docs makes one
+    k(k-1)/2-struct array in a single task (the self-join variant
+    spreads the same k² rows across tasks). Real corpora pre-filter
+    shingles with document frequency above a cap before pairing —
+    they contribute ~0 discrimination and all of the blowup — or use
+    the MinHash-LSH rung (dedup_fuzzy), which is the scale path."""
     d = load(spark, sf_dir, "documents")
-    # fan out: the shingle transform + pair-join probe are compute-bound
+    # fan out: the shingle transform is compute-bound
     shingled = fan_out(d).select("doc_id", _shingles(F.col("text")).alias("sh"))
-    # join on xxhash64(shingle), not the string: the shuffle/broadcast
-    # carries 8-byte keys instead of ~20-char strings (64-bit collisions
-    # are negligible at any corpus size) — measured 14.3s → 5.3s at sf0.1
-    exploded = shingled.select(
-        "doc_id", F.explode("sh").alias("s")
-    ).select("doc_id", F.xxhash64("s").alias("shingle"))
-    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    # group on xxhash64(shingle), not the string: the shuffle carries
+    # 8-byte keys instead of ~20-char strings (64-bit collisions are
+    # negligible at any corpus size)
+    exploded = (
+        shingled
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+        .select("doc_id", "n_sh", F.xxhash64("s").alias("shingle"))
+    )
+    posting = (
+        exploded.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.array_sort("docs").alias("ds"))  # struct sort ⇒ by doc_id
+    )
+    n = F.size("ds")
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, n),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n_sh"].alias("na"),
+                    y["n_sh"].alias("nb"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        posting.select(F.explode(pairs_arr).alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("inter").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter")
+        F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.8)
+        pairs.filter(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
