@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     asof,
     dedup,
     ingest_ops,
+    inventory,
     multimodal,
     relational,
     scalars,
@@ -25,4 +26,5 @@ ALL_MODULES = (
     multimodal,
     streaming_batch,
     ingest_ops,
+    inventory,
 )

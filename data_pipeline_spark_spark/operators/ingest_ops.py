@@ -64,7 +64,7 @@ def eeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
-@query("eeg_meta_extract")
+@query("csv_meta_extract")
 def eeg_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-probe metadata extraction (reference sparkle-v5.py:49-68
     semantics): one row per session file with its parsed patient
@@ -89,7 +89,7 @@ def eeg_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("eeg_supercat_map")
+@query("supercat_map")
 def eeg_supercat_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Super-category taxonomy fold (reference crawler.py:27-32 →
     mapping.json shape): (column, super_category) mapping table with
@@ -104,7 +104,7 @@ def eeg_supercat_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("eeg_distinct_files")
+@query("distinct_files")
 def eeg_distinct_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct source files of a multi-file read via
     input_file_name() (reference sparkle-v5.py:55-58) — the lineage
@@ -123,7 +123,7 @@ def eeg_distinct_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files
 
 
-@query("eeg_row_offset_filter")
+@query("row_offset_filter")
 def eeg_row_offset_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prelude skip two ways (reference sparkle-v5.py:89
     rdd.zipWithIndex().filter(idx > 7) vs our declarative
@@ -144,7 +144,7 @@ def eeg_row_offset_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("eeg_csv_scan_infer")
+@query("csv_scan_infer")
 def eeg_csv_scan_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-INFERRED scan of a session file (reference
     sparkle-v5.py:87 / sparkle-v7.py:134) — kept as the explicit
@@ -161,7 +161,7 @@ def eeg_csv_scan_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("eeg_cast_by_prefix")
+@query("cast_by_prefix")
 def eeg_cast_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Name-prefix bulk cast (reference sparkle-v7.py:151-154: every
     I*-column → double) applied to an all-string read of a session

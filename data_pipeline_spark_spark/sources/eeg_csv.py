@@ -229,7 +229,9 @@ def append_ingest_log(output_dir: str, run_id: str, files: list[str]) -> str:
     """Append one line per ingested file to the run log (reference
     lambda-initiator-v2.py:47-65 logged filenames + timestamp to a
     CSV log on every trigger)."""
-    log_path = os.path.join(output_dir, "_ingest_log.csv")
+    # NOT underscore-prefixed: Hadoop's hidden-file filter silently
+    # excludes _*/.* paths from reads, and the log must be scannable.
+    log_path = os.path.join(output_dir, "ingest-log.csv")
     stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
     with open(log_path, "a") as f:
         for name in files:

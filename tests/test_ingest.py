@@ -163,7 +163,7 @@ def test_ingest_log(spark, corpus, tmp_path):
     src, paths = corpus
     out = str(tmp_path / "curated")
     eeg_csv.ingest(spark, src, out, run_id="logrun")
-    log = os.path.join(out, "_ingest_log.csv")
+    log = os.path.join(out, "ingest-log.csv")
     lines = open(log).read().strip().splitlines()
     # other tests may have appended files to the shared corpus dir
     assert len(lines) == len(eeg_csv.list_input_files(src))
