@@ -8,7 +8,7 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
 
 Each query executes fully (noop sink — no driver collect, no display
 cost), so the measured time is scan+compute+shuffle, the thing that
-scales. Reports the best of BENCH_RUNS (default 2) executions per
+scales. Reports the best of BENCH_RUNS (default 3) executions per
 query — steady-state runtime, not first-run JVM JIT warm-up. BENCH_BASELINE=1 additionally times the DuckDB oracle for
 each query (the practical 2× bar from BASELINE.md) to stderr.
 """
@@ -61,7 +61,7 @@ def main() -> None:
     # JIT/session warm-up (not timed): one tiny query end to end
     execute_fully(registry.QUERIES["sort_limit"](spark, sf_dir))
 
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")

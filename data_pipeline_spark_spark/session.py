@@ -42,6 +42,13 @@ def get_spark(app_name: str = "data-pipeline-spark-spark") -> SparkSession:
         # --- Catalyst / AQE -------------------------------------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory target size when coalescing instead of
+        # preserving parallelism — the Spark-docs-recommended production
+        # setting: post-shuffle partitions become few and right-sized
+        # rather than many and tiny (cuts task-scheduling floor locally,
+        # cuts small-file output and reducer overhead on a cluster).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(cpus))
         # --- semantics ------------------------------------------------------
