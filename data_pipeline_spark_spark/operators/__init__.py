@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     multimodal,
     relational,
     scalars,
+    scale_patterns,
     similarity,
     streaming_batch,
     text,
@@ -27,4 +28,5 @@ ALL_MODULES = (
     streaming_batch,
     ingest_ops,
     inventory,
+    scale_patterns,
 )

@@ -1,0 +1,163 @@
+"""Scale-pattern operators: the join strategies a 100 TB deployment
+actually runs.
+
+The reference delegated all join/shuffle strategy to Athena
+(reference README.md:14-16); at our target scale those choices are
+the whole ballgame, so the engine exposes each one as a named,
+oracle-checked operator:
+
+- join_bucketed:    both fact tables bucketed by the join key at
+                    write time → the join needs NO shuffle at read
+                    time (Exchange-free sort-merge over co-located
+                    buckets). This is the pattern for a fact-to-fact
+                    join that runs every day: pay the shuffle once at
+                    ingest, never at query.
+- join_skew_salted: a skewed build side is replicated ×N salts and
+                    the probe side is salted deterministically, so one
+                    hot key spreads over N tasks instead of one
+                    straggler. AQE's skew-join handles moderate skew
+                    at runtime; explicit salting is the deterministic
+                    heavy-artillery version.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+_SALTS = 8
+
+
+def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-to-fact join over bucketed tables: lineitem
+    and orders are written bucketBy(8, orderkey) + sortBy into a
+    scratch database, then joined — the physical plan has NO Exchange
+    above either scan (asserted in tests/test_plans.py). At 100 TB
+    this converts the recurring multi-TB join shuffle into a one-time
+    ingest-side layout cost."""
+    db = "dps_bucketed_scratch"
+    loc = tempfile.mkdtemp(prefix="dps_bucketed_")
+    old_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.lineitem_b")
+        )
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.orders_b")
+        )
+        # disable auto-broadcast so the bucket-to-bucket path (the
+        # thing being demonstrated) is what actually runs
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.table(f"{db}.lineitem_b")
+        od = spark.table(f"{db}.orders_b")
+        joined = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            )
+        )
+        return _materialize(spark, joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_threshold)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """The un-materialized bucketed join + its physical plan string,
+    for the Exchange-free assertion in tests. Leaves the scratch
+    database in place for the caller to drop."""
+    db = "dps_bucketed_plan"
+    loc = tempfile.mkdtemp(prefix="dps_bucketed_plan_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(f"{db}.lineitem_b")
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(f"{db}.orders_b")
+    )
+    li = spark.table(f"{db}.lineitem_b")
+    od = spark.table(f"{db}.orders_b")
+    joined = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "o_orderpriority", "l_extendedprice"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return joined, plan
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join via explicit salting: the probe side
+    (orders) gets a deterministic salt pmod(xxhash64(key), 8); the
+    build side (customer) is replicated across all 8 salts with
+    explode(sequence(...)). A key carrying 30% of all rows then lands
+    on 8 tasks, not 1. Deterministic (no rand()), so the oracle is
+    the plain unsalted join."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(_SALTS)).cast("int")
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1))))
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

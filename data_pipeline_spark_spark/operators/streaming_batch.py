@@ -71,3 +71,90 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "stream_stateful_agg",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running (count, sum) maintained in GroupState across
+    micro-batches. The events table is split into 4 parquet chunks and
+    streamed with maxFilesPerTrigger=1, so state genuinely carries
+    across batches; the last update per user must equal the batch
+    aggregate — which is exactly what the oracle checks.
+
+    Scale: state lives in the state store keyed by user_id — memory is
+    O(distinct keys), not O(rows); Arrow-batched like every pandas op.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    src = tempfile.mkdtemp(prefix="dps_stateful_src_")
+    ckpt = tempfile.mkdtemp(prefix="dps_stateful_ckpt_")
+    sink = f"stream_stateful_sink_{os.getpid()}"
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def running(key, pdfs, state: GroupState):
+            if state.exists:
+                n, tot = state.get
+            else:
+                n, tot = 0, 0.0
+            for pdf in pdfs:
+                n += len(pdf)
+                tot += float(pdf["value"].sum())
+            state.update((n, tot))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+            )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                running,
+                outputStructType="user_id long, n_events long, total_value double",
+                stateStructType="n long, total double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the running count is strictly increasing → the row with the
+        # max n_events per user is the final state
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = (
+            spark.table(sink)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id", "n_events", F.round("total_value", 4).alias("total_value")
+            )
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -52,3 +52,22 @@ def test_agg_single_shuffle(spark, sf_dir):
 def test_sort_limit_take_ordered(spark, sf_dir):
     df = sort_limit(spark, sf_dir)
     assert "TakeOrderedAndProject" in formatted_plan(df)  # no global sort
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """join_bucketed's whole point: bucketBy(8, key) on both sides at
+    write time means the join reads co-located buckets and the plan
+    contains NO shuffle (Exchange) — the one-time-layout-cost vs
+    every-query-shuffle trade that matters at 100 TB."""
+    from data_pipeline_spark_spark.operators.scale_patterns import (
+        bucketed_join_plan,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _, plan = bucketed_join_plan(spark, sf_dir)
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP DATABASE IF EXISTS dps_bucketed_plan CASCADE")
