@@ -56,11 +56,20 @@ def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_window_sliding")
+@query(
+    "stream_window_sliding",
+    oracle="""
+    SELECT ws AS window_start, event_type, COUNT(*) AS n_events
+    FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, event_type
+          FROM events),
+         LATERAL (VALUES (b), (b - INTERVAL '30 minutes')) t(ws)
+    GROUP BY 1, 2
+    """,
+)
 def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (1 hour length, 30 min slide). No concise
-    DuckDB equivalent (each row lands in 2 windows) → rows-only
-    check."""
+    """Sliding windows (1 hour length, 30 min slide): each row lands
+    in exactly 2 windows (Spark's Expand). The oracle enumerates the
+    same 2 window starts per row with a lateral VALUES."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
