@@ -153,7 +153,7 @@ def add_literal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            floor(epoch(ts)) / 100000.0 AS clock_raw,
            TIMESTAMP '1970-01-01 00:00:00'
-             + to_seconds(CAST(floor(floor(epoch(ts)) / 100000.0 * 100000.0)
+             + to_seconds(CAST(round(floor(epoch(ts)) / 100000.0 * 100000.0)
                                AS BIGINT)) AS decoded_ts
     FROM events
     """,
@@ -162,18 +162,20 @@ def ts_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The load-bearing ×1e5 timestamp decode (reference
     sparkle-v9.py:114-118; encoding written as unix_seconds/1e5 by
     random_generator.py:48): round-trip events.ts through the
-    reference's raw double encoding and back. floor() before the cast
-    on BOTH engines — double→int truncation vs rounding differs
-    across engines, floor does not."""
+    reference's raw double encoding and back with the engine's
+    decode_clock. Round-to-nearest on BOTH engines: (s/1e5)*1e5 can
+    land just below the integer (double ulp at 1e9), and the
+    reference's truncating cast loses a second there (bug #5, caught
+    by hypothesis — tests/test_properties.py)."""
+    from ..sources.eeg_csv import decode_clock
+
     e = load(spark, sf_dir, "events")
     unix = F.unix_timestamp("ts").cast("double")
     raw = unix / F.lit(1e5)
     return e.select(
         "event_id",
         raw.alias("clock_raw"),
-        F.timestamp_seconds(
-            F.floor(raw * F.lit(1e5)).cast("long")
-        ).alias("decoded_ts"),
+        decode_clock(raw).alias("decoded_ts"),
     )
 
 

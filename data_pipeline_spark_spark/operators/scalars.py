@@ -307,7 +307,15 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     def discounted(price: pd.Series, discount: pd.Series) -> pd.Series:
         return price * (1.0 - discount)
 
-    li = fan_out(load(spark, sf_dir, "lineitem"))  # Arrow/pandas stage is compute-bound
+    # prune BEFORE the fan-out: the repartition shuffle then carries 3
+    # columns, not 16 (explicit select because a repartition boundary
+    # sits between the scan and the UDF; the Arrow/pandas stage after
+    # it is compute-bound)
+    li = fan_out(
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice", "l_discount"
+        )
+    )
     return (
         li.withColumn("rev", discounted("l_extendedprice", "l_discount"))
         .groupBy("l_returnflag")

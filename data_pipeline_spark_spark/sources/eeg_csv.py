@@ -105,6 +105,21 @@ def build_schema(columns: list[str]) -> T.StructType:
 # ---------------------------------------------------------------------------
 
 
+def decode_clock(col):
+    """×1e5 ClockDateTime decode (reference sparkle-v9.py:114-118),
+    with reference bug #5 fixed: the raw value is unix_seconds/1e5
+    (random_generator.py:48), and (s/1e5)*1e5 can land up to ~2.4e-7
+    BELOW the integer (double ulp at 1e9 magnitude). The reference's
+    plain double→timestamp cast truncates, decoding ~1 in 500
+    timestamps one second early (found by hypothesis,
+    tests/test_properties.py::test_ts_codec_roundtrip). The encoding
+    is integer-second resolution by construction (1 Hz), so
+    round-to-nearest-second is the faithful inverse."""
+    import pyspark.sql.functions as F
+
+    return F.timestamp_seconds(F.round(col * F.lit(1e5), 0).cast("long"))
+
+
 def _parse_ref_date(value: str | None):
     """Reference dates are 'Y/M/D' strings; curated type is date."""
     if not value:
@@ -132,11 +147,9 @@ def read_session(spark: SparkSession, path: str, header: SessionHeader | None = 
         .withColumn("TestDate", _parse_ref_date(meta.get("TestDate")))
         .withColumn("TestTime", F.lit(meta.get("TestTime", "")).cast("string"))
     )
-    # The load-bearing ×1e5 decode (reference sparkle-v9.py:114-118;
-    # encoding written as unix_seconds/1e5, random_generator.py:48).
-    df = df.withColumn(
-        "Timestamp", (F.col("ClockDateTime") * F.lit(1e5)).cast(T.TimestampType())
-    )
+    # The load-bearing ×1e5 decode (see decode_clock for the
+    # truncation bug this avoids).
+    df = df.withColumn("Timestamp", decode_clock(F.col("ClockDateTime")))
     return (
         df.withColumn("Year", F.year("Timestamp"))
         .withColumn("Month", F.month("Timestamp"))

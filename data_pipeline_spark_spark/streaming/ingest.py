@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.eeg_csv import SessionHeader, build_schema, probe_header, read_session
+from ..sources.eeg_csv import (
+    SessionHeader,
+    build_schema,
+    decode_clock,
+    probe_header,
+    read_session,
+)
 
 
 def stream_ingest_eeg(
@@ -59,9 +65,7 @@ def stream_ingest_eeg(
         .option("pathGlobFilter", "*.csv")
         .csv(input_dir)
         .filter(F.col("ClockDateTime").isNotNull())
-        .withColumn(
-            "Timestamp", (F.col("ClockDateTime") * F.lit(1e5)).cast(T.TimestampType())
-        )
+        .withColumn("Timestamp", decode_clock(F.col("ClockDateTime")))
         .withColumn("Year", F.year("Timestamp"))
         .withColumn("Month", F.month("Timestamp"))
         .withColumn("Day", F.dayofmonth("Timestamp"))

@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the load-bearing pure
+functions and the ×1e5 timestamp codec.
+
+The reference validated these by hand (spark-apps/test.py is a manual
+check of the ×1e5 scaling); here they're pinned as properties over
+generated inputs (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_spark_spark.sources.schema_rules import (
+    fold_supercategories,
+    type_for_column,
+)
+
+# ---------------------------------------------------------------------------
+# type_for_column (reference gen_schema.py:5-14)
+# ---------------------------------------------------------------------------
+
+names = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=127),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(names)
+def test_type_rules_total_and_valid(name):
+    assert type_for_column(name) in {"string", "timestamp", "double"}
+
+
+@given(names)
+def test_type_rules_precedence(name):
+    t = type_for_column(name)
+    low = name.lower()
+    if "comment" in low:
+        assert t == "string"
+    elif low == "clockdatetime":
+        assert t == "timestamp"
+    elif low.endswith("time"):
+        assert t == "string"
+    else:
+        assert t == "double"
+
+
+# ---------------------------------------------------------------------------
+# fold_supercategories (reference crawler.py:27-32)
+# ---------------------------------------------------------------------------
+
+labels = st.lists(
+    st.one_of(st.just(""), st.sampled_from(["FFT", "Quality", "Comment", "Spec"])),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(labels)
+def test_supercat_fold_is_a_partition(label_row):
+    cols = [f"c{i}" for i in range(len(label_row))]
+    mapping = fold_supercategories(label_row, cols)
+    folded = [c for group in mapping.values() for c in group]
+    # every column lands in exactly one group
+    assert sorted(folded) == sorted(cols)
+
+
+@given(labels)
+def test_supercat_labels_inherit_left(label_row):
+    cols = [f"c{i}" for i in range(len(label_row))]
+    mapping = fold_supercategories(label_row, cols)
+    # reconstruct each column's group by scanning left-inheritance
+    current = ""
+    for label, col in zip(label_row, cols):
+        if label:
+            current = label
+        assert col in mapping[current]
+
+
+# ---------------------------------------------------------------------------
+# ×1e5 timestamp codec (reference sparkle-v9.py:114-118,
+# random_generator.py:48) — Spark round-trip
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2_000_000_000),  # 1970..2033
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+def test_ts_codec_roundtrip(spark, epochs):
+    """encode unix seconds as s/1e5 (what hospital files contain),
+    decode with the engine's decode_clock — the round-trip must be
+    lossless at 1-second resolution for any epoch the platform can
+    see. The reference's plain double→timestamp cast FAILS this
+    (truncation drops ~1 in 500 timestamps a second early); the
+    engine's rounding decode is the fix (reference bug #5)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_spark.sources.eeg_csv import decode_clock
+
+    df = spark.createDataFrame([(s, s / 1e5) for s in epochs], "s long, raw double")
+    decoded = df.withColumn("ts", decode_clock(F.col("raw"))).withColumn(
+        "s_back", F.unix_timestamp("ts")
+    )
+    bad = decoded.filter(F.col("s_back") != F.col("s")).count()
+    assert bad == 0
