@@ -71,3 +71,53 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP DATABASE IF EXISTS dps_bucketed_plan CASCADE")
+
+
+def test_partition_pruning_on_partitioned_store(spark, sf_dir, tmp_path):
+    """Write orders hive-partitioned by year (the reference's
+    Year/Month/Day layout, sparkle-v9.py:136-138), then filter one
+    year: the scan must carry a PartitionFilters entry and touch only
+    that partition's files — the platform's core cost control
+    (reference README.md:29-31)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_spark.catalog import load
+
+    out = str(tmp_path / "orders_part")
+    (
+        load(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out).filter(F.col("o_year") == 1995)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters")[1][:120]
+    # only the 1995 directory's files are selected for the scan
+    selected = df.select(F.input_file_name()).distinct().collect()
+    assert selected and all("o_year=1995" in r[0] for r in selected)
+
+
+def test_wide_schema_ingest_and_melt(spark, tmp_path):
+    """The 6k-column strategy at a testable width: a 300-signal corpus
+    ingests with a schema-explicit read (no inference) and unpivots to
+    the tidy layout with exactly rows x signals observations. 300
+    columns is already past spark.sql.codegen.maxFields (100) — the
+    wide plan runs in the interpreted fallback, which is WHY the tidy
+    form is the query layout at scale (SURVEY.md paragraph 7 step 5)."""
+    from data_pipeline_spark_spark.sources import eeg_csv
+    from data_pipeline_spark_spark.sources.fixture import generate_corpus
+
+    src = str(tmp_path / "wide_src")
+    out = str(tmp_path / "wide_out")
+    generate_corpus(src, n_patients=1, max_sessions=1, rows_per_session=50,
+                    n_signals=300, seed=7)
+    n = eeg_csv.ingest(spark, src, out, run_id="wide")
+    assert n >= 1
+    curated = eeg_csv.register_curated(spark, out, view="eeg_wide")
+    signal_cols = [c for c in curated.columns if c.startswith("S")]
+    assert len(signal_cols) == 300
+    rows = curated.count()
+    tidy = eeg_csv.melt_signals(curated, signal_cols)
+    assert tidy.count() == rows * 300
+    assert tidy.columns == ["Timestamp", "PatientID", "channel", "value"]
