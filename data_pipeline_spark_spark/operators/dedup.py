@@ -250,8 +250,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The band join is what scales: candidates must agree on one whole
     band, so the self-join touches only plausible pairs. Rows-only
     check (no SQL oracle for the signature)."""
-    d = load(spark, sf_dir, "documents")
-    sigs = fan_out(d).select("doc_id", _simhash_udf()("text").alias("sig"))
+    return simhash_pairs(fan_out(load(spark, sf_dir, "documents")))
+
+
+def simhash_pairs(d: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Core SimHash pipeline over any (doc_id, text) frame — split out
+    so tests can feed constructed duplicates (the fixtures contain
+    only near-dups, never byte-identical texts)."""
+    sigs = d.select("doc_id", _simhash_udf()("text").alias("sig"))
 
     bands = sigs.select(
         "doc_id",
@@ -287,7 +293,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -1,0 +1,48 @@
+"""Cross-checks within the dedup ladder: the approximate rungs must
+find what the exact rung proves is there.
+
+MinHash-LSH with 16 hash tables misses a true Jaccard-0.8 pair with
+probability (1-0.8)^16 ≈ 7e-12, so on the fixtures recall against the
+exact n-gram-Jaccard pairs must be total — if this fails, the LSH
+parameters (shingling, table count, threshold) have drifted out of
+spec, which no rows-only check would catch."""
+
+from __future__ import annotations
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_lsh_recalls_all_exact_pairs(spark, sf_dir):
+    from data_pipeline_spark_spark.operators.dedup import (
+        dedup_fuzzy,
+        dedup_ngram_jaccard,
+    )
+
+    exact = _pairs(dedup_ngram_jaccard(spark, sf_dir))
+    assert exact, "fixture should contain near-duplicate documents"
+    lsh = _pairs(dedup_fuzzy(spark, sf_dir))
+    missed = exact - lsh
+    assert not missed, f"LSH missed {len(missed)}/{len(exact)} exact pairs"
+
+
+def test_simhash_flags_exact_duplicates(spark, sf_dir):
+    """Identical texts have identical SimHash signatures (hamming 0).
+    The fixtures contain only near-dups, never byte-identical texts,
+    so construct duplicates: corpus ∪ (corpus with shifted ids) must
+    flag every (id, id+offset) pair."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.dedup import simhash_pairs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    offset = 1_000_000
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + offset).alias("doc_id"), "text")
+    )
+    flagged = _pairs(simhash_pairs(doubled))
+    expected = {(r.doc_id, r.doc_id + offset) for r in d.collect()}
+    missed = expected - flagged
+    assert not missed, f"SimHash missed {len(missed)}/{len(expected)} exact dups"
