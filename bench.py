@@ -45,6 +45,9 @@ HEADLINE = [
     "sim_search",
     "text_stats",
     "udf_surface",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q10_returned_items",
 ]
 
 

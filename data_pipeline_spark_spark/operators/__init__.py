@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     streaming_batch,
     text,
     windows,
+    workloads,
 )
 
 ALL_MODULES = (
@@ -29,4 +30,5 @@ ALL_MODULES = (
     ingest_ops,
     inventory,
     scale_patterns,
+    workloads,
 )
