@@ -161,3 +161,32 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+# One ANSI string, two engines: the ad-hoc query path (reference
+# entry point B, SURVEY.md §3.2 — user SQL text → engine). The SAME
+# text is the Spark query and the DuckDB oracle, so this key verifies
+# the engine's ANSI dialect compatibility itself.
+_ADHOC_SQL = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1996-04-01'
+      AND o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+"""
+
+
+@query("adhoc_sql", oracle=_ADHOC_SQL)
+def adhoc_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc ANSI SQL over the registered catalog (replaces the
+    Athena console, reference README.md:14-15): register the curated
+    tables as views, hand the user's SQL text to spark.sql. The oracle
+    IS the same string — dialect-compatibility check by construction."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ADHOC_SQL)
