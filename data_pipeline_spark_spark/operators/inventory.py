@@ -494,3 +494,51 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").isNotNull().cast("int")
         ).alias("has_props"),
     )
+
+
+@query(
+    "catalog_repair",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year, COUNT(*) AS n_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def catalog_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Glue-crawler replacement (reference
+    emr-no-vpc.py:159-169 + README.md:13): partitioned parquet written
+    OUTSIDE the catalog, then an external table is declared over the
+    path and `MSCK REPAIR TABLE` discovers the partition directories —
+    exactly what the reference's crawler did after each ingest. The
+    post-repair per-partition counts must equal recomputing from
+    source (the oracle)."""
+    loc = tempfile.mkdtemp(prefix="dps_msck_")
+    tbl = "dps_repair_orders"
+    try:
+        (
+            load(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate"))
+            .write.partitionBy("o_year")
+            .mode("overwrite")
+            .parquet(loc)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(
+            f"""
+            CREATE TABLE {tbl} (o_orderkey BIGINT, o_custkey BIGINT,
+                o_orderstatus STRING, o_totalprice DOUBLE,
+                o_orderdate TIMESTAMP, o_orderpriority STRING)
+            USING parquet
+            PARTITIONED BY (o_year INT)
+            LOCATION '{loc}'
+            """
+        )
+        # before repair the catalog knows zero partitions; MSCK walks
+        # the directory tree and registers them
+        spark.sql(f"MSCK REPAIR TABLE {tbl}")
+        result = spark.sql(
+            f"SELECT o_year, COUNT(*) AS n_rows FROM {tbl} GROUP BY o_year"
+        )
+        return _materialize(spark, result)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(loc, ignore_errors=True)
