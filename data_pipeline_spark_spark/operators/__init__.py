@@ -3,6 +3,7 @@ query into data_pipeline_spark_spark.registry."""
 
 from . import (  # noqa: F401
     asof,
+    corpus,
     dedup,
     ingest_ops,
     inventory,
@@ -19,6 +20,7 @@ from . import (  # noqa: F401
 
 ALL_MODULES = (
     relational,
+    corpus,
     windows,
     scalars,
     asof,

@@ -1,0 +1,126 @@
+"""Training-corpus curation: the composed pipeline a 100 TB
+LLM-data run executes daily, plus incremental-batch variants.
+
+EXT tier (north-star). These combine the primitives from text.py /
+dedup.py the way a production crawl-refresh actually chains them:
+language gate → quality gate → exact dedup → token accounting. Each
+step is a pure column expression or a digest-keyed aggregation, so
+the whole pipeline is one scan + one 32-byte-key shuffle at any
+scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT sha256(text) AS h FROM documents WHERE doc_id % 10 < 8
+    ),
+    batch AS (
+      SELECT doc_id, sha256(text) AS h, lang, source
+      FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT b.doc_id, b.lang, b.source
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: only the NEW batch (deterministic 20%
+    split) is admitted, minus anything whose content hash already
+    exists in the corpus — a left-anti join on 32-byte digests. This
+    is the daily-crawl shape: the corpus side never rescans its text,
+    only its hash index; at 100 TB that index is a bucketed table and
+    the anti-join is shuffle-free."""
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 < 8).select(
+        F.sha2("text", 256).alias("h")
+    )
+    batch = d.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.sha2("text", 256).alias("h"), "lang", "source"
+    )
+    return batch.join(corpus, "h", "left_anti").select("doc_id", "lang", "source")
+
+
+@query(
+    "corpus_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source, text,
+             sha256(text) AS h,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / nullif(len(string_split(text, ' ')), 0) AS avg_tok
+      FROM documents
+      WHERE lang = 'en'
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 5 AND 100000 AND avg_tok BETWEEN 2 AND 12
+    ),
+    deduped AS (
+      SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM gated
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens
+    FROM deduped WHERE rn = 1
+    """,
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain composed: language gate → Gopher-style
+    quality gate → exact dedup (keep lowest doc_id per content hash) →
+    token accounting. One scan; the only shuffle keys are 32-byte
+    digests. This is the query a training-data team runs before every
+    tokenization pass."""
+    d = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    avg_tok = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double")
+        / F.nullif(n_toks, F.lit(0))
+    )
+    gated = d.select(
+        "doc_id", "source", F.sha2("text", 256).alias("h"), n_toks.alias("n_tokens")
+    ).filter(n_toks.between(5, 100000) & avg_tok.between(2, 12))
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+    return (
+        gated.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, i AS dim,
+           ROUND(AVG(embedding[i]::DOUBLE), 6) AS centroid_v,
+           COUNT(*) AS n_vectors
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, element-wise:
+    posexplode → groupBy(label, dim) → avg. The shuffle carries
+    (label, dim, partial sums) — at 100 TB this is the map-side-combined
+    reduction that feeds k-means/IVF training, never a driver collect."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .select("label", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid_v"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
