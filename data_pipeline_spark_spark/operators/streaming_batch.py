@@ -167,3 +167,58 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT COUNT(*) AS n_unique_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM (
+      SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text
+      FROM documents GROUP BY sha256(text)
+    )
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the documents table is split into 4
+    chunks and streamed one file per micro-batch through
+    dropDuplicates on the content hash — the dedup state store carries
+    seen-hashes across batches, so a duplicate arriving three batches
+    after its twin is still dropped. Final unique count must equal the
+    batch GROUP BY sha256 (the oracle). This is the streaming face of
+    dedup_exact: same digest-keyed state, incremental arrival."""
+    import os
+    import shutil
+    import tempfile
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="dps_sdedup_src_")
+    sink = f"stream_dedup_sink_{os.getpid()}"
+    try:
+        d.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withColumn("content_hash", F.sha2("text", 256))
+            .dropDuplicates(["content_hash"])
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = spark.table(sink).agg(
+            F.count("*").alias("n_unique_docs"),
+            F.sum(F.octet_length(F.encode("text", "UTF-8"))).cast("bigint").alias(
+                "total_bytes"
+            ),
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
