@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     dedup,
     ingest_ops,
     inventory,
+    maintenance,
     multimodal,
     relational,
     scalars,
@@ -33,4 +34,5 @@ ALL_MODULES = (
     inventory,
     scale_patterns,
     workloads,
+    maintenance,
 )
