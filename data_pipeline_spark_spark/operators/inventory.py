@@ -542,3 +542,52 @@ def catalog_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(loc, ignore_errors=True)
+
+
+@query("csv_malformed_handling")
+def csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row policy for hospital uploads (the reference
+    crashes on bad rows — its only guard is the empty-dir check,
+    sparkle-v5.py:43-46): the same file read under PERMISSIVE (keep
+    + quarantine via corrupt-record column), DROPMALFORMED (silent
+    drop), and the counts of each. Production ingest runs PERMISSIVE
+    and routes the quarantine column to a dead-letter table — at
+    100 TB you never fail a batch for one bad row, and you never
+    silently lose one either."""
+    work = tempfile.mkdtemp(prefix="dps_malformed_")
+    try:
+        path = os.path.join(work, "upload.csv")
+        with open(path, "w") as f:
+            f.write("1,100.5,ok\n")
+            f.write("2,not_a_number,ok\n")     # bad double
+            f.write("3,300.25,ok\n")
+            f.write("4,400.0\n")               # missing column
+            f.write("5,500.75,ok\n")
+        schema = "id int, reading double, status string, _corrupt string"
+        # cache before referencing only the corrupt-record column —
+        # Spark forbids that projection on an uncached lazy CSV scan
+        permissive = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(path)
+            .cache()
+        )
+        n_total = permissive.count()
+        n_quarantined = permissive.filter(F.col("_corrupt").isNotNull()).count()
+        permissive.unpersist()
+        dropped = (
+            spark.read.schema("id int, reading double, status string")
+            .option("mode", "DROPMALFORMED")
+            .csv(path)
+        )
+        # NOT dropped.count(): CSV column pruning means count() parses
+        # no typed columns, so malformed values are never detected and
+        # nothing drops — the count must materialize every column
+        n_kept_strict = len(dropped.collect())
+        return spark.createDataFrame(
+            [(n_total, n_quarantined, n_kept_strict)],
+            "n_rows_permissive long, n_quarantined long, n_rows_dropmalformed long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -226,3 +226,90 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+_SCALAR_SUBQ_SQL = """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_above_avg,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY c_mktsegment
+"""
+
+
+@query("scalar_subquery", oracle=_SCALAR_SUBQ_SQL)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in the predicate (ANSI surface the reference
+    delegated to Athena): orders above the global average price.
+    Catalyst plans the subquery as a one-row broadcast; the same text
+    is the oracle. At scale the subquery is a separate tiny job whose
+    result is folded into the main scan's filter."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+_EXISTS_SQL = """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_suppkey = s_suppkey AND l_quantity > 49
+    )
+"""
+
+
+@query("correlated_exists", oracle=_EXISTS_SQL)
+def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (decorrelated by Catalyst into a left-semi
+    join — the same plan join_semi_anti builds explicitly with the
+    DataFrame API). Same text on both engines."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_type = 'PROMO' AND l_quantity >= 25)
+    """,
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: a 3-arm disjunctive predicate spanning both join
+    sides. Catalyst extracts the common join key and pushes the
+    per-side conjuncts below the join (CNF conversion) — the pattern
+    that turns an apparent cross-filter into a normal broadcast join
+    with pre-filtered scans."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 25))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
