@@ -161,3 +161,72 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "join_interval_bucketed",
+    oracle="""
+    WITH d0 AS (SELECT date_trunc('day', MIN(ts)) AS d0 FROM events),
+    windows AS (
+      SELECT i AS window_id,
+             d0 + to_hours(37 * i) AS w_start,
+             d0 + to_hours(37 * i + 5) AS w_end
+      FROM d0, range(0, 20) t(i)
+    )
+    SELECT w.window_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN windows w ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY 1
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range-overlap) join via bucketing: which events fall
+    inside each maintenance window. The naive formulation is a pure
+    theta join (ts BETWEEN start AND end) — Spark plans that as a
+    nested-loop over every (event, window) pair, O(n·m) at scale. The
+    bucketed form explodes each window into the hour buckets it
+    covers and equi-joins events on their hour bucket, then applies
+    the exact range filter: the join is hash-based, cost ∝ events +
+    windows×hours, and only same-bucket pairs are ever compared. The
+    windows are derived from the data (20 spans of 5h every 37h from
+    the first day), so the oracle reproduces them exactly with the
+    naive theta join."""
+    ev = load(spark, sf_dir, "events")
+    d0 = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    windows = d0.select(
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("window_id"), "d0"
+    ).select(
+        "window_id",
+        (F.col("d0") + F.expr("make_interval(0,0,0,0, 37 * window_id, 0,0)")).alias(
+            "w_start"
+        ),
+        (
+            F.col("d0") + F.expr("make_interval(0,0,0,0, 37 * window_id + 5, 0,0)")
+        ).alias("w_end"),
+    )
+    # explode each window into its covered hour buckets (broadcastable
+    # at any realistic window count)
+    wb = windows.select(
+        "window_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "w_start"),
+                F.col("w_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    evb = ev.withColumn("bucket", F.date_trunc("hour", "ts"))
+    return (
+        evb.join(F.broadcast(wb), "bucket")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("window_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
