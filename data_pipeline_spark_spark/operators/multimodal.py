@@ -111,3 +111,88 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("width"), 4).alias("avg_width"),
         F.round(F.avg("height"), 4).alias("avg_height"),
     )
+
+
+def resize_stub(payload: bytes, target: int) -> bytes:
+    """Stand-in for a real image resize (PIL thumbnail → bytes).
+    Deterministic fake: truncate/pad the payload to `target` bytes so
+    output sizes are exact and testable. Swap for a codec call in
+    production."""
+    if len(payload) >= target:
+        return payload[:target]
+    return payload + b"\x00" * (target - len(payload))
+
+
+@query("multimodal_resize")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline: payload batch → mapInPandas(resize) → new
+    binary column + before/after sizes, aggregated per size class.
+    The Spark-side contract (binary in, binary out, Arrow-batched,
+    schema-declared) is exactly what a PIL/torchvision resize needs;
+    only the stub body changes."""
+    target = 128
+    d = attach_payload(fan_out(load(spark, sf_dir, "documents"))).select(
+        "doc_id", "payload"
+    )
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda p: resize_stub(bytes(p), target))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bytes_in": pdf["payload"].map(len),
+                    "bytes_out": resized.map(len),
+                }
+            )
+
+    out = d.mapInPandas(
+        resize_batch, schema="doc_id long, bytes_in long, bytes_out long"
+    )
+    return out.groupBy("bytes_out").agg(
+        F.count("*").alias("n_items"),
+        F.sum("bytes_in").alias("total_bytes_in"),
+        F.min("bytes_in").alias("min_bytes_in"),
+        F.max("bytes_in").alias("max_bytes_in"),
+    )
+
+
+@query("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video-like payloads: each payload is treated
+    as a frame container (fixed 16-byte frames for the stub); every
+    k-th frame is emitted as its own row — the one-payload-in,
+    many-rows-out shape (mapInPandas, not a scalar UDF, precisely
+    because the cardinality changes). Deterministic: frame digests
+    derive from payload bytes."""
+    frame_size, stride = 16, 4
+    d = attach_payload(fan_out(load(spark, sf_dir, "documents"))).select(
+        "doc_id", "payload"
+    )
+
+    def sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max(len(raw) // frame_size, 0)
+                for fi in range(0, n_frames, stride):
+                    chunk = raw[fi * frame_size : (fi + 1) * frame_size]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            fi,
+                            hashlib.sha256(chunk).hexdigest()[:16],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_fp"]
+            )
+
+    frames = d.mapInPandas(
+        sample_batch, schema="doc_id long, frame_idx int, frame_fp string"
+    )
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled_frames"),
+        F.countDistinct("frame_fp").alias("n_distinct_frames"),
+    )

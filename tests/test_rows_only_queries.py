@@ -35,6 +35,8 @@ MUST_BE_NONEMPTY = {
     "header_extract",
     "ingest_log",
     "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
     "row_offset_filter",
     "schema_export",
     "sim_search_ivf",
