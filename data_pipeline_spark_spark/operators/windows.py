@@ -196,3 +196,37 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg_3"),
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)      OVER w AS acctbal_quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cume,
+           first_value(c_custkey) OVER w AS poorest_custkey,
+           nth_value(c_custkey, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING)
+             AS third_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per market segment: quartile
+    (ntile), percent_rank, cume_dist, first/nth value. The ordering is
+    made TOTAL (acctbal, custkey) — ntile assignment under ties is
+    otherwise engine-arbitrary and no oracle could match it."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("acctbal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("poorest_custkey"),
+        F.nth_value("c_custkey", 3).over(w_full).alias("third_custkey"),
+    )
