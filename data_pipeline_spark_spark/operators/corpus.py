@@ -124,3 +124,39 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+@query(
+    "corpus_sample_hash",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '/corpus-v1'), 1, 2)
+                     < '1a' THEN 'sample'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR) || '/split-v1'), 1, 2)
+                     < 'e6' THEN 'train'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def corpus_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling + train/test split via content-key
+    hashing — the method that survives reruns, backfills, and cluster
+    changes (rand()-based sampling draws a different corpus every
+    run; at 100 TB an irreproducible training set is a bug).
+    Membership depends only on (doc_id, salt): md5 prefix < '1a' ≈
+    10.2% held out as an eval sample; the rest hash-split ~90/10 into
+    train/test on an independent salt. md5 produces identical hex on
+    every engine, so the oracle reproduces the exact membership."""
+    d = load(spark, sf_dir, "documents")
+
+    def bucket(salt: str):
+        return F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 2
+        )
+
+    split = (
+        F.when(bucket("/corpus-v1") < "1a", "sample")
+        .when(bucket("/split-v1") < "e6", "train")
+        .otherwise("test")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
