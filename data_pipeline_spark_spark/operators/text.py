@@ -13,6 +13,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -263,3 +264,52 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return fan_out(d).select("doc_id", rolling_hash("text").alias("rolling_fp"))
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      FROM documents
+    ),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    df AS (SELECT term, COUNT(*) AS doc_freq FROM tokens GROUP BY term),
+    scored AS (
+      SELECT t.term, d.doc_freq,
+             ROUND(CAST(d.doc_freq AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / d.doc_freq), 6)
+               AS weight
+      FROM (SELECT DISTINCT term FROM tokens) t
+      JOIN df d USING (term), n_docs n
+    )
+    SELECT term, doc_freq, weight,
+           row_number() OVER (ORDER BY weight DESC, term ASC) AS rnk
+    FROM scored
+    ORDER BY rnk LIMIT 25
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF-weighted term ranking: document frequency
+    per distinct term × idf (ln N/df), top 25 with a total ordering.
+    The distinct-per-doc explode shuffles (term) pairs only; df and
+    the final top-k are two cheap aggregations. At 100 TB the df
+    table is the only global state and it's ~vocabulary-sized —
+    broadcastable."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tokens = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )
+    df = tokens.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    weight = F.round(
+        F.col("doc_freq").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+        6,
+    )
+    w = W.orderBy(F.col("weight").desc(), F.col("term").asc())
+    return (
+        df.select("term", "doc_freq", weight.alias("weight"))
+        .withColumn("rnk", F.row_number().over(w))
+        .orderBy("rnk")
+        .limit(25)
+    )
