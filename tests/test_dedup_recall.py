@@ -27,6 +27,19 @@ def test_lsh_recalls_all_exact_pairs(spark, sf_dir):
     assert not missed, f"LSH missed {len(missed)}/{len(exact)} exact pairs"
 
 
+def test_df_minhash_recalls_all_exact_pairs(spark, sf_dir):
+    from data_pipeline_spark_spark.operators.dedup import (
+        dedup_minhash_df,
+        dedup_ngram_jaccard,
+    )
+
+    exact = _pairs(dedup_ngram_jaccard(spark, sf_dir))
+    assert exact
+    mh = _pairs(dedup_minhash_df(spark, sf_dir))
+    missed = exact - mh
+    assert not missed, f"DF-MinHash missed {len(missed)}/{len(exact)} exact pairs"
+
+
 def test_simhash_flags_exact_duplicates(spark, sf_dir):
     """Identical texts have identical SimHash signatures (hamming 0).
     The fixtures contain only near-dups, never byte-identical texts,

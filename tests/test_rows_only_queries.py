@@ -24,6 +24,7 @@ MUST_BE_NONEMPTY = {
     "csv_scan_schema",
     "cast_by_prefix",
     "catalog_sync",
+    "dedup_minhash_df",
     "dedup_simhash",
     "distinct_files",
     "doc_fingerprint_rolling",
