@@ -48,6 +48,7 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
     "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
 ]
 
 
