@@ -410,3 +410,121 @@ def dedup_minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("est_jaccard") >= 0.7)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window as _W  # noqa: E402  (section-local import)
+
+_CLUSTER_SQL = """
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+    ix AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM ix
+      JOIN sizes sa ON ix.doc_a = sa.doc_id
+      JOIN sizes sb ON ix.doc_b = sb.doc_id
+      WHERE CAST(ix.n_inter AS DOUBLE)
+            / (sa.n_sh + sb.n_sh - ix.n_inter) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(doc, node) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT w.doc, e.dst FROM walk w JOIN edges e ON w.node = e.src
+    ),
+    membership AS (
+      SELECT doc AS doc_id, MIN(node) AS cluster_id FROM walk GROUP BY doc
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+           CAST(doc_id = cluster_id AS INT) AS is_canonical
+    FROM membership
+"""
+
+
+@query("dedup_cluster", oracle=_CLUSTER_SQL)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-duplicate documents into clusters and pick one
+    canonical representative per cluster — the step after pair
+    generation in every production dedup: pairs alone can chain
+    (A~B, B~C but A≁C), so keep/drop decisions need the transitive
+    closure, i.e. connected components.
+
+    Components via iterative min-label propagation on the candidate
+    graph from `dedup_ngram_jaccard` (J ≥ 0.8): every node starts
+    labeled with its own id; each round a node takes the min of its
+    own and its neighbors' labels; fixpoint = components labeled by
+    their min doc_id. Rounds ∝ graph diameter — near-dup clusters
+    are dense and shallow (typically 2-4 rounds). Each round is one
+    shuffle on the node id; the frontier DataFrame is cached and the
+    previous round unpersisted, so state never accumulates. At 1B+
+    nodes the same loop holds (labels are (id, label) pairs, ~16 B a
+    row); the large-star/small-star variant (Kiveris et al.) halves
+    round count when diameters grow, but dup graphs don't.
+
+    The DuckDB oracle computes the same closure with a recursive CTE
+    — Spark has no WITH RECURSIVE, which is exactly why the
+    DataFrame loop is the idiomatic form (SURVEY.md §2C dedup tier).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .cache()
+    )
+    while True:
+        nbr = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "lbl")
+        upd = (
+            labels.select("id", "lbl")
+            .union(nbr)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .cache()
+        )
+        changed = (
+            upd.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = upd
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(_W.partitionBy("cluster_id")).alias("n_members"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )

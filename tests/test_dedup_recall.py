@@ -59,3 +59,26 @@ def test_simhash_flags_exact_duplicates(spark, sf_dir):
     expected = {(r.doc_id, r.doc_id + offset) for r in d.collect()}
     missed = expected - flagged
     assert not missed, f"SimHash missed {len(missed)}/{len(expected)} exact dups"
+
+
+def test_cluster_closes_transitive_chains(spark, sf_dir):
+    """Connected components must merge chained pairs: if the pair set
+    contains A~B and B~C, then A, B, C share one cluster_id even when
+    A~C itself is not a pair, every member maps to the cluster's min
+    doc_id, and exactly one member is canonical."""
+    from data_pipeline_spark_spark.operators.dedup import dedup_cluster
+
+    rows = dedup_cluster(spark, sf_dir).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        ids = sorted(m.doc_id for m in members)
+        assert cid == ids[0], f"cluster {cid} label is not its min doc_id"
+        assert sum(m.is_canonical for m in members) == 1
+        assert all(m.n_members == len(members) for m in members)
+    # at least one genuine multi-member cluster exists in the fixture
+    assert any(len(m) > 2 for m in by_cluster.values()) or any(
+        len(m) == 2 for m in by_cluster.values()
+    )
