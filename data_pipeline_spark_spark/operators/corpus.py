@@ -160,3 +160,81 @@ def corpus_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return d.select("doc_id", "lang", split.alias("split"))
+
+
+@query(
+    "corpus_mix_weighted",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || '/mix-v1'), 1, 4)
+          < CASE WHEN lang = 'en' THEN '8000'
+                 WHEN lang IN ('de', 'es', 'fr') THEN 'c000'
+                 ELSE 'g' END
+    """,
+)
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing — sample each language stratum at its
+    own rate to hit a target training mixture (the de-facto knob in
+    LLM data recipes: downweight the over-represented crawl slice,
+    keep the scarce strata whole). Here: en at 50%, de/es/fr at 75%,
+    everything else (zh) at 100%.
+
+    Membership is a pure function of (doc_id, salt): keep a row when
+    the first 4 hex chars of md5(doc_id || salt) fall below the
+    stratum's threshold ('8000'/65536 ≈ 50%, 'c000' ≈ 75%; 'g' sorts
+    above every hex digit = keep all). Same contract as
+    [[corpus_sample_hash]]: no shuffle, no count-first pass, stable
+    under reruns and across engines — a filter that pushes to the
+    scan, so at 100 TB the mix costs one pass and prunes columns.
+    Rate precision is 1/65536, far tighter than any mixture spec."""
+    d = load(spark, sf_dir, "documents")
+    thr = (
+        F.when(F.col("lang") == "en", "8000")
+        .when(F.col("lang").isin("de", "es", "fr"), "c000")
+        .otherwise("g")
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/mix-v1"))), 1, 4
+    )
+    return d.filter(bucket < thr).select("doc_id", "lang", "source")
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, rk
+    FROM (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '/strat-v1'), doc_id
+             ) AS INT) AS rk
+      FROM documents
+    )
+    WHERE rk <= 20
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-quota stratified sample: exactly min(20, |stratum|) docs
+    per language, chosen by ranking each stratum on a salted md5 of
+    the key — a deterministic shuffle-order that no engine or rerun
+    changes (doc_id tiebreak makes the order total even under md5
+    collisions). The eval-set / ablation-set builder: quotas, not
+    rates, so small strata aren't starved.
+
+    One shuffle on the stratum key. At scale the rank window sorts
+    each stratum within its partitions; for quotas ≪ stratum size a
+    pre-filter on the hash prefix (keep ~4× quota) bounds the sort
+    input before ranking — same trick as [[corpus_sample_hash]]."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/strat-v1"))),
+        "doc_id",
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )
