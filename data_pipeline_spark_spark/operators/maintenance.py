@@ -109,3 +109,67 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(frag, ignore_errors=True)
         shutil.rmtree(compacted, ignore_errors=True)
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           COUNT({c}) AS n_val,
+           COUNT(*) - COUNT({c}) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           MIN({c}) AS min_v,
+           MAX({c}) AS max_v,
+           ROUND(AVG({c}), 4) AS avg_r
+    FROM lineitem
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_table", oracle=_PROFILE_SQL)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling — the ANALYZE/quality-report pass
+    a curated store runs after every ingest batch (null counts catch
+    schema drift, min/max feed file-skipping expectations, distinct
+    counts size dictionary encodings). One row per profiled measure
+    column: non-null count, null count, exact distinct, min, max,
+    rounded mean.
+
+    Single scan: all per-column aggregates run in ONE groupBy-less
+    aggregate (partial+final, map-side combined), then the flat
+    1×(6·k) row is unpivoted driver-free into k rows with an
+    explode over structs. The multiple COUNT(DISTINCT) plan uses
+    Catalyst's Expand (k× row multiplication before the shuffle) —
+    fine for k=4 profiled columns; at hundreds of columns switch to
+    approx_count_distinct, which keeps one pass with no Expand and
+    a documented ~2% error (the reference's 6k-wide schema would
+    profile that way)."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"n_val_{c}"),
+            (F.count("*") - F.count(c)).alias(f"n_null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"n_distinct_{c}"),
+            F.min(c).alias(f"min_v_{c}"),
+            F.max(c).alias(f"max_v_{c}"),
+            F.round(F.avg(c), 4).alias(f"avg_r_{c}"),
+        ]
+    flat = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"n_val_{c}").alias("n_val"),
+                F.col(f"n_null_{c}").alias("n_null"),
+                F.col(f"n_distinct_{c}").alias("n_distinct"),
+                F.col(f"min_v_{c}").alias("min_v"),
+                F.col(f"max_v_{c}").alias("max_v"),
+                F.col(f"avg_r_{c}").alias("avg_r"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return flat.select(F.explode(rows).alias("p")).select("p.*")

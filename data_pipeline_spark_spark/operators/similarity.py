@@ -197,3 +197,67 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
     )
+
+
+def quantize_embeddings(d: DataFrame) -> DataFrame:
+    """Int8 scalar quantization: per-vector symmetric scale
+    q_i = round(x_i / max|x| * 127). Adds `scale` (double) and
+    `qvec` (array<int>) columns. Pure JVM higher-order expressions —
+    one pass, no shuffle, 4× smaller vectors for the ANN candidate
+    stage (the standard memory lever for serving 1B+ vectors;
+    recompute exact scores on the float vectors for the final
+    top-k only)."""
+    emb = F.col("embedding")
+    maxabs = F.array_max(F.transform(emb, lambda x: F.abs(x))).cast("double")
+    scale = F.greatest(maxabs, F.lit(1e-12))
+    qvec = F.transform(emb, lambda x: F.round(x / scale * 127).cast("int"))
+    return d.withColumn("scale", scale).withColumn("qvec", qvec)
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             greatest(CAST(list_max(list_transform(embedding, x -> abs(x)))
+                           AS DOUBLE), 1e-12) AS scale,
+             embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+                            x -> CAST(round(x / scale * 127) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale_r,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(len(list_filter(qv, x -> x <> 0)) AS INT) AS q_nnz
+    FROM q
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface for `quantize_embeddings`: project the
+    quantized vectors to per-vector checksums (component sum, L1
+    norm, non-zero count) plus the rounded scale, so the DuckDB
+    oracle verifies every component's quantized value by aggregate
+    identity without hashing raw arrays (array outputs hash
+    engine-differently; scalars don't — same convention as
+    scalar_array_map). The checksums are exact functions of the full
+    qvec: any component mismatch shifts q_l1 or q_sum.
+
+    Both engines compute x/scale*127 in float64 from the same float32
+    inputs with round-half-away-from-zero, so the int components are
+    bit-identical — no tolerance needed."""
+    d = load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(d)
+    zero = F.lit(0).cast("bigint")
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.aggregate("qvec", zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate("qvec", zero, lambda a, x: a + F.abs(x)).alias("q_l1"),
+        F.size(F.filter("qvec", lambda x: x != 0)).alias("q_nnz"),
+    )
