@@ -542,3 +542,33 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
     return a.subtract(b)
+
+
+_NOT_IN_SQL = """
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderstatus = 'F' THEN o_custkey END
+              FROM orders)) AS n_null_poisoned,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders
+              WHERE o_orderstatus = 'F')) AS n_null_free
+"""
+
+
+@query("not_in_null_semantics", oracle=_NOT_IN_SQL)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI three-valued NOT IN — the classic correctness trap a query
+    engine must get right, distinct from LEFT ANTI: when the subquery
+    result contains ANY null, `x NOT IN (...)` is never TRUE (x <> NULL
+    is UNKNOWN), so the null-poisoned branch counts 0 rows while the
+    null-free branch counts customers with no 'F'-status order. Spark
+    plans NOT IN as a null-aware anti join (NAAJ, broadcast-only
+    physical strategy) — semantically NOT the plain left_anti used by
+    [[join_semi_anti]], which ignores nulls. Verified by running the
+    identical SQL text on both engines."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL)

@@ -230,3 +230,78 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "rollup_reaggregate",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             event_type,
+             COUNT(*) AS n,
+             SUM(CAST(round(value * 1000) AS BIGINT)) AS sum_mv,
+             MIN(value) AS min_v,
+             MAX(value) AS max_v
+      FROM events
+      GROUP BY bucket, event_type
+    )
+    SELECT CAST(date_trunc('day', bucket) AS DATE) AS day,
+           event_type,
+           SUM(n) AS n_events,
+           SUM(sum_mv) / (1000.0 * SUM(n)) AS avg_v,
+           MIN(min_v) AS min_v,
+           MAX(max_v) AS max_v
+    FROM hourly
+    GROUP BY day, event_type
+    """,
+)
+def rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: maintain an HOURLY
+    pre-aggregate and answer coarser questions by re-aggregating it —
+    never touching raw rows twice. Works because every kept measure
+    is reaggregable: counts and sums add, min/max nest, and avg is
+    carried as (sum, count) so the daily mean is exact, not an
+    average-of-averages.
+
+    At 100 TB this is the query-latency lever for dashboards: the
+    hourly rollup is ~rows/3600 the size of raw, is itself
+    partition-pruned by day, and each refresh only aggregates the
+    newly ingested partitions. The second-level daily re-agg here
+    shuffles the rollup, not the events — bytes ∝ (hours x types).
+
+    The running sum is kept in exact integer milli-units
+    (values are ≤3-decimal, so round(value*1000) is lossless):
+    float summation order differs between engines and between
+    partition layouts, and a last-ulp difference flips rounding at a
+    digit boundary — integer sums make the rollup's carried state
+    deterministic everywhere, and the final division of two exact
+    integers yields the bit-identical double on every engine, so the
+    mean needs no defensive ROUND at all (engines disagree on
+    ROUND-at-boundary semantics: HALF_UP on decimal text vs nearest
+    on binary doubles). Headroom: 10^9 rows x 10^5 milli-max
+    = 10^14 ≪ int64."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("sum_mv"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("sum_mv") / (1000.0 * F.sum("n"))).alias("avg_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
