@@ -121,3 +121,29 @@ def test_wide_schema_ingest_and_melt(spark, tmp_path):
     tidy = eeg_csv.melt_signals(curated, signal_cols)
     assert tidy.count() == rows * 300
     assert tidy.columns == ["Timestamp", "PatientID", "channel", "value"]
+
+
+def test_reference_width_ingest_and_melt(spark, tmp_path):
+    """The wide strategy at the REFERENCE's actual width: 6,037
+    signal columns + ClockDateTime + Time = 6,039 raw columns,
+    matching column_type_mapping.json's 6,039 entries (reference
+    sparkle-v8.py:90-94). Proves the header-probe schema build, the
+    schema-explicit read, the derived-column chain, and the
+    partitioned write all hold at full width (~14s: dominated by the
+    2.5 MB task binary the wide plan broadcasts — the overhead that
+    motivates the tidy layout), and that the unpivot yields exactly
+    rows x signals narrow observations."""
+    from data_pipeline_spark_spark.sources import eeg_csv
+    from data_pipeline_spark_spark.sources.fixture import generate_corpus
+
+    src = str(tmp_path / "w6k_src")
+    out = str(tmp_path / "w6k_out")
+    generate_corpus(src, n_patients=1, max_sessions=1, rows_per_session=20,
+                    n_signals=6037, seed=7)
+    assert eeg_csv.ingest(spark, src, out, run_id="w6k") == 1
+    curated = eeg_csv.register_curated(spark, out, view="eeg_w6k")
+    signal_cols = [c for c in curated.columns if c.startswith("S")]
+    assert len(signal_cols) == 6037
+    tidy = eeg_csv.melt_signals(curated, signal_cols)
+    assert tidy.count() == 20 * 6037
+    assert tidy.columns == ["Timestamp", "PatientID", "channel", "value"]
