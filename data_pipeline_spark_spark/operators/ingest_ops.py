@@ -205,3 +205,84 @@ def eeg_tidy_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+_RT_FORMATS = ("parquet", "orc", "json", "csv")
+
+_RT_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{fmt}' AS fmt,
+           COUNT(*) AS n,
+           SUM(CAST(round(value * 1000) AS BIGINT)) AS sum_mv,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS min_ts_epoch,
+           MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts_epoch
+    FROM events
+    """
+    for fmt in _RT_FORMATS
+)
+
+
+@query("format_roundtrip", oracle=_RT_SQL)
+def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink coverage beyond the reference's CSV-in/parquet-out
+    pair: write the events table through FOUR sinks (parquet, orc,
+    json-lines, csv), read each back with an explicit schema (never
+    inference — the v7→v8 lesson, reference sparkle-v7.py:14), and
+    aggregate identical exact statistics from every copy. The oracle
+    computes the same statistics straight from the parquet fixture,
+    so a mismatch in ANY format's row means that sink/source pair
+    dropped or mangled data.
+
+    Timestamps travel as epoch-second bigints and the measure as
+    exact milli-units, so text formats (csv/json) round-trip
+    bit-exactly — the same discipline a multi-format 100 TB lake
+    needs at its format boundaries. All four writes are shuffle-free
+    task fan-outs; the reads are schema-explicit scans."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from ..catalog import load
+
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("value_mv"),
+        F.col("ts").cast("long").alias("ts_epoch"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value_mv", T.LongType()),
+            T.StructField("ts_epoch", T.LongType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="dps_roundtrip_")
+    try:
+        parts = []
+        for fmt in _RT_FORMATS:
+            path = os.path.join(root, fmt)
+            e.write.format(fmt).option("header", "true").mode("overwrite").save(path)
+            reader = spark.read.schema(schema)
+            if fmt == "csv":
+                reader = reader.option("header", "true")
+            back = reader.format(fmt).load(path)
+            parts.append(
+                back.agg(
+                    F.lit(fmt).alias("fmt"),
+                    F.count("*").alias("n"),
+                    F.sum("value_mv").alias("sum_mv"),
+                    F.count_distinct(F.col("user_id")).alias("n_users"),
+                    F.min("ts_epoch").alias("min_ts_epoch"),
+                    F.max("ts_epoch").alias("max_ts_epoch"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
