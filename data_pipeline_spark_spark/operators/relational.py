@@ -572,3 +572,46 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_NOT_IN_SQL)
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS bin_lo,
+           COUNT(*) AS n,
+           ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 4) AS pct
+    FROM orders
+    GROUP BY bin_lo
+    ORDER BY bin_lo
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over a measure — the profiling/QA
+    companion to [[profile_table]]: bin by floor division (every
+    engine computes floor(x/w) identically on doubles, unlike
+    width_bucket whose edge semantics vary), count per bin, and a
+    windowed share-of-total. One hash aggregate whose shuffle carries
+    one row per bin; the percent window runs over the tiny binned
+    result, not the fact table — at 100 TB the histogram costs the
+    same one pass as any groupBy."""
+    o = load(spark, sf_dir, "orders")
+    binned = (
+        o.groupBy(
+            (F.floor(F.col("o_totalprice") / 50000).cast("bigint") * 50000).alias(
+                "bin_lo"
+            )
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    return (
+        binned.select(
+            "bin_lo",
+            "n",
+            F.round(100.0 * F.col("n") / F.sum("n").over(W.partitionBy()), 4).alias(
+                "pct"
+            ),
+        )
+        .orderBy("bin_lo")
+    )
