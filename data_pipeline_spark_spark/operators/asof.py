@@ -111,3 +111,56 @@ def join_range_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_event_id").alias("matched_event_id"),
         F.col("matched_ts").alias("matched_ts"),
     )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, value FROM events),
+    bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS t0,
+             date_trunc('hour', MAX(ts)) AS t1
+      FROM e GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+      FROM bounds
+    )
+    SELECT g.user_id, g.grid_ts, ev.value AS last_value
+    FROM grid g
+    ASOF JOIN e ev ON g.user_id = ev.user_id AND g.grid_ts >= ev.ts
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling with last-observation-carried-forward (LOCF) — the
+    hypertable resampling op: irregular per-user event streams become
+    a dense hourly grid, each grid point carrying the most recent
+    observed value at-or-before it. The dashboard/feature-store
+    primitive for "state of every entity at every hour".
+
+    The grid is generated per user between that user's first and last
+    hour (sequence + explode — no driver-side loop, grid size ∝
+    entity lifetimes, not global span), then filled by the same
+    union+carry-forward `asof_join` used for attribution: one shuffle
+    on user_id, linear scan within. Grid points before a user's first
+    observation have nothing to carry and drop (inner as-of), exactly
+    DuckDB's native ASOF JOIN semantics — which is the oracle. The
+    carried value is an untouched double (no arithmetic), so both
+    engines emit bit-identical fills."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("interval 1 hour"))).alias("ts"),
+    )
+    filled = asof_join(grid, e, on="user_id", ts="ts", right_cols=["value"])
+    return filled.select(
+        "user_id",
+        F.col("ts").alias("grid_ts"),
+        F.col("matched_value").alias("last_value"),
+    )
