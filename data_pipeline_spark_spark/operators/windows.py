@@ -230,3 +230,53 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("poorest_custkey"),
         F.nth_value("c_custkey", 3).over(w_full).alias("third_custkey"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS trailing_7d_cents,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS trailing_7d_orders
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — trailing 7-day revenue and order
+    count per customer. RANGE frames bound by VALUE distance, not row
+    count: two orders on the same day both see each other, and a gap
+    of a month empties the window — semantics rowsBetween cannot
+    express. Spark's rangeBetween needs a numeric ordering column, so
+    the timestamp is cast to epoch seconds and the frame is
+    [-7*86400, 0] — exactly INTERVAL 7 DAY PRECEDING (ties at equal
+    epochs are in-frame for both engines, so no tiebreak is needed).
+
+    The trailing sum is carried in exact integer cents: a RANGE frame
+    re-sums per row, and float summation order inside the frame is
+    engine-dependent — integer arithmetic makes every trailing value
+    exact. One shuffle on the partition key; within a partition the
+    frame is a sliding two-pointer over the sorted run, O(n) per
+    partition, which is what lets per-entity trailing metrics run on
+    every row of a 100 TB fact table."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp_ltz").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(cents).over(w).alias("trailing_7d_cents"),
+        F.count("*").over(w).alias("trailing_7d_orders"),
+    )
