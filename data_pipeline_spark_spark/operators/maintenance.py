@@ -173,3 +173,61 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return flat.select(F.explode(rows).alias("p")).select("p.*")
+
+
+@query(
+    "partition_overwrite_dynamic",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(value * 1000) AS BIGINT) AS mv
+      FROM events
+    ),
+    d0 AS (SELECT MIN(day) AS d FROM base)
+    SELECT day,
+           COUNT(*) AS n,
+           SUM(CASE WHEN day = (SELECT d FROM d0) THEN 2 * mv ELSE mv END)
+             AS sum_mv
+    FROM base
+    GROUP BY day
+    """,
+)
+def partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level reprocessing via dynamic partition overwrite —
+    the correction workflow the reference's monthly ingest needed:
+    replace exactly the partitions present in the corrected batch,
+    byte-for-byte leave every other partition alone (its
+    read-existing-union-append pattern duplicated history instead,
+    reference sparkle-v9.py:128-138, SURVEY.md §4 bug #1).
+
+    A daily-partitioned copy of events is written, then the earliest
+    day is re-submitted with corrected values (×2) under
+    partitionOverwriteMode=dynamic: the overwrite commit touches only
+    Day=min directories. The returned per-day statistics — verified
+    against an oracle that applies the correction relationally —
+    prove both the replacement and the isolation. At 100 TB this is
+    how a hospital's bad month is re-ingested: task fan-out to the
+    affected partition dirs, zero rewrite of the other ~3,650."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("mv"),
+    )
+    root = tempfile.mkdtemp(prefix="dps_dynpart_")
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old_mode = spark.conf.get(mode_key, "static")
+    try:
+        e.write.partitionBy("day").mode("overwrite").parquet(root)
+        d0 = e.agg(F.min("day")).collect()[0][0]
+        corrected = e.filter(F.col("day") == F.lit(d0)).withColumn(
+            "mv", F.col("mv") * 2
+        )
+        spark.conf.set(mode_key, "dynamic")
+        corrected.write.partitionBy("day").mode("overwrite").parquet(root)
+        back = spark.read.parquet(root)
+        result = back.groupBy("day").agg(
+            F.count("*").alias("n"), F.sum("mv").alias("sum_mv")
+        )
+        return _materialize(spark, result)
+    finally:
+        spark.conf.set(mode_key, old_mode)
+        shutil.rmtree(root, ignore_errors=True)
