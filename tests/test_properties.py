@@ -109,3 +109,41 @@ def test_ts_codec_roundtrip(spark, epochs):
     )
     bad = decoded.filter(F.col("s_back") != F.col("s")).count()
     assert bad == 0
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e4,
+                max_value=1e4,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_quantize_error_bound(spark, vecs):
+    """Int8 scalar quantization invariants for ANY float vector:
+    every quantized component is in [-127, 127], and the
+    reconstruction q*scale/127 is within half a quantization step
+    (scale/254) of the original, plus float slack. This is the
+    contract that makes the quantized ANN candidate stage safe: the
+    cosine error of candidates is bounded by the step size."""
+    from data_pipeline_spark_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    rows = quantize_embeddings(df).collect()
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        step = r.scale / 254
+        for x, q in zip(r.embedding, r.qvec):
+            assert abs(x - q * r.scale / 127) <= step + 1e-3 * r.scale
