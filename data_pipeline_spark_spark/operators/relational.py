@@ -615,3 +615,94 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_lo")
     )
+
+
+@query(
+    "sort_paginate",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25 OFFSET 50
+    """,
+)
+def sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable pagination — page 3 of 25 of a ranked table, the access
+    pattern behind the reference's web result grid (reference
+    README.md:66-68 renders query output as a paged table). The
+    ordering carries a unique tiebreak (orderkey) so every page is
+    deterministic under reruns and engine choice — ORDER BY a
+    non-unique column alone makes page boundaries unstable, the
+    classic paging bug. Spark's offset() + limit() compose into a
+    single TakeOrdered-style plan: executors keep only the top
+    offset+limit rows each, the driver merges — no global sort is
+    materialized, which is what makes "page 3" affordable on a
+    100 TB table."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(50)
+        .limit(25)
+    )
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT)      AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM m GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group with EXACT integer moments:
+    built-in corr() accumulates floating sums whose order differs per
+    engine and per partitioning, so the last digits wobble. Carrying
+    the five moments (Σx, Σy, Σxy, Σx², Σy²) as exact int64 over the
+    data's centi-unit grid makes the final double formula
+    bit-identical everywhere — the same trick production pipelines
+    use to make daily stats reproducible under repartitioning.
+    Headroom: x,y ≤ 2^27 centi-units → x·y ≤ 2^54, times 10^9 rows
+    needs one int64 per ~2^9 rows of margin; at true 100 TB scale the
+    moment sums move to decimal(38) columns, same plan shape. One
+    map-side-combined aggregate, shuffle carries 5 longs per group."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    m = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    s = m.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (cov / (F.sqrt(vx) * F.sqrt(vy))).alias("corr_qty_price"),
+    )
