@@ -196,3 +196,70 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled_frames"),
         F.countDistinct("frame_fp").alias("n_distinct_frames"),
     )
+
+
+_FEAT_DIM = 8
+
+
+def feature_extract_stub(payload: bytes) -> list[float]:
+    """Stand-in for a real visual/audio feature extractor (CLIP/VGG
+    embedding, mel-spectrogram stats). Deterministic fake: 8 floats
+    in [0, 1) derived from the payload digest, so downstream plumbing
+    (array column, norms, similarity join) computes over real varying
+    vectors. Replace the body with a model call in production:
+
+        raise NotImplementedError("vision models not available in this container")
+    """
+    digest = hashlib.sha256(payload).digest()
+    return [digest[i] / 255.0 for i in range(_FEAT_DIM)]
+
+
+def feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas operator: binary payload batch → feature-vector
+    batch. The expensive step (the model forward pass) sees one Arrow
+    batch of payloads at a time — at scale this is where a GPU stage
+    slots in, with spark.task.resource.gpu.amount pinning tasks to
+    devices; the DataFrame contract does not change."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "feature": pdf["payload"].map(
+                    lambda p: feature_extract_stub(bytes(p))
+                ),
+            }
+        )
+
+
+@query("multimodal_feature_extract")
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction pipeline — the bridge from opaque media
+    bytes to the embedding operators: payload → mapInPandas(model
+    stub) → array<float> column → JVM-side L2 norms and a top-value
+    summary per feature dimension. Completes the multimodal ladder
+    (meta → decode → resize/frame-sample → feature-extract); the
+    extracted arrays are exactly the shape `sim_search` /
+    `embedding_quantize` consume. Deterministic (stub derives
+    features from sha256) but not SQL-expressible → rows-only
+    check."""
+    d = attach_payload(fan_out(load(spark, sf_dir, "documents"))).select(
+        "doc_id", "payload"
+    )
+    feats = d.mapInPandas(
+        feature_batch, schema="doc_id long, feature array<float>"
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("feature", lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return (
+        feats.select(
+            "doc_id",
+            F.round(norm, 4).alias("l2_norm"),
+            F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+        )
+        .orderBy("doc_id")
+    )
