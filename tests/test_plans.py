@@ -147,3 +147,38 @@ def test_reference_width_ingest_and_melt(spark, tmp_path):
     tidy = eeg_csv.melt_signals(curated, signal_cols)
     assert tidy.count() == 20 * 6037
     assert tidy.columns == ["Timestamp", "PatientID", "channel", "value"]
+
+
+def test_paginate_take_ordered(spark, sf_dir):
+    """Pagination must plan as TakeOrdered (each executor keeps only
+    offset+limit rows), never a global Sort materialization."""
+    from data_pipeline_spark_spark.operators.relational import sort_paginate
+
+    plan = formatted_plan(sort_paginate(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no full sort node
+
+
+def test_rollup_shuffles_twice_only(spark, sf_dir):
+    """Two-level reaggregation = exactly two hash exchanges (hourly
+    agg, then daily re-agg of the rollup) — the second shuffle moves
+    the rollup, not the events."""
+    from data_pipeline_spark_spark.operators.scale_patterns import rollup_reaggregate
+
+    assert shuffle_count(rollup_reaggregate(spark, sf_dir)) == 2
+
+
+def test_range_frame_single_shuffle(spark, sf_dir):
+    """The trailing-interval window is one exchange on the partition
+    key; the RANGE frame itself is a sorted in-partition scan."""
+    from data_pipeline_spark_spark.operators.windows import window_range_frame
+
+    assert shuffle_count(window_range_frame(spark, sf_dir)) == 1
+
+
+def test_histogram_scans_one_column(spark, sf_dir):
+    """The binning aggregate must prune the scan to the binned
+    measure alone."""
+    from data_pipeline_spark_spark.operators.relational import agg_histogram
+
+    assert scan_columns(agg_histogram(spark, sf_dir)) == ["o_totalprice"]
