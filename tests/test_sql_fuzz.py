@@ -1,0 +1,99 @@
+"""Differential SQL fuzzing: generate random-but-reproducible ANSI
+queries from a dialect-portable grammar and run the IDENTICAL text on
+Spark and DuckDB — the property that the engine's ad-hoc SQL surface
+(the reference's Athena console role, reference README.md:14-15)
+agrees with an independent engine on arbitrary filter/aggregate/join
+compositions, not just the hand-picked registry queries.
+
+Determinism rules baked into the grammar (the same ones the registry
+oracles follow): measures are summed as exact integer centi-units
+(float summation order is engine-dependent), every ORDER BY is total,
+and only dialect-shared syntax is emitted (EXTRACT, DATE literals,
+BETWEEN, IN, CASE WHEN).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_spark_spark.catalog import register_views
+
+from .oracle import assert_matches_oracle
+
+GROUP_COLS = [
+    "l_returnflag",
+    "l_linestatus",
+    "CAST(EXTRACT(year FROM l_shipdate) AS INT)",
+]
+JOIN_GROUP_COLS = GROUP_COLS + ["o_orderpriority", "o_orderstatus"]
+
+AGGS = [
+    "COUNT(*)",
+    "SUM(CAST(round(l_quantity * 100) AS BIGINT))",
+    "SUM(CAST(round(l_extendedprice * 100) AS BIGINT))",
+    "COUNT(DISTINCT l_partkey)",
+    "MIN(l_shipdate)",
+    "MAX(l_shipdate)",
+]
+
+PREDS = [
+    "l_shipdate >= DATE '1996-01-01'",
+    "l_shipdate < DATE '1999-06-15'",
+    "l_quantity BETWEEN 5 AND 45",
+    "l_discount <= 0.05",
+    "l_returnflag IN ('A', 'R')",
+    "l_linestatus = 'F'",
+    "l_partkey % 7 <> 0",
+    "(l_quantity > 30 OR l_discount > 0.03)",
+]
+JOIN_PREDS = PREDS + [
+    "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    "o_totalprice > 50000",
+    "o_orderdate < DATE '2000-01-01'",
+]
+
+
+@st.composite
+def sql_query(draw):
+    use_join = draw(st.booleans())
+    gcols_pool = JOIN_GROUP_COLS if use_join else GROUP_COLS
+    preds_pool = JOIN_PREDS if use_join else PREDS
+    gcols = draw(
+        st.lists(st.sampled_from(gcols_pool), min_size=0, max_size=2, unique=True)
+    )
+    aggs = draw(
+        st.lists(st.sampled_from(AGGS), min_size=1, max_size=3, unique=True)
+    )
+    preds = draw(
+        st.lists(st.sampled_from(preds_pool), min_size=0, max_size=3, unique=True)
+    )
+    sel = [f"{c} AS g{i}" for i, c in enumerate(gcols)] + [
+        f"{a} AS a{i}" for i, a in enumerate(aggs)
+    ]
+    sql = "SELECT " + ", ".join(sel) + " FROM lineitem"
+    if use_join:
+        sql += " JOIN orders ON l_orderkey = o_orderkey"
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    if gcols:
+        sql += " GROUP BY " + ", ".join(f"g{i}" for i in range(len(gcols)))
+        if draw(st.booleans()):
+            sql += " HAVING COUNT(*) > 10"
+        if draw(st.booleans()):
+            # total order: every group column then the first aggregate
+            keys = ", ".join(f"g{i}" for i in range(len(gcols)))
+            sql += f" ORDER BY a0 DESC, {keys} LIMIT 20"
+    return sql
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql_query())
+def test_fuzzed_sql_agrees_with_duckdb(spark, sf_dir, sql):
+    register_views(spark, sf_dir)
+    assert_matches_oracle(spark.sql(sql), sql, sf_dir, f"fuzz[{sql[:60]}...]")
