@@ -706,3 +706,88 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (cov / (F.sqrt(vx) * F.sqrt(vy))).alias("corr_qty_price"),
     )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, s_name,
+           CAST(r_regionkey * 100 + s_suppkey AS BIGINT) AS pair_code
+    FROM region CROSS JOIN supplier
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product — the one join type with no key.
+    Legitimate at scale ONLY when one side is tiny (parameter grids,
+    calendar spines, the window table in [[join_interval_bucketed]]);
+    Spark requires crossJoin() to be spelled out precisely so an
+    accidental unkeyed join fails analysis instead of producing n×m
+    rows. The small side broadcasts (BroadcastNestedLoopJoin): the
+    big side never moves."""
+    r = load(spark, sf_dir, "region")
+    s = load(spark, sf_dir, "supplier")
+    return r.crossJoin(s).select(
+        "r_name",
+        "s_name",
+        (F.col("r_regionkey") * 100 + F.col("s_suppkey"))
+        .cast("bigint")
+        .alias("pair_code"),
+    )
+
+
+@query(
+    "scalar_null_safe_eq",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id, user_id,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 3 = 0
+                  THEN NULL
+                  ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+             END AS k
+      FROM events
+    )
+    SELECT
+      (SELECT COUNT(*) FROM keyed WHERE k IS NOT DISTINCT FROM NULL)
+        AS n_null_key,
+      (SELECT COUNT(*) FROM keyed e1
+       WHERE EXISTS (
+         SELECT 1 FROM keyed e2
+         WHERE e2.user_id = e1.user_id
+           AND e2.event_id <> e1.event_id
+           AND e2.k IS NOT DISTINCT FROM e1.k)) AS n_shared_k
+    FROM (SELECT 1) one
+    """,
+)
+def scalar_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (IS NOT DISTINCT FROM / eqNullSafe): NULL
+    compares equal to NULL and unequal to every value — the semantics
+    plain `=` can't give (NULL = NULL is UNKNOWN, so nullable join
+    keys silently drop rows). Counts events whose JSON props lack the
+    key entirely, and events sharing their (possibly missing) k-value
+    with another event of the same user — the dedup-on-nullable-key
+    shape. Both engines accept the ANSI IS NOT DISTINCT FROM; only
+    the JSON accessor differs by dialect (get_json_object vs
+    json_extract_string), so each side uses its own spelling over the
+    same semantics."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+    WITH keyed AS (
+      SELECT event_id, user_id,
+             CASE WHEN CAST(get_json_object(props, '$.k') AS INTEGER) % 3 = 0
+                  THEN NULL
+                  ELSE CAST(get_json_object(props, '$.k') AS INTEGER) % 10
+             END AS k
+      FROM events
+    )
+    SELECT
+      (SELECT COUNT(*) FROM keyed WHERE k IS NOT DISTINCT FROM NULL)
+        AS n_null_key,
+      (SELECT COUNT(*) FROM keyed e1
+       WHERE EXISTS (
+         SELECT 1 FROM keyed e2
+         WHERE e2.user_id = e1.user_id
+           AND e2.event_id <> e1.event_id
+           AND e2.k IS NOT DISTINCT FROM e1.k)) AS n_shared_k
+    """)
