@@ -97,3 +97,58 @@ def sql_query(draw):
 def test_fuzzed_sql_agrees_with_duckdb(spark, sf_dir, sql):
     register_views(spark, sf_dir)
     assert_matches_oracle(spark.sql(sql), sql, sf_dir, f"fuzz[{sql[:60]}...]")
+
+
+WIN_PARTS = ["l_returnflag", "l_linestatus", "l_suppkey % 10"]
+# total order inside every partition: shipdate, then the unique line id
+WIN_ORDER = "l_shipdate, l_orderkey, l_linenumber"
+WIN_FNS = [
+    "ROW_NUMBER()",
+    "RANK()",
+    "DENSE_RANK()",
+    "NTILE(4)",
+    "SUM(CAST(round(l_quantity * 100) AS BIGINT))",
+    "LAG(l_orderkey, 1) ",
+    "COUNT(*)",
+]
+
+
+@st.composite
+def window_query(draw):
+    part = draw(st.sampled_from(WIN_PARTS))
+    fns = draw(st.lists(st.sampled_from(WIN_FNS), min_size=1, max_size=3, unique=True))
+    preds = draw(st.lists(st.sampled_from(PREDS), min_size=0, max_size=2, unique=True))
+    over = f"OVER (PARTITION BY {part} ORDER BY {WIN_ORDER}"
+    cols = []
+    for i, fn in enumerate(fns):
+        frame = (
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            if fn.startswith(("SUM", "COUNT"))
+            else ""
+        )
+        cols.append(f"{fn} {over}{frame}) AS w{i}")
+    sql = (
+        "SELECT l_orderkey, l_linenumber, "
+        + ", ".join(cols)
+        + " FROM lineitem"
+    )
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    return sql
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(window_query())
+def test_fuzzed_window_sql_agrees_with_duckdb(spark, sf_dir, sql):
+    """Window-function arm: ranking/analytic/running-frame functions
+    over a totally-ordered window run as identical SQL text on both
+    engines. The running SUM carries exact integer centi-units and
+    every ordering ends in the unique (orderkey, linenumber) pair, so
+    rank ties and frame contents are engine-independent."""
+    register_views(spark, sf_dir)
+    assert_matches_oracle(spark.sql(sql), sql, sf_dir, f"wfuzz[{sql[:60]}...]")
