@@ -45,6 +45,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exactly the truncation DuckDB applies when it reads the same
     column as TIMESTAMP, so both engines see identical values.
     """
+    # Pin UTC on the CALLER's session (the round driver builds its
+    # own SparkSession): every LTZ date_trunc / cast-to-date shifts
+    # day boundaries with the session timezone, while the DuckDB
+    # oracle always computes UTC wall time — under any other zone the
+    # same query returns different days. The engine's declared
+    # semantics are UTC; idempotent one-liner, same pattern as the
+    # nanos shim below.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

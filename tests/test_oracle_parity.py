@@ -39,3 +39,29 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_timezone_hostile_session_still_matches(spark, sf_dir):
+    """The round driver calls queries() with ITS OWN SparkSession,
+    which may not pin spark.sql.session.timeZone — under e.g.
+    America/New_York every LTZ day boundary shifts 4-5h against the
+    DuckDB oracle. catalog.load pins UTC on the caller's session, so
+    timestamp-heavy queries must match the oracle even when the
+    session arrives mis-zoned."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        for name in ["rollup_reaggregate", "partition_overwrite_dynamic",
+                     "ts_gap_fill", "scalar_datetime"]:
+            from .oracle import assert_matches_oracle
+
+            assert_matches_oracle(
+                registry.QUERIES[name](spark, sf_dir),
+                registry.ORACLE_SQL[name],
+                sf_dir,
+                f"tz-hostile:{name}",
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
