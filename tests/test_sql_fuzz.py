@@ -152,3 +152,35 @@ def test_fuzzed_window_sql_agrees_with_duckdb(spark, sf_dir, sql):
     rank ties and frame contents are engine-independent."""
     register_views(spark, sf_dir)
     assert_matches_oracle(spark.sql(sql), sql, sf_dir, f"wfuzz[{sql[:60]}...]")
+
+
+@st.composite
+def rollup_query(draw):
+    gcols = draw(
+        st.lists(st.sampled_from(GROUP_COLS), min_size=1, max_size=2, unique=True)
+    )
+    aggs = draw(st.lists(st.sampled_from(AGGS), min_size=1, max_size=2, unique=True))
+    preds = draw(st.lists(st.sampled_from(PREDS), min_size=0, max_size=2, unique=True))
+    sel = [f"{c} AS g{i}" for i, c in enumerate(gcols)] + [
+        f"{a} AS a{i}" for i, a in enumerate(aggs)
+    ]
+    sql = "SELECT " + ", ".join(sel) + " FROM lineitem"
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    sql += " GROUP BY ROLLUP (" + ", ".join(gcols) + ")"
+    return sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rollup_query())
+def test_fuzzed_rollup_sql_agrees_with_duckdb(spark, sf_dir, sql):
+    """ROLLUP arm: hierarchical subtotal rows (including the NULL
+    grand-total markers) must agree between engines for arbitrary
+    grouping/aggregate/predicate combinations."""
+    register_views(spark, sf_dir)
+    assert_matches_oracle(spark.sql(sql), sql, sf_dir, f"rfuzz[{sql[:60]}...]")
