@@ -791,3 +791,53 @@ def scalar_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND e2.event_id <> e1.event_id
            AND e2.k IS NOT DISTINCT FROM e1.k)) AS n_shared_k
     """)
+
+
+@query(
+    "agg_median_exact",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           median(l_extendedprice) AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (Spark 4's F.median = exact 50th
+    percentile with linear interpolation, matching DuckDB's median on
+    doubles). Unlike SUM/AVG chains, medians are selection-based —
+    no summation order, so the value is engine- and
+    partitioning-independent without any integer-unit armor. Cost
+    note for 100 TB: exact percentiles buffer each group's values;
+    for high-cardinality groups switch to percentile_approx
+    (t-digest, fixed memory) — [[agg_stats]] shows that form."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.median("l_extendedprice").alias("med_price"),
+    )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): the report-
+    formatting aggregate. Deterministic ONLY with an explicit
+    element order — collect_list alone returns partition-arrival
+    order, so the engine sorts the collected array before joining
+    (array_sort → array_join), which is exactly string_agg's
+    ORDER BY clause. At scale the collected group must fit one
+    executor buffer; for unbounded groups aggregate a bounded top-N
+    per group first ([[window_rank]] shape)."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
