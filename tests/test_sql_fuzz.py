@@ -184,3 +184,39 @@ def test_fuzzed_rollup_sql_agrees_with_duckdb(spark, sf_dir, sql):
     grouping/aggregate/predicate combinations."""
     register_views(spark, sf_dir)
     assert_matches_oracle(spark.sql(sql), sql, sf_dir, f"rfuzz[{sql[:60]}...]")
+
+
+ORDERS_PREDS = [
+    "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    "o_totalprice > 100000",
+    "o_orderdate >= DATE '1997-01-01'",
+    "o_custkey % 5 = 0",
+]
+SET_OPS = ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
+
+
+@st.composite
+def setop_query(draw):
+    op = draw(st.sampled_from(SET_OPS))
+    lp = draw(st.lists(st.sampled_from(PREDS), min_size=1, max_size=2, unique=True))
+    rp = draw(
+        st.lists(st.sampled_from(ORDERS_PREDS), min_size=1, max_size=2, unique=True)
+    )
+    left = "SELECT l_orderkey AS k FROM lineitem WHERE " + " AND ".join(lp)
+    right = "SELECT o_orderkey AS k FROM orders WHERE " + " AND ".join(rp)
+    return f"SELECT k FROM (({left}) {op} ({right})) t"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(setop_query())
+def test_fuzzed_setop_sql_agrees_with_duckdb(spark, sf_dir, sql):
+    """Set-operation arm: UNION [ALL] / INTERSECT / EXCEPT between
+    filtered key sets — distinct semantics and duplicate counting must
+    agree between engines."""
+    register_views(spark, sf_dir)
+    assert_matches_oracle(spark.sql(sql), sql, sf_dir, f"sfuzz[{sql[:60]}...]")
