@@ -2,6 +2,7 @@
 query into data_pipeline_spark_spark.registry."""
 
 from . import (  # noqa: F401
+    analytics,
     asof,
     corpus,
     dedup,
@@ -21,6 +22,7 @@ from . import (  # noqa: F401
 
 ALL_MODULES = (
     relational,
+    analytics,
     corpus,
     windows,
     scalars,
