@@ -841,3 +841,58 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
     )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long unpivot of measure columns on a driver fixture —
+    the oracle-checked twin of the EEG melt (`eeg_tidy_melt` is
+    rows-only because its fixture lives outside the oracle's
+    catalog). Spark's built-in unpivot keeps id columns typed and
+    emits (measure, value) pairs in one generate pass — row count ×
+    measures, byte count ≈ unchanged, and the long layout is what
+    keeps 6k-wide data codegen-friendly (SURVEY.md §7 step 5). The
+    oracle spells the identical relation as UNION ALL, the portable
+    ANSI form."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+_FILTER_SQL = """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             FILTER (WHERE l_tax > 0.04) AS cents_hightax
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@query("agg_filter_clause", oracle=_FILTER_SQL)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER clause — per-aggregate predicates without CASE
+    gymnastics; the identical SQL text runs on both engines. Each
+    FILTER evaluates map-side during the partial aggregate, so the
+    shuffle still carries one row per group regardless of how many
+    filtered aggregates the query stacks. Sums carry exact integer
+    cents per the engine's cross-engine determinism rule."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_FILTER_SQL)
