@@ -65,3 +65,32 @@ def test_timezone_hostile_session_still_matches(spark, sf_dir):
             )
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_partitioning_hostile_session_still_matches(spark, sf_dir):
+    """Results must be invariant to the session's shuffle-partition
+    count (the driver may run with Spark's default 200, or anything).
+    Runs the keys most at risk of partition-dependent behavior —
+    ranking with limits, hash-ranked sampling, top-k windows,
+    iterative clustering — under a deliberately odd partition count
+    and compares against the oracle, which has no notion of
+    partitions at all."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        for name in ["sort_paginate", "corpus_stratified_sample",
+                     "window_rank", "tfidf_top_terms", "dedup_cluster",
+                     "agg_corr_exact"]:
+            from .oracle import assert_matches_oracle
+
+            assert_matches_oracle(
+                registry.QUERIES[name](spark, sf_dir),
+                registry.ORACLE_SQL[name],
+                sf_dir,
+                f"part-hostile:{name}",
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
