@@ -797,8 +797,8 @@ def scalar_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_median_exact",
     oracle="""
     SELECT l_returnflag,
-           median(l_quantity) AS med_qty,
-           median(l_extendedprice) AS med_price
+           ROUND(median(l_quantity), 4) AS med_qty,
+           ROUND(median(l_extendedprice), 4) AS med_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -807,15 +807,18 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median per group (Spark 4's F.median = exact 50th
     percentile with linear interpolation, matching DuckDB's median on
     doubles). Unlike SUM/AVG chains, medians are selection-based —
-    no summation order, so the value is engine- and
-    partitioning-independent without any integer-unit armor. Cost
+    no summation order — but EVEN-sized groups interpolate (a+b)/2
+    and the engines' interpolation formulas can differ in the last
+    ulp, so the output is rounded to 4 decimals on BOTH sides (a
+    1-ulp pair straddles a rounding boundary with probability ~1e-12,
+    vs certain hash mismatch if left raw). Cost
     note for 100 TB: exact percentiles buffer each group's values;
     for high-cardinality groups switch to percentile_approx
     (t-digest, fixed memory) — [[agg_stats]] shows that form."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.median("l_quantity").alias("med_qty"),
-        F.median("l_extendedprice").alias("med_price"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
     )
 
 
