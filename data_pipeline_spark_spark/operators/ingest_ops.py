@@ -213,7 +213,7 @@ _RT_SQL = "\nUNION ALL\n".join(
     f"""
     SELECT '{fmt}' AS fmt,
            COUNT(*) AS n,
-           SUM(CAST(round(value * 1000) AS BIGINT)) AS sum_mv,
+           CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_mv,
            COUNT(DISTINCT user_id) AS n_users,
            MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS min_ts_epoch,
            MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts_epoch

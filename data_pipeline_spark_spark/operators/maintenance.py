@@ -186,8 +186,8 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     d0 AS (SELECT MIN(day) AS d FROM base)
     SELECT day,
            COUNT(*) AS n,
-           SUM(CASE WHEN day = (SELECT d FROM d0) THEN 2 * mv ELSE mv END)
-             AS sum_mv
+           CAST(SUM(CASE WHEN day = (SELECT d FROM d0) THEN 2 * mv ELSE mv END)
+             AS BIGINT) AS sum_mv
     FROM base
     GROUP BY day
     """,

@@ -880,8 +880,8 @@ _FILTER_SQL = """
     SELECT l_returnflag,
            COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
            COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
-             FILTER (WHERE l_tax > 0.04) AS cents_hightax
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             FILTER (WHERE l_tax > 0.04) AS BIGINT) AS cents_hightax
     FROM lineitem
     GROUP BY l_returnflag
 """

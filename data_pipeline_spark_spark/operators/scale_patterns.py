@@ -247,7 +247,7 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(date_trunc('day', bucket) AS DATE) AS day,
            event_type,
-           SUM(n) AS n_events,
+           CAST(SUM(n) AS BIGINT) AS n_events,
            SUM(sum_mv) / (1000.0 * SUM(n)) AS avg_v,
            MIN(min_v) AS min_v,
            MAX(max_v) AS max_v

@@ -236,11 +236,11 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderdate,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate
              RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
-           ) AS trailing_7d_cents,
+           ) AS BIGINT) AS trailing_7d_cents,
            COUNT(*) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate

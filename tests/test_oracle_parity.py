@@ -94,3 +94,34 @@ def test_partitioning_hostile_session_still_matches(spark, sf_dir):
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_oracle_output_types_are_portable(sf_dir):
+    """No oracle may return a DuckDB-only width (HUGEINT from
+    SUM(BIGINT), DECIMAL, unsigned ints): the round driver converts
+    both sides through Arrow/pandas before value-hashing, and an
+    int128 column hashes differently from Spark's int64 even when
+    every value is numerically identical (round-1 format_roundtrip
+    failed exactly this way). Wrap aggregates in CAST(... AS BIGINT)
+    / CAST(... AS DOUBLE) instead."""
+    import duckdb
+
+    from data_pipeline_spark_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    banned = {"HUGEINT", "UHUGEINT", "UINTEGER", "UBIGINT", "USMALLINT", "UTINYINT"}
+    offenders = {}
+    for name, sql in sorted(registry.ORACLE_SQL.items()):
+        rel = con.sql(sql)
+        flagged = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in banned or str(t).startswith("DECIMAL")
+        ]
+        if flagged:
+            offenders[name] = flagged
+    assert not offenders, f"non-portable oracle output types: {offenders}"
