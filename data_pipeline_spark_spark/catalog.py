@@ -56,6 +56,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # DELIBERATE session-wide conf, same contract as the UTC pin
+        # above: it cannot be save/restored around this call because
+        # the returned DataFrame is lazy — executors consult the conf
+        # again when the scan actually runs, long after this function
+        # returned. Consequence: any LATER read of an unrelated
+        # TIMESTAMP(NANOS) parquet column in this session also comes
+        # back as bigint nanos instead of erroring; wrap it with the
+        # same timestamp_micros(ts div 1000) shim used here.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":

@@ -40,9 +40,14 @@ def asof_join(
     semantics: left rows with no predecessor are dropped).
 
     Implementation: tag right=0 / left=1, union, and carry the last
-    right-side payload forward over a (key, ts, tag) ordering. Ties at
-    identical ts resolve right-before-left, i.e. `<=` (inclusive)
-    semantics, matching ASOF JOIN.
+    right-side payload forward over a (key, ts, tag, payload) ordering.
+    Ties at identical ts resolve right-before-left, i.e. `<=`
+    (inclusive) semantics, matching ASOF JOIN. Among multiple RIGHT
+    rows sharing an identical (key, ts), the payload struct itself is
+    the final ordering term, so the carried match is deterministically
+    the MAX payload (field-lexicographic) — engines' native ASOF picks
+    an arbitrary one here, so oracles must pre-dedup or accept this
+    documented tie rule if fixtures ever contain such duplicates.
     """
     r = right.select(
         F.col(on).alias("_k"),
@@ -57,7 +62,7 @@ def asof_join(
     unioned = l.unionByName(r.select("_k", "_ts", "_side", "_payload"), allowMissingColumns=True)
     w = (
         W.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_payload")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     carried = unioned.withColumn(

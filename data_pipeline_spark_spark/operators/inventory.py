@@ -416,7 +416,8 @@ def event_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lambda → EMR, lambda-initiator-v2.py:27-39) re-expressed as a
     Structured Streaming file source with trigger(availableNow=True):
     the checkpoint IS the ledger. Streaming and batch paths must agree
-    on the curated row count."""
+    on the curated row count AND on per-file patient metadata (the
+    n_patients column would be 0/None on a metadata-less path)."""
     from ..streaming.ingest import stream_ingest_eeg
 
     src = fixture_dir()
@@ -424,11 +425,28 @@ def event_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_out = tempfile.mkdtemp(prefix="dps_evt_batch_")
     try:
         stream_rows = stream_ingest_eeg(spark, src, stream_out)
+        stream_patients = (
+            spark.read.parquet(os.path.join(stream_out, "data"))
+            .filter(F.col("PatientID") != "")
+            .select("PatientID")
+            .distinct()
+            .count()
+        )
         eeg_csv.ingest(spark, src, batch_out, run_id="evt-batch")
-        batch_rows = spark.read.parquet(os.path.join(batch_out, "data")).count()
+        batch_df = spark.read.parquet(os.path.join(batch_out, "data"))
+        batch_rows = batch_df.count()
+        batch_patients = (
+            batch_df.filter(F.col("PatientID") != "")
+            .select("PatientID")
+            .distinct()
+            .count()
+        )
         return spark.createDataFrame(
-            [("stream_availableNow", stream_rows), ("batch", batch_rows)],
-            "path string, curated_rows long",
+            [
+                ("stream_availableNow", stream_rows, stream_patients),
+                ("batch", batch_rows, batch_patients),
+            ],
+            "path string, curated_rows long, n_patients long",
         )
     finally:
         shutil.rmtree(stream_out, ignore_errors=True)

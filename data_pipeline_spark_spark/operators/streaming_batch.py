@@ -147,6 +147,7 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             stream.writeStream.format("memory")
             .queryName(sink)
+            .option("checkpointLocation", ckpt)
             .outputMode("update")
             .trigger(availableNow=True)
             .start()

@@ -217,24 +217,38 @@ def ingest(
     .OK-sentinel + move-to-processed choreography
     (lambda-initiator-v2.py:27-69, sparkle-v9.py:19-29); re-running
     over the same staging dir is a no-op (empty-input guard — the v5
-    fix, reference sparkle-v5.py:43-46)."""
+    fix, reference sparkle-v5.py:43-46).
+
+    Crash-safety contract: each file is appended and THEN ledgered,
+    one file at a time, so a crash re-ingests at most the single
+    in-flight file (whose job-uncommitted output Spark leaves only in
+    ignored _temporary paths). Strict exactly-once across arbitrary
+    crash points goes through the streaming checkpoint path
+    (streaming/ingest.py), where the checkpoint commits file progress
+    transactionally."""
     files = list_input_files(input_dir)
     processed = _read_ledger(output_dir)
     todo = [f for f in files if os.path.basename(f) not in processed]
     if not todo:
         return 0
 
-    batch: DataFrame | None = None
+    data_dir = os.path.join(output_dir, "data")
+    schema_df: DataFrame | None = None
+    done: list[str] = []
     for path in todo:
         df = read_session(spark, path)
-        batch = df if batch is None else batch.unionByName(df, allowMissingColumns=True)
-
-    data_dir = os.path.join(output_dir, "data")
-    batch.write.partitionBy("Year", "Month", "Day").mode("append").parquet(data_dir)
-    export_schema_registry(batch, output_dir, run_id=run_id)
-    processed.update(os.path.basename(f) for f in todo)
-    _write_ledger(output_dir, processed)
-    append_ingest_log(output_dir, run_id or "batch", [os.path.basename(f) for f in todo])
+        df.write.partitionBy("Year", "Month", "Day").mode("append").parquet(data_dir)
+        processed.add(os.path.basename(path))
+        _write_ledger(output_dir, processed)
+        done.append(os.path.basename(path))
+        empty = df.limit(0)
+        schema_df = (
+            empty
+            if schema_df is None
+            else schema_df.unionByName(empty, allowMissingColumns=True)
+        )
+    export_schema_registry(schema_df, output_dir, run_id=run_id)
+    append_ingest_log(output_dir, run_id or "batch", done)
     return len(todo)
 
 

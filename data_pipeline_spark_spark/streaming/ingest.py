@@ -39,11 +39,16 @@ def stream_ingest_eeg(
     header: SessionHeader | None = None,
 ) -> int:
     """availableNow streaming ingest of an EEG staging directory.
+    Returns the number of rows written by THIS run (0 on a no-op
+    re-run — the checkpoint already tracks every file).
 
     The curated transform is shared with the batch path (same prelude
-    skip, ×1e5 decode, Y/M/D). File-level metadata differs per file,
-    so the streaming form resolves metadata per input file inside
-    foreachBatch using input_file_name(); returns rows written.
+    skip, ×1e5 decode, Y/M/D), INCLUDING per-file patient metadata:
+    each staged file's 8-row prelude is probed driver-side (bounded,
+    same probe the batch path runs) into a tiny (file → metadata)
+    lookup that is broadcast stream-static-joined on
+    input_file_name(), so the streaming curated schema is identical
+    to the batch one.
 
     Note: the streaming file source requires a uniform schema across
     the directory — enforced here by probing one file. Mixed-schema
@@ -56,8 +61,41 @@ def stream_ingest_eeg(
         header = probe_header(spark, os.path.join(input_dir, files[0]))
     schema = build_schema(header.columns)
 
+    # Per-file metadata lookup. Probing is O(files) driver-side reads
+    # of ≤8 rows each — the same cost the batch path already pays; at
+    # cluster scale this is a metadata pass, not a data pass.
+    meta_rows = []
+    for f in files:
+        h = probe_header(spark, os.path.join(input_dir, f))
+        m = h.metadata
+        meta_rows.append(
+            (
+                f,
+                m.get("PatientName", ""),
+                m.get("PatientID", ""),
+                m.get("PatientBirthDate") or None,
+                m.get("TestDate") or None,
+                m.get("TestTime", ""),
+            )
+        )
+    meta_df = spark.createDataFrame(
+        meta_rows,
+        "_file string, PatientName string, PatientID string, "
+        "_birth string, _testdate string, TestTime string",
+    ).select(
+        "_file",
+        "PatientName",
+        "PatientID",
+        F.to_date("_birth", "y/M/d").alias("PatientBirthDate"),
+        F.to_date("_testdate", "y/M/d").alias("TestDate"),
+        "TestTime",
+    )
+
     checkpoint = os.path.join(output_dir, "_checkpoint")
     data_dir = os.path.join(output_dir, "data")
+    before = (
+        spark.read.parquet(data_dir).count() if os.path.isdir(data_dir) else 0
+    )
 
     stream = (
         spark.readStream.schema(schema)
@@ -65,6 +103,9 @@ def stream_ingest_eeg(
         .option("pathGlobFilter", "*.csv")
         .csv(input_dir)
         .filter(F.col("ClockDateTime").isNotNull())
+        .withColumn("_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .join(F.broadcast(meta_df), "_file", "left")
+        .drop("_file")
         .withColumn("Timestamp", decode_clock(F.col("ClockDateTime")))
         .withColumn("Year", F.year("Timestamp"))
         .withColumn("Month", F.month("Timestamp"))
@@ -79,8 +120,11 @@ def stream_ingest_eeg(
         .start()
     )
     query.awaitTermination()
-    written = spark.read.parquet(data_dir).count()
-    return written
+    # rows written THIS run = sink count delta (the file sink reports
+    # numOutputRows = -1, and the sink's total count would over-report
+    # on every incremental re-run). The sink is single-writer — the
+    # checkpoint serializes runs — so the delta is exact.
+    return spark.read.parquet(data_dir).count() - before
 
 
 def windowed_event_counts(

@@ -22,18 +22,27 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     n1 = stream_ingest_eeg(spark, src, out)
     assert n1 == 2 * 40
 
-    # second availableNow run over the same dir: checkpoint makes it a no-op
+    # second availableNow run over the same dir: checkpoint makes it a
+    # no-op — and the return value is rows written THIS run, so 0
     n2 = stream_ingest_eeg(spark, src, out)
-    assert n2 == n1
+    assert n2 == 0
 
-    # new file arrives → only its rows are added
+    # new file arrives → only its rows are added (and reported)
     generate_corpus(src, n_patients=1, max_sessions=1,
                     rows_per_session=25, n_signals=8, seed=11,
                     patient_offset=10)
     n3 = stream_ingest_eeg(spark, src, out)
-    assert n3 == n1 + 25
+    assert n3 == 25
 
     assert os.path.isdir(os.path.join(out, "_checkpoint"))
+
+    # the streaming curated schema carries per-file patient metadata,
+    # exactly like the batch path
+    curated = spark.read.parquet(os.path.join(out, "data"))
+    assert {"PatientID", "PatientName", "PatientBirthDate", "TestDate",
+            "TestTime"} <= set(curated.columns)
+    patients = {r.PatientID for r in curated.select("PatientID").distinct().collect()}
+    assert len(patients) == 3 and all(p for p in patients)
 
 
 def test_windowed_stream_matches_batch(spark, sf_dir):
