@@ -544,6 +544,36 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.subtract(b)
 
 
+@query(
+    "setop_intersect_except",
+    oracle="""
+    SELECT 'both_years' AS cohort, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    )
+    UNION ALL
+    SELECT 'churned' AS cohort, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    )
+    """,
+)
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT in one result (SURVEY.md §2B's combined
+    `setop_intersect_except` row): retained vs churned customer key
+    sets between two years, tagged by cohort. Both set ops plan as
+    distinct-aggregated semi/anti joins on the same two scans —
+    Catalyst reuses the year-filtered subplans via exchange reuse."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    both = a.intersect(b).select(F.lit("both_years").alias("cohort"), "o_custkey")
+    churned = a.subtract(b).select(F.lit("churned").alias("cohort"), "o_custkey")
+    return both.unionByName(churned)
+
+
 _NOT_IN_SQL = """
     SELECT
       (SELECT COUNT(*) FROM customer
