@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     similarity,
     streaming_batch,
     text,
+    training_data,
     windows,
     workloads,
 )
@@ -37,4 +38,5 @@ ALL_MODULES = (
     scale_patterns,
     workloads,
     maintenance,
+    training_data,
 )

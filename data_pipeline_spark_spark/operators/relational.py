@@ -22,6 +22,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -903,6 +904,69 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["l_quantity", "l_discount", "l_tax"],
         variableColumnName="measure",
         valueColumnName="value",
+    )
+
+
+_PCTL_DISC_SQL = """
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM t
+    )
+    SELECT l_returnflag,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                         THEN cents END) AS BIGINT) AS p50_cents,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                         THEN cents END) AS BIGINT) AS p90_cents,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                         THEN cents END) AS BIGINT) AS p99_cents
+    FROM r GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentile_disc", oracle=_PCTL_DISC_SQL)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles (p50/p90/p99) as order statistics:
+    the value at rank ceil(p·n) per group — PERCENTILE_DISC semantics
+    pinned explicitly so both engines compute the identical rank
+    instead of each one's interpolating quantile (approx_percentile /
+    quantile_cont would differ by engine). Prices are carried as
+    exact integer cents, so no float comparison is involved at all.
+
+    Ranking uses row_number over cents within each group: ties in
+    cents break arbitrarily, but the VALUE at rank k (the k-th order
+    statistic) is tie-order-independent, so the result is
+    deterministic. Scale: one shuffle on the group key; within-group
+    sort is the window's local sort. For ungrouped whole-table
+    percentiles at 100 TB, the selection-based [[agg_median_exact]]
+    approach (filter + count, no global sort) is the cheaper path."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("l_returnflag").orderBy("cents")
+    wn = W.partitionBy("l_returnflag")
+    r = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+
+    def at(p: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("cents")
+            )
+        )
+
+    return r.groupBy("l_returnflag").agg(
+        at(0.50).alias("p50_cents"),
+        at(0.90).alias("p90_cents"),
+        at(0.99).alias("p99_cents"),
     )
 
 

@@ -1,0 +1,256 @@
+"""Training-data pipeline operators: shard packing, benchmark
+decontamination, PII redaction, text normalization.
+
+EXT tier beyond SURVEY.md §2C's core five — the curation steps an
+LLM-scale corpus pipeline runs between dedup and tokenization. Scale
+design notes per operator in each docstring; everything stays in
+whole-stage-codegen column expressions (no Python UDFs), and the one
+driver-side step (shard offset folding) touches O(partitions) rows,
+never O(docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+from .dedup import _hashed_shingles
+
+#: tokens per training shard (shard_pack)
+_SHARD_TOKENS = 2048
+#: md5-prefix threshold selecting the "benchmark" slice (~12.5%)
+_BENCH_THR = "20"
+
+_SHARD_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t
+    )
+    SELECT CAST(floor(off / {_SHARD_TOKENS}) AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM c GROUP BY shard_id
+"""
+
+
+@query("shard_pack", oracle=_SHARD_SQL)
+def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training shards: docs
+    are concatenated in deterministic doc_id order and each doc lands
+    in the shard where its first token falls (exclusive prefix sum ÷
+    budget) — the standard concatenate-and-chunk sharding for LLM
+    pretraining data.
+
+    A global ORDER BY prefix sum would serialize into one window
+    task, so this computes the DISTRIBUTED two-phase prefix sum:
+    range-partition by doc_id → per-partition exclusive cumsum
+    (window within partition) → fold the P per-partition subtotals
+    into global offsets on the driver (O(partitions) rows, not
+    O(docs)) → broadcast the offsets back. This is the textbook
+    scan-parallel prefix sum; every data-sized step is partitioned.
+    The tiny (doc_id, n_tok) projection is cached because it is
+    traversed twice (subtotals, final groupBy) and
+    repartitionByRange's sampled boundaries must not be recomputed
+    differently between traversals."""
+    from ..session import default_parallelism
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    p = default_parallelism()
+    t = (
+        d.repartitionByRange(p, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .cache()
+    )
+    try:
+        w_local = (
+            W.partitionBy("pid")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        local = t.withColumn(
+            "local_off", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0))
+        )
+        subtotals = (
+            t.groupBy("pid").agg(F.sum("n_tok").alias("tot")).orderBy("pid").collect()
+        )
+        offsets, acc = [], 0
+        for r in subtotals:
+            offsets.append((r["pid"], acc))
+            acc += r["tot"]
+        off_df = spark.createDataFrame(offsets, "pid int, glob_off long")
+        packed = local.join(F.broadcast(off_df), "pid").withColumn(
+            "shard_id",
+            F.floor((F.col("local_off") + F.col("glob_off")) / _SHARD_TOKENS),
+        )
+        out = (
+            packed.groupBy("shard_id")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tok").alias("n_tokens"),
+                F.min("doc_id").alias("first_doc"),
+                F.max("doc_id").alias("last_doc"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        t.unpersist()
+
+
+_DECON_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, md5(text) AS dg,
+             CASE WHEN len(toks) >= 5 THEN
+               list_distinct(list_transform(range(1, len(toks) - 3),
+                             i -> array_to_string(toks[i:i+4], ' ')))
+             ELSE [] END AS sh
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+            FROM documents)
+    ),
+    bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE dg < '{_BENCH_THR}'),
+    train AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE dg >= '{_BENCH_THR}')
+    SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_shared
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+"""
+
+
+@query("corpus_decontaminate", oracle=_DECON_SQL)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word-5-gram with a held-out benchmark set — the n-gram-overlap
+    rule used to scrub eval sets out of pretraining corpora. The
+    benchmark slice is selected portably by md5(text) prefix (the
+    engine-stable sampling trick used across the corpus_* family).
+
+    Scale shape: the benchmark n-gram set is SMALL by construction
+    (benchmarks are thousands of docs, the corpus is billions), so it
+    is broadcast and the corpus-side explode joins against it with NO
+    shuffle of corpus data; only matched (doc_id, gram) survivors —
+    a sliver — shuffle for the per-doc distinct count. 5-grams are
+    hashed to int64 inside the array transform (dedup.py pattern), so
+    the broadcast table and join keys are 8-byte longs, not strings."""
+    d = load(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.md5("text").alias("dg"),
+        F.split("text", " ").alias("toks"),
+    ).select("doc_id", "dg", _hashed_shingles("toks", n=5).alias("sh"))
+    bench = (
+        s.filter(F.col("dg") < _BENCH_THR)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    train = s.filter(F.col("dg") >= _BENCH_THR).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+_PII_SQL = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS red_hash
+    FROM aug
+"""
+
+
+@query("pii_redact", oracle=_PII_SQL)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: find-and-mask emails and phone numbers with
+    regex, reporting per-doc match counts and a digest of the
+    redacted text. The fixture corpus contains no PII, so each doc is
+    deterministically AUGMENTED with one synthetic email + phone
+    (derived from doc_id, identically in the oracle) — the plumbing
+    under test is the scan → regex count → regex mask → digest
+    pipeline, which at 100 TB runs as pure whole-stage-codegen string
+    expressions: no shuffle at all (the oracle check adds none
+    either — per-doc rows compare directly). Patterns are restricted
+    to the regex subset Java and RE2 share."""
+    d = load(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(red).alias("red_hash"),
+    )
+
+
+_NORM_SQL = """
+    SELECT doc_id,
+           CAST(len(norm) AS BIGINT) AS n_chars_norm,
+           md5(norm) AS norm_hash
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+"""
+
+
+@query("text_normalize", oracle=_NORM_SQL)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase → strip non-alnum →
+    collapse whitespace → trim), verified per-doc by digest — the
+    preprocessing step feeding exact dedup so that case/punctuation
+    variants of the same content hash identically. Pure codegen
+    string expressions, shuffle-free; the per-doc digest makes the
+    oracle compare every byte of every normalized doc, not just
+    aggregate stats."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_hash"),
+    )
