@@ -220,3 +220,149 @@ def test_fuzzed_setop_sql_agrees_with_duckdb(spark, sf_dir, sql):
     agree between engines."""
     register_views(spark, sf_dir)
     assert_matches_oracle(spark.sql(sql), sql, sf_dir, f"sfuzz[{sql[:60]}...]")
+
+
+SCALAR_EXPRS = [
+    # strings — dialect-shared semantics (1-based substr, plain concat)
+    "upper(c_name)",
+    "lower(c_mktsegment)",
+    "substr(c_name, 10, 8)",
+    "CAST(length(c_name) AS BIGINT)",
+    "replace(c_name, '0', '#')",
+    "lpad(CAST(c_custkey AS STRING), 8, '0')",
+    "c_mktsegment || '_' || CAST(c_nationkey AS STRING)",
+    # math — floor/ceil return double in DuckDB, bigint in Spark → CAST
+    "CAST(floor(c_acctbal) AS BIGINT)",
+    "CAST(ceil(c_acctbal / 100) AS BIGINT)",
+    "abs(c_nationkey - 12)",
+    "c_custkey % 7",
+    "least(c_nationkey, 10)",
+    "greatest(c_nationkey, 10)",
+    # conditional
+    "CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END",
+    "COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'n/a')",
+]
+
+
+@st.composite
+def scalar_query(draw):
+    exprs = draw(
+        st.lists(st.sampled_from(SCALAR_EXPRS), min_size=1, max_size=4, unique=True)
+    )
+    sel = ["c_custkey"] + [f"{e} AS s{i}" for i, e in enumerate(exprs)]
+    return "SELECT " + ", ".join(sel) + " FROM customer"
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(scalar_query())
+def test_fuzzed_scalar_sql_agrees_with_duckdb(spark, sf_dir, sql):
+    """Scalar-function arm: random compositions of the dialect-shared
+    string/math/conditional function subset, per-row over customer.
+    Every expression is pinned to identical cross-engine semantics
+    (explicit CASTs where return types diverge, e.g. floor/ceil)."""
+    register_views(spark, sf_dir)
+    assert_matches_oracle(spark.sql(sql), sql, sf_dir, f"scfuzz[{sql[:60]}...]")
+
+
+SUBQ_INNER_PREDS = [
+    "o_totalprice > 100000",
+    "o_orderpriority = '1-URGENT'",
+    "o_orderdate >= DATE '1997-01-01'",
+    "o_orderstatus = 'F'",
+]
+SUBQ_OUTER_PREDS = [
+    "c_acctbal > 0",
+    "c_nationkey < 15",
+    "c_mktsegment IN ('BUILDING', 'AUTOMOBILE')",
+]
+
+
+@st.composite
+def subquery_query(draw):
+    form = draw(
+        st.sampled_from(["EXISTS", "NOT EXISTS", "IN", "NOT IN", "SCALAR"])
+    )
+    ip = draw(
+        st.lists(st.sampled_from(SUBQ_INNER_PREDS), min_size=1, max_size=2, unique=True)
+    )
+    op = draw(
+        st.lists(st.sampled_from(SUBQ_OUTER_PREDS), min_size=0, max_size=2, unique=True)
+    )
+    inner_where = " AND ".join(ip)
+    if form in ("EXISTS", "NOT EXISTS"):
+        cond = (
+            f"{form} (SELECT 1 FROM orders"
+            f" WHERE o_custkey = c_custkey AND {inner_where})"
+        )
+    elif form in ("IN", "NOT IN"):
+        # o_custkey is non-null, so NOT IN is safe (no null-poisoning;
+        # the poisoned case is pinned by not_in_null_semantics)
+        cond = (
+            f"c_custkey {form} (SELECT o_custkey FROM orders"
+            f" WHERE {inner_where})"
+        )
+    else:
+        cond = (
+            f"c_custkey <= (SELECT MAX(o_custkey) FROM orders"
+            f" WHERE {inner_where})"
+        )
+    where = " AND ".join([cond] + op)
+    return f"SELECT c_custkey, c_nationkey FROM customer WHERE {where}"
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(subquery_query())
+def test_fuzzed_subquery_sql_agrees_with_duckdb(spark, sf_dir, sql):
+    """Subquery arm: correlated EXISTS / NOT EXISTS, uncorrelated
+    [NOT] IN over a non-null key, and scalar-aggregate subqueries —
+    the decorrelation/rewrite paths (semi/anti join, scalar subquery
+    broadcast) must agree with DuckDB's independent planning."""
+    register_views(spark, sf_dir)
+    assert_matches_oracle(spark.sql(sql), sql, sf_dir, f"qfuzz[{sql[:60]}...]")
+
+
+@st.composite
+def grouping_sets_query(draw):
+    gcols = draw(
+        st.lists(st.sampled_from(GROUP_COLS), min_size=2, max_size=2, unique=True)
+    )
+    aggs = draw(st.lists(st.sampled_from(AGGS), min_size=1, max_size=2, unique=True))
+    preds = draw(st.lists(st.sampled_from(PREDS), min_size=0, max_size=2, unique=True))
+    form = draw(st.sampled_from(["CUBE", "SETS"]))
+    sel = [f"{c} AS g{i}" for i, c in enumerate(gcols)] + [
+        f"{a} AS a{i}" for i, a in enumerate(aggs)
+    ]
+    sql = "SELECT " + ", ".join(sel) + " FROM lineitem"
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    if form == "CUBE":
+        sql += " GROUP BY CUBE (" + ", ".join(gcols) + ")"
+    else:
+        a, b = gcols
+        sql += f" GROUP BY GROUPING SETS (({a}, {b}), ({a}), ())"
+    return sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(grouping_sets_query())
+def test_fuzzed_grouping_sets_sql_agrees_with_duckdb(spark, sf_dir, sql):
+    """CUBE / GROUPING SETS arm: the full lattice (CUBE) and explicit
+    sparse lattices must produce identical subtotal rows, including
+    NULL grouping markers, on both engines."""
+    register_views(spark, sf_dir)
+    assert_matches_oracle(spark.sql(sql), sql, sf_dir, f"gfuzz[{sql[:60]}...]")
