@@ -223,3 +223,95 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+_SESSION_WINDOW_SQL = """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+"""
+
+
+@query("stream_session_window", oracle=_SESSION_WINDOW_SQL)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows: F.session_window(ts, gap) over a
+    4-chunk file stream (one file per micro-batch), so sessions merge
+    ACROSS micro-batches in the state store — the stateful operator
+    behind per-entity activity sessions at 100 TB (state is
+    O(open sessions), not O(rows)).
+
+    session_window semantics: an event extends the current session if
+    it arrives STRICTLY before last_ts + gap, so a gap of exactly 30
+    minutes starts a new session — hence the oracle's `>=` (where the
+    batch [[sessionization]] islands use `>`; fixture timestamps are
+    random microseconds, making exact-boundary gaps measure-zero, but
+    the oracle pins the true semantics anyway). session_window.end is
+    last_ts + gap by definition, so the emitted session_end subtracts
+    the gap back to the final event time, matching the batch MAX(ts).
+
+    The oracle verifies every session boundary DuckDB derives from
+    the same gap rule — a full-strength check, unlike the count-only
+    twins most streaming examples settle for."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    src = tempfile.mkdtemp(prefix="dps_sess_src_")
+    sink = f"stream_session_sink_{os.getpid()}"
+    try:
+        # time-range chunks: micro-batches arrive in rough event-time
+        # order, as a real stream does — a watermark over round-robin
+        # chunks would declare most of every later chunk "late" and
+        # drop whole sessions
+        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                (F.col("sw.end") - F.expr("INTERVAL 30 MINUTES")).alias(
+                    "session_end"
+                ),
+                "n_events",
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.table(sink)
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
