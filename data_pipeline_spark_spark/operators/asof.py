@@ -169,3 +169,107 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("grid_ts"),
         F.col("matched_value").alias("last_value"),
     )
+
+
+_NEAREST_SQL = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    prev AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS prev_id, c.ts AS prev_ts
+      FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    nxt AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS next_id, c.ts AS next_ts
+      FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           CASE
+             WHEN nxt.next_id IS NULL THEN prev.prev_id
+             WHEN prev.prev_id IS NULL THEN nxt.next_id
+             WHEN (p.ts - prev.prev_ts) <= (nxt.next_ts - p.ts) THEN prev.prev_id
+             ELSE nxt.next_id
+           END AS matched_event_id
+    FROM p
+    LEFT JOIN prev ON p.event_id = prev.purchase_id
+    LEFT JOIN nxt ON p.event_id = nxt.purchase_id
+    WHERE prev.prev_id IS NOT NULL OR nxt.next_id IS NOT NULL
+"""
+
+
+@query("join_asof_nearest", oracle=_NEAREST_SQL)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-timestamp join in EITHER direction: each purchase is
+    matched to the click closest in time by the same user — before or
+    after — with ties at equal distance resolved to the earlier
+    (backward) side. The "closest reading" variant of the as-of
+    family (sensor alignment, nearest-quote matching).
+
+    Same union+carry-forward machinery as [[asof_join]], run in both
+    directions over ONE shuffle: the forward window carries the last
+    click at-or-before each purchase, the mirrored window (ordered
+    descending) carries the first click at-or-after, then a CASE
+    picks the nearer side. Still one exchange on the key and two
+    linear window passes over the same sort — no range-join blowup.
+    The DuckDB oracle composes two native ASOF JOINs (>= and <=) and
+    applies the same tie rule."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    l = p.select(
+        F.col("user_id").alias("_k"),
+        F.col("pts").alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.col("purchase_id"),
+        F.lit(None).cast("long").alias("_cid"),
+    )
+    r = c.select(
+        F.col("user_id").alias("_k"),
+        F.col("cts").alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("click_id").alias("_cid"),
+    )
+    u = l.unionByName(r)
+    # forward pass: last click at-or-before (right sorts before left
+    # at equal ts → inclusive <=); backward pass mirrors it
+    w_prev = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_cid").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_ts").desc(), F.col("_side").asc(), F.col("_cid").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    prev_s = F.struct(F.col("_ts").alias("ts"), F.col("_cid").alias("id"))
+    both = (
+        u.withColumn(
+            "_prev",
+            F.last(F.when(F.col("_side") == 0, prev_s), ignorenulls=True).over(w_prev),
+        )
+        .withColumn(
+            "_next",
+            F.last(F.when(F.col("_side") == 0, prev_s), ignorenulls=True).over(w_next),
+        )
+        .filter((F.col("_side") == 1) & (F.col("_prev").isNotNull() | F.col("_next").isNotNull()))
+    )
+    dt_prev = F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_prev.ts"))
+    dt_next = F.unix_micros(F.col("_next.ts")) - F.unix_micros(F.col("_ts"))
+    matched = F.when(F.col("_next").isNull(), F.col("_prev.id")).when(
+        F.col("_prev").isNull(), F.col("_next.id")
+    ).when(dt_prev <= dt_next, F.col("_prev.id")).otherwise(F.col("_next.id"))
+    return both.select(
+        "purchase_id",
+        F.col("_k").alias("user_id"),
+        F.col("_ts").alias("purchase_ts"),
+        matched.alias("matched_event_id"),
+    )

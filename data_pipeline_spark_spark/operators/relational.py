@@ -907,6 +907,48 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MODE_SQL = """
+    WITH counted AS (
+      SELECT l_returnflag, CAST(l_quantity AS INT) AS qty,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag, qty
+    ),
+    ranked AS (
+      SELECT l_returnflag, qty, n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, qty ASC) AS rn
+      FROM counted
+    )
+    SELECT l_returnflag, qty AS mode_qty, CAST(n AS BIGINT) AS n_occurrences
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("agg_mode_exact", oracle=_MODE_SQL)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group with a pinned tie rule (most frequent
+    value; ties → smallest value). Engines' native mode()/any-order
+    mode is tie-arbitrary, so both sides compute the identical
+    count → rank → pick pipeline instead. Two shuffles: the
+    (group, value) count is a partial-aggregated hash agg, the rank
+    touches only the distinct-value counts (tiny relative to rows)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("qty")
+    )
+    counted = li.groupBy("l_returnflag", "qty").agg(F.count("*").alias("n"))
+    w = W.partitionBy("l_returnflag").orderBy(F.col("n").desc(), F.col("qty").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+
+
 _PCTL_DISC_SQL = """
     WITH t AS (
       SELECT l_returnflag,
