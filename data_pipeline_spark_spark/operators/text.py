@@ -243,21 +243,41 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_fingerprint_rolling")
+_ROLL_MOD = 1_000_000_007
+_ROLL_BASE = 131
+
+_ROLLING_SQL = f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+             (acc, x) -> (acc * {_ROLL_BASE} + x) % {_ROLL_MOD}
+           ) AS BIGINT) AS rolling_fp
+    FROM documents
+"""
+
+
+@query("doc_fingerprint_rolling", oracle=_ROLLING_SQL)
 def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling hash (Rabin–Karp, base 257 mod 2^61-1) over
-    the raw bytes, via an Arrow-vectorized Pandas UDF. Deterministic;
-    no SQL oracle (engine hash builtins differ) → rows-only check."""
+    """Polynomial rolling hash (Rabin–Karp) over codepoints, via an
+    Arrow-vectorized Pandas UDF — the custom-UDF face of document
+    fingerprinting (cf. the builtin-digest [[doc_fingerprint]]).
+
+    Constants are chosen so the oracle can REPLAY the identical
+    recurrence in SQL: with mod 1e9+7 and base 131 every intermediate
+    stays below 2^63 (≈1.3e11), so DuckDB's strict int64 arithmetic
+    (which ERRORS on overflow, unlike a 2^61-1 modulus whose
+    multiply would wrap) computes the same value the Python loop
+    does — turning what was a rows-only check into a full per-doc
+    value oracle."""
 
     @F.pandas_udf(T.LongType())
     def rolling_hash(texts: pd.Series) -> pd.Series:
-        MOD = (1 << 61) - 1
-        BASE = 257
-
         def h(s: str) -> int:
             acc = 0
-            for b in s.encode("utf-8"):
-                acc = (acc * BASE + b) % MOD
+            for ch in s:
+                acc = (acc * _ROLL_BASE + ord(ch)) % _ROLL_MOD
             return acc
 
         return texts.map(h)
