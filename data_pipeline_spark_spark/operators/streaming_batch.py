@@ -266,6 +266,14 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_ts + gap by definition, so the emitted session_end subtracts
     the gap back to the final event time, matching the batch MAX(ts).
 
+    COMPLETE output mode, deliberately no watermark: the file source
+    orders micro-batches by modification time, and the 4 chunks are
+    written in one job with colliding mtimes, so batch order is not
+    guaranteed event-time order — a watermark would (flakily) drop
+    whole chunks as late. Complete mode keeps all session state and
+    needs no watermark; a production continuous stream with bounded
+    state would add one, accepting its late-data drop contract.
+
     The oracle verifies every session boundary DuckDB derives from
     the same gap rule — a full-strength check, unlike the count-only
     twins most streaming examples settle for."""
@@ -287,7 +295,6 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
-            .withWatermark("ts", "10 minutes")
             .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
             .agg(F.count("*").alias("n_events"))
             .select(

@@ -143,19 +143,23 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed to int64 inside the array transform (dedup.py pattern), so
     the broadcast table and join keys are 8-byte longs, not strings."""
     d = load(spark, sf_dir, "documents")
-    s = d.select(
-        "doc_id",
-        F.md5("text").alias("dg"),
-        F.split("text", " ").alias("toks"),
-    ).select("doc_id", "dg", _hashed_shingles("toks", n=5).alias("sh"))
-    bench = (
-        s.filter(F.col("dg") < _BENCH_THR)
-        .select(F.explode("sh").alias("g"))
-        .distinct()
-    )
-    train = s.filter(F.col("dg") >= _BENCH_THR).select(
-        "doc_id", F.explode("sh").alias("g")
-    )
+
+    def grams(side):
+        # filter FIRST, then fan out and shingle: each doc is shingled
+        # exactly once across the two branches, and the compute-bound
+        # transform is spread over all cores (the local fixture is a
+        # single-row-group file — one task without the fan-out)
+        from ..catalog import fan_out
+
+        return (
+            fan_out(side)
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            .select("doc_id", _hashed_shingles("toks", n=5).alias("sh"))
+            .select("doc_id", F.explode("sh").alias("g"))
+        )
+
+    bench = grams(d.filter(F.md5("text") < _BENCH_THR)).select("g").distinct()
+    train = grams(d.filter(F.md5("text") >= _BENCH_THR))
     return (
         train.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
