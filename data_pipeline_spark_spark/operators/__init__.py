@@ -94,6 +94,7 @@ _ROUND3_PRIORITY = [
     # re-verification: changed after their last green driver row
     "dedup_ngram_jaccard",
     "agg_approx_distinct",
+    "agg_mode_exact",
     "dedup_fuzzy",
     "dedup_simhash",
     "dedup_minhash_df",

@@ -127,12 +127,23 @@ _JACCARD_SQL = """
 """
 
 
+#: stop-shingle document-frequency cap: shingles appearing in more
+#: documents than this are dropped BEFORE the self-join. A shingle
+#: with df=k emits k(k-1)/2 pairs through one sort-merge run, so the
+#: cap bounds the worst shingle's pair fan-out at ~500k regardless of
+#: corpus size; shingles that common carry ~0 Jaccard discrimination.
+#: Far above the fixtures' max df (7 at sf0.01, 25 at sf0.1), so
+#: fixture output is byte-identical to the uncapped form.
+_SHINGLE_DF_CAP = 1000
+
+
 @query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (≥ 0.8): shingle
     (hashed to int64 INSIDE the transform) → explode → self-join on
     shingle hash → per-pair intersection count → join shingle-set
     sizes onto the surviving pairs → Jaccard from |A|+|B|−|∩|.
+    Core pipeline in ``jaccard_pairs`` (factored for the skew test).
 
     The sizes join touches only the pair aggregate — the size column
     never rides through the LARGE per-shingle shuffle (at 1B docs ×
@@ -150,13 +161,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte longs. (SHUFFLE_HASH hint and packed pair keys both
     measured SLOWER than plain SMJ + (doc_a, doc_b) groupBy.)
 
-    Skew caveat for 100 TB: a stop-shingle shared by k docs produces
-    k² matches through one sort-merge run. Real corpora pre-filter
-    shingles with document frequency above a cap before pairing —
-    they contribute ~0 discrimination and all of the blowup — or use
-    the MinHash-LSH rung (dedup_fuzzy), which is the scale path; AQE
-    skew-join also splits oversized runs at runtime here."""
+    Skew defense for 100 TB (round 3, coded): a stop-shingle shared
+    by k docs produces k² matches through one sort-merge run, so
+    shingles with document frequency > ``_SHINGLE_DF_CAP`` are
+    anti-joined away before pairing — they contribute ~0
+    discrimination and all of the blowup. The hot set is tiny by
+    construction (≤ total-occurrences/cap entries) → broadcast
+    anti-join, no extra shuffle of the exploded data beyond the df
+    count. Capped shingles make the reported Jaccard a LOWER bound
+    (denominators stay uncapped); at the fixture SFs no shingle
+    reaches the cap, so the oracle stays exact. The MinHash-LSH rung
+    (dedup_fuzzy) remains the preferred scale path; AQE skew-join
+    still splits oversized runs below the cap at runtime."""
     d = load(spark, sf_dir, "documents")
+    return jaccard_pairs(d, threshold=0.8, df_cap=_SHINGLE_DF_CAP)
+
+
+def jaccard_pairs(
+    d: DataFrame, threshold: float = 0.8, df_cap: int | None = _SHINGLE_DF_CAP
+) -> DataFrame:
+    """Exact shingle-Jaccard pair pipeline over any (doc_id, text)
+    frame. ``df_cap`` drops stop-shingles (document frequency >
+    cap) before the self-join; ``None`` disables the cap (the
+    skew test measures the pair blowup both ways)."""
     # fan out: the shingle transform is compute-bound; factor the
     # split ONCE (inlining re-evaluates split per reference)
     toks = fan_out(d).select("doc_id", F.split("text", " ").alias("toks"))
@@ -166,6 +193,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = toks.select("doc_id", _hashed_shingles("toks").alias("sh"))
     sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
     exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    if df_cap is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        # NB: a USING join puts the join column first — re-project to
+        # the (doc_id, shingle) order the positional renames below need
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti").select(
+            "doc_id", "shingle"
+        )
     # candidate pairs via shingle self-join (one shuffle of the long
     # keys per side + sort-merge). Measured faster AND lower-variance
     # than the collect_list posting-list + nested-transform pair
@@ -187,7 +226,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
-        j.filter(jac >= 0.8)
+        j.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 

@@ -227,7 +227,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_WINDOW_SQL = """
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
@@ -236,7 +236,7 @@ _SESSION_WINDOW_SQL = """
     ),
     numbered AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM flagged
     )
@@ -266,35 +266,66 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_ts + gap by definition, so the emitted session_end subtracts
     the gap back to the final event time, matching the batch MAX(ts).
 
-    COMPLETE output mode, deliberately no watermark: the file source
-    orders micro-batches by modification time, and the 4 chunks are
-    written in one job with colliding mtimes, so batch order is not
-    guaranteed event-time order — a watermark would (flakily) drop
-    whole chunks as late. Complete mode keeps all session state and
-    needs no watermark; a production continuous stream with bounded
-    state would add one, accepting its late-data drop contract.
+    APPEND mode with a real watermark — the bounded-state production
+    form (state is evicted as the watermark passes a session's end).
+    Two pieces of stream plumbing make it deterministic here:
+
+    - The 4 time-range chunks are written, then stamped with strictly
+      INCREASING mtimes (os.utime), because the file source orders
+      micro-batches by modification time and a one-job write gives
+      colliding mtimes — round 2's flake. With range chunks arriving
+      in mtime = event-time order, nothing is ever late under the
+      1-minute watermark delay.
+    - Append mode only emits a session once the watermark passes its
+      end, and the watermark only advances between batches — so the
+      last chunk's sessions would sit in state forever. A SENTINEL
+      chunk (one far-future event for a reserved user_id, newest
+      mtime) pushes the final watermark past every real session; the
+      no-data flush batch (spark.sql.streaming.noDataMicroBatches,
+      default on) then emits them, and the sentinel row is filtered
+      from the sink output.
 
     The oracle verifies every session boundary DuckDB derives from
     the same gap rule — a full-strength check, unlike the count-only
     twins most streaming examples settle for."""
+    import datetime
     import os
     import shutil
     import tempfile
+    import time
+
+    _SENTINEL_USER = -1  # fixture user_ids are non-negative
 
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     src = tempfile.mkdtemp(prefix="dps_sess_src_")
     sink = f"stream_session_sink_{os.getpid()}"
     try:
-        # time-range chunks: micro-batches arrive in rough event-time
-        # order, as a real stream does — a watermark over round-robin
-        # chunks would declare most of every later chunk "late" and
-        # drop whole sessions
+        # time-range chunks: micro-batches arrive in event-time order,
+        # as a real stream does
         ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+        chunk_files = sorted(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        )  # part-0000i name order == ts range order
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        sentinel = spark.createDataFrame(
+            [(_SENTINEL_USER, max_ts + datetime.timedelta(days=10), -1)],
+            schema=ev.schema,
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        sentinel_files = [
+            f
+            for f in os.listdir(src)
+            if f.endswith(".parquet") and f not in chunk_files
+        ]
+        now = time.time()
+        for i, name in enumerate(chunk_files + sentinel_files):
+            os.utime(os.path.join(src, name), (now - 600 + i * 60, now - 600 + i * 60))
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
+            .withWatermark("ts", "1 minute")
             .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
             .agg(F.count("*").alias("n_events"))
             .select(
@@ -309,12 +340,12 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             stream.writeStream.format("memory")
             .queryName(sink)
-            .outputMode("complete")
+            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        final = spark.table(sink)
+        final = spark.table(sink).filter(F.col("user_id") != _SENTINEL_USER)
         return spark.createDataFrame(final.collect(), final.schema)
     finally:
         shutil.rmtree(src, ignore_errors=True)

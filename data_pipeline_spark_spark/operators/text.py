@@ -312,7 +312,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level TF-IDF-weighted term ranking: document frequency
     per distinct term × idf (ln N/df), top 25 with a total ordering.
     The distinct-per-doc explode shuffles (term) pairs only; df and
-    the final top-k are two cheap aggregations. At 100 TB the df
+    the final top-k are two cheap aggregations. The top-25 is taken
+    with orderBy().limit(), which Spark plans as
+    TakeOrderedAndProject — a per-partition bounded heap plus a
+    25-row driver merge, never a global sort — and the dense rank is
+    derived on the 25 surviving rows only (the unpartitioned window
+    is bounded by the limit, not the vocabulary). At 100 TB the df
     table is the only global state and it's ~vocabulary-sized —
     broadcastable."""
     d = load(spark, sf_dir, "documents")
@@ -326,10 +331,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
         6,
     )
-    w = W.orderBy(F.col("weight").desc(), F.col("term").asc())
-    return (
+    top25 = (
         df.select("term", "doc_freq", weight.alias("weight"))
-        .withColumn("rnk", F.row_number().over(w))
-        .orderBy("rnk")
+        .orderBy(F.col("weight").desc(), F.col("term").asc())
         .limit(25)
     )
+    w = W.orderBy(F.col("weight").desc(), F.col("term").asc())
+    return top25.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")

@@ -61,7 +61,12 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     The tiny (doc_id, n_tok) projection is cached because it is
     traversed twice (subtotals, final groupBy) and
     repartitionByRange's sampled boundaries must not be recomputed
-    differently between traversals."""
+    differently between traversals. The result is pinned with an
+    eager localCheckpoint — materialized in executor storage with
+    lineage truncated — so the cache can be released without the
+    consumer ever re-running the ranged shuffle; the shard summary
+    itself (O(total tokens / budget) rows) never passes through the
+    driver."""
     from ..session import default_parallelism
 
     d = load(spark, sf_dir, "documents").select(
@@ -103,8 +108,7 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("doc_id").alias("last_doc"),
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out.localCheckpoint(eager=True)
     finally:
         t.unpersist()
 

@@ -82,3 +82,46 @@ def test_cluster_closes_transitive_chains(spark, sf_dir):
     assert any(len(m) > 2 for m in by_cluster.values()) or any(
         len(m) == 2 for m in by_cluster.values()
     )
+
+
+def test_stop_shingle_df_cap_bounds_pair_blowup(spark):
+    """A stop-shingle shared by k docs must NOT emit k(k-1)/2
+    candidate pairs: with the df-cap active the hot shingle is
+    dropped before the self-join, so otherwise-unique docs produce
+    zero pairs; with the cap disabled the same corpus explodes
+    quadratically. Also proves the cap never costs recall on real
+    near-dups below the cap."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_spark.operators.dedup import jaccard_pairs
+
+    k = 50
+    # every doc contains the same hot 3-gram ("common hot shingle");
+    # the 20 filler tokens are unique per doc AND per position, so the
+    # hot 3-gram is the only shingle any two distinct docs share — and
+    # it is a small fraction of each doc's ~22 shingles, so capping it
+    # barely moves the Jaccard of a true duplicate pair
+    docs = spark.range(k).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("common"),
+            F.lit("hot"),
+            F.lit("shingle"),
+            *[
+                F.concat(F.lit(f"u{j}x"), F.col("id").cast("string"))
+                for j in range(20)
+            ],
+        ).alias("text"),
+    )
+    uncapped = jaccard_pairs(docs, threshold=0.0, df_cap=None).count()
+    assert uncapped == k * (k - 1) // 2, "setup: hot shingle must pair all docs"
+    capped = jaccard_pairs(docs, threshold=0.0, df_cap=10).count()
+    assert capped == 0, f"df-cap left {capped} hot-shingle pairs"
+    # recall safety: genuine near-dups (shared low-df shingles) survive
+    dup = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    with_dup = docs.unionByName(dup)
+    found = jaccard_pairs(with_dup, threshold=0.8, df_cap=10).collect()
+    assert {(r.doc_a, r.doc_b) for r in found} == {(0, 1000)}

@@ -182,3 +182,24 @@ def test_histogram_scans_one_column(spark, sf_dir):
     from data_pipeline_spark_spark.operators.relational import agg_histogram
 
     assert scan_columns(agg_histogram(spark, sf_dir)) == ["o_totalprice"]
+
+
+def test_tfidf_top_k_is_take_ordered(spark, sf_dir):
+    """The vocabulary top-25 must plan as TakeOrderedAndProject (a
+    bounded per-partition heap), never a single-partition global
+    window sort of the whole df table."""
+    from data_pipeline_spark_spark.operators.text import tfidf_top_terms
+
+    plan = formatted_plan(tfidf_top_terms(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_shard_pack_no_output_collect(spark, sf_dir):
+    """shard_pack must return a distributed (checkpointed) result —
+    the shard summary is O(total tokens / budget) rows and must not
+    round-trip the driver. A LocalTableScan in the plan would mean a
+    collect+recreate snuck back in."""
+    from data_pipeline_spark_spark.operators.training_data import shard_pack
+
+    plan = formatted_plan(shard_pack(spark, sf_dir))
+    assert "LocalTableScan" not in plan
