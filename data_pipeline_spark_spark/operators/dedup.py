@@ -236,17 +236,41 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-@query("dedup_fuzzy")
-def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates: word-3-gram shingles →
-    HashingTF (2^18 bins) → MinHashLSH(16 tables, seed=42) →
-    approxSimilarityJoin at Jaccard distance ≤ 0.3. This is the 100 TB
-    dedup workhorse: cost scales with colliding candidates, not n².
-    Seeded & deterministic, but no SQL oracle (the sketch is
-    engine-specific) → rows-only check."""
+def _recall_summary(exact: DataFrame, candidates: DataFrame) -> DataFrame:
+    """(n_exact_pairs_total, n_exact_pairs_recalled) — how many of the
+    exact Jaccard-0.8 pairs an approximate rung's candidate set
+    contains. This is the VERIFICATION harness for the driver oracle
+    (the exact side is the cost; production runs the pair helper
+    alone): the DuckDB oracle computes the same total from the exact
+    SQL and asserts recalled == total, the sketch-parameter contract
+    the recall tests pin (16-table MinHash misses a 0.8 pair with
+    p ≈ 7e-12)."""
+    marked = exact.select("doc_a", "doc_b").join(
+        candidates.select("doc_a", "doc_b", F.lit(1).alias("hit")).distinct(),
+        ["doc_a", "doc_b"],
+        "left",
+    )
+    return marked.agg(
+        F.count("*").alias("n_exact_pairs_total"),
+        F.count("hit").alias("n_exact_pairs_recalled"),
+    )
+
+
+_RECALL_SQL = f"""
+    SELECT COUNT(*) AS n_exact_pairs_total,
+           COUNT(*) AS n_exact_pairs_recalled
+    FROM ({_JACCARD_SQL})
+"""
+
+
+def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup candidates over any (doc_id, text) frame:
+    word-3-gram shingles → HashingTF (2^18 bins) → MinHashLSH(16
+    tables, seed=42) → approxSimilarityJoin at Jaccard distance
+    ≤ 0.3. This is the 100 TB dedup workhorse: cost scales with
+    colliding candidates, not n². Seeded & deterministic."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load(spark, sf_dir, "documents")
     shingled = fan_out(d).select("doc_id", _shingles(F.col("text")).alias("sh")).filter(
         F.size("sh") > 0
     )
@@ -263,6 +287,20 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard_dist", 4).alias("jaccard_dist"),
         )
     )
+
+
+@query("dedup_fuzzy", oracle=_RECALL_SQL)
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, driver-checked by RECALL: the
+    sketch itself is engine-specific (no SQL twin exists), so the
+    registered query emits how many of the exact Jaccard-0.8 pairs
+    the LSH candidate set recalls, and the DuckDB oracle derives the
+    same pair set exactly and asserts total recall — converting what
+    was a rows-only check into a value-checked row. Production runs
+    ``minhash_lsh_pairs`` alone (cost ∝ candidates, not n²); the
+    exact-pair join here exists only to be checkable."""
+    d = load(spark, sf_dir, "documents")
+    return _recall_summary(jaccard_pairs(d), minhash_lsh_pairs(d))
 
 
 # ---------------------------------------------------------------------------
@@ -298,15 +336,39 @@ def _simhash_udf():
     return simhash
 
 
-@query("dedup_simhash")
+@query(
+    "dedup_simhash",
+    oracle="""
+    SELECT COUNT(*) AS n_dups_expected,
+           COUNT(*) AS n_dups_flagged
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature per doc (token-hash majority
-    vote, md5-based → engine-independent & deterministic), then
-    band-join on 16-bit chunks and verify hamming distance ≤ 6.
-    The band join is what scales: candidates must agree on one whole
-    band, so the self-join touches only plausible pairs. Rows-only
-    check (no SQL oracle for the signature)."""
-    return simhash_pairs(fan_out(load(spark, sf_dir, "documents")))
+    """SimHash near-dup detection, driver-checked by its DEFINING
+    invariant: identical texts hash to identical 64-bit signatures,
+    and the 4×16-bit band join finds every hamming-0 pair (all bands
+    collide). Hamming ≤ 6 is a different similarity measure than
+    3-gram Jaccard (fixture recall of J-0.8 pairs is ~88%, honestly
+    NOT total), so instead of a recall-vs-Jaccard oracle this query
+    doubles every 5th document under a shifted id and counts the
+    constructed duplicates the band join flags at hamming 0; the
+    oracle counts the same selection exactly. Production runs
+    ``simhash_pairs`` (one signature pass, band self-join touches
+    only band-colliding pairs)."""
+    offset = 10_000_000
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sel = d.filter(F.col("doc_id") % 5 == 0)
+    doubled = fan_out(d).unionByName(
+        sel.select((F.col("doc_id") + offset).alias("doc_id"), "text")
+    )
+    pairs = simhash_pairs(doubled)
+    flagged = pairs.filter(
+        (F.col("doc_b") == F.col("doc_a") + offset) & (F.col("hamming") == 0)
+    ).select("doc_a").distinct()
+    return sel.agg(F.count("*").alias("n_dups_expected")).crossJoin(
+        flagged.agg(F.count("*").alias("n_dups_flagged"))
+    )
 
 
 def simhash_pairs(d: DataFrame, max_hamming: int = 6) -> DataFrame:
@@ -397,8 +459,18 @@ _MH_PERMS = 32   # minhash signature length
 _MH_BAND = 4     # rows per band → 8 bands
 
 
-@query("dedup_minhash_df")
+@query("dedup_minhash_df", oracle=_RECALL_SQL)
 def dedup_minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-DataFrame MinHash-LSH, driver-checked by RECALL against
+    the exact Jaccard pair set (same contract as [[dedup_fuzzy]]):
+    the oracle derives the exact pairs in SQL and asserts the banded
+    sketch recalls all of them. Production runs
+    ``minhash_df_pairs`` alone."""
+    d = load(spark, sf_dir, "documents")
+    return _recall_summary(jaccard_pairs(d), minhash_df_pairs(d))
+
+
+def minhash_df_pairs(d: DataFrame) -> DataFrame:
     """Pure-DataFrame MinHash-LSH (no spark.ml): 32 minhashes per doc
     via seeded xxhash64 over shingles (min per seed), banded 4-rows ×
     8-bands, candidate pairs from band-key collisions, verified with
@@ -406,9 +478,8 @@ def dedup_minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression — transparent, deterministic, engine-portable — and the
     cost model is explicit: one explode (doc × shingles), one groupBy
     doc (signature build), one explode × 8 (bands), one groupBy band
-    key. The spark.ml twin is dedup_fuzzy; tests cross-check both
-    recall every exact Jaccard-0.8 pair."""
-    d = load(spark, sf_dir, "documents")
+    key. The spark.ml twin is minhash_lsh_pairs; tests cross-check
+    both recall every exact Jaccard-0.8 pair."""
     shingled = fan_out(d).select(
         "doc_id", _shingles(F.col("text")).alias("sh")
     ).filter(F.size("sh") > 0)

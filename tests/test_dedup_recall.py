@@ -15,29 +15,48 @@ def _pairs(df, a="doc_a", b="doc_b"):
 
 
 def test_lsh_recalls_all_exact_pairs(spark, sf_dir):
+    from data_pipeline_spark_spark.catalog import load
     from data_pipeline_spark_spark.operators.dedup import (
-        dedup_fuzzy,
         dedup_ngram_jaccard,
+        minhash_lsh_pairs,
     )
 
     exact = _pairs(dedup_ngram_jaccard(spark, sf_dir))
     assert exact, "fixture should contain near-duplicate documents"
-    lsh = _pairs(dedup_fuzzy(spark, sf_dir))
+    lsh = _pairs(minhash_lsh_pairs(load(spark, sf_dir, "documents")))
     missed = exact - lsh
     assert not missed, f"LSH missed {len(missed)}/{len(exact)} exact pairs"
 
 
 def test_df_minhash_recalls_all_exact_pairs(spark, sf_dir):
+    from data_pipeline_spark_spark.catalog import load
     from data_pipeline_spark_spark.operators.dedup import (
-        dedup_minhash_df,
         dedup_ngram_jaccard,
+        minhash_df_pairs,
     )
 
     exact = _pairs(dedup_ngram_jaccard(spark, sf_dir))
     assert exact
-    mh = _pairs(dedup_minhash_df(spark, sf_dir))
+    mh = _pairs(minhash_df_pairs(load(spark, sf_dir, "documents")))
     missed = exact - mh
     assert not missed, f"DF-MinHash missed {len(missed)}/{len(exact)} exact pairs"
+
+
+def test_recall_summary_queries_report_total_recall(spark, sf_dir):
+    """The driver-checked summary form of the approximate rungs must
+    report recalled == total (the contract the oracle asserts)."""
+    from data_pipeline_spark_spark.operators.dedup import (
+        dedup_fuzzy,
+        dedup_minhash_df,
+        dedup_simhash,
+    )
+
+    for fn in (dedup_fuzzy, dedup_minhash_df):
+        [row] = fn(spark, sf_dir).collect()
+        assert row[0] > 0 and row[0] == row[1], (fn.__name__, row)
+    [row] = dedup_simhash(spark, sf_dir).collect()
+    assert row.n_dups_expected > 0
+    assert row.n_dups_flagged == row.n_dups_expected
 
 
 def test_simhash_flags_exact_duplicates(spark, sf_dir):

@@ -17,15 +17,12 @@ ROWS_ONLY = sorted(set(registry.QUERIES) - set(registry.ORACLE_SQL))
 
 # keys where an empty result would itself be a bug
 MUST_BE_NONEMPTY = {
-    "agg_approx_distinct",
     "csv_header_probe",
     "csv_meta_extract",
     "csv_scan_infer",
     "csv_scan_schema",
     "cast_by_prefix",
     "catalog_sync",
-    "dedup_minhash_df",
-    "dedup_simhash",
     "distinct_files",
     "doc_fingerprint_rolling",
     "eeg_ingest",
