@@ -207,7 +207,7 @@ def eeg_tidy_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
-_RT_FORMATS = ("parquet", "orc", "json", "csv")
+_RT_FORMATS = ("parquet", "parquet_gzip", "orc", "json", "csv")
 
 _RT_SQL = "\nUNION ALL\n".join(
     f"""
@@ -226,13 +226,16 @@ _RT_SQL = "\nUNION ALL\n".join(
 @query("format_roundtrip", oracle=_RT_SQL)
 def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source/sink coverage beyond the reference's CSV-in/parquet-out
-    pair: write the events table through FOUR sinks (parquet, orc,
-    json-lines, csv), read each back with an explicit schema (never
-    inference — the v7→v8 lesson, reference sparkle-v7.py:14), and
-    aggregate identical exact statistics from every copy. The oracle
-    computes the same statistics straight from the parquet fixture,
-    so a mismatch in ANY format's row means that sink/source pair
-    dropped or mangled data.
+    pair: write the events table through FIVE sinks (snappy parquet,
+    GZIP parquet, orc, json-lines, csv), read each back with an
+    explicit schema (never inference — the v7→v8 lesson, reference
+    sparkle-v7.py:14), and aggregate identical exact statistics from
+    every copy. The oracle computes the same statistics straight from
+    the parquet fixture, so a mismatch in ANY format's row means that
+    sink/source pair dropped or mangled data. The gzip leg covers the
+    reference's codec trade-off (README.md:25-27 ships gzip parquet
+    for storage cost, snappy for scan speed) — same bytes back either
+    way, only size/CPU differ.
 
     Timestamps travel as epoch-second bigints and the measure as
     exact milli-units, so text formats (csv/json) round-trip
@@ -264,11 +267,15 @@ def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts = []
         for fmt in _RT_FORMATS:
             path = os.path.join(root, fmt)
-            e.write.format(fmt).option("header", "true").mode("overwrite").save(path)
+            base, _, codec = fmt.partition("_")
+            writer = e.write.format(base).option("header", "true")
+            if codec:
+                writer = writer.option("compression", codec)
+            writer.mode("overwrite").save(path)
             reader = spark.read.schema(schema)
-            if fmt == "csv":
+            if base == "csv":
                 reader = reader.option("header", "true")
-            back = reader.format(fmt).load(path)
+            back = reader.format(base).load(path)
             parts.append(
                 back.agg(
                     F.lit(fmt).alias("fmt"),

@@ -220,12 +220,15 @@ def ingest(
     fix, reference sparkle-v5.py:43-46).
 
     Crash-safety contract: each file is appended and THEN ledgered,
-    one file at a time, so a crash re-ingests at most the single
-    in-flight file (whose job-uncommitted output Spark leaves only in
-    ignored _temporary paths). Strict exactly-once across arbitrary
-    crash points goes through the streaming checkpoint path
-    (streaming/ingest.py), where the checkpoint commits file progress
-    transactionally."""
+    one file at a time, bounding the damage to the single in-flight
+    file. A crash mid-write is clean (job-uncommitted output lives
+    only in ignored _temporary paths), but a crash in the window
+    AFTER the append job commits and BEFORE the ledger write lands
+    leaves that one file's rows committed, and the re-run appends
+    them again — at-least-once, one-file duplicate window, by design.
+    Strict exactly-once across arbitrary crash points goes through the
+    streaming checkpoint path (streaming/ingest.py), where the
+    checkpoint commits file progress transactionally."""
     files = list_input_files(input_dir)
     processed = _read_ledger(output_dir)
     todo = [f for f in files if os.path.basename(f) not in processed]

@@ -93,9 +93,7 @@ def stream_ingest_eeg(
 
     checkpoint = os.path.join(output_dir, "_checkpoint")
     data_dir = os.path.join(output_dir, "data")
-    before = (
-        spark.read.parquet(data_dir).count() if os.path.isdir(data_dir) else 0
-    )
+    before = _committed_count(spark, data_dir)
 
     stream = (
         spark.readStream.schema(schema)
@@ -103,7 +101,13 @@ def stream_ingest_eeg(
         .option("pathGlobFilter", "*.csv")
         .csv(input_dir)
         .filter(F.col("ClockDateTime").isNotNull())
-        .withColumn("_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        # input_file_name() is a URI (percent-encoded), but meta_df keys
+        # on raw os.listdir names — url_decode so "my file.csv" matches
+        # instead of silently joining to null metadata.
+        .withColumn(
+            "_file",
+            F.url_decode(F.element_at(F.split(F.input_file_name(), "/"), -1)),
+        )
         .join(F.broadcast(meta_df), "_file", "left")
         .drop("_file")
         .withColumn("Timestamp", decode_clock(F.col("ClockDateTime")))
@@ -124,7 +128,21 @@ def stream_ingest_eeg(
     # numOutputRows = -1, and the sink's total count would over-report
     # on every incremental re-run). The sink is single-writer — the
     # checkpoint serializes runs — so the delta is exact.
-    return spark.read.parquet(data_dir).count() - before
+    return _committed_count(spark, data_dir) - before
+
+
+def _committed_count(spark: SparkSession, data_dir: str) -> int:
+    """Rows the sink has actually committed at data_dir. A crashed
+    first run can leave the directory existing with zero committed
+    files (only _spark_metadata / _temporary debris), where a bare
+    read throws schema-inference AnalysisException and would wedge the
+    recovery re-run — treat that as 0 rows."""
+    if not os.path.isdir(data_dir):
+        return 0
+    try:
+        return spark.read.parquet(data_dir).count()
+    except Exception:
+        return 0
 
 
 def windowed_event_counts(

@@ -45,6 +45,29 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     assert len(patients) == 3 and all(p for p in patients)
 
 
+def test_stream_ingest_recovers_crashed_dir_and_odd_filenames(spark, tmp_path):
+    """Two recovery paths: (a) a staged filename with a space must
+    still match its probed metadata — input_file_name() is a
+    percent-encoded URI, so without url_decode the broadcast join
+    silently yields null patient columns; (b) a data dir left behind
+    by a crashed first run (exists, zero committed files) must read
+    as 0 rows, not throw schema-inference errors on the re-run."""
+    src = str(tmp_path / "staging")
+    generate_corpus(src, n_patients=1, max_sessions=1,
+                    rows_per_session=30, n_signals=8, seed=7)
+    [old] = [f for f in os.listdir(src) if f.endswith(".csv")]
+    os.rename(os.path.join(src, old), os.path.join(src, "patient one.csv"))
+
+    out = str(tmp_path / "curated_stream")
+    os.makedirs(os.path.join(out, "data"))  # crashed-run debris: no files
+
+    n = stream_ingest_eeg(spark, src, out)
+    assert n == 30
+
+    curated = spark.read.parquet(os.path.join(out, "data"))
+    assert curated.filter(curated.PatientID.isNull()).count() == 0
+
+
 def test_windowed_stream_matches_batch(spark, sf_dir):
     from data_pipeline_spark_spark.operators.streaming_batch import stream_window_agg
 
