@@ -91,6 +91,12 @@ _ROUND3_PRIORITY = [
     "rollup_reaggregate",
     "partition_overwrite_dynamic",
     "multimodal_meta",
+    # new this round — oracle-backed, never checked by definition
+    "repetition_stats",
+    "ts_resample_ohlc",
+    "agg_approx_quantile",
+    "dedup_keep_canonical",
+    "stream_join_static",
     # re-verification: changed after their last green driver row
     "dedup_ngram_jaccard",
     "agg_approx_distinct",

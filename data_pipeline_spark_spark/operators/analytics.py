@@ -116,3 +116,62 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
     )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bar_start,
+             value, ts, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bar_start
+                                ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bar_start
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM t
+    )
+    SELECT event_type, bar_start,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           COUNT(*)   AS n_events,
+           CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS vol_mv
+    FROM r GROUP BY event_type, bar_start
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsample to 1-hour OHLC bars per event_type —
+    the hypertable-rollup shape (open/close/high/low/count/volume per
+    bucket). One hash aggregation: open/close ride min_by/max_by over
+    the (ts, event_id) ordering struct, so first/last per bar need NO
+    window sort — every aggregate here partial-aggregates map-side and
+    the shuffle carries one row per (type, bar), not per event. The
+    oracle derives the same bars with the portable double-ROW_NUMBER
+    form (SQL has no ordered-first aggregate), which is exactly the
+    plan this operator avoids at scale. Volume travels as exact
+    milli-units so no cross-engine float rounding."""
+    ev = load(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bar_start"),
+            "value",
+            "ts",
+            "event_id",
+        )
+        .groupBy("event_type", "bar_start")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("vol_mv"),
+        )
+    )

@@ -655,3 +655,56 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(_W.partitionBy("cluster_id")).alias("n_members"),
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
+
+
+_KEEP_SQL = f"""
+    WITH dropped AS (
+      SELECT doc_id FROM ({_CLUSTER_SQL}) WHERE doc_id <> cluster_id
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM documents)
+             - (SELECT COUNT(*) FROM dropped) AS n_kept,
+           (SELECT COUNT(*) FROM dropped)     AS n_dropped,
+           CAST((SELECT COALESCE(SUM(doc_id), 0) FROM documents)
+              - (SELECT COALESCE(SUM(doc_id), 0) FROM dropped)
+             AS BIGINT) AS kept_id_sum
+"""
+
+
+@query("dedup_keep_canonical", oracle=_KEEP_SQL)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus dedup: pairs → connected components → keep
+    one canonical doc per cluster, pass every untouched doc through —
+    the actual keep/drop decision a curation pipeline ships. Survivors
+    = (all docs) anti-join (cluster members that are not their
+    cluster's min-id canonical); the emitted summary (corpus size,
+    kept, dropped, kept-id checksum) is what the driver value-checks
+    against the recursive-CTE oracle, which derives the identical
+    drop set in SQL.
+
+    Scale shape: the component loop is [[dedup_cluster]]'s (O(rows)
+    per round, rounds ∝ cluster diameter); the keep step adds one
+    broadcast-sized anti-join (dropped ids ≪ corpus — near-dup rates
+    are single-digit percent even on web crawl) and the summary is a
+    full-aggregate fold, no driver materialization of the kept set."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    dropped = (
+        dedup_cluster(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+    totals = docs.agg(F.count("*").alias("n_docs"))
+    kept_stats = kept.agg(
+        F.count("*").alias("n_kept"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("kept_id_sum"),
+    )
+    return (
+        totals.crossJoin(kept_stats)
+        .select(
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "kept_id_sum",
+        )
+    )

@@ -227,6 +227,48 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           TRUE     AS within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style rank sketch): the scale path for
+    quantiles — one pass, mergeable, no per-group sort. Same checked
+    contract as [[agg_approx_distinct]]: the sketch value itself
+    differs across engines, so the query emits the error bound
+    ``within_1pct = |approx_p50 − exact_p50| / exact_p50 ≤ 0.01`` and
+    the exact-side oracle asserts TRUE. At accuracy=10000 the sketch's
+    rank error is ~1e-4, far inside the bound, so the boolean is
+    deterministic. The exact percentile (a per-group sort) exists here
+    only to be checked against; production keeps the sketch."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, 0.5, 10000)"
+            ).alias("approx_p50"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (
+                F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                / F.col("exact_p50")
+                <= F.lit(0.01)
+            ).alias("within_1pct"),
+        )
+    )
+
+
+@query(
     "agg_stats",
     oracle="""
     SELECT l_returnflag,

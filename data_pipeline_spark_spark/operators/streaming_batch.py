@@ -225,6 +225,69 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
 
 
+@query(
+    "stream_join_static",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(e.value * 1000) AS BIGINT)) AS BIGINT)
+             AS total_mv
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: an event stream (4 chunks, one
+    file per micro-batch) joined per-batch against a static customer
+    dimension, then aggregated per market segment across batches. The
+    canonical streaming-ETL shape — the dimension is re-broadcast per
+    micro-batch (no state for the join side), and the running agg
+    state is O(segments), not O(events). Value travels as exact
+    milli-units so the cross-batch sum is integer-exact; the oracle
+    runs the identical join+agg as one batch relation. (No distinct
+    aggregate here: streaming supports only approximate distinct.)"""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    src = tempfile.mkdtemp(prefix="dps_sjoin_src_")
+    sink = f"stream_join_static_sink_{os.getpid()}"
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .join(
+                F.broadcast(dim),
+                F.col("user_id") == F.col("c_custkey"),
+                "inner",
+            )
+            .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias(
+                    "total_mv"
+                ),
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = spark.table(sink)
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 _SESSION_WINDOW_SQL = """
     WITH flagged AS (
       SELECT user_id, ts, event_id,

@@ -140,6 +140,70 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    counted AS (
+      SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT)  AS n_bigrams,
+           COUNT(*)                AS n_distinct_bigrams,
+           CAST(MAX(n) AS BIGINT)  AS top_bigram_n,
+           (CAST(SUM(n) AS BIGINT) - COUNT(*))
+             / CAST(SUM(n) AS DOUBLE)            AS dup_bigram_frac,
+           CAST(MAX(n) AS BIGINT)
+             / CAST(SUM(n) AS DOUBLE)            AS top_bigram_frac
+    FROM counted GROUP BY doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/RefinedWeb
+    repetition filters): per doc, total vs distinct word-bigram
+    counts, the hottest bigram's count, and the two derived fractions
+    (duplicate-bigram fraction, top-bigram fraction) that the quality
+    gate thresholds on — boilerplate and spam score high on both.
+
+    Shape at 100 TB: explode to (doc, bigram), count per (doc,
+    bigram), re-aggregate per doc — two shuffles keyed by doc, both
+    partial-aggregated map-side, no global state. The fractions are
+    divisions of exact integers, so the doubles are bit-identical
+    across engines (no ROUND needed). Docs with <2 tokens have no
+    bigrams and are excluded on both sides."""
+    d = load(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    bg = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+    )
+    counted = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+    return counted.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.max("n").alias("top_bigram_n"),
+        (
+            (F.sum("n") - F.count("*")) / F.sum("n").cast("double")
+        ).alias("dup_bigram_frac"),
+        (F.max("n") / F.sum("n").cast("double")).alias("top_bigram_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # language ID (n-gram/stopword heuristic)
 # ---------------------------------------------------------------------------
