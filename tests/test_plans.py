@@ -203,3 +203,36 @@ def test_shard_pack_no_output_collect(spark, sf_dir):
 
     plan = formatted_plan(shard_pack(spark, sf_dir))
     assert "LocalTableScan" not in plan
+
+
+def test_ohlc_is_single_hash_agg(spark, sf_dir):
+    """OHLC bars must be ONE partial-aggregated hash agg (min_by /
+    max_by carry open/close), never the double-ROW_NUMBER window form
+    the oracle uses — one exchange, no Sort or Window node."""
+    from data_pipeline_spark_spark.operators.analytics import ts_resample_ohlc
+
+    df = ts_resample_ohlc(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 1
+    assert "Window" not in plan
+
+
+def test_repetition_stats_doc_keyed_aggs(spark, sf_dir):
+    """Repetition stats shuffle only on doc-keyed aggregates (bigram
+    count, per-doc rollup) — no global window, no join."""
+    from data_pipeline_spark_spark.operators.text import repetition_stats
+
+    df = repetition_stats(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 2
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_keep_canonical_broadcasts_dropped_ids(spark, sf_dir):
+    """The keep/drop step must anti-join the corpus against a
+    BROADCAST of the dropped ids (dropped ≪ corpus) — the corpus side
+    never shuffles for the join."""
+    from data_pipeline_spark_spark.operators.dedup import dedup_keep_canonical
+
+    plan = formatted_plan(dedup_keep_canonical(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
