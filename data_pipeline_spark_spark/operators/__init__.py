@@ -97,6 +97,7 @@ _ROUND3_PRIORITY = [
     "agg_approx_quantile",
     "dedup_keep_canonical",
     "stream_join_static",
+    "agg_hll_mergeable",
     # re-verification: changed after their last green driver row
     "dedup_ngram_jaccard",
     "agg_approx_distinct",

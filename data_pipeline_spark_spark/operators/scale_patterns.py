@@ -305,3 +305,61 @@ def rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_v").alias("max_v"),
         )
     )
+
+
+@query(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct counts — the capability [[rollup_reaggregate]]
+    cannot have with exact counts: COUNT(DISTINCT) does not
+    re-aggregate (distinct users per day don't sum to distinct users
+    per month), so a rollup must carry a sketch. Per (event_type, day)
+    this materializes a DataSketches HLL of user_id — the hourly-
+    rollup layer — then answers the per-type question by UNIONING the
+    daily sketches (`hll_union_agg`), never re-touching raw events.
+
+    Checked contract (same shape as [[agg_approx_distinct]]): the
+    union estimate must land within 5% of exact, emitted as a boolean
+    the exact-side oracle asserts TRUE; lgK=14 gives ~0.8% RSE, far
+    inside. The exact distinct exists only to be checked against.
+
+    At 100 TB: sketches are ≤16 KB each and add like sums, so the
+    rollup stays refresh-incremental (new day = new sketch row) and
+    any time-range distinct is a sketch-union over the rollup — bytes
+    ∝ days × types × 16 KB, not rows."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("user_sketch"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "hll_sketch_estimate(hll_union_agg(user_sketch))"
+            ).alias("approx_users"),
+        )
+        .join(
+            e.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("exact_users")
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            ).alias("within_5pct"),
+        )
+    )
