@@ -44,6 +44,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "sim_search",
     "text_stats",
+    "repetition_stats",
+    "ts_resample_ohlc",
+    "agg_hll_mergeable",
     "udf_surface",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
