@@ -112,9 +112,11 @@ _ROUND3_PRIORITY = [
     "stream_stateful_agg",
     "stream_dedup",
     "stream_session_window",
-    # rows-only tail of the priority block
+    # ANN recall rungs (oracle-backed as of round 3, but each runs the
+    # exact brute-force side too — after the cheap keys)
     "sim_search_lsh",
     "sim_search_ivf",
+    # rows-only tail of the priority block
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -37,8 +37,6 @@ MUST_BE_NONEMPTY = {
     "multimodal_resize",
     "row_offset_filter",
     "schema_export",
-    "sim_search_ivf",
-    "sim_search_lsh",
     "supercat_map",
     "synth_gen",
 }
