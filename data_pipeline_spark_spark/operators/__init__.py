@@ -98,6 +98,7 @@ _ROUND3_PRIORITY = [
     "dedup_keep_canonical",
     "stream_join_static",
     "agg_hll_mergeable",
+    "agg_approx_topk",
     # re-verification: changed after their last green driver row
     "dedup_ngram_jaccard",
     "agg_approx_distinct",

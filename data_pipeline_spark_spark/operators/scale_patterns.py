@@ -363,3 +363,36 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+@query(
+    "agg_approx_topk",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT term, COUNT(*) AS n FROM w GROUP BY term
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via `approx_top_k` — the mergeable frequent-items
+    sketch (frequent boilerplate / spam-term monitoring over a
+    corpus without a full term aggregation). One pass, partial
+    sketches merge like sums, so it rides a rollup the same way the
+    HLL sketch does ([[agg_hll_mergeable]]).
+
+    Checked contract: a Misra-Gries-family sketch is EXACT whenever
+    its capacity covers the distinct-item count, and the fixture
+    vocabulary (31 terms) sits far under the 256 tracked here — so
+    the emitted (term, count) set must equal the exact GROUP BY the
+    oracle runs, a full value check of the sketch path. At real
+    scale (vocab ≫ capacity) counts carry the documented ±εN bound
+    and the query would keep only the top slice."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("term"))
+    topk = words.agg(
+        F.expr("approx_top_k(term, 64, 256)").alias("tk")
+    )
+    return topk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("term"), F.col("e.count").alias("n")
+    )
