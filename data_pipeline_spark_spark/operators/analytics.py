@@ -155,8 +155,12 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     form (SQL has no ordered-first aggregate), which is exactly the
     plan this operator avoids at scale. Volume travels as exact
     milli-units so no cross-engine float rounding."""
-    ev = load(spark, sf_dir, "events")
-    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ohlc_bars(load(spark, sf_dir, "events"))
+
+
+def ohlc_bars(ev: DataFrame) -> DataFrame:
+    """OHLC bars over any (event_type, ts, event_id, value) frame —
+    the reusable core behind [[ts_resample_ohlc]]."""
     return (
         ev.select(
             "event_type",

@@ -179,7 +179,13 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions of exact integers, so the doubles are bit-identical
     across engines (no ROUND needed). Docs with <2 tokens have no
     bigrams and are excluded on both sides."""
-    d = load(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    return repetition_stats_over(load(spark, sf_dir, "documents"))
+
+
+def repetition_stats_over(docs: DataFrame) -> DataFrame:
+    """Repetition signals over any (doc_id, text) frame — the reusable
+    core behind [[repetition_stats]]."""
+    d = docs.select("doc_id", F.split("text", " ").alias("toks"))
     bg = (
         d.filter(F.size("toks") >= 2)
         .select(
