@@ -113,6 +113,7 @@ _ROUND3_PRIORITY = [
     "stream_stateful_agg",
     "stream_dedup",
     "stream_session_window",
+    "stream_stream_join",
     # ANN recall rungs (oracle-backed as of round 3, but each runs the
     # exact brute-force side too — after the cheap keys)
     "sim_search_lsh",

@@ -288,6 +288,101 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
 
 
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+             - CAST(floor(epoch(c.ts)) AS BIGINT) AS secs_between
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join — purchases attributed to a click by
+    the same user within 30 minutes, both sides arriving as streams.
+    The most stateful Structured Streaming shape: each side buffers
+    rows until the OTHER side's time range can no longer match, and
+    the watermark is what lets that state be evicted (clicks older
+    than watermark − 30 min can never match a future purchase). The
+    1-hour watermark delay strictly exceeds the 30-minute join range,
+    and the 4 source chunks are range-partitioned and mtime-stamped in
+    event-time order, so nothing is ever dropped as late — making the
+    stream output exactly the batch join, which is what the DuckDB
+    oracle runs. Full matched pairs are emitted (not a count): the
+    strongest check the driver can hash.
+
+    State at 100 TB: O(events inside the join window per side), not
+    O(stream history) — the watermark bound is the whole point."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    src = tempfile.mkdtemp(prefix="dps_ssjoin_src_")
+    sink = f"stream_stream_join_sink_{os.getpid()}"
+    try:
+        ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+        chunk_files = sorted(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        now = time.time()
+        for i, name in enumerate(chunk_files):
+            os.utime(
+                os.path.join(src, name), (now - 600 + i * 60, now - 600 + i * 60)
+            )
+        schema = spark.read.parquet(src).schema
+
+        def side(event_type: str, prefix: str):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+                .filter(F.col("event_type") == event_type)
+                .select(
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("ts").alias(f"{prefix}_ts"),
+                    F.col("event_id").alias(f"{prefix}_id"),
+                )
+                .withWatermark(f"{prefix}_ts", "1 hour")
+            )
+
+        joined = side("click", "c").join(
+            side("purchase", "p"),
+            F.expr(
+                "c_user = p_user AND p_ts >= c_ts"
+                " AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+            ),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = spark.table(sink).select(
+            F.col("c_user").alias("user_id"),
+            F.col("c_id").alias("click_id"),
+            F.col("p_id").alias("purchase_id"),
+            (
+                F.col("p_ts").cast("timestamp_ltz").cast("long")
+                - F.col("c_ts").cast("timestamp_ltz").cast("long")
+            ).alias("secs_between"),
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 _SESSION_WINDOW_SQL = """
     WITH flagged AS (
       SELECT user_id, ts, event_id,
