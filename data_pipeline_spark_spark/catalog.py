@@ -68,8 +68,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _ntz_to_ltz(df)
+    return _ntz_to_ltz(spark.read.parquet(path))
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to session-zone TIMESTAMP.
+
+    The fixture parquet writes plain ``timestamp[us]`` (no UTC
+    adjustment flag), which Spark >=3.4 infers as TIMESTAMP_NTZ.
+    NTZ breaks the engine's declared UTC-timestamp contract:
+    ``withWatermark`` requires TIMESTAMP, ``cast(ts as bigint)`` is
+    illegal on NTZ, and NTZ/LTZ unions fail to resolve. Under the
+    UTC session pin above, NTZ -> LTZ is a pure metadata retag (the
+    stored microseconds are reinterpreted as UTC wall time — exactly
+    the value DuckDB's naive TIMESTAMP sees), so every oracle stays
+    bit-identical."""
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:

@@ -170,6 +170,12 @@ def windowed_event_counts(
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # fixture parquet with no UTC-adjustment flag reads as NTZ;
+        # withWatermark requires TIMESTAMP — retag under the UTC
+        # session pin (pure metadata, same microseconds; see
+        # catalog._ntz_to_ltz)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
