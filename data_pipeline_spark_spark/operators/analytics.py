@@ -179,3 +179,121 @@ def ohlc_bars(ev: DataFrame) -> DataFrame:
             F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("vol_mv"),
         )
     )
+
+
+_INTERP_SQL = """
+    WITH e AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hr,
+             AVG(value) AS v
+      FROM events GROUP BY user_id, hr
+    ),
+    bounds AS (SELECT user_id, MIN(hr) AS t0, MAX(hr) AS t1
+               FROM e GROUP BY user_id),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    ),
+    g AS (
+      SELECT grid.user_id, grid.hr, e.v
+      FROM grid LEFT JOIN e ON grid.user_id = e.user_id
+                           AND grid.hr = e.hr
+    ),
+    f AS (
+      SELECT user_id, hr, v,
+        LAST_VALUE(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        FIRST_VALUE(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM g
+    )
+    SELECT user_id, hr AS grid_ts,
+      CASE WHEN v IS NOT NULL THEN v
+           WHEN pv IS NULL THEN nv
+           WHEN nv IS NULL THEN pv
+           ELSE pv + (nv - pv) *
+                (CAST(CAST(floor(epoch(hr)) AS BIGINT)
+                      - CAST(floor(epoch(ph)) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(floor(epoch(nh)) AS BIGINT)
+                        - CAST(floor(epoch(ph)) AS BIGINT) AS DOUBLE))
+      END AS value_interp,
+      CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS filled
+    FROM f
+"""
+
+
+@query("ts_interpolate", oracle=_INTERP_SQL)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a dense per-user hourly grid — the
+    companion to [[ts_gap_fill]]'s LOCF: missing hours get
+    pv + (nv-pv) * elapsed-fraction between the bracketing
+    observations (leading/trailing gaps take the nearest observation).
+    Same scale shape as the gap-fill: grid ∝ entity lifetimes, one
+    window sort per user, O(1) carried state in each direction.
+    The interpolation arithmetic is written identically in both
+    engines (exact integer second-deltas, one divide, one
+    multiply-add) so results agree to the oracle's float tolerance;
+    the hourly AVG differs only by summation order."""
+    from pyspark.sql.window import Window
+
+    e = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("hr")
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.min("hr").alias("t0"), F.max("hr").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    g = grid.join(e, ["user_id", "hr"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    f = g.select(
+        "user_id",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_hr, ignorenulls=True).over(back).alias("ph"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_hr, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    sec = lambda c: F.col(c).cast("long")  # noqa: E731
+    frac = (sec("hr") - sec("ph")).cast("double") / (
+        (sec("nh") - sec("ph")).cast("double")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return f.select(
+        "user_id",
+        F.col("hr").alias("grid_ts"),
+        interp.alias("value_interp"),
+        F.when(F.col("v").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("filled"),
+    )

@@ -396,3 +396,66 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("term"), F.col("e.count").alias("n")
     )
+
+
+_BLOOM_SQL = """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+"""
+
+
+@query("join_bloom_runtime", oracle=_BLOOM_SQL)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join reduction: the selective dim
+    filter (urgent orders) is turned into a Bloom filter that prunes
+    fact rows BEFORE the join shuffle — Catalyst's InjectRuntimeFilter
+    adds ``might_contain(bloom_agg(xxhash64(o_orderkey)))`` to the
+    lineitem scan. At 100 TB this is the difference between shuffling
+    the whole fact table and shuffling the ~5% that can match; it is
+    the runtime analogue of the static partition prune in
+    [[partition_prune_filter]].
+
+    Injection preconditions are thresholds, not semantics — Spark
+    requires a shuffle join (so broadcast is disabled while planning)
+    and a large application-side scan (10 GB default; the fixture is
+    MBs, so the scan threshold is dropped to 0). The optimized plan is
+    forced EAGERLY under those settings (lazy-val caching keeps it),
+    then both knobs are restored so no config leaks into the session.
+    tests/test_plans.py asserts might_contain lands in the plan; the
+    filter is semantically transparent so the oracle is the plain
+    join."""
+    conf = spark.conf
+    k_scan = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    k_bcast = "spark.sql.autoBroadcastJoinThreshold"
+    old_scan, old_bcast = conf.get(k_scan), conf.get(k_bcast)
+    conf.set(k_scan, "0")
+    conf.set(k_bcast, "-1")
+    try:
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice"
+        )
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ).alias("revenue_c"),
+            )
+        )
+        # force logical optimization NOW, while the knobs are set;
+        # the lazy val caches the bloom-injected plan for execution
+        out._jdf.queryExecution().optimizedPlan()
+    finally:
+        conf.set(k_scan, old_scan)
+        conf.set(k_bcast, old_bcast)
+    return out
