@@ -48,6 +48,9 @@ HEADLINE = [
     "ts_resample_ohlc",
     "agg_hll_mergeable",
     "udf_surface",
+    "merge_upsert",
+    "join_fuzzy_string",
+    "join_bloom_runtime",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
     "tpch_q10_returned_items",
