@@ -72,6 +72,8 @@ _ROUND6_PRIORITY = [
     "scd2_intervals",
     "ts_interpolate",
     "join_bloom_runtime",
+    "mv_incremental_refresh",
+    "window_twa",
     # (a cont.) the two fixed STREAMING keys — slow but must re-green
     "stream_session_window",
     "stream_stream_join",

@@ -297,3 +297,84 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("value_interp"),
         F.when(F.col("v").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("filled"),
     )
+
+
+_TWA_SQL = """
+    WITH o AS (
+      SELECT user_id,
+             CAST(round(value * 1000) AS BIGINT) AS v_mv,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             LEAD(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             SUM(CASE WHEN nxt IS NULL THEN 0
+                      ELSE v_mv * (nxt - sec) END) AS num,
+             SUM(CASE WHEN nxt IS NULL THEN 0 ELSE nxt - sec END) AS den,
+             COUNT(*) AS n_obs,
+             SUM(v_mv) AS sum_mv
+      FROM o GROUP BY user_id
+    )
+    SELECT user_id, n_obs,
+           CASE WHEN den > 0
+                THEN CAST(num AS DOUBLE) / (1000.0 * CAST(den AS DOUBLE))
+                ELSE CAST(sum_mv AS DOUBLE) / (1000.0 * n_obs)
+           END AS twa
+    FROM w
+"""
+
+
+@query("window_twa", oracle=_TWA_SQL)
+def window_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user over irregular samples — the
+    hypertable `time_weight` aggregate: each observation holds (LOCF
+    step interpolation) until the next one, so its weight is the
+    seconds until the next sample; the final sample carries no
+    weight. Degenerate series (one sample, or all samples at one
+    instant) fall back to the plain mean.
+
+    Numerics are EXACT until the last division: values travel as
+    integer milli-units, timestamps as integer seconds, so the
+    weighted numerator/denominator are bigint sums (associative —
+    partial aggregation and any merge order give identical results,
+    unlike double summation) and the one double division at the end
+    is the same IEEE operation in both engines. One window sort per
+    user (shuffle ∝ observations, O(1) lookahead state), then an
+    ordinary partial-aggregating groupBy — the same two-phase shape
+    at any scale."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 1000).cast("bigint").alias("v_mv"),
+        F.col("ts").cast("long").alias("sec"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id", "v_mv", "sec", F.lead("sec").over(w).alias("nxt")
+    )
+    weighted = o.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(
+                F.col("v_mv") * (F.col("nxt") - F.col("sec"))
+            )
+        ).alias("num"),
+        F.sum(
+            F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(
+                F.col("nxt") - F.col("sec")
+            )
+        ).alias("den"),
+        F.count("*").alias("n_obs"),
+        F.sum("v_mv").alias("sum_mv"),
+    )
+    twa = F.when(
+        F.col("den") > 0,
+        F.col("num").cast("double") / (F.lit(1000.0) * F.col("den").cast("double")),
+    ).otherwise(
+        F.col("sum_mv").cast("double") / (F.lit(1000.0) * F.col("n_obs"))
+    )
+    return weighted.select("user_id", "n_obs", twa.alias("twa"))

@@ -94,9 +94,6 @@ def test_scd2_intervals_chain(spark):
     """Versions must chain: valid_to of row N = valid_from of row N+1
     per user, exactly one is_current row per user, ties broken by
     event_id."""
-    from data_pipeline_spark_spark.operators import cdc  # noqa: F401
-    from data_pipeline_spark_spark import registry
-
     t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
     rows = [
         (1, 10.0, t0, 100, "purchase"),
@@ -198,3 +195,102 @@ def test_bloom_runtime_filter_injected(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" in plan
     assert (spark.conf.get(k_scan), spark.conf.get(k_bcast)) == before
+
+
+def test_twa_step_semantics(spark):
+    """LOCF step weighting: value holds until the next sample, final
+    sample carries no weight; zero-span series fall back to the
+    mean."""
+    import datetime
+
+    from pyspark.sql.window import Window
+
+    t0 = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        # user 1: 1.0 holds 10s, then 3.0 (no weight) -> twa 1.0
+        (1, 1.0, t0, 1),
+        (1, 3.0, t0 + datetime.timedelta(seconds=10), 2),
+        # user 2: single sample -> mean fallback
+        (2, 7.0, t0, 3),
+        # user 3: two samples at the SAME instant -> mean fallback
+        (3, 2.0, t0, 4),
+        (3, 4.0, t0, 5),
+        # user 4: 1.0 for 10s then 2.0 for 30s -> (10+60)/40 = 1.75
+        (4, 1.0, t0, 6),
+        (4, 2.0, t0 + datetime.timedelta(seconds=10), 7),
+        (4, 9.0, t0 + datetime.timedelta(seconds=40), 8),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, value double, ts timestamp, event_id long"
+    )
+    e = ev.select(
+        "user_id",
+        F.round(F.col("value") * 1000).cast("bigint").alias("v_mv"),
+        F.col("ts").cast("long").alias("sec"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select("user_id", "v_mv", "sec", F.lead("sec").over(w).alias("nxt"))
+    g = o.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(
+                F.col("v_mv") * (F.col("nxt") - F.col("sec"))
+            )
+        ).alias("num"),
+        F.sum(
+            F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(
+                F.col("nxt") - F.col("sec")
+            )
+        ).alias("den"),
+        F.count("*").alias("n_obs"),
+        F.sum("v_mv").alias("sum_mv"),
+    )
+    twa = F.when(
+        F.col("den") > 0,
+        F.col("num").cast("double")
+        / (F.lit(1000.0) * F.col("den").cast("double")),
+    ).otherwise(F.col("sum_mv").cast("double") / (F.lit(1000.0) * F.col("n_obs")))
+    got = {r.user_id: r.twa for r in g.select("user_id", twa.alias("twa")).collect()}
+    assert got[1] == 1.0
+    assert got[2] == 7.0
+    assert got[3] == 3.0   # mean of 2.0 and 4.0
+    assert got[4] == 1.75  # (1.0*10 + 2.0*30) / 40
+
+
+def test_mv_refresh_empty_delta(spark, sf_dir):
+    """With every row before the cutoff the delta aggregate is empty
+    and the merged MV must equal the plain recompute — the
+    degenerate-refresh invariant."""
+    from data_pipeline_spark_spark.catalog import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.year("l_shipdate").alias("ship_year"),
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    keys = ["l_returnflag", "ship_year"]
+
+    def agg(df):
+        return df.groupBy(*keys).agg(
+            F.count("*").alias("n_items"), F.sum("cents").alias("revenue_c")
+        )
+
+    cutoff = "2999-01-01"  # nothing after
+    hist = agg(li.filter(F.col("l_shipdate") < F.lit(cutoff)))
+    delta = agg(li.filter(F.col("l_shipdate") >= F.lit(cutoff)))
+    assert delta.count() == 0
+    h = hist.toDF("l_returnflag", "ship_year", "n_h", "rev_h")
+    d = delta.toDF("l_returnflag", "ship_year", "n_d", "rev_d")
+    zero = F.lit(0).cast("bigint")
+    merged = h.join(d, keys, "full_outer").select(
+        "l_returnflag",
+        "ship_year",
+        (F.coalesce("n_h", zero) + F.coalesce("n_d", zero)).alias("n_items"),
+        (F.coalesce("rev_h", zero) + F.coalesce("rev_d", zero)).alias("revenue_c"),
+    )
+    full = agg(li)
+    a = {tuple(r[:2]): tuple(r[2:]) for r in merged.collect()}
+    b = {tuple(r[:2]): tuple(r[2:]) for r in full.collect()}
+    assert a == b
