@@ -74,6 +74,7 @@ _ROUND6_PRIORITY = [
     "join_bloom_runtime",
     "mv_incremental_refresh",
     "window_twa",
+    "stream_upsert_sink",
     # (a cont.) the two fixed STREAMING keys — slow but must re-green
     "stream_session_window",
     "stream_stream_join",

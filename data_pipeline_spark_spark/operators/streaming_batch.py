@@ -511,3 +511,111 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(sink)
         except Exception:
             pass
+
+
+@query(
+    "stream_upsert_sink",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           value AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert sink — the foreachBatch MERGE pattern:
+    each micro-batch of keyed updates is reduced to its latest row
+    per key, then merged last-write-wins into a persistent keyed
+    state table (parquet, atomically swapped per batch). This is how
+    Structured Streaming maintains an upsert sink without a lakehouse
+    MERGE: batch-local reduce → full outer join with prior state →
+    keep the newer version by (ts, event_id).
+
+    Determinism does NOT depend on micro-batch arrival order: the
+    merge comparator is the total order (ts, event_id), so any chunk
+    interleaving converges to the same state — which is why the
+    oracle can be the plain batch "latest row per key" window query.
+    State size is O(keys); each batch's merge join shuffles
+    O(keys + batch), never O(stream history). Per-batch swap cost at
+    100 TB argues for a real table format (the join itself is
+    unchanged); the batch twin of this merge is [[merge_upsert]]."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "value", "ts", "event_id"
+    )
+    src = tempfile.mkdtemp(prefix="dps_upsert_src_")
+    state_root = tempfile.mkdtemp(prefix="dps_upsert_state_")
+    state_dir = {"cur": None}  # latest committed state parquet, or None
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def merge_batch(batch, batch_id: int) -> None:
+            from pyspark.sql import functions as BF
+            from pyspark.sql.window import Window as BW
+
+            s = batch.sparkSession
+            w = BW.partitionBy("user_id").orderBy(
+                BF.col("ts").desc(), BF.col("event_id").desc()
+            )
+            latest = (
+                batch.withColumn("rn", BF.row_number().over(w))
+                .filter(BF.col("rn") == 1)
+                .select("user_id", "value", "ts", "event_id")
+            )
+            if state_dir["cur"] is None:
+                merged = latest
+            else:
+                cur = s.read.parquet(state_dir["cur"])
+                o, n = cur.alias("o"), latest.alias("n")
+                j = o.join(n, "user_id", "full_outer")
+                newer = (BF.col("n.ts") > BF.col("o.ts")) | (
+                    (BF.col("n.ts") == BF.col("o.ts"))
+                    & (BF.col("n.event_id") > BF.col("o.event_id"))
+                )
+                pick = BF.col("o.ts").isNull() | (
+                    BF.col("n.ts").isNotNull() & newer
+                )
+                merged = j.select(
+                    "user_id",
+                    *[
+                        BF.when(pick, BF.col(f"n.{c}"))
+                        .otherwise(BF.col(f"o.{c}"))
+                        .alias(c)
+                        for c in ("value", "ts", "event_id")
+                    ],
+                )
+            out = os.path.join(state_root, f"v{batch_id}")
+            merged.write.mode("overwrite").parquet(out)
+            state_dir["cur"] = out
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(merge_batch)
+            .option(
+                "checkpointLocation", os.path.join(state_root, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(state_dir["cur"]).select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)

@@ -294,3 +294,67 @@ def test_mv_refresh_empty_delta(spark, sf_dir):
     a = {tuple(r[:2]): tuple(r[2:]) for r in merged.collect()}
     b = {tuple(r[:2]): tuple(r[2:]) for r in full.collect()}
     assert a == b
+
+
+def test_upsert_merge_order_independence(spark):
+    """The foreachBatch merge comparator (ts, event_id) must converge
+    to the same state regardless of which batch a row arrives in —
+    replay two opposite arrival orders through the same merge logic."""
+    import datetime
+
+    from pyspark.sql.window import Window as BW
+
+    t0 = datetime.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        (1, 10.0, t0, 1),
+        (1, 20.0, t0 + datetime.timedelta(hours=1), 2),
+        (2, 5.0, t0, 3),
+        (2, 6.0, t0, 4),   # same ts — event_id must break the tie
+    ]
+    schema = "user_id long, value double, ts timestamp, event_id long"
+
+    def latest(batch):
+        w = BW.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value", "ts", "event_id")
+        )
+
+    def merge(cur, batch):
+        new = latest(batch)
+        if cur is None:
+            return new
+        o, n = cur.alias("o"), new.alias("n")
+        j = o.join(n, "user_id", "full_outer")
+        newer = (F.col("n.ts") > F.col("o.ts")) | (
+            (F.col("n.ts") == F.col("o.ts"))
+            & (F.col("n.event_id") > F.col("o.event_id"))
+        )
+        pick = F.col("o.ts").isNull() | (F.col("n.ts").isNotNull() & newer)
+        return j.select(
+            "user_id",
+            *[
+                F.when(pick, F.col(f"n.{c}"))
+                .otherwise(F.col(f"o.{c}"))
+                .alias(c)
+                for c in ("value", "ts", "event_id")
+            ],
+        )
+
+    def run(order):
+        state = None
+        for batch_rows in order:
+            state = merge(state, spark.createDataFrame(batch_rows, schema))
+        return {
+            r.user_id: (r.value, r.event_id) for r in state.collect()
+        }
+
+    fwd = run([rows[:2], rows[2:]])
+    rev = run([rows[2:], rows[:2]])
+    one_by_one_reversed = run([[r] for r in reversed(rows)])
+    assert fwd == rev == one_by_one_reversed
+    assert fwd[1] == (20.0, 2)
+    assert fwd[2] == (6.0, 4)  # tie at same ts -> larger event_id wins
