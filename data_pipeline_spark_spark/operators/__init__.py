@@ -75,6 +75,7 @@ _ROUND6_PRIORITY = [
     "mv_incremental_refresh",
     "window_twa",
     "stream_upsert_sink",
+    "basket_pair_affinity",
     # (a cont.) the two fixed STREAMING keys — slow but must re-green
     "stream_session_window",
     "stream_stream_join",

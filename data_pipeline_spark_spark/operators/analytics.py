@@ -378,3 +378,78 @@ def window_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_mv").cast("double") / (F.lit(1000.0) * F.col("n_obs"))
     )
     return weighted.select("user_id", "n_obs", twa.alias("twa"))
+
+
+_AFFINITY_SQL = """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    item AS (SELECT l_partkey, COUNT(*) AS n_item FROM b GROUP BY l_partkey),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM b),
+    pair AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, COUNT(*) AS n_pair
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY part_a, part_b
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.n_pair,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           CAST(p.n_pair * t.n_baskets AS DOUBLE)
+             / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+    FROM pair p
+    JOIN item ia ON p.part_a = ia.l_partkey
+    JOIN item ib ON p.part_b = ib.l_partkey
+    CROSS JOIN tot t
+"""
+
+
+@query("basket_pair_affinity", oracle=_AFFINITY_SQL)
+def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity: co-occurrence count and lift for
+    every part pair appearing in ≥ 2 orders. The pair explosion is the
+    classic scale hazard (a k-item basket emits k(k-1)/2 pairs), and
+    the defenses are coded, not prose:
+
+    - **Apriori prune (lossless)**: a pair with support ≥ S needs both
+      items at support ≥ S, so items below the threshold are dropped
+      BEFORE the self-join — at 100 TB this is what keeps the long
+      tail of single-occurrence items out of the shuffle entirely.
+    - The self-join runs on the basket key, so pair fan-out happens
+      inside each sort-merge run (same shape as
+      [[dedup_ngram_jaccard]]'s shingle join, with the same AQE
+      skew-split backstop for a pathological mega-basket; a per-basket
+      item cap is the documented next rung).
+
+    Lift's numerator and denominator are exact bigint products, so the
+    single double division is bit-identical in both engines."""
+    b = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    min_support = 2
+    item = b.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    n_baskets = b.select("l_orderkey").distinct().count()
+    # Apriori: only items frequent enough to appear in a qualifying
+    # pair enter the self-join
+    frequent = item.filter(F.col("n_item") >= min_support).select("l_partkey")
+    bf = b.join(F.broadcast(frequent), "l_partkey").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = bf.toDF("l_orderkey", "part_a")
+    c = bf.toDF("l_orderkey", "part_b")
+    pair = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+    ia = item.toDF("part_a", "n_a")
+    ib = item.toDF("part_b", "n_b")
+    out = pair.join(ia, "part_a").join(ib, "part_b")
+    lift = (F.col("n_pair") * F.lit(n_baskets)).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return out.select(
+        "part_a", "part_b", "n_pair", "n_a", "n_b", lift.alias("lift")
+    )
