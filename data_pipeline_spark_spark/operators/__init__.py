@@ -76,6 +76,7 @@ _ROUND6_PRIORITY = [
     "window_twa",
     "stream_upsert_sink",
     "basket_pair_affinity",
+    "profile_join_skew",
     # (a cont.) the two fixed STREAMING keys — slow but must re-green
     "stream_session_window",
     "stream_stream_join",

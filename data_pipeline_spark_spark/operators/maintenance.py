@@ -290,3 +290,58 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_c"
         ),
     )
+
+
+_SKEW_SQL = """
+    WITH f AS (
+      SELECT l_orderkey AS k, COUNT(*) AS freq
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT 'l_orderkey' AS join_key,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(freq) AS BIGINT) AS n_rows,
+           MAX(freq) AS max_freq,
+           CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS avg_freq,
+           CAST(MAX(freq) AS DOUBLE)
+             / (CAST(SUM(freq) AS DOUBLE) / COUNT(*)) AS skew_ratio
+    FROM f
+    UNION ALL
+    SELECT 'l_partkey',
+           COUNT(*), CAST(SUM(freq) AS BIGINT), MAX(freq),
+           CAST(SUM(freq) AS DOUBLE) / COUNT(*),
+           CAST(MAX(freq) AS DOUBLE)
+             / (CAST(SUM(freq) AS DOUBLE) / COUNT(*))
+    FROM (SELECT l_partkey, COUNT(*) AS freq
+          FROM lineitem GROUP BY l_partkey) f2
+"""
+
+
+@query("profile_join_skew", oracle=_SKEW_SQL)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the pre-flight check behind every
+    salting/AQE decision in SCALE.md: per candidate join key, the
+    distinct count, total rows, hottest-key frequency, mean frequency,
+    and their ratio (skew_ratio ≈ 1 ⇒ uniform; ≫ 1 ⇒ the hottest key
+    dominates one shuffle partition and wants salting or AQE
+    skew-split). One partial-aggregating groupBy per key — the profile
+    costs a single scan per column and shuffles only distinct keys,
+    so it runs casually even where the join it protects is the
+    day's biggest job. All ratios divide exact integers, so both
+    engines emit identical doubles."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def profile(col: str) -> DataFrame:
+        f = li.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("freq"))
+        return f.agg(
+            F.lit(col).alias("join_key"),
+            F.count("*").alias("n_distinct"),
+            F.sum("freq").alias("n_rows"),
+            F.max("freq").alias("max_freq"),
+            (F.sum("freq").cast("double") / F.count("*")).alias("avg_freq"),
+            (
+                F.max("freq").cast("double")
+                / (F.sum("freq").cast("double") / F.count("*"))
+            ).alias("skew_ratio"),
+        )
+
+    return profile("l_orderkey").unionAll(profile("l_partkey"))
