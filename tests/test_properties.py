@@ -147,3 +147,33 @@ def test_quantize_error_bound(spark, vecs):
         step = r.scale / 254
         for x, q in zip(r.embedding, r.qvec):
             assert abs(x - q * r.scale / 127) <= step + 1e-3 * r.scale
+
+
+def _del_neighborhood(s: str) -> set[str]:
+    """{s} ∪ single-character deletions — the Python model of the
+    xxhash64'd key set join_fuzzy_string explodes (fuzzy_join.py)."""
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="abcdefghij ", min_size=1, max_size=24),
+    st.integers(min_value=0, max_value=2),  # 0=sub 1=insert 2=delete
+    st.integers(min_value=0, max_value=10_000),
+    st.sampled_from("abcdefghij "),
+)
+def test_symspell_blocking_recalls_every_ed1_pair(s, kind, pos_seed, ch):
+    """The pigeonhole argument behind join_fuzzy_string, checked over
+    random strings and random single edits: for ANY pair at edit
+    distance ≤ 1, the deletion neighborhoods must intersect — the
+    property that makes the blocking lossless rather than heuristic."""
+    if kind == 0:  # substitution
+        i = pos_seed % len(s)
+        t = s[:i] + ch + s[i + 1 :]
+    elif kind == 1:  # insertion
+        i = pos_seed % (len(s) + 1)
+        t = s[:i] + ch + s[i:]
+    else:  # deletion
+        i = pos_seed % len(s)
+        t = s[:i] + s[i + 1 :]
+    assert _del_neighborhood(s) & _del_neighborhood(t)
