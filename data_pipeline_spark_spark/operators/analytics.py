@@ -428,7 +428,12 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     min_support = 2
     item = b.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
-    n_baskets = b.select("l_orderkey").distinct().count()
+    # lazy 1-row total, broadcast onto the pairs — not an eager
+    # driver count (the plan stays a single job; production would
+    # additionally persist `b`, which this plan evaluates per use)
+    tot = b.select(
+        F.count_distinct(F.col("l_orderkey")).alias("n_baskets")
+    )
     # Apriori: only items frequent enough to appear in a qualifying
     # pair enter the self-join
     frequent = item.filter(F.col("n_item") >= min_support).select("l_partkey")
@@ -446,8 +451,12 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item.toDF("part_a", "n_a")
     ib = item.toDF("part_b", "n_b")
-    out = pair.join(ia, "part_a").join(ib, "part_b")
-    lift = (F.col("n_pair") * F.lit(n_baskets)).cast("double") / (
+    out = (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = (F.col("n_pair") * F.col("n_baskets")).cast("double") / (
         F.col("n_a") * F.col("n_b")
     ).cast("double")
     return out.select(
