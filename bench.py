@@ -51,6 +51,9 @@ HEADLINE = [
     "merge_upsert",
     "join_fuzzy_string",
     "join_bloom_runtime",
+    "window_twa",
+    "basket_pair_affinity",
+    "mv_incremental_refresh",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
     "tpch_q10_returned_items",
