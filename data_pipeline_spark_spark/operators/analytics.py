@@ -425,6 +425,11 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # the basket set feeds item counts, the total, and BOTH join
+        # sides — a lazy localCheckpoint materializes it once on first
+        # use (2 longs/row) instead of six re-scans of the fact table
+        # (same pattern as shard_pack, training_data.py)
+        .localCheckpoint(eager=False)
     )
     min_support = 2
     item = b.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
