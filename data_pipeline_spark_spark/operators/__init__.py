@@ -77,6 +77,7 @@ _ROUND6_PRIORITY = [
     "stream_upsert_sink",
     "basket_pair_affinity",
     "profile_join_skew",
+    "ts_anomaly_mad",
     # (a cont.) the two fixed STREAMING keys — slow but must re-green
     "stream_session_window",
     "stream_stream_join",

@@ -467,3 +467,63 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "part_a", "part_b", "n_pair", "n_a", "n_b", lift.alias("lift")
     )
+
+
+_MAD_SQL = """
+    WITH m AS (
+      SELECT event_type, ROUND(median(value), 4) AS med
+      FROM events GROUP BY event_type
+    ),
+    md AS (
+      SELECT e.event_type,
+             ROUND(median(ABS(e.value - m.med)), 4) AS mad
+      FROM events e JOIN m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type, m.med, md.mad,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3 * md.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN m USING (event_type) JOIN md USING (event_type)
+    GROUP BY e.event_type, m.med, md.mad
+"""
+
+
+@query("ts_anomaly_mad", oracle=_MAD_SQL)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per series: median absolute deviation
+    (MAD) thresholding, the estimator that survives the outliers it
+    hunts (mean/stddev z-scores get dragged by the anomalies
+    themselves — [[udf_grouped_zscore]] is that fragile form). Two
+    grouped exact medians (value, then |value − med|), each joined
+    back broadcast, then one counting pass flagging |v − med| >
+    3·MAD.
+
+    Cross-engine determinism: the medians are rounded to 4 decimals
+    BEFORE entering the threshold predicate (even-sized groups
+    interpolate (a+b)/2 and engines may differ in the last ulp — see
+    [[agg_median_exact]]); from rounded med/mad on, every comparison
+    input is bit-identical in both engines, so the outlier counts
+    agree exactly. At 100 TB: exact medians buffer per group — for
+    high-cardinality series keys switch both passes to
+    percentile_approx and re-round."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.median("value"), 4).alias("med")
+    )
+    d = e.join(F.broadcast(med), "event_type")
+    mad = d.groupBy("event_type").agg(
+        F.round(F.median(F.abs(F.col("value") - F.col("med"))), 4).alias("mad")
+    )
+    j = d.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type", "med", "mad").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
