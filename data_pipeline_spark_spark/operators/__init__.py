@@ -78,6 +78,7 @@ _ROUND6_PRIORITY = [
     "basket_pair_affinity",
     "profile_join_skew",
     "ts_anomaly_mad",
+    "ngram_lm_counts",
     # (a cont.) the two fixed STREAMING keys — slow but must re-green
     "stream_session_window",
     "stream_stream_join",

@@ -408,3 +408,49 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy(F.col("weight").desc(), F.col("term").asc())
     return top25.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
+
+
+_NGRAM_LM_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    tri AS (SELECT t[i] || ' ' || t[i+1] AS bigram, t[i+2] AS nxt
+            FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+            WHERE len(t) >= 3)
+    SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT nxt) AS n_cont
+    FROM tri GROUP BY bigram
+"""
+
+
+@query("ngram_lm_counts", oracle=_NGRAM_LM_SQL)
+def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based language-model statistics over the corpus: per
+    bigram prefix, total trigram occurrences and the DISTINCT
+    continuation count — the adjusted-count input Kneser-Ney
+    smoothing needs, and the next-word-diversity signal data-quality
+    filters use (templated/boilerplate text shows high n with tiny
+    n_cont). The trigram explode happens INSIDE a higher-order
+    transform over the token array (no per-token shuffle — one
+    explode, then one partial-aggregating groupBy on the bigram).
+    Counts are exact integers end to end. At 100 TB the output is the
+    vocabulary-squared-bounded count table, shuffled once on the
+    bigram; the classic skew key (a stop-bigram like "of the") is
+    bounded by the count aggregate's map-side combine, not by
+    repartitioning."""
+    toks = fan_out(load(spark, sf_dir, "documents")).select(
+        F.split("text", " ").alias("t")
+    )
+    tri = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 3 THEN"
+                " transform(sequence(0, size(t)-3),"
+                "  i -> struct(concat(t[i], ' ', t[i+1]) AS bigram,"
+                "              t[i+2] AS nxt))"
+                " ELSE array() END"
+            )
+        ).alias("g")
+    ).select("g.bigram", "g.nxt")
+    return tri.groupBy("bigram").agg(
+        F.count("*").alias("n"),
+        F.count_distinct(F.col("nxt")).alias("n_cont"),
+    )
