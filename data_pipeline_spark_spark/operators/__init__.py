@@ -79,6 +79,7 @@ _ROUND6_PRIORITY = [
     "profile_join_skew",
     "ts_anomaly_mad",
     "ngram_lm_counts",
+    "corpus_filter_report",
     # (a cont.) the two fixed STREAMING keys — slow but must re-green
     "stream_session_window",
     "stream_stream_join",

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fan_out, load
 from ..registry import query
 
 
@@ -237,4 +237,103 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 20)
+    )
+
+
+_FILTER_REPORT_SQL = """
+    WITH base AS (
+      SELECT doc_id, lang,
+             string_split(text, ' ') AS toks,
+             length(replace(text, ' ', '')) AS compact_len
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS w FROM base
+    ),
+    rep AS (
+      SELECT doc_id, MAX(cnt) AS max_cnt
+      FROM (SELECT doc_id, w, COUNT(*) AS cnt FROM tok GROUP BY doc_id, w)
+      GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT b.doc_id,
+             CASE WHEN len(b.toks) < 5 THEN 1 ELSE 0 END AS f_short,
+             CASE WHEN b.compact_len < 2 * len(b.toks)
+                    OR b.compact_len > 12 * len(b.toks)
+                  THEN 1 ELSE 0 END AS f_toklen,
+             CASE WHEN 10 * r.max_cnt > 3 * len(b.toks)
+                  THEN 1 ELSE 0 END AS f_rep,
+             CASE WHEN b.lang NOT IN ('en', 'de', 'fr', 'es')
+                  THEN 1 ELSE 0 END AS f_lang
+      FROM base b JOIN rep r ON b.doc_id = r.doc_id
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(f_short) AS BIGINT) AS n_fail_short,
+           CAST(SUM(f_toklen) AS BIGINT) AS n_fail_toklen,
+           CAST(SUM(f_rep) AS BIGINT) AS n_fail_repetition,
+           CAST(SUM(f_lang) AS BIGINT) AS n_fail_lang,
+           CAST(SUM(CASE WHEN f_short + f_toklen + f_rep + f_lang = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM flags
+"""
+
+
+@query("corpus_filter_report", oracle=_FILTER_REPORT_SQL)
+def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style quality gate with per-rule drop
+    accounting — the report a curation run publishes so corpus
+    shrinkage is attributable rule by rule (length floor, token-shape
+    band, single-token repetition cap, language whitelist; the
+    component signals exist standalone as [[quality_score]],
+    [[repetition_stats]], [[lang_id]]).
+
+    EVERY rule predicate is an exact integer comparison (ratio rules
+    cross-multiply: max_cnt/n > 0.3 becomes 10·max_cnt > 3·n), so
+    there is no float anywhere and both engines agree on each doc's
+    flags bit for bit. The repetition rule's token histogram is the
+    only shuffle (doc-keyed, partial-aggregated); everything else is
+    a projected scan riding the same pass. Per-rule counts sum flags
+    INDEPENDENTLY (a doc failing two rules counts in both), with
+    n_pass the conjunction — the accounting layout that lets drop
+    rates be monitored per rule across corpus versions."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("toks"),
+        F.length(F.regexp_replace("text", " ", "")).alias("compact_len"),
+    )
+    rep = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_cnt"))
+    )
+    n = F.size("toks")
+    flags = base.join(rep, "doc_id").select(
+        F.when(n < 5, 1).otherwise(0).alias("f_short"),
+        F.when(
+            (F.col("compact_len") < 2 * n) | (F.col("compact_len") > 12 * n),
+            1,
+        )
+        .otherwise(0)
+        .alias("f_toklen"),
+        F.when(10 * F.col("max_cnt") > 3 * n, 1).otherwise(0).alias("f_rep"),
+        F.when(~F.col("lang").isin("en", "de", "fr", "es"), 1)
+        .otherwise(0)
+        .alias("f_lang"),
+    )
+    total_fail = (
+        F.col("f_short") + F.col("f_toklen") + F.col("f_rep") + F.col("f_lang")
+    )
+    return flags.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("f_short").cast("bigint").alias("n_fail_short"),
+        F.sum("f_toklen").cast("bigint").alias("n_fail_toklen"),
+        F.sum("f_rep").cast("bigint").alias("n_fail_repetition"),
+        F.sum("f_lang").cast("bigint").alias("n_fail_lang"),
+        F.sum(F.when(total_fail == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
     )
