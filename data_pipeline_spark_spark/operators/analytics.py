@@ -402,6 +402,14 @@ _AFFINITY_SQL = """
 """
 
 
+# A basket of 10k+ distinct items is pathological (k(k-1)/2 pair
+# fan-out); capping the sorted item array bounds it. TPC-H orders top
+# out at 7 lineitems, so the cap never binds on the fixtures and the
+# SQL oracle needs no matching clause; when it binds, pair counts
+# become a lower bound for pairs involving the truncated tail.
+_BASKET_ITEM_CAP = 10_000
+
+
 @query("basket_pair_affinity", oracle=_AFFINITY_SQL)
 def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair affinity: co-occurrence count and lift for
@@ -409,47 +417,69 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic scale hazard (a k-item basket emits k(k-1)/2 pairs), and
     the defenses are coded, not prose:
 
-    - **Apriori prune (lossless)**: a pair with support ≥ S needs both
-      items at support ≥ S, so items below the threshold are dropped
-      BEFORE the self-join — at 100 TB this is what keeps the long
-      tail of single-occurrence items out of the shuffle entirely.
-    - The self-join runs on the basket key, so pair fan-out happens
-      inside each sort-merge run (same shape as
-      [[dedup_ngram_jaccard]]'s shingle join, with the same AQE
-      skew-split backstop for a pathological mega-basket; a per-basket
-      item cap is the documented next rung).
+    - **One fact-table shuffle.** ``groupBy(l_orderkey).agg(
+      collect_set(l_partkey))`` is the only shuffle that touches
+      lineitem-sized data (collect_set dedups, so no separate
+      ``.distinct()`` pass). Pair generation is then a per-basket
+      array expansion inside the already-grouped row — no self-join,
+      so the fact table is never shuffled twice, and the pair rows
+      born from one basket never cross an executor boundary before
+      their own (small, post-fanout) groupBy. The earlier shape —
+      self-join on the basket key — shuffled ``b`` on both sides and
+      re-shuffled the exploded pairs: ~3 data-proportional shuffles
+      where one suffices.
+    - **Per-basket item cap** (``_BASKET_ITEM_CAP``): bounds the
+      quadratic fan-out of a pathological mega-basket; a no-op on
+      TPC-H (max 7 items/order).
+    - **Apriori prune (next rung, documented)**: a pair with support
+      ≥ S needs both items at support ≥ S. The ``n_pair >= S`` filter
+      already subsumes it for *correctness*; as a *performance* rung
+      at 100 TB, filter infrequent items out of the basket arrays
+      (``array_intersect`` with a broadcast frequent-item set) before
+      the pair expansion to keep the single-occurrence long tail out
+      of the fan-out entirely.
 
-    Lift's numerator and denominator are exact bigint products, so the
-    single double division is bit-identical in both engines."""
-    b = (
+    Item counts and the basket total are derived from the checkpointed
+    basket arrays (2-column, one row per order), not re-scans of the
+    fact table. Lift's numerator and denominator are exact bigint
+    products, so the single double division is bit-identical in both
+    engines."""
+    baskets = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
-        # the basket set feeds item counts, the total, and BOTH join
-        # sides — a lazy localCheckpoint materializes it once on first
-        # use (2 longs/row) instead of six re-scans of the fact table
-        # (same pattern as shard_pack, training_data.py)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .select(F.slice("items", 1, _BASKET_ITEM_CAP).alias("items"))
+        # baskets feed the pair expansion, item counts, and the total —
+        # a lazy localCheckpoint materializes the post-shuffle arrays
+        # once instead of three re-scans of the fact table (same
+        # pattern as shard_pack, training_data.py)
         .localCheckpoint(eager=False)
     )
     min_support = 2
-    item = b.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    item = baskets.select(
+        F.explode("items").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count("*").alias("n_item"))
     # lazy 1-row total, broadcast onto the pairs — not an eager
-    # driver count (the plan stays a single job; production would
-    # additionally persist `b`, which this plan evaluates per use)
-    tot = b.select(
-        F.count_distinct(F.col("l_orderkey")).alias("n_baskets")
+    # driver count (the plan stays a single job)
+    tot = baskets.select(F.count("*").alias("n_baskets"))
+    # in-basket pair expansion: items is a sorted set, so pairing each
+    # element with its strict successors yields exactly the distinct
+    # part_a < part_b pairs — all inside the row, JVM-side
+    pairs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + F.lit(2), F.size("items")),
+                lambda y: F.struct(
+                    x.alias("part_a"), y.alias("part_b")
+                ),
+            ),
+        )
     )
-    # Apriori: only items frequent enough to appear in a qualifying
-    # pair enter the self-join
-    frequent = item.filter(F.col("n_item") >= min_support).select("l_partkey")
-    bf = b.join(F.broadcast(frequent), "l_partkey").select(
-        "l_orderkey", "l_partkey"
-    )
-    a = bf.toDF("l_orderkey", "part_a")
-    c = bf.toDF("l_orderkey", "part_b")
     pair = (
-        a.join(c, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_pair"))
         .filter(F.col("n_pair") >= min_support)
