@@ -94,12 +94,55 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode")
+# The stub decode is a pure function of sha256(payload), so the whole
+# pipeline IS SQL-expressible: DuckDB's sha256() hashes the same UTF-8
+# bytes, and digest byte i is the hex pair at 2i — extracted with
+# strpos over the hex alphabet. Width/height sums stay exact bigints
+# (an avg would re-open the Spark-vs-DuckDB double-ROUND gap).
+_HEXVAL_A = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
+
+
+def _digest_byte(i: int) -> str:
+    """SQL expression for sha256-digest byte ``i`` of column ``hx``."""
+    hi = _HEXVAL_A.format(p=2 * i + 1)
+    lo = _HEXVAL_A.format(p=2 * i + 2)
+    return f"({hi} * 16 + {lo})"
+
+
+_DECODE_SQL = f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS hx
+      FROM documents
+    ),
+    b AS (
+      SELECT n_bytes,
+             {_digest_byte(0)} AS b0,
+             {_digest_byte(1)} AS b1,
+             {_digest_byte(2)} AS b2
+      FROM h
+    )
+    SELECT CASE WHEN b2 % 2 = 0 THEN 'RGB' ELSE 'L' END AS mode,
+           COUNT(*) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(64 + b0 % 192) AS BIGINT) AS sum_width,
+           CAST(SUM(64 + b1 % 192) AS BIGINT) AS sum_height
+    FROM b
+    GROUP BY mode
+"""
+
+
+@query("multimodal_decode", oracle=_DECODE_SQL)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode pipeline: payload → mapInPandas(decode_batch) →
-    per-item features → aggregate by decoded mode. Deterministic
-    (stub derives features from sha256) but not SQL-expressible →
-    rows-only check."""
+    per-item features → aggregate by decoded mode. The stub decode is
+    a deterministic function of the payload's sha256 digest, so the
+    DuckDB oracle replays it in SQL (digest-byte extraction from the
+    hex form) — the mapInPandas plumbing gets a full value-hash
+    check, not just a rows-only run. Width/height are summed as exact
+    bigints; a rounded avg would hit the cross-engine double-ROUND
+    boundary gap (see verify-skill gotchas)."""
     d = attach_payload(fan_out(load(spark, sf_dir, "documents"))).select("doc_id", "payload")
     decoded = d.mapInPandas(
         decode_batch,
@@ -108,8 +151,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.groupBy("mode").agg(
         F.count("*").alias("n_items"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg("width"), 4).alias("avg_width"),
-        F.round(F.avg("height"), 4).alias("avg_height"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
     )
 
 
@@ -123,13 +166,28 @@ def resize_stub(payload: bytes, target: int) -> bytes:
     return payload + b"\x00" * (target - len(payload))
 
 
-@query("multimodal_resize")
+_RESIZE_SQL = """
+    SELECT CAST(128 AS BIGINT) AS bytes_out,
+           COUNT(*) AS n_items,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT)
+             AS total_bytes_in,
+           CAST(MIN(octet_length(encode(text))) AS BIGINT)
+             AS min_bytes_in,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT)
+             AS max_bytes_in
+    FROM documents
+"""
+
+
+@query("multimodal_resize", oracle=_RESIZE_SQL)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pipeline: payload batch → mapInPandas(resize) → new
     binary column + before/after sizes, aggregated per size class.
     The Spark-side contract (binary in, binary out, Arrow-batched,
     schema-declared) is exactly what a PIL/torchvision resize needs;
-    only the stub body changes."""
+    only the stub body changes. The stub truncates-or-pads every
+    payload to exactly 128 bytes, so the oracle is a single-group
+    exact-integer aggregate over input byte lengths."""
     target = 128
     d = attach_payload(fan_out(load(spark, sf_dir, "documents"))).select(
         "doc_id", "payload"
@@ -157,14 +215,37 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample")
+# DuckDB has no BLOB substring, so frame chunks are compared via the
+# payload's hex form: byte range [fi*16, fi*16+16) = hex chars
+# [fi*32+1, +32]. Spark counts distinct 64-bit sha256 prefixes of the
+# chunks; distinct prefixes == distinct chunks barring a 2^-64
+# collision, so the counts agree.
+_FRAME_SQL = """
+    WITH f AS (
+      SELECT doc_id,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 16 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_sampled_frames,
+           CAST(COUNT(DISTINCT substr(hx, fi * 32 + 1, 32)) AS BIGINT)
+             AS n_distinct_frames
+    FROM f, unnest(range(0, n_frames, 4)) AS t(fi)
+    GROUP BY doc_id
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_SQL)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for video-like payloads: each payload is treated
     as a frame container (fixed 16-byte frames for the stub); every
     k-th frame is emitted as its own row — the one-payload-in,
     many-rows-out shape (mapInPandas, not a scalar UDF, precisely
     because the cardinality changes). Deterministic: frame digests
-    derive from payload bytes."""
+    derive from payload bytes, so the oracle replays the stride-4
+    sampling with a lateral range() and compares per-doc frame
+    counts."""
     frame_size, stride = 16, 4
     d = attach_payload(fan_out(load(spark, sf_dir, "documents"))).select(
         "doc_id", "payload"
@@ -231,7 +312,39 @@ def feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("multimodal_feature_extract")
+# Float parity argument, term by term: the stub's digest[i]/255.0 is
+# a Python double narrowed to float32 by Arrow; the oracle's
+# CAST(b_i/255.0 AS FLOAT) narrows the same double the same way.
+# Spark multiplies float*float in f32; DuckDB's FLOAT*FLOAT product is
+# exact in f64 (≤48 significand bits) so its single narrowing equals
+# the JVM's — no double-rounding gap. Both engines then fold the
+# identical f64 addends left-to-right (Spark's F.aggregate and SQL's
+# left-assoc +), so sqrt sees a bit-identical sum. ROUND(…, 4) is
+# safe: k/255 sits ≥1.9e-7 from every 4-decimal half-boundary while
+# f32 error is ≤6e-8.
+_FEAT_X = ",\n             ".join(
+    f"CAST({_digest_byte(i)} / 255.0 AS FLOAT) AS x{i}"
+    for i in range(_FEAT_DIM)
+)
+_FEAT_CHAIN = " + ".join(
+    f"CAST(x{i} * x{i} AS DOUBLE)" for i in range(_FEAT_DIM)
+)
+_FEAT_SQL = f"""
+    WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+    x AS (
+      SELECT doc_id,
+             {_FEAT_X}
+      FROM h
+    )
+    SELECT doc_id,
+           ROUND(sqrt({_FEAT_CHAIN}), 4) AS l2_norm,
+           ROUND(CAST(x0 AS DOUBLE), 4) AS f0
+    FROM x
+    ORDER BY doc_id
+"""
+
+
+@query("multimodal_feature_extract", oracle=_FEAT_SQL)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction pipeline — the bridge from opaque media
     bytes to the embedding operators: payload → mapInPandas(model
@@ -239,9 +352,9 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary per feature dimension. Completes the multimodal ladder
     (meta → decode → resize/frame-sample → feature-extract); the
     extracted arrays are exactly the shape `sim_search` /
-    `embedding_quantize` consume. Deterministic (stub derives
-    features from sha256) but not SQL-expressible → rows-only
-    check."""
+    `embedding_quantize` consume. The stub derives features from
+    sha256, so the oracle replays the digest→float32→norm pipeline
+    in SQL with bit-exact float parity (see `_FEAT_SQL`)."""
     d = attach_payload(fan_out(load(spark, sf_dir, "documents"))).select(
         "doc_id", "payload"
     )
