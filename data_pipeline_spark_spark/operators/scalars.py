@@ -329,9 +329,10 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udf_grouped_zscore",
     oracle="""
-    SELECT event_id, event_type,
-           ROUND((value - avg(value) OVER (PARTITION BY event_type))
-                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS zscore
+    SELECT event_id, event_type, CAST(ts AS DATE) AS day,
+           ROUND((value - avg(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)))
+                 / stddev_samp(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)),
+                 4) AS zscore
     FROM events
     """,
 )
@@ -340,8 +341,16 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas, schema-declared output. The grouped-map path is the
     template for custom per-entity operators (per-patient signal
     normalization in the reference's domain). Equivalent window SQL is
-    the oracle. Each group must fit in one executor's memory — for
-    100 TB group instead by (entity, day) to bound group size."""
+    the oracle.
+
+    Each applyInPandas group materializes in one executor's memory, so
+    the grouping key must bound group size: grouping by bare
+    event_type (a handful of values) would make one group ≈ one
+    Nth of the whole table — an OOM at 100× data. The key here is
+    (event_type, day): cardinality grows with the time axis, so
+    groups stay day-sized no matter how large the table gets. The
+    statistic stays per-day-local, which is also what per-session
+    signal normalization wants."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         mu = pdf["value"].mean()
@@ -351,14 +360,17 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
+                "day": pdf["day"],
                 "zscore": (z * 10000).round() / 10000,
             }
         )
         return out
 
-    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    return ev.groupBy("event_type").applyInPandas(
-        zscore, schema="event_id long, event_type string, zscore double"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").cast("date").alias("day"), "value"
+    )
+    return ev.groupBy("event_type", "day").applyInPandas(
+        zscore, schema="event_id long, event_type string, day date, zscore double"
     )
 
 
