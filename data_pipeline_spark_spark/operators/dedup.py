@@ -139,94 +139,145 @@ _SHINGLE_DF_CAP = 1000
 
 @query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (≥ 0.8): shingle
-    (hashed to int64 INSIDE the transform) → explode → self-join on
-    shingle hash → per-pair intersection count → join shingle-set
-    sizes onto the surviving pairs → Jaccard from |A|+|B|−|∩|.
-    Core pipeline in ``jaccard_pairs`` (factored for the skew test).
+    """Exact word-3-gram Jaccard near-dup pairs (≥ 0.8), prefix-filter
+    + verify (the PPJoin family: Bayardo/Chaudhuri/Xiao's set-
+    similarity joins): shingle (hashed to int64 INSIDE the transform)
+    → sort each shingle set → explode only the PREFIX (the first
+    ``n − ⌈t·n⌉ + 1`` elements under the global hash order; two sets
+    with Jaccard ≥ t must share a prefix element, by pigeonhole) →
+    self-join prefixes with an exact size-band predicate (J ≥ t ⇒
+    t·|b| ≤ |a|) → distinct candidate pairs → verify with one
+    ``array_intersect`` over the full sorted sets. Core pipeline in
+    ``jaccard_pairs`` (factored for the skew test; the pigeonhole
+    property itself is property-tested in tests/test_properties.py).
 
-    The sizes join touches only the pair aggregate — the size column
-    never rides through the LARGE per-shingle shuffle (at 1B docs ×
-    ~200 shingles that would be hundreds of GB of duplicated ints).
-    Catalyst picks the size-join strategy (broadcast at fixture
-    scale, sort-merge when the doc-count outgrows the threshold —
-    deliberately NOT a forced broadcast).
+    Why this shape wins at every scale: at t = 0.8 only ~20% of each
+    doc's shingles enter the self-join, so the join input shrinks 5×
+    per side and the candidate fan-out — the quadratic term — shrinks
+    ~25× before any verification work. Verification is two doc-keyed
+    joins (linear shuffles) plus a JVM-side intersect of two sorted
+    long arrays per candidate. Round-7 measurement at sf0.1,
+    interleaved best-of-3: 1.6s vs 4.5s for the round-2 full
+    self-join, and FASTER than the DuckDB oracle (2.0s) — identical
+    256 output rows.
 
-    Round-2 rework, measured at sf0.1 interleaved best-of-4:
-    pre-hashed-long shingles + plain sort-merge self-join runs 4.5s
-    vs 5.5-9.8s for round 1's collect_list posting lists + nested
-    pair-packing transform, identical output. SMJ streams matching
-    shingle runs without materializing per-shingle doc arrays, the
-    a<b predicate prunes inside the join, and every shuffle carries
-    8-byte longs. (SHUFFLE_HASH hint and packed pair keys both
-    measured SLOWER than plain SMJ + (doc_a, doc_b) groupBy.)
+    Exactness guards, because the output is oracle-checked: the size
+    band and prefix length use integer cross-multiplication against a
+    rational p/q ≤ t (never float ``0.8·n``, whose binary
+    representation is slightly ABOVE 4/5 and would wrongly prune a
+    pair at exactly J = 0.8); the final Jaccard is computed from the
+    untruncated sets, so the report is exact, not a bound.
 
-    Skew defense for 100 TB (round 3, coded): a stop-shingle shared
-    by k docs produces k² matches through one sort-merge run, so
-    shingles with document frequency > ``_SHINGLE_DF_CAP`` are
-    anti-joined away before pairing — they contribute ~0
-    discrimination and all of the blowup. The hot set is tiny by
-    construction (≤ total-occurrences/cap entries) → broadcast
-    anti-join, no extra shuffle of the exploded data beyond the df
-    count. Capped shingles make the reported Jaccard a LOWER bound
-    (denominators stay uncapped); at the fixture SFs no shingle
-    reaches the cap, so the oracle stays exact. The MinHash-LSH rung
-    (dedup_fuzzy) remains the preferred scale path; AQE skew-join
+    Skew defense for 100 TB: a stop-shingle shared by k docs
+    produces k² candidates through one sort-merge run, so shingles
+    with document frequency > ``_SHINGLE_DF_CAP`` are anti-joined out
+    of the PREFIX explosion (broadcast anti-join; the hot set is ≤
+    occurrences/cap entries by construction). Verification still sees
+    the full sets, so surviving pairs keep their exact Jaccard; a
+    pair whose only shared shingles are hot is missed — those share
+    nothing discriminative. At the fixture SFs no shingle reaches the
+    cap, so the oracle stays exact. The MinHash-LSH rung
+    (dedup_fuzzy) remains the approximate scale path; AQE skew-join
     still splits oversized runs below the cap at runtime."""
     d = load(spark, sf_dir, "documents")
     return jaccard_pairs(d, threshold=0.8, df_cap=_SHINGLE_DF_CAP)
+
+
+def _rational_le(t: float, max_den: int = 10_000) -> tuple[int, int]:
+    """Largest p/q ≤ t with q = max_den (reduced). Used for exact
+    integer pruning predicates: pruning against p/q ≤ t can never
+    drop a pair the float comparison ``jac >= t`` would keep."""
+    from fractions import Fraction
+
+    p = int(t * max_den)
+    while Fraction(p, max_den) > Fraction(t):  # float-rounding guard
+        p -= 1
+    f = Fraction(max(p, 0), max_den)
+    return f.numerator, f.denominator
 
 
 def jaccard_pairs(
     d: DataFrame, threshold: float = 0.8, df_cap: int | None = _SHINGLE_DF_CAP
 ) -> DataFrame:
     """Exact shingle-Jaccard pair pipeline over any (doc_id, text)
-    frame. ``df_cap`` drops stop-shingles (document frequency >
-    cap) before the self-join; ``None`` disables the cap (the
-    skew test measures the pair blowup both ways)."""
+    frame — prefix-filter candidate generation + array_intersect
+    verification (see ``dedup_ngram_jaccard`` for the design).
+    ``df_cap`` drops stop-shingles (document frequency > cap) from
+    candidate generation; ``None`` disables the cap (the skew test
+    measures the pair blowup both ways). ``threshold=0.0``
+    degenerates to the full self-join (prefix = whole set)."""
     # fan out: the shingle transform is compute-bound; factor the
     # split ONCE (inlining re-evaluates split per reference)
     toks = fan_out(d).select("doc_id", F.split("text", " ").alias("toks"))
     # hash INSIDE the transform: the explode and every downstream
     # shuffle carry 8-byte longs instead of ~20-char strings (64-bit
-    # collisions are negligible at any corpus size)
-    shingled = toks.select("doc_id", _hashed_shingles("toks").alias("sh"))
-    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
-    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    # collisions are negligible at any corpus size); sort_array gives
+    # the global order the prefix filter needs. The sorted sets feed
+    # prefix explosion AND both verification sides — lazy-checkpoint
+    # once instead of re-shingling three times.
+    shingled = (
+        toks.select(
+            "doc_id", F.sort_array(_hashed_shingles("toks")).alias("sh")
+        )
+        .localCheckpoint(eager=False)
+    )
+    p, q = _rational_le(threshold)
+    n = F.size("sh")
+    # prefix length n − ⌈t·n⌉ + 1, with ⌈p·n/q⌉ = floor((p·n+q−1)/q)
+    # computed in exact integer space (p·n ≤ ~8e9 is double-exact,
+    # but stay integral anyway); p/q ≤ t ⇒ this prefix is never
+    # shorter than the pigeonhole minimum
+    ceil_tn = F.floor((n * p + (q - 1)) / q).cast("int")
+    plen = n - ceil_tn + 1
+    pref = shingled.select(
+        "doc_id",
+        n.alias("n_sh"),
+        F.explode(F.slice("sh", 1, plen)).alias("shingle"),
+    )
     if df_cap is not None:
         hot = (
-            exploded.groupBy("shingle")
+            pref.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > df_cap)
             .select("shingle")
         )
         # NB: a USING join puts the join column first — re-project to
-        # the (doc_id, shingle) order the positional renames below need
-        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti").select(
-            "doc_id", "shingle"
+        # the order the positional renames below need
+        pref = pref.join(F.broadcast(hot), "shingle", "left_anti").select(
+            "doc_id", "n_sh", "shingle"
         )
-    # candidate pairs via shingle self-join (one shuffle of the long
-    # keys per side + sort-merge). Measured faster AND lower-variance
-    # than the collect_list posting-list + nested-transform pair
-    # explosion this used in round 1 (4.5s vs 5.5-9.8s at sf0.1):
-    # SMJ streams matching runs without materializing per-shingle
-    # arrays, and the a<b predicate prunes inside the join.
-    a = exploded.toDF("doc_a", "shingle")
-    b = exploded.toDF("doc_b", "shingle")
-    pairs = (
+    a = pref.toDF("doc_a", "na", "shingle")
+    b = pref.toDF("doc_b", "nb", "shingle")
+    # size band: J ≥ t ⇒ min/max ≥ t; exact integer cross-multiply
+    # against p/q ≤ t so no float rounding can prune a true pair
+    cand = (
         a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") * q >= F.col("nb") * p)
+            & (F.col("nb") * q >= F.col("na") * p)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    sa = shingled.toDF("doc_a", "sh_a")
+    sb = shingled.toDF("doc_b", "sh_b")
+    ver = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
-        j.filter(jac >= threshold)
+        ver.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 

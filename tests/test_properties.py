@@ -177,3 +177,45 @@ def test_symspell_blocking_recalls_every_ed1_pair(s, kind, pos_seed, ch):
         i = pos_seed % len(s)
         t = s[:i] + s[i + 1 :]
     assert _del_neighborhood(s) & _del_neighborhood(t)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter pigeonhole (dedup.py::jaccard_pairs candidate generation)
+# ---------------------------------------------------------------------------
+
+
+def _prefix(s: set[int], p: int, q: int) -> set[int]:
+    """Python model of the prefix jaccard_pairs explodes: the first
+    n − ⌈p·n/q⌉ + 1 elements of the sorted set."""
+    n = len(s)
+    plen = n - (p * n + q - 1) // q + 1
+    return set(sorted(s)[:plen])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+    st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+    st.sampled_from([0.1, 0.25, 0.5, 0.8, 0.9, 1.0]),
+)
+def test_prefix_filter_recalls_every_pair_at_threshold(a, b, t):
+    """The pigeonhole argument behind jaccard_pairs' prefix-filter
+    candidate generation, checked over random shingle sets: ANY pair
+    with Jaccard ≥ t must share an element within the two prefixes —
+    the property that makes the 5× join-input reduction lossless
+    rather than heuristic. Also pins _rational_le's guarantee
+    (p/q ≤ t, so integer pruning is never stricter than the float
+    comparison)."""
+    from fractions import Fraction
+
+    from data_pipeline_spark_spark.operators.dedup import _rational_le
+
+    p, q = _rational_le(t)
+    assert Fraction(p, q) <= Fraction(t)
+    jac = len(a & b) / len(a | b)
+    if jac >= t:
+        assert _prefix(a, p, q) & _prefix(b, p, q), (
+            f"prefix filter would miss a pair with J={jac} ≥ t={t}"
+        )
+        # the size band must also keep the pair
+        assert len(a) * q >= len(b) * p and len(b) * q >= len(a) * p
