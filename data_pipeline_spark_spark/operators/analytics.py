@@ -444,9 +444,20 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table. Lift's numerator and denominator are exact bigint
     products, so the single double division is bit-identical in both
     engines."""
+    from ..session import default_parallelism
+
     baskets = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        # pin the shuffle width: the basket arrays are few MB, so
+        # AQE's size-based coalescing would shrink the agg + pair-
+        # expansion stage to ~1 task — but the expansion downstream is
+        # CPU-bound (k²/2 pairs per basket), not size-bound. An
+        # explicit numbered repartition on the grouping key is a hard
+        # requirement AQE honors, the groupBy reuses its partitioning
+        # (no extra exchange), and the checkpoint preserves it for the
+        # expansion. Measured at sf0.1: 2.4s → 1.5s.
+        .repartition(default_parallelism(), "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
         .select(F.slice("items", 1, _BASKET_ITEM_CAP).alias("items"))
