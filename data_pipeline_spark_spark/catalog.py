@@ -52,8 +52,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # same query returns different days. The engine's declared
     # semantics are UTC; idempotent one-liner, same pattern as the
     # nanos shim below.
-    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_utc(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # DELIBERATE session-wide conf, same contract as the UTC pin
@@ -70,6 +69,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return _ntz_to_ltz(df)
     return _ntz_to_ltz(spark.read.parquet(path))
+
+
+def pin_utc(spark: SparkSession) -> None:
+    """Idempotently pin the session timezone to UTC — the engine's
+    declared timestamp semantics. Shared by catalog.load and every
+    streaming entry point that retags NTZ columns, so an NTZ->LTZ
+    cast is always the pure metadata retag described in
+    ``_ntz_to_ltz`` regardless of which code path ran first."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def _ntz_to_ltz(df: DataFrame) -> DataFrame:

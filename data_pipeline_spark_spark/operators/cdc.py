@@ -22,20 +22,24 @@ from ..registry import query
 
 # Deterministic CDC batch derived from the customer table itself:
 #   key % 7 == 0  -> update (acctbal bumped +100, segment re-coded)
-#   key % 97 == 0 -> insert (new key = key + 1_000_000)
+#   key % 97 == 0 -> insert (new key = max(key) + 1 + key — guaranteed
+#                    disjoint from existing keys at EVERY scale
+#                    factor, unlike a fixed +1e6 offset which would
+#                    collide once custkey exceeds 1M at SF >= ~7)
 #   key % 101 == 0 -> delete
 # Spark and the oracle build the SAME batch from the same rows, so
 # the merge result is engine-independent (acctbal+100.0 is one IEEE
 # add — bit-identical everywhere).
 
 _MERGE_SQL = """
-    WITH upd AS (
+    WITH mx AS (SELECT MAX(c_custkey) AS mx FROM customer),
+    upd AS (
       SELECT c_custkey AS k, c_acctbal + 100.0 AS new_bal, 'U' AS op
       FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 101 <> 0
     ),
     ins AS (
-      SELECT c_custkey + 1000000 AS k, c_acctbal AS new_bal, 'I' AS op
-      FROM customer WHERE c_custkey % 97 = 0
+      SELECT c_custkey + mx.mx + 1 AS k, c_acctbal AS new_bal, 'I' AS op
+      FROM customer, mx WHERE c_custkey % 97 = 0
     ),
     del AS (
       SELECT c_custkey AS k, CAST(NULL AS DOUBLE) AS new_bal, 'D' AS op
@@ -78,10 +82,18 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("U").alias("op"),
         )
     )
-    ins = t.filter(k % 97 == 0).select(
-        (k + 1000000).alias("k"),
-        F.col("c_acctbal").alias("new_bal"),
-        F.lit("I").alias("op"),
+    # insert keys offset by max(c_custkey): broadcast the one-row
+    # aggregate (lazy — no driver collect), so keys stay disjoint
+    # from the target at any scale factor
+    mx = t.agg(F.max("c_custkey").alias("mx"))
+    ins = (
+        t.filter(k % 97 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (k + F.col("mx") + 1).alias("k"),
+            F.col("c_acctbal").alias("new_bal"),
+            F.lit("I").alias("op"),
+        )
     )
     dele = t.filter(k % 101 == 0).select(
         k.alias("k"),

@@ -430,9 +430,31 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter is semantically transparent so the oracle is the plain
     join."""
     conf = spark.conf
+
+    def _get_explicit(key):
+        # distinguish "explicitly set" from "session default":
+        # restoring a default via set() would freeze the default's
+        # string form into the session as an explicit value, while
+        # unset() puts the key truly back. conf.get(key, None) can't
+        # tell the two apart (it returns the default), so use the
+        # JVM getOption when present (classic); on Spark Connect
+        # (no _jconf) fall back to the effective value — set/set
+        # restore, slightly lossy but correct-valued.
+        jconf = getattr(conf, "_jconf", None)
+        if jconf is not None:
+            opt = jconf.getOption(key)
+            return opt.get() if opt.isDefined() else None
+        return conf.get(key)
+
+    def _restore(key, old):
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)
+
     k_scan = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
     k_bcast = "spark.sql.autoBroadcastJoinThreshold"
-    old_scan, old_bcast = conf.get(k_scan), conf.get(k_bcast)
+    old_scan, old_bcast = _get_explicit(k_scan), _get_explicit(k_bcast)
     conf.set(k_scan, "0")
     conf.set(k_bcast, "-1")
     try:
@@ -453,9 +475,15 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # force logical optimization NOW, while the knobs are set;
-        # the lazy val caches the bloom-injected plan for execution
-        out._jdf.queryExecution().optimizedPlan()
+        # the lazy val caches the bloom-injected plan for execution.
+        # _jdf is classic-only (absent on Spark Connect) — there the
+        # plan optimizes lazily and may miss the injection window,
+        # but the query stays semantically identical (the bloom
+        # filter is a pure pruning hint).
+        jdf = getattr(out, "_jdf", None)
+        if jdf is not None:
+            jdf.queryExecution().optimizedPlan()
     finally:
-        conf.set(k_scan, old_scan)
-        conf.set(k_bcast, old_bcast)
+        _restore(k_scan, old_scan)
+        _restore(k_bcast, old_bcast)
     return out

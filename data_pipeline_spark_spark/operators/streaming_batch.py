@@ -615,7 +615,13 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("last_event_id"),
             F.col("value").alias("last_value"),
         )
-        return spark.createDataFrame(final.collect(), final.schema)
+        # pin EXECUTOR-side before the finally block deletes the
+        # state parquet: localCheckpoint cuts the lineage and stores
+        # the O(keys) partitions in executor block storage — unlike a
+        # driver collect, memory stays distributed. (Non-reliable
+        # checkpoint: lost if an executor dies; at 100 TB the state
+        # would live in a real table and this pin disappears.)
+        return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)

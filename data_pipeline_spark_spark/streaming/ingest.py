@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..catalog import pin_utc
 from ..sources.eeg_csv import (
     SessionHeader,
     build_schema,
@@ -157,7 +158,11 @@ def windowed_event_counts(
     the DuckDB oracle verifies; this streaming form is exercised by
     tests with a memory sink."""
     # same nanosecond-timestamp shim as catalog.load: read TIMESTAMP(NANOS)
-    # as long nanos, floor to microseconds
+    # as long nanos, floor to microseconds. Pin UTC first — the NTZ
+    # retag below is only a metadata no-op under a UTC session zone,
+    # and this entry point must not depend on catalog.load having
+    # already run on this session.
+    pin_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(events_path).schema
     # the streaming file source wants a DIRECTORY; narrow to the one

@@ -72,9 +72,10 @@ def test_merge_upsert_three_ops(spark, sf_dir):
     }
     after = {r.c_custkey: r for r in merge_upsert(spark, sf_dir).collect()}
 
+    mx = max(before) + 1
     deleted = [k for k in before if k % 101 == 0]
     updated = [k for k in before if k % 7 == 0 and k % 101 != 0]
-    inserted = [k + 1000000 for k in before if k % 97 == 0]
+    inserted = [k + mx for k in before if k % 97 == 0]
     untouched = [
         k for k in before if k % 7 != 0 and k % 101 != 0
     ]
@@ -85,7 +86,7 @@ def test_merge_upsert_three_ops(spark, sf_dir):
         assert after[k].c_acctbal == before[k] + 100.0
     for k in inserted:
         assert after[k].c_name == f"new-{k}"
-        assert after[k].c_acctbal == before[k - 1000000]
+        assert after[k].c_acctbal == before[k - mx]
     for k in untouched[:50]:
         assert after[k].c_acctbal == before[k]
 
