@@ -181,9 +181,16 @@ def main() -> None:
     execute_fully(registry.QUERIES["sort_limit"](spark, sf_dir))
 
     runs = int(os.environ.get("BENCH_RUNS", "3"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "1"))
     timings: dict[str, float] = {}
     with ContentionMeter() as meter:
         for name in HEADLINE:
+            # per-query untimed warm-up: the first execution of a plan
+            # pays Janino codegen-compile + C2 JIT of the generated
+            # classes (measured up to 5× on the heavier plans); timed
+            # runs then report steady-state, which is what scales
+            for _ in range(warmup):
+                execute_fully(registry.QUERIES[name](spark, sf_dir))
             best = float("inf")
             for _ in range(runs):
                 t0 = time.perf_counter()

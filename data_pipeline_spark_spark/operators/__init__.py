@@ -75,6 +75,10 @@ _ROUND7_PRIORITY = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_feature_extract",
+    # (b2) new round-7 operators — never checked by definition
+    "keyword_search_bm25",
+    "dedup_span_exact",
+    "doc_truncate_tokens",
     # (c) last green row r02
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",

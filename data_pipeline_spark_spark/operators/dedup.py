@@ -759,3 +759,84 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_id_sum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# repeated-span detection (C4-style span dedup accounting)
+# ---------------------------------------------------------------------------
+
+#: Span width in tokens. C4 removes repeated 3-sentence spans; on the
+#: unpunctuated fixture text, a fixed 8-token window plays that role.
+_SPAN_W = 8
+
+_SPAN_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             md5(array_to_string(t[i:i+{_SPAN_W - 1}], ' ')) AS h
+      FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_W - 1})) AS u(i)
+      WHERE len(t) >= {_SPAN_W}
+    ),
+    shared AS (
+      SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_spans
+    FROM spans s LEFT JOIN shared sh ON s.h = sh.h
+    GROUP BY s.doc_id
+"""
+
+
+@query("dedup_span_exact", oracle=_SPAN_SQL)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span accounting: slide an
+    ``_SPAN_W``-token window over every document, hash each span, and
+    report per document how many of its spans also occur in at least
+    one OTHER document — the C4/RefinedWeb span-level dedup signal
+    (intra-document repetition is [[repetition_stats]]; whole-doc
+    near-dup is [[dedup_fuzzy]]).
+
+    Scale shape: span rows are (doc_id, 128-bit hash) — ~L tokens per
+    doc, never the text itself. One shuffle groups spans by hash to
+    find cross-doc spans (map-side partial aggs collapse within-doc
+    repeats first), one joins the shared-hash set back (broadcastable
+    whenever the duplicated fraction is small, the common case), and
+    one re-groups by doc. A span seen in k docs costs k join rows —
+    no quadratic pair fan-out at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    spans = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - F.lit(_SPAN_W - 1)),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("t", i, _SPAN_W), " ")
+                    ),
+                )
+            ).alias("h"),
+        )
+    )
+    shared = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    return (
+        spans.join(shared.withColumn("is_shared", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(
+                F.when(F.col("is_shared").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_shared_spans"),
+        )
+    )

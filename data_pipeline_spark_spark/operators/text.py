@@ -454,3 +454,124 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.count_distinct(F.col("nxt")).alias("n_cont"),
     )
+
+
+# ---------------------------------------------------------------------------
+# keyword retrieval: BM25 scoring
+# ---------------------------------------------------------------------------
+
+#: Fixed keyword query for the ranked-retrieval demo. Terms chosen to
+#: hit the fixture vocabulary at different document frequencies.
+_BM25_TERMS = ("hash", "merge", "window")
+_BM25_K1 = 1.25  # exactly representable (5/4) — cross-engine determinism
+_BM25_B = 0.75   # exactly representable (3/4)
+
+
+def _bm25_term_sql(term: str) -> str:
+    """SQL for one term's BM25 contribution; the Spark expression in
+    keyword_search_bm25 mirrors this shape operation-for-operation so
+    every IEEE intermediate is identical in both engines."""
+    tf = f"tf_{term}"
+    df = f"df_{term}"
+    return (
+        f"CASE WHEN {tf} > 0 THEN "
+        f"ln(1 + ({'{n}'} - {df} + 0.5) / ({df} + 0.5))"
+        f" * (({tf} * 2.25) / ({tf} + 1.25 * (0.25 + 0.75 * "
+        f"((dl * {'{n}'}) / CAST(sum_dl AS DOUBLE))))) ELSE 0 END"
+    ).replace("{n}", "CAST(n_docs AS DOUBLE)")
+
+
+_BM25_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+             {", ".join(
+                 f"CAST(len(list_filter(t, x -> x = '{w}')) AS BIGINT)"
+                 f" AS tf_{w}" for w in _BM25_TERMS)}
+      FROM toks
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END)"
+                 f" AS DOUBLE) AS df_{w}" for w in _BM25_TERMS)}
+      FROM per_doc
+    )
+    SELECT doc_id,
+           {", ".join(f"tf_{w}" for w in _BM25_TERMS)},
+           CAST(dl AS BIGINT) AS dl,
+           ROUND({" + ".join(_bm25_term_sql(w) for w in _BM25_TERMS)}, 6)
+             AS score
+    FROM per_doc, stats
+    WHERE {" + ".join(f"tf_{w}" for w in _BM25_TERMS)} > 0
+"""
+
+
+@query("keyword_search_bm25", oracle=_BM25_SQL)
+def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked keyword retrieval over the corpus for a fixed
+    query (the lexical-search side of a retrieval pipeline; pairs
+    with the vector side in [[sim_search]]).
+
+    Scale shape: per-doc term frequencies are one narrow projection
+    over the tokenized text (no shuffle); the corpus statistics
+    (N, Σdl, per-term df) are ONE tiny aggregate row broadcast back
+    onto the docs, so the whole query is scan → broadcast join →
+    filter — zero data-proportional shuffles at any corpus size.
+
+    Determinism: the score formula is evaluated with an identical
+    operation tree in both engines — k1=1.25 and b=0.75 are exactly
+    representable doubles, tf/dl/N/Σdl enter as exact integers, and
+    the per-term contributions are summed in fixed textual order
+    (term columns, not a row aggregate), so the only cross-engine
+    wobble is ln()'s ≤1 ulp, absorbed by ROUND(..., 6). The integer
+    tf filter (not the float score) decides membership."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def tf_of(w: str):
+        # single-arg lambda: a 2-arg lambda would be interpreted by
+        # F.filter as (element, index) and bind w to the array index
+        return F.size(F.filter(toks, lambda x: x == F.lit(w)))
+
+    per_doc = d.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[tf_of(w).cast("bigint").alias(f"tf_{w}") for w in _BM25_TERMS],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{w}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{w}")
+            for w in _BM25_TERMS
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats))
+    n = F.col("n_docs").cast("double")
+
+    def term_score(w: str):
+        tf = F.col(f"tf_{w}")
+        df = F.col(f"df_{w}")
+        idf = F.log(F.lit(1) + (n - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        dl_norm = (F.col("dl") * n) / F.col("sum_dl").cast("double")
+        body = (tf * F.lit(2.25)) / (
+            tf + F.lit(1.25) * (F.lit(0.25) + F.lit(0.75) * dl_norm)
+        )
+        return F.when(tf > 0, idf * body).otherwise(F.lit(0.0))
+
+    score = term_score(_BM25_TERMS[0])
+    for w in _BM25_TERMS[1:]:
+        score = score + term_score(w)
+    tf_any = sum((F.col(f"tf_{w}") for w in _BM25_TERMS), F.lit(0))
+    return j.filter(tf_any > 0).select(
+        "doc_id",
+        *[f"tf_{w}" for w in _BM25_TERMS],
+        F.col("dl").cast("bigint").alias("dl"),
+        F.round(score, 6).alias("score"),
+    )

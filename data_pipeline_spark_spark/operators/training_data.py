@@ -262,3 +262,53 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("bigint").alias("n_chars_norm"),
         F.md5(norm).alias("norm_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# context-budget truncation
+# ---------------------------------------------------------------------------
+
+#: Token budget per training example. Small on purpose so the fixture
+#: actually exercises both branches (most fixture docs exceed it).
+_TRUNCATE_BUDGET = 32
+
+_TRUNCATE_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN len(t) < {_TRUNCATE_BUDGET}
+                     THEN len(t) ELSE {_TRUNCATE_BUDGET} END AS BIGINT)
+             AS n_kept,
+           CASE WHEN len(t) > {_TRUNCATE_BUDGET} THEN 1 ELSE 0 END
+             AS truncated,
+           md5(array_to_string(t[1:{_TRUNCATE_BUDGET}], ' ')) AS kept_hash
+    FROM toks
+"""
+
+
+@query("doc_truncate_tokens", oracle=_TRUNCATE_SQL)
+def doc_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window budgeting: cut every document to its first
+    ``_TRUNCATE_BUDGET`` whitespace tokens (the pre-tokenizer
+    truncation a training pipeline applies before packing examples
+    into fixed-length sequences — packing itself is [[shard_pack]]).
+    Output carries exact before/after token counts, a truncated flag,
+    and the md5 of the kept prefix so the oracle verifies every byte
+    of every truncation, not just counts.
+
+    Scale shape: a pure narrow projection — split, slice, hash,
+    re-join inside one codegen stage; no shuffle, no state, trivially
+    scan-parallel at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    kept = F.array_join(F.slice(toks, 1, _TRUNCATE_BUDGET), " ")
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.least(n, F.lit(_TRUNCATE_BUDGET)).cast("bigint").alias("n_kept"),
+        F.when(n > _TRUNCATE_BUDGET, 1).otherwise(0).alias("truncated"),
+        F.md5(kept).alias("kept_hash"),
+    )

@@ -1,0 +1,104 @@
+"""Semantic checks for the round-7 operators beyond oracle parity:
+BM25 membership/ordering invariants, span-sharing symmetry, and
+byte-exact truncation."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def test_bm25_membership_and_sign(spark, sf_dir):
+    """Every returned doc contains at least one query term, scores are
+    strictly positive, and a doc with no query term never appears."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.text import (
+        _BM25_TERMS,
+        keyword_search_bm25,
+    )
+
+    out = keyword_search_bm25(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "fixture vocabulary should hit the query terms"
+    for r in rows:
+        tfs = [r[f"tf_{w}"] for w in _BM25_TERMS]
+        assert sum(tfs) > 0
+        assert r.score > 0
+    # exact complement check: docs without any term are absent
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    has_term = None
+    for w in _BM25_TERMS:
+        c = F.array_contains(toks, w)
+        has_term = c if has_term is None else (has_term | c)
+    expect = d.filter(has_term).count()
+    assert len(rows) == expect
+
+
+def test_bm25_rarer_term_scores_higher(spark, sf_dir):
+    """Of two docs with equal length and a single query-term
+    occurrence each, the one holding the rarer term must score
+    higher — the idf ordering BM25 exists to provide."""
+    from data_pipeline_spark_spark.operators.text import (
+        _BM25_TERMS,
+        keyword_search_bm25,
+    )
+
+    out = keyword_search_bm25(spark, sf_dir).collect()
+    # df per term from the output itself (tf>0 row count)
+    df = {w: sum(1 for r in out if r[f"tf_{w}"] > 0) for w in _BM25_TERMS}
+    rare = min(df, key=df.get)
+    common = max(df, key=df.get)
+    if df[rare] == df[common]:
+        return  # degenerate fixture; nothing to compare
+    # pick single-term docs of each kind with the SAME dl
+    only = lambda r, w: r[f"tf_{w}"] == 1 and all(
+        r[f"tf_{v}"] == 0 for v in _BM25_TERMS if v != w
+    )
+    rare_docs = {r.dl: r.score for r in out if only(r, rare)}
+    for r in out:
+        if only(r, common) and r.dl in rare_docs:
+            assert rare_docs[r.dl] > r.score
+            return
+
+
+def test_span_sharing_invariants(spark, sf_dir):
+    """n_shared_spans is bounded by n_spans; short docs are excluded;
+    sharing is symmetric (a shared span implies ≥2 docs with a
+    nonzero shared count)."""
+    from data_pipeline_spark_spark.operators.dedup import (
+        _SPAN_W,
+        dedup_span_exact,
+    )
+    from data_pipeline_spark_spark.catalog import load
+
+    out = dedup_span_exact(spark, sf_dir)
+    assert out.filter(F.col("n_shared_spans") > F.col("n_spans")).count() == 0
+    d = load(spark, sf_dir, "documents")
+    n_long = d.filter(F.size(F.split("text", " ")) >= _SPAN_W).count()
+    assert out.count() == n_long
+    sharers = out.filter(F.col("n_shared_spans") > 0).count()
+    assert sharers != 1  # 0 (no dups) or >=2 (symmetry), never exactly 1
+
+
+def test_truncate_byte_exact(spark, sf_dir):
+    """truncated flag matches the token count, n_kept is the min, and
+    kept_hash is the md5 of the literal first-N-token prefix."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.training_data import (
+        _TRUNCATE_BUDGET,
+        doc_truncate_tokens,
+    )
+
+    out = {r.doc_id: r for r in doc_truncate_tokens(spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(out) == len(docs)
+    for d in docs[:100]:
+        toks = d.text.split(" ")
+        r = out[d.doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_kept == min(len(toks), _TRUNCATE_BUDGET)
+        assert r.truncated == (1 if len(toks) > _TRUNCATE_BUDGET else 0)
+        prefix = " ".join(toks[:_TRUNCATE_BUDGET])
+        assert r.kept_hash == hashlib.md5(prefix.encode()).hexdigest()
