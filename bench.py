@@ -49,6 +49,8 @@ HEADLINE = [
     "stream_window_agg",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_span_exact",
+    "keyword_search_bm25",
     "sim_search",
     "text_stats",
     "repetition_stats",

