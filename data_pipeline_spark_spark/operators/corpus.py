@@ -290,28 +290,37 @@ def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVERY rule predicate is an exact integer comparison (ratio rules
     cross-multiply: max_cnt/n > 0.3 becomes 10·max_cnt > 3·n), so
     there is no float anywhere and both engines agree on each doc's
-    flags bit for bit. The repetition rule's token histogram is the
-    only shuffle (doc-keyed, partial-aggregated); everything else is
-    a projected scan riding the same pass. Per-rule counts sum flags
-    INDEPENDENTLY (a doc failing two rules counts in both), with
-    n_pass the conjunction — the accounting layout that lets drop
-    rates be monitored per rule across corpus versions."""
+    flags bit for bit. ZERO data-proportional shuffles: the
+    repetition rule's hottest-token count is an in-row fold over the
+    doc's sorted token array (runs of a sorted array are its
+    multiplicities — same trick as [[repetition_stats]]; an earlier
+    shape paid an explode + two doc-keyed shuffles + a join for this
+    per-doc-local stat), so the whole gate is one projected scan into
+    one single-row aggregate. Per-rule counts sum flags INDEPENDENTLY
+    (a doc failing two rules counts in both), with n_pass the
+    conjunction — the accounting layout that lets drop rates be
+    monitored per rule across corpus versions."""
     d = fan_out(load(spark, sf_dir, "documents"))
+    max_cnt = F.expr(
+        """aggregate(sort_array(toks),
+        named_struct('prev', CAST(NULL AS STRING),
+                     'run', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT)),
+        (acc, x) -> named_struct(
+            'prev', x,
+            'run', IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+            'mx', greatest(acc.mx,
+                           IF(x <=> acc.prev, acc.run + 1,
+                              CAST(1 AS BIGINT)))),
+        acc -> acc.mx)"""
+    )
     base = d.select(
         "doc_id",
         "lang",
         F.split("text", " ").alias("toks"),
         F.length(F.regexp_replace("text", " ", "")).alias("compact_len"),
-    )
-    rep = (
-        base.select("doc_id", F.explode("toks").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("max_cnt"))
-    )
+    ).withColumn("max_cnt", max_cnt)
     n = F.size("toks")
-    flags = base.join(rep, "doc_id").select(
+    flags = base.select(
         F.when(n < 5, 1).otherwise(0).alias("f_short"),
         F.when(
             (F.col("compact_len") < 2 * n) | (F.col("compact_len") > 12 * n),
