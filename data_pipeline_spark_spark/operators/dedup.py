@@ -527,22 +527,26 @@ def minhash_df_pairs(d: DataFrame) -> DataFrame:
     8-bands, candidate pairs from band-key collisions, verified with
     the signature-estimated Jaccard ≥ 0.7. Every step is a built-in
     expression — transparent, deterministic, engine-portable — and the
-    cost model is explicit: one explode (doc × shingles), one groupBy
-    doc (signature build), one explode × 8 (bands), one groupBy band
-    key. The spark.ml twin is minhash_lsh_pairs; tests cross-check
-    both recall every exact Jaccard-0.8 pair."""
+    cost model is explicit: the signature is built IN-ROW (array_min
+    over 32 seeded hash transforms of the doc's shingle array — a
+    per-doc-local reduction needs no shuffle; an earlier shape
+    exploded shingles and paid a corpus-proportional groupBy for the
+    same 32·|sh| hash evaluations), then one explode × 8 (bands),
+    one groupBy band key. The spark.ml twin is minhash_lsh_pairs;
+    tests cross-check both recall every exact Jaccard-0.8 pair."""
     shingled = fan_out(d).select(
         "doc_id", _shingles(F.col("text")).alias("sh")
     ).filter(F.size("sh") > 0)
-    exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
-    # 32 seeded hashes per shingle; min over the doc's shingles per seed
-    sig = exploded.groupBy("doc_id").agg(
+    # 32 seeded hashes per shingle; min over the doc's shingles per
+    # seed, all inside the row
+    sig = shingled.select(
+        "doc_id",
         F.array(
             *[
-                F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+                F.array_min(F.expr(f"transform(sh, s -> xxhash64({i}, s))"))
                 for i in range(_MH_PERMS)
             ]
-        ).alias("sig")
+        ).alias("sig"),
     )
     n_bands = _MH_PERMS // _MH_BAND
     bands = sig.select(
