@@ -126,3 +126,33 @@ def test_semdedup_cluster_locality(spark, sf_dir):
         assert len(rows) <= _SEMDEDUP_TOP
         sims = [r.cos_sim for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_repetition_run_fold_edges(spark):
+    """The in-row run fold must agree with a naive Counter on edge
+    shapes: all-identical tokens (max run = n), all-distinct, single
+    bigram, and interleaved repeats that sort into one run."""
+    from collections import Counter
+
+    from data_pipeline_spark_spark.operators.text import (
+        repetition_stats_over,
+    )
+
+    docs = [
+        (1, "a a a a a"),          # one bigram repeated 4×
+        (2, "a b c d e"),          # all distinct
+        (3, "x y"),                # single bigram
+        (4, "a b a b a b"),        # interleaved: 'a b'×3, 'b a'×2
+        (5, "z"),                  # no bigram — excluded
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats_over(d).collect()}
+    assert 5 not in out
+    for doc_id, text in docs[:4]:
+        toks = text.split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        c = Counter(bgs)
+        r = out[doc_id]
+        assert r.n_bigrams == len(bgs)
+        assert r.n_distinct_bigrams == len(c)
+        assert r.top_bigram_n == max(c.values())
