@@ -416,18 +416,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is the only global state and it's ~vocabulary-sized —
     broadcastable."""
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # lazy 1-row corpus size broadcast onto the df table (one job for
+    # the whole query, no eager driver count per call)
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
     tokens = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
     )
     df = tokens.groupBy("term").agg(F.count("*").alias("doc_freq"))
     weight = F.round(
         F.col("doc_freq").cast("double")
-        * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+        * F.log(F.col("n_docs") / F.col("doc_freq")),
         6,
     )
     top25 = (
-        df.select("term", "doc_freq", weight.alias("weight"))
+        df.crossJoin(F.broadcast(n_docs))
+        .select("term", "doc_freq", weight.alias("weight"))
         .orderBy(F.col("weight").desc(), F.col("term").asc())
         .limit(25)
     )
