@@ -366,3 +366,47 @@ def test_fuzzed_grouping_sets_sql_agrees_with_duckdb(spark, sf_dir, sql):
     NULL grouping markers, on both engines."""
     register_views(spark, sf_dir)
     assert_matches_oracle(spark.sql(sql), sql, sf_dir, f"gfuzz[{sql[:60]}...]")
+
+
+SUBQ_SHAPES = ["EXISTS", "NOT EXISTS", "IN", "NOT IN"]
+
+
+@st.composite
+def subquery_query(draw):
+    shape = draw(st.sampled_from(SUBQ_SHAPES))
+    inner = draw(st.lists(st.sampled_from(PREDS), min_size=1, max_size=2, unique=True))
+    outer = draw(
+        st.lists(st.sampled_from(ORDERS_PREDS), min_size=0, max_size=1, unique=True)
+    )
+    ip = " AND ".join(inner)
+    if shape.endswith("EXISTS"):
+        cond = (
+            f"{shape} (SELECT 1 FROM lineitem"
+            f" WHERE l_orderkey = o_orderkey AND {ip})"
+        )
+    else:
+        # the IN-list keys are NOT NULL in the fixture, so NOT IN's
+        # three-valued trap can't empty the result; the arm checks the
+        # engines agree on the ordinary path (the null path is pinned
+        # by the hand-written not_in_null_semantics key)
+        cond = f"o_orderkey {shape} (SELECT l_orderkey FROM lineitem WHERE {ip})"
+    sql = f"SELECT o_orderkey FROM orders WHERE {cond}"
+    if outer:
+        sql += " AND " + " AND ".join(outer)
+    return sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(subquery_query())
+def test_fuzzed_subquery_sql_agrees_with_duckdb(spark, sf_dir, sql):
+    """Correlated/uncorrelated subquery arm: EXISTS / NOT EXISTS /
+    IN / NOT IN membership predicates (the semi/anti-join rewrites)
+    over arbitrary inner and outer filters must agree between
+    engines."""
+    register_views(spark, sf_dir)
+    assert_matches_oracle(spark.sql(sql), sql, sf_dir, f"qfuzz[{sql[:60]}...]")
