@@ -217,15 +217,60 @@ def test_ohlc_is_single_hash_agg(spark, sf_dir):
     assert "Window" not in plan
 
 
-def test_repetition_stats_doc_keyed_aggs(spark, sf_dir):
-    """Repetition stats shuffle only on doc-keyed aggregates (bigram
-    count, per-doc rollup) — no global window, no join."""
+def test_repetition_stats_shuffle_free(spark, sf_dir):
+    """Repetition stats are per-doc-local and computed in-row (sorted
+    run fold): ZERO exchanges, no window, no join — a pure projected
+    scan at any corpus size."""
     from data_pipeline_spark_spark.operators.text import repetition_stats
 
     df = repetition_stats(spark, sf_dir)
     plan = formatted_plan(df)
-    assert shuffle_count(df) <= 2
+    assert shuffle_count(df) == 0
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_corpus_filter_report_single_row_agg_only(spark, sf_dir):
+    """The quality gate's only exchange is the final single-row
+    aggregate (flag sums); the repetition rule's token histogram is
+    in-row, so no doc-keyed shuffle and no join exist."""
+    from data_pipeline_spark_spark.operators.corpus import (
+        corpus_filter_report,
+    )
+
+    df = corpus_filter_report(spark, sf_dir)
+    plan = formatted_plan(df)
+    # fan_out's round-robin exchange (unsplittable fixture file) +
+    # the 1-row final agg exchange — and nothing doc-keyed
+    assert shuffle_count(df) <= 2
+    assert "Join" not in plan
+
+
+def test_bm25_broadcast_stats_only(spark, sf_dir):
+    """BM25: corpus statistics ride ONE broadcast row onto the tf
+    projection — no data-proportional exchange anywhere (the stats
+    aggregate's own exchange collapses a 1-row frame)."""
+    from data_pipeline_spark_spark.operators.text import (
+        keyword_search_bm25,
+    )
+
+    df = keyword_search_bm25(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the stats row arrives via BroadcastExchange (nested-loop cross
+    # of a 1-row build side, not a hash join — no equi-key exists)
+    assert "BroadcastExchange" in plan
+    assert shuffle_count(df) <= 1  # the single-row stats aggregate
+
+
+def test_minhash_signature_in_row(spark, sf_dir):
+    """The MinHash signature build is in-row (array_min over hash
+    transforms): the first exchange in minhash_df_pairs is the BAND
+    groupBy, not a per-shingle doc groupBy — so the plan has exactly
+    the band-key shuffle plus the pair aggregation."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.dedup import minhash_df_pairs
+
+    df = minhash_df_pairs(load(spark, sf_dir, "documents"))
+    assert shuffle_count(df) <= 3  # bands groupBy, pair agg, distinct
 
 
 def test_keep_canonical_broadcasts_dropped_ids(spark, sf_dir):
