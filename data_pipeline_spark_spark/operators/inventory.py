@@ -31,9 +31,12 @@ from .ingest_ops import fixture_dir
 
 
 def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Collect + recreate, for results computed from temp dirs that
-    are removed before the driver consumes the DataFrame."""
-    return spark.createDataFrame(df.collect(), df.schema)
+    """Pin a result whose inputs are temp dirs deleted before the
+    driver consumes the DataFrame. localCheckpoint cuts the lineage
+    and keeps the (tiny, final) partitions in EXECUTOR block storage
+    — no driver-memory materialization; at scale these results would
+    be written to a real table instead."""
+    return df.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------

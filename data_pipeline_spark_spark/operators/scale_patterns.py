@@ -35,7 +35,12 @@ _SALTS = 8
 
 
 def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
-    return spark.createDataFrame(df.collect(), df.schema)
+    """Pin a result whose inputs are temp dirs deleted before the
+    driver consumes the DataFrame. localCheckpoint cuts the lineage
+    and keeps the (tiny, final) partitions in EXECUTOR block storage
+    — no driver-memory materialization; at scale these results would
+    be written to a real table instead."""
+    return df.localCheckpoint(eager=True)
 
 
 @query(
