@@ -80,6 +80,8 @@ _ROUND7_PRIORITY = [
     "dedup_span_exact",
     "doc_truncate_tokens",
     "dedup_semantic",
+    "embedding_profile",
+    "vocab_oov_report",
     # (c) last green row r02
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",

@@ -415,3 +415,58 @@ def sim_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("rnk", F.row_number().over(we))
         .filter(F.col("rnk") <= _TOP_K)
     )
+
+
+_EMB_PROFILE_SQL = """
+    WITH n AS (
+      SELECT vec_id, label,
+             CAST(round(list_sum(list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS norm2_u,
+             CAST(len(embedding) AS INT) AS dim
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MIN(dim) AS dim_min,
+           MAX(dim) AS dim_max,
+           CAST(SUM(norm2_u) AS BIGINT) AS norm2_u_sum,
+           MIN(norm2_u) AS norm2_u_min,
+           MAX(norm2_u) AS norm2_u_max,
+           CAST(SUM(norm2_u) AS DOUBLE) / COUNT(*) AS norm2_u_mean
+    FROM n GROUP BY label
+"""
+
+
+@query("embedding_profile", oracle=_EMB_PROFILE_SQL)
+def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column profiling per label: vector counts, dimension
+    bounds (a ragged dim is a broken upstream encoder), and squared-
+    norm distribution — the sanity pass a pipeline runs before
+    spending compute on ANN indexing ([[profile_table]] is the scalar
+    twin). Per-vector ‖v‖² is a sequential in-row fold (deterministic
+    in both engines) converted to exact integer micro-units BEFORE
+    the cross-row SUM, because float summation across rows is
+    order-dependent under partial aggregation while bigint sums are
+    associative — the same exactness ladder as rollup_reaggregate.
+    One tiny label-keyed shuffle; everything else rides the scan."""
+    d = load(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        as_double_array(F.col("embedding")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    n = d.select(
+        "label",
+        F.round(norm2 * 1e6).cast("bigint").alias("norm2_u"),
+        F.size("embedding").alias("dim"),
+    )
+    return n.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.sum("norm2_u").cast("bigint").alias("norm2_u_sum"),
+        F.min("norm2_u").alias("norm2_u_min"),
+        F.max("norm2_u").alias("norm2_u_max"),
+        (F.sum("norm2_u").cast("double") / F.count("*")).alias("norm2_u_mean"),
+    )

