@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_span_exact",
     "keyword_search_bm25",
+    "vocab_oov_report",
     "sim_search",
     "text_stats",
     "repetition_stats",
