@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_span_exact",
+    "dedup_semantic",
     "keyword_search_bm25",
     "vocab_oov_report",
     "sim_search",
