@@ -82,6 +82,7 @@ _ROUND7_PRIORITY = [
     "dedup_semantic",
     "embedding_profile",
     "vocab_oov_report",
+    "ts_downsample_lttb",
     # (c) last green row r02
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",

@@ -569,3 +569,171 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (time-series visualization)
+# ---------------------------------------------------------------------------
+
+#: Output points per series (first + last + 6 interior buckets).
+_LTTB_B = 8
+
+
+def _lttb_sql() -> str:
+    """Unrolled-LTTB oracle: with B fixed at 8, the sequential bucket
+    selection becomes 6 chained CTEs (sel1..sel6) — no recursive
+    aggregate needed. All geometry is exact int64: t in floored epoch
+    seconds, v in milli-units, and the triangle area comparison is
+    cross-multiplied by the next-bucket count so no division exists
+    anywhere."""
+    inner = _LTTB_B - 2
+    ctes = [
+        f"""pts AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(round(value * 1000) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                         event_id) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events WHERE event_type = 'view'
+    )""",
+        f"""bkt AS (
+      SELECT *, CASE WHEN rn = 0 THEN 0
+                     WHEN rn = n - 1 THEN {_LTTB_B - 1}
+                     ELSE 1 + ((rn - 1) * {inner}) // (n - 2) END AS b
+      FROM pts WHERE n >= {_LTTB_B}
+    )""",
+        """sel0 AS (
+      SELECT user_id, t AS sel_t, v AS sel_v FROM bkt WHERE rn = 0
+    )""",
+    ]
+    for i in range(1, inner + 1):
+        if i < inner:
+            nxt = (
+                f"nxt{i} AS (SELECT user_id, SUM(t) AS st, SUM(v) AS sv,"
+                f" COUNT(*) AS cn FROM bkt WHERE b = {i + 1}"
+                f" GROUP BY user_id)"
+            )
+        else:
+            nxt = (
+                f"nxt{i} AS (SELECT user_id, t AS st, v AS sv,"
+                f" CAST(1 AS BIGINT) AS cn FROM bkt WHERE rn = n - 1)"
+            )
+        ctes.append(nxt)
+        ctes.append(f"""sel{i} AS (
+      SELECT user_id, sel_t, sel_v FROM (
+        SELECT c.user_id, c.t AS sel_t, c.v AS sel_v,
+               row_number() OVER (PARTITION BY c.user_id ORDER BY
+                 abs((p.sel_t * x.cn - x.st) * (c.v - p.sel_v)
+                     - (p.sel_t - c.t) * (x.sv - p.sel_v * x.cn)) DESC,
+                 c.t ASC, c.event_id ASC) AS r
+        FROM bkt c
+        JOIN sel{i - 1} p USING (user_id)
+        JOIN nxt{i} x USING (user_id)
+        WHERE c.b = {i}
+      ) WHERE r = 1
+    )""")
+    unions = ["SELECT user_id, 0 AS bucket_idx, sel_t, sel_v FROM sel0"] + [
+        f"SELECT user_id, {i} AS bucket_idx, sel_t, sel_v FROM sel{i}"
+        for i in range(1, inner + 1)
+    ] + [
+        f"SELECT user_id, {_LTTB_B - 1} AS bucket_idx, t AS sel_t,"
+        f" v AS sel_v FROM bkt WHERE rn = n - 1"
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(unions)
+
+
+@query("ts_downsample_lttb", oracle=_lttb_sql())
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    per user series — the standard shape-preserving reduction a
+    time-series platform applies before plotting (the reference
+    serves EEG traces for exactly this kind of display; this is the
+    serving-layer twin of [[ts_resample_ohlc]]).
+
+    LTTB is inherently SEQUENTIAL per series (bucket i's pick depends
+    on bucket i-1's), so it is a textbook applyInPandas case: one
+    Arrow batch per user, a tight integer loop inside. Determinism is
+    engineered end-to-end: t is floored epoch seconds and v exact
+    milli-units, the bucket map is the integer formula
+    ``1 + (j·(B-2)) // m`` on both engines, and the triangle-area
+    argmax is cross-multiplied by the next-bucket count so the whole
+    selection is int64 arithmetic with (t, event_id) tie-breaks —
+    the SQL oracle replays the identical selection as 6 unrolled
+    CTE steps and must match row-for-row.
+
+    Scale: state is one series per Arrow batch (a series too large
+    for one batch gets pre-bucketed coarsely first — same recursive-
+    split ladder as [[dedup_semantic]]); the only shuffle is the
+    per-user co-location. Series with < B points are excluded (a
+    production variant passes them through untouched)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("t"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    B = _LTTB_B
+    inner = B - 2
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "event_id"], kind="mergesort")
+        n = len(pdf)
+        if n < B:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "bucket_idx": pd.Series(dtype="int32"),
+                    "sel_t": pd.Series(dtype="int64"),
+                    "sel_v": pd.Series(dtype="int64"),
+                }
+            )
+        t = pdf["t"].to_numpy()
+        v = pdf["v"].to_numpy()
+        eid = pdf["event_id"].to_numpy()
+        m = n - 2
+        # interior point j (0-based) -> bucket 1..inner
+        j = np.arange(m)
+        b = 1 + (j * inner) // m
+        sel_t = [int(t[0])]
+        sel_v = [int(v[0])]
+        for i in range(1, inner + 1):
+            cand = np.where(b == i)[0] + 1  # global idx of bucket i
+            if i < inner:
+                nx = np.where(b == i + 1)[0] + 1
+                st, sv, cn = int(t[nx].sum()), int(v[nx].sum()), len(nx)
+            else:
+                st, sv, cn = int(t[n - 1]), int(v[n - 1]), 1
+            ta, va = sel_t[-1], sel_v[-1]
+            best = None
+            for k in cand:
+                area = abs(
+                    (ta * cn - st) * (int(v[k]) - va)
+                    - (ta - int(t[k])) * (sv - va * cn)
+                )
+                key = (-area, int(t[k]), int(eid[k]))
+                if best is None or key < best[0]:
+                    best = (key, int(t[k]), int(v[k]))
+            sel_t.append(best[1])
+            sel_v.append(best[2])
+        sel_t.append(int(t[n - 1]))
+        sel_v.append(int(v[n - 1]))
+        uid = int(pdf["user_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "user_id": np.repeat(uid, B),
+                "bucket_idx": np.arange(B, dtype="int32"),
+                "sel_t": np.array(sel_t, dtype="int64"),
+                "sel_v": np.array(sel_v, dtype="int64"),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        lttb, "user_id long, bucket_idx int, sel_t long, sel_v long"
+    )

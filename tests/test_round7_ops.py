@@ -191,3 +191,24 @@ def test_vocab_oov_bounds(spark, sf_dir):
     for r in out:
         assert 0 <= r.n_oov <= r.n_tokens
         assert r.oov_frac == r.n_oov / r.n_tokens
+
+
+def test_lttb_endpoints_and_monotone(spark, sf_dir):
+    """LTTB invariants: exactly B points per emitted series, endpoints
+    are the series' true first/last points, and selected times are
+    strictly ordered bucket to bucket."""
+    from data_pipeline_spark_spark.operators.analytics import (
+        _LTTB_B,
+        ts_downsample_lttb,
+    )
+
+    rows = ts_downsample_lttb(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, pts in by_user.items():
+        pts.sort(key=lambda r: r.bucket_idx)
+        assert [p.bucket_idx for p in pts] == list(range(_LTTB_B))
+        ts = [p.sel_t for p in pts]
+        assert ts == sorted(ts)
