@@ -54,7 +54,8 @@ def test_timezone_hostile_session_still_matches(spark, sf_dir):
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         for name in ["rollup_reaggregate", "partition_overwrite_dynamic",
-                     "ts_gap_fill", "scalar_datetime"]:
+                     "ts_gap_fill", "scalar_datetime",
+                     "ts_downsample_lttb"]:
             from .oracle import assert_matches_oracle
 
             assert_matches_oracle(
@@ -83,7 +84,8 @@ def test_partitioning_hostile_session_still_matches(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         for name in ["sort_paginate", "corpus_stratified_sample",
                      "window_rank", "tfidf_top_terms", "dedup_cluster",
-                     "agg_corr_exact"]:
+                     "agg_corr_exact", "dedup_semantic",
+                     "vocab_oov_report"]:
             from .oracle import assert_matches_oracle
 
             assert_matches_oracle(
