@@ -212,3 +212,56 @@ def test_lttb_endpoints_and_monotone(spark, sf_dir):
         assert [p.bucket_idx for p in pts] == list(range(_LTTB_B))
         ts = [p.sel_t for p in pts]
         assert ts == sorted(ts)
+
+
+def test_bm25_matches_reference_scorer(spark, tmp_path):
+    """Differential check against an independently-coded BM25 scorer
+    (k1=1.25, b=0.75, idf=ln(1+(N-df+0.5)/(df+0.5))) on a constructed
+    corpus: every returned score equals the reference within 1e-9."""
+    import math
+    import os
+
+    from data_pipeline_spark_spark.operators.text import (
+        _BM25_TERMS,
+        keyword_search_bm25,
+    )
+
+    docs = [
+        (0, "hash join merge sort window table", "en", "s0"),
+        (1, "hash hash hash scan scan", "en", "s0"),
+        (2, "window window merge", "en", "s1"),
+        (3, "scan table row value part", "en", "s1"),  # no query terms
+        (4, "merge", "en", "s2"),
+    ]
+    pdf = spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    pdf.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    out = {r.doc_id: r for r in keyword_search_bm25(spark, sf_dir).collect()}
+
+    toks = {i: t.split(" ") for i, t, _, _ in docs}
+    n = len(docs)
+    sum_dl = sum(len(v) for v in toks.values())
+    df = {
+        w: sum(1 for v in toks.values() if w in v) for w in _BM25_TERMS
+    }
+    k1, b = 1.25, 0.75
+    for i, t, _, _ in docs:
+        dl = len(toks[i])
+        expect = 0.0
+        for w in _BM25_TERMS:
+            tf = toks[i].count(w)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5))
+            expect += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * dl * n / sum_dl)
+            )
+        if expect == 0.0:
+            assert i not in out
+        else:
+            assert abs(out[i].score - round(expect, 6)) < 1e-9, (i, expect)
