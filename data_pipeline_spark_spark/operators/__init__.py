@@ -83,6 +83,8 @@ _ROUND7_PRIORITY = [
     "embedding_profile",
     "vocab_oov_report",
     "ts_downsample_lttb",
+    "window_gaps_islands",
+    "event_transitions",
     # (c) last green row r02
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",

@@ -737,3 +737,98 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         lttb, "user_id long, bucket_idx int, sel_t long, sel_v long"
     )
+
+
+_STREAK_SQL = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             CAST(d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                           AS INT) AS DATE) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS len_days, MIN(d) AS streak_start
+      FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len_days) AS BIGINT) AS longest_streak,
+           MIN(streak_start) AS first_day
+    FROM streaks GROUP BY user_id
+"""
+
+
+@query("window_gaps_islands", oracle=_STREAK_SQL)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the date-minus-row-number anchor trick (days in one unbroken run
+    share an anchor). The canonical engagement-streak query every
+    events warehouse serves; [[sessionization]] is its intra-day
+    timestamp-gap sibling.
+
+    One window sort per user over DISTINCT (user, day) rows — the
+    distinct pre-shrink bounds the sort input at users × active-days,
+    never raw events — then two cheap grouped rollups. Day arithmetic
+    only (no timestamps), so both engines agree exactly."""
+    from pyspark.sql import Window as W
+
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    grp = days.withColumn("anchor", F.date_sub(F.col("d"), rn))
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len_days"), F.min("d").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("len_days").cast("bigint").alias("longest_streak"),
+        F.min("streak_start").alias("first_day"),
+    )
+
+
+_TRANSITIONS_SQL = """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+"""
+
+
+@query("event_transitions", oracle=_TRANSITIONS_SQL)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-path analysis: counts of consecutive event-type
+    transitions per user stream (the first-order Markov matrix
+    behind "what do users do next" product questions; [[funnel_steps]]
+    checks one fixed path, this measures all of them).
+
+    One window sort per user keyed by the total order (ts, event_id),
+    then a transition-pair rollup whose state is |event_types|² rows —
+    constants, regardless of corpus size."""
+    from pyspark.sql import Window as W
+
+    nxt = F.lead("event_type").over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type", nxt.alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )

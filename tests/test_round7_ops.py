@@ -265,3 +265,57 @@ def test_bm25_matches_reference_scorer(spark, tmp_path):
             assert i not in out
         else:
             assert abs(out[i].score - round(expect, 6)) < 1e-9, (i, expect)
+
+
+def test_gaps_islands_streak_semantics(spark):
+    """Constructed calendar: 3 consecutive days + a gap + 2 days is
+    two streaks, longest 3; duplicate events in a day collapse."""
+    import datetime
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        window_gaps_islands,
+    )
+
+    d0 = datetime.datetime(2024, 5, 1, 9, 0)
+
+    def ev(i, day_off, hour=9):
+        return (i, d0 + datetime.timedelta(days=day_off, hours=hour - 9), 1, "click", 1.0, "{}")
+
+    rows = [
+        ev(100, 0), ev(101, 0, 15), ev(102, 1), ev(103, 2),  # streak of 3
+        ev(104, 5), ev(105, 6),                               # streak of 2
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import os, tempfile
+    sf = tempfile.mkdtemp(prefix="dps_streak_")
+    try:
+        e.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+        [r] = window_gaps_islands(spark, sf).collect()
+        assert r.n_streaks == 2
+        assert r.longest_streak == 3
+        assert str(r.first_day) == "2024-05-01"
+    finally:
+        import shutil
+
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_event_transitions_counts(spark, sf_dir):
+    """Transition counts sum to (events - users-with-events): each
+    user's stream of n events yields n-1 transitions."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    total = sum(
+        r.n_transitions for r in event_transitions(spark, sf_dir).collect()
+    )
+    e = load(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert total == n_events - n_users
