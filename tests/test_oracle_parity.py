@@ -127,3 +127,30 @@ def test_oracle_output_types_are_portable(sf_dir):
         if flagged:
             offenders[name] = flagged
     assert not offenders, f"non-portable oracle output types: {offenders}"
+
+
+def test_aqe_disabled_session_still_matches(spark, sf_dir):
+    """Results must be invariant to adaptive query execution: AQE
+    changes join strategies, partition coalescing, and skew splits at
+    runtime, and none of that may leak into values. Runs the keys
+    whose plans AQE rewrites hardest — broadcast-demoted joins,
+    skew-salted joins, multi-stage dedup — with AQE off."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for name in ["join_inner_equi", "join_skew_salted",
+                     "tpch_q18_large_orders", "dedup_span_exact",
+                     "basket_pair_affinity"]:
+            from .oracle import assert_matches_oracle
+
+            assert_matches_oracle(
+                registry.QUERIES[name](spark, sf_dir),
+                registry.ORACLE_SQL[name],
+                sf_dir,
+                f"aqe-off:{name}",
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
