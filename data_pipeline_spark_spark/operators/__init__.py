@@ -85,6 +85,7 @@ _ROUND7_PRIORITY = [
     "ts_downsample_lttb",
     "window_gaps_islands",
     "event_transitions",
+    "multimodal_arrow_scan",
     # (c) last green row r02
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",

@@ -387,3 +387,78 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "multimodal_arrow_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT)
+             AS total_bytes,
+           CAST(MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT)
+             AS max_bytes,
+           CAST(SUM(CASE WHEN octet_length(encode(text)) % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+    FROM documents
+    """,
+)
+def multimodal_arrow_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy payload scan via ``mapInArrow``: each task receives
+    raw ``pyarrow.RecordBatch`` objects and reduces binary payload
+    sizes WITHOUT materializing pandas Series — the lowest-overhead
+    Python hook Spark offers, and the right one when the per-batch
+    work is a vectorized pyarrow.compute call (pandas conversion would
+    copy every payload buffer just to measure it). Completes the
+    Python-boundary ladder: scalar pandas UDF ([[udf_surface]]),
+    applyInPandas ([[udf_grouped_zscore]], [[dedup_semantic]],
+    [[ts_downsample_lttb]]), mapInPandas ([[multimodal_decode]]),
+    applyInPandasWithState (streaming), and mapInArrow (here).
+
+    Each batch emits ONE partial-summary row (count/sum/max/even-count
+    are all mergeable), so the final JVM aggregation shuffles one row
+    per Arrow batch — the same partial-agg contract as any map-side
+    combine, at any corpus size."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = attach_payload(fan_out(load(spark, sf_dir, "documents"))).select(
+        "payload"
+    )
+
+    def batch_stats(batches):
+        for batch in batches:
+            lens = pc.binary_length(batch.column(0))
+            lens64 = pc.cast(lens, pa.int64())
+            n = len(batch)
+            if n == 0:
+                continue
+            even = pc.sum(
+                pc.cast(
+                    pc.equal(pc.bit_wise_and(lens64, pa.scalar(1, pa.int64())),
+                             pa.scalar(0, pa.int64())),
+                    pa.int64(),
+                )
+            ).as_py()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "n_payloads": pa.array([n], pa.int64()),
+                    "total_bytes": pa.array(
+                        [pc.sum(lens64).as_py()], pa.int64()
+                    ),
+                    "max_bytes": pa.array(
+                        [pc.max(lens64).as_py()], pa.int64()
+                    ),
+                    "n_even": pa.array([even], pa.int64()),
+                }
+            )
+
+    partial = d.mapInArrow(
+        batch_stats,
+        "n_payloads long, total_bytes long, max_bytes long, n_even long",
+    )
+    return partial.agg(
+        F.sum("n_payloads").cast("bigint").alias("n_payloads"),
+        F.sum("total_bytes").cast("bigint").alias("total_bytes"),
+        F.max("max_bytes").cast("bigint").alias("max_bytes"),
+        F.sum("n_even").cast("bigint").alias("n_even"),
+    )
