@@ -6,10 +6,16 @@ before anything else. Scale design per rung:
 
 - exact:        hash → groupBy digest. The shuffle carries 32-byte
                 digests; documents never move twice.
-- n-gram Jaccard: shingle → explode → self-join on shingle → count.
-                Exact but O(pairs-sharing-a-shingle); usable when
-                shingles are discriminative. The LSH rungs below are
-                the 100 TB path.
+- n-gram Jaccard: prefix-filter + verify (PPJoin family): only the
+                first ~(1-t) fraction of each sorted shingle set
+                enters the self-join, then exact verification.
+                Exact; the LSH rungs below are the sketch path.
+- repeated spans: sliding window hash → cross-doc window over the
+                collapsed (hash, doc) table; k docs sharing a span
+                cost k rows.
+- semantic:     SemDeDup — K broadcast centroids bucket vectors;
+                intra-cluster pairwise via one numpy matmul per
+                Arrow batch.
 - MinHash-LSH:  shingles → minhash signature → band buckets →
                 candidate pairs only within buckets (spark.ml
                 MinHashLSH, seeded). Cost ∝ candidates, not n².
