@@ -42,3 +42,39 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every operator module so registration side effects run."""
     from .operators import ALL_MODULES  # noqa: F401
+
+
+def run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute a registered query by name (loads operators on first
+    use). The library's one-line entry point:
+
+        >>> registry.run("tpch_q3_shipping_priority", spark, data_dir)
+    """
+    load_all()
+    try:
+        fn = QUERIES[name]
+    except KeyError:
+        import difflib
+
+        hint = difflib.get_close_matches(name, QUERIES, n=3)
+        raise KeyError(
+            f"unknown query {name!r}; close matches: {hint}"
+        ) from None
+    return fn(spark, sf_dir)
+
+
+def names() -> list[str]:
+    """Registered query keys (sorted); keys with a SQL oracle carry
+    a differential-test contract, the rest are rows-only."""
+    load_all()
+    return sorted(QUERIES)
+
+
+def describe(name: str) -> str:
+    """A query's docstring + its oracle SQL (executable semantics
+    documentation)."""
+    load_all()
+    fn = QUERIES[name]
+    doc = (fn.__doc__ or "").strip()
+    sql = ORACLE_SQL.get(name)
+    return doc + ("\n\n-- oracle SQL --\n" + sql if sql else "")
