@@ -319,3 +319,46 @@ def test_event_transitions_counts(spark, sf_dir):
     n_events = e.count()
     n_users = e.select("user_id").distinct().count()
     assert total == n_events - n_users
+
+
+def test_registry_convenience_api():
+    """run() rejects unknown names with suggestions; names() is the
+    sorted key set; describe() carries docstring + oracle SQL."""
+    import pytest
+
+    from data_pipeline_spark_spark import registry
+
+    ns = registry.names()
+    assert ns == sorted(ns) and "dedup_exact" in ns
+    d = registry.describe("dedup_exact")
+    assert "sha256" in d and "-- oracle SQL --" in d
+    with pytest.raises(KeyError, match="dedup_exact"):
+        registry.run("dedup_exct", None, "x")
+
+
+def test_arrow_scan_matches_jvm_totals(spark, sf_dir):
+    """The mapInArrow partial summaries must merge to the same totals
+    a pure-JVM aggregation computes."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.multimodal import (
+        attach_payload,
+        multimodal_arrow_scan,
+    )
+    from pyspark.sql import functions as F
+
+    [got] = multimodal_arrow_scan(spark, sf_dir).collect()
+    [want] = (
+        attach_payload(load(spark, sf_dir, "documents"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.octet_length("payload")).alias("tb"),
+            F.max(F.octet_length("payload")).alias("mb"),
+            F.sum(
+                F.when(F.octet_length("payload") % 2 == 0, 1).otherwise(0)
+            ).alias("ne"),
+        )
+        .collect()
+    )
+    assert (got.n_payloads, got.total_bytes, got.max_bytes, got.n_even) == (
+        want.n, want.tb, want.mb, want.ne
+    )
