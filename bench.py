@@ -236,6 +236,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # methodology: per-query untimed warm-ups then
+                # best-of-N timed runs (steady-state)
+                "runs": runs,
+                "warmup": warmup,
                 # True when other processes burned >15% of the machine
                 # during the timed window — per-query numbers are then
                 # inflated and should not be read as regressions
