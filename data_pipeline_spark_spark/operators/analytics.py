@@ -410,70 +410,54 @@ _AFFINITY_SQL = """
 _BASKET_ITEM_CAP = 10_000
 
 
-@query("basket_pair_affinity", oracle=_AFFINITY_SQL)
-def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket pair affinity: co-occurrence count and lift for
-    every part pair appearing in ≥ 2 orders. The pair explosion is the
-    classic scale hazard (a k-item basket emits k(k-1)/2 pairs), and
-    the defenses are coded, not prose:
-
-    - **One fact-table shuffle.** ``groupBy(l_orderkey).agg(
-      collect_set(l_partkey))`` is the only shuffle that touches
-      lineitem-sized data (collect_set dedups, so no separate
-      ``.distinct()`` pass). Pair generation is then a per-basket
-      array expansion inside the already-grouped row — no self-join,
-      so the fact table is never shuffled twice, and the pair rows
-      born from one basket never cross an executor boundary before
-      their own (small, post-fanout) groupBy. The earlier shape —
-      self-join on the basket key — shuffled ``b`` on both sides and
-      re-shuffled the exploded pairs: ~3 data-proportional shuffles
-      where one suffices.
-    - **Per-basket item cap** (``_BASKET_ITEM_CAP``): bounds the
-      quadratic fan-out of a pathological mega-basket; a no-op on
-      TPC-H (max 7 items/order).
-    - **Apriori prune (next rung, documented)**: a pair with support
-      ≥ S needs both items at support ≥ S. The ``n_pair >= S`` filter
-      already subsumes it for *correctness*; as a *performance* rung
-      at 100 TB, filter infrequent items out of the basket arrays
-      (``array_intersect`` with a broadcast frequent-item set) before
-      the pair expansion to keep the single-occurrence long tail out
-      of the fan-out entirely.
-
-    Item counts and the basket total are derived from the checkpointed
-    basket arrays (2-column, one row per order), not re-scans of the
-    fact table. Lift's numerator and denominator are exact bigint
-    products, so the single double division is bit-identical in both
-    engines."""
+def _basket_repartition_width(fact: DataFrame) -> int:
+    """Shuffle width for the basket build: the basket arrays are few
+    MB at fixture scale, so AQE's size-based coalescing would shrink
+    the agg + pair-expansion stage to ~1 task — but the expansion
+    downstream is CPU-bound (k²/2 pairs per basket), not size-bound,
+    so an explicit numbered repartition on the grouping key is pinned
+    (AQE honors it, the groupBy reuses the partitioning). The width
+    is data-adaptive: ~4 reducers per input split (a split is
+    ``spark.sql.files.maxPartitionBytes`` of scan, so this tracks
+    data volume onto a 1000-executor cluster), floored at 8 so the
+    32-thread local mode is never single-tasked, and capped at 8×
+    cluster parallelism. Measured at sf0.1 (1 split → width 8): 1.23 s
+    with a blanket default_parallelism() width vs 0.94 s — 32 tasks
+    of 90 MB data is pure scheduling overhead."""
     from ..session import default_parallelism
 
+    scan_splits = fact.rdd.getNumPartitions()
+    return min(max(8, 4 * scan_splits), 8 * default_parallelism())
+
+
+def _basket_affinity_from(
+    fact: DataFrame, tot: DataFrame | None = None
+) -> DataFrame:
+    """Shared pair/lift tail: build per-order sorted item-set baskets
+    from ``fact`` (one data-proportional shuffle), expand pairs
+    in-row, and attach counts as broadcasts. ``tot`` is a lazy 1-row
+    (n_baskets) frame; when None it is derived as a cheap O(P) count
+    of the checkpointed basket rows — correct ONLY for an unpruned
+    fact stream (the Apriori variant must count unpruned orders and
+    supplies its own)."""
+    min_support = 2
     baskets = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        # pin the shuffle width: the basket arrays are few MB, so
-        # AQE's size-based coalescing would shrink the agg + pair-
-        # expansion stage to ~1 task — but the expansion downstream is
-        # CPU-bound (k²/2 pairs per basket), not size-bound. An
-        # explicit numbered repartition on the grouping key is a hard
-        # requirement AQE honors, the groupBy reuses its partitioning
-        # (no extra exchange), and the checkpoint preserves it for the
-        # expansion. Measured at sf0.1: 2.4s → 1.5s.
-        .repartition(default_parallelism(), "l_orderkey")
+        fact
+        .repartition(_basket_repartition_width(fact), "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
         .select(F.slice("items", 1, _BASKET_ITEM_CAP).alias("items"))
-        # baskets feed the pair expansion, item counts, and the total —
-        # a lazy localCheckpoint materializes the post-shuffle arrays
-        # once instead of three re-scans of the fact table (same
-        # pattern as shard_pack, training_data.py)
+        # baskets feed the pair expansion and the item counts — a lazy
+        # localCheckpoint materializes the post-shuffle arrays once
+        # instead of re-scans of the fact table (same pattern as
+        # shard_pack, training_data.py)
         .localCheckpoint(eager=False)
     )
-    min_support = 2
+    if tot is None:
+        tot = baskets.select(F.count("*").alias("n_baskets"))
     item = baskets.select(
         F.explode("items").alias("l_partkey")
     ).groupBy("l_partkey").agg(F.count("*").alias("n_item"))
-    # lazy 1-row total, broadcast onto the pairs — not an eager
-    # driver count (the plan stays a single job)
-    tot = baskets.select(F.count("*").alias("n_baskets"))
     # in-basket pair expansion: items is a sorted set, so pairing each
     # element with its strict successors yields exactly the distinct
     # part_a < part_b pairs — all inside the row, JVM-side. Two
@@ -496,11 +480,14 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pair"))
         .filter(F.col("n_pair") >= min_support)
     )
+    # the item dictionary is dimension-sized, so both count joins and
+    # the 1-row total attach as BROADCASTS — the post-aggregation pair
+    # table never reshuffles
     ia = item.toDF("part_a", "n_a")
     ib = item.toDF("part_b", "n_b")
     out = (
-        pair.join(ia, "part_a")
-        .join(ib, "part_b")
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
         .crossJoin(F.broadcast(tot))
     )
     lift = (F.col("n_pair") * F.col("n_baskets")).cast("double") / (
@@ -509,6 +496,91 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "part_a", "part_b", "n_pair", "n_a", "n_b", lift.alias("lift")
     )
+
+
+@query("basket_pair_affinity", oracle=_AFFINITY_SQL)
+def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity: co-occurrence count and lift for
+    every part pair appearing in ≥ 2 orders. The pair explosion is the
+    classic scale hazard (a k-item basket emits k(k-1)/2 pairs), and
+    the defenses are coded, not prose:
+
+    - **One fact-table shuffle.** ``groupBy(l_orderkey).agg(
+      collect_set(l_partkey))`` is the only shuffle that touches
+      lineitem-sized data (collect_set dedups, so no separate
+      ``.distinct()`` pass). Pair generation is then a per-basket
+      array expansion inside the already-grouped row — no self-join,
+      so the fact table is never shuffled twice, and the pair rows
+      born from one basket never cross an executor boundary before
+      their own (small, post-fanout) groupBy.
+    - **Per-basket item cap** (``_BASKET_ITEM_CAP``): bounds the
+      quadratic fan-out of a pathological mega-basket; a no-op on
+      TPC-H (max 7 items/order).
+    - **Broadcast count joins**: item counts and the 1-row basket
+      total attach to the support-filtered pair table as broadcasts
+      (``_basket_affinity_from``).
+    - **Apriori prune**: the long-tail saver lives in
+      [[basket_pair_affinity_apriori]] — a broadcast semi-join that
+      drops can't-reach-support items from the fact STREAM before the
+      basket shuffle. It is a separate registered rung (same oracle)
+      rather than the default because its extra counting pass only
+      pays for itself when the item dictionary has a single-occurrence
+      tail, which TPC-H's uniform part distribution lacks. A per-row
+      ``array_intersect`` against a broadcast frequent array — the
+      obvious in-plan alternative — re-builds the 20k-element hash set
+      for EVERY basket row (measured 16.8 s vs 0.94 s at sf0.1) and is
+      exactly the wrong shape.
+
+    Lift's numerator and denominator are exact bigint products, so the
+    single double division is bit-identical in both engines."""
+    fact = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return _basket_affinity_from(fact)
+
+
+@query("basket_pair_affinity_apriori", oracle=_AFFINITY_SQL)
+def basket_pair_affinity_apriori(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[[basket_pair_affinity]] with the Apriori candidate prune coded
+    as a first pass — the 100 TB rung. A pair with basket support ≥ S
+    needs both items in ≥ S baskets, and the RAW per-part row count is
+    an upper bound on basket support, so one cheap map-side-combined
+    ``groupBy(l_partkey).count()`` over the scan yields a frequent-item
+    set that a broadcast SEMI-join applies to the fact stream BEFORE
+    the basket shuffle: on a power-law dictionary the single-occurrence
+    tail (often most of the items) never enters the shuffle or the
+    k²/2 expansion. Two subtleties make the prune exact rather than
+    approximate:
+
+    - ``n_baskets`` is counted from the UNPRUNED stream (an order
+      whose items are all infrequent still counts toward every lift
+      denominator's total), via a distinct-orderkey aggregate whose
+      map-side partials shrink it to O(orders).
+    - item counts for surviving pairs are unchanged by the prune
+      (only infrequent items are removed, and no surviving pair
+      touches one), so they derive from the pruned baskets as usual.
+
+    On TPC-H fixtures the prune drops nothing (every part recurs), so
+    this rung measures the prune's fixed cost (~+0.2 s at sf0.1) and
+    shares the oracle verbatim; at scale the cost inverts — the saved
+    fan-out is the difference between a runnable and an unrunnable
+    basket job."""
+    fact = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    freq = (
+        fact.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_raw"))
+        .filter(F.col("n_raw") >= 2)
+        .select("l_partkey")
+    )
+    pruned_fact = fact.join(F.broadcast(freq), "l_partkey", "semi")
+    tot = fact.groupBy().agg(
+        F.count_distinct("l_orderkey").alias("n_baskets")
+    )
+    return _basket_affinity_from(pruned_fact, tot)
 
 
 _MAD_SQL = """

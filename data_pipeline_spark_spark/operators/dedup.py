@@ -811,20 +811,31 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup is [[dedup_fuzzy]]).
 
     Scale shape: span rows are (doc_id, 128-bit hash) — ~L tokens per
-    doc, never the text itself. The raw span stream collapses to
-    (h, doc_id, within-doc count) in its first groupBy (map-side
-    partial aggs absorb intra-doc repeats before the shuffle); the
-    cross-doc flag is a count() window over h on that collapsed
-    table — no join back to the raw spans, so a span seen in k docs
-    costs exactly k rows end to end and no quadratic pair fan-out
-    exists at any corpus size. Span generation is a generator +
-    codegen projection (explode(sequence) then md5(slice)) rather
-    than a higher-order lambda: lambdas are interpreted and measured
-    ~2× slower on the hash stage."""
+    doc, never the text itself. The span hash is TWO independently
+    seeded xxhash64s (h1, h2): a single 64-bit space would let a
+    cross-document collision overcount n_shared_spans on the Spark
+    side only (the oracle hashes with 128-bit md5), so both engines
+    get a negligible-collision space while the shuffle key stays two
+    packed longs instead of a 32-char hex string. Exactly TWO
+    data-proportional exchanges: one explicit ``repartition`` on
+    (h1, h2) hash-clusters the raw span stream so BOTH the
+    ``groupBy(h1, h2, doc_id)`` collapse (subset clustering) and the
+    ``Window.partitionBy(h1, h2)`` cross-doc count reuse that single
+    partitioning with no further shuffle (asserted in
+    tests/test_plans.py::test_span_exact_two_exchanges); the second
+    is the final per-doc rollup. No join back to the raw spans, so a
+    span seen in k docs costs exactly k rows end to end and no
+    quadratic pair fan-out exists at any corpus size. Span
+    generation is a generator + codegen projection (explode(sequence)
+    then hash(slice)) rather than a higher-order lambda: lambdas are
+    interpreted and measured ~2× slower on the hash stage."""
     from pyspark.sql import Window as W
+
+    from ..session import default_parallelism
 
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    span_txt = F.array_join(F.slice("t", F.col("i"), _SPAN_W), " ")
     spans = (
         d.select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= _SPAN_W)
@@ -837,13 +848,16 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.xxhash64(
-                F.array_join(F.slice("t", F.col("i"), _SPAN_W), " ")
-            ).alias("h"),
+            F.xxhash64(span_txt).alias("h1"),
+            F.xxhash64(span_txt, F.lit(1)).alias("h2"),
         )
     )
-    g = spans.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
-    nd = F.count("*").over(W.partitionBy("h"))
+    g = (
+        spans.repartition(default_parallelism(), "h1", "h2")
+        .groupBy("h1", "h2", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    nd = F.count("*").over(W.partitionBy("h1", "h2"))
     return (
         g.withColumn("nd", nd)
         .groupBy("doc_id")

@@ -281,3 +281,14 @@ def test_keep_canonical_broadcasts_dropped_ids(spark, sf_dir):
 
     plan = formatted_plan(dedup_keep_canonical(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_span_exact_two_exchanges(spark, sf_dir):
+    """dedup_span_exact must pay exactly two data-proportional
+    shuffles: the explicit (h1, h2) repartition that BOTH the
+    (h1, h2, doc_id) collapse and the Window.partitionBy(h1, h2)
+    reuse (subset clustering), and the final per-doc rollup. The
+    pre-fix shape paid three (groupBy key ≠ window key)."""
+    from data_pipeline_spark_spark.operators.dedup import dedup_span_exact
+
+    assert shuffle_count(dedup_span_exact(spark, sf_dir)) == 2
