@@ -410,26 +410,6 @@ _AFFINITY_SQL = """
 _BASKET_ITEM_CAP = 10_000
 
 
-def _basket_repartition_width(fact: DataFrame) -> int:
-    """Shuffle width for the basket build: the basket arrays are few
-    MB at fixture scale, so AQE's size-based coalescing would shrink
-    the agg + pair-expansion stage to ~1 task — but the expansion
-    downstream is CPU-bound (k²/2 pairs per basket), not size-bound,
-    so an explicit numbered repartition on the grouping key is pinned
-    (AQE honors it, the groupBy reuses the partitioning). The width
-    is data-adaptive: ~4 reducers per input split (a split is
-    ``spark.sql.files.maxPartitionBytes`` of scan, so this tracks
-    data volume onto a 1000-executor cluster), floored at 8 so the
-    32-thread local mode is never single-tasked, and capped at 8×
-    cluster parallelism. Measured at sf0.1 (1 split → width 8): 1.23 s
-    with a blanket default_parallelism() width vs 0.94 s — 32 tasks
-    of 90 MB data is pure scheduling overhead."""
-    from ..session import default_parallelism
-
-    scan_splits = fact.rdd.getNumPartitions()
-    return min(max(8, 4 * scan_splits), 8 * default_parallelism())
-
-
 def _basket_affinity_from(
     fact: DataFrame, tot: DataFrame | None = None
 ) -> DataFrame:
@@ -440,10 +420,16 @@ def _basket_affinity_from(
     of the checkpointed basket rows — correct ONLY for an unpruned
     fact stream (the Apriori variant must count unpruned orders and
     supplies its own)."""
+    from ..session import adaptive_shuffle_width
+
     min_support = 2
     baskets = (
         fact
-        .repartition(_basket_repartition_width(fact), "l_orderkey")
+        # pinned data-adaptive width: AQE's size-based coalescing
+        # would squeeze the CPU-bound k²/2 pair expansion to ~1 task
+        # because the basket arrays are few MB (measured 1.23 s with a
+        # blanket 32-wide repartition vs 0.94 s adaptive at sf0.1)
+        .repartition(adaptive_shuffle_width(fact), "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
         .select(F.slice("items", 1, _BASKET_ITEM_CAP).alias("items"))

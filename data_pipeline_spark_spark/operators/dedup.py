@@ -831,9 +831,10 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted and measured ~2× slower on the hash stage."""
     from pyspark.sql import Window as W
 
-    from ..session import default_parallelism
+    from ..session import adaptive_shuffle_width
 
     d = load(spark, sf_dir, "documents")
+    width = adaptive_shuffle_width(d)
     toks = F.split("text", " ")
     span_txt = F.array_join(F.slice("t", F.col("i"), _SPAN_W), " ")
     spans = (
@@ -853,7 +854,7 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = (
-        spans.repartition(default_parallelism(), "h1", "h2")
+        spans.repartition(width, "h1", "h2")
         .groupBy("h1", "h2", "doc_id")
         .agg(F.count("*").alias("c"))
     )

@@ -28,6 +28,23 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def adaptive_shuffle_width(df, per_split: int = 4, floor: int = 8) -> int:
+    """Explicit-repartition width that tracks data volume instead of
+    hardcoding cluster parallelism. Some stages need a PINNED width
+    (AQE's size-based coalescing would squeeze a CPU-bound fan-out —
+    pair expansion, window sort — down to ~1 task because its INPUT
+    bytes are small), but a blanket default_parallelism() is wrong at
+    fixture scale: 32 tasks over a few MB is pure scheduling overhead
+    (measured 1.12 s → 0.64 s on dedup_span_exact at sf0.1). Scale by
+    ``per_split`` reducers per input split — a split is
+    ``spark.sql.files.maxPartitionBytes`` of scan, so at 100 TB this
+    grows with the data — floored so local mode never single-tasks
+    and capped at 8× cluster parallelism. ``df.rdd.getNumPartitions``
+    on a scan plans the splits without running a job."""
+    splits = df.rdd.getNumPartitions()
+    return min(max(floor, per_split * splits), 8 * default_parallelism())
+
+
 def get_spark(app_name: str = "data-pipeline-spark-spark") -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
