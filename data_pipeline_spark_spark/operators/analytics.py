@@ -556,17 +556,24 @@ def basket_pair_affinity_apriori(
     fact = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
+    tot = fact.groupBy().agg(
+        F.count_distinct("l_orderkey").alias("n_baskets")
+    )
+    return _basket_affinity_from(_apriori_pruned_fact(fact), tot)
+
+
+def _apriori_pruned_fact(fact: DataFrame) -> DataFrame:
+    """Broadcast-SEMI-join the fact stream against its own frequent
+    items (raw count ≥ 2, an upper bound on basket support). Module-
+    level so tests can explain THIS fragment: the downstream lazy
+    checkpoint truncates it out of the full query's physical plan."""
     freq = (
         fact.groupBy("l_partkey")
         .agg(F.count("*").alias("n_raw"))
         .filter(F.col("n_raw") >= 2)
         .select("l_partkey")
     )
-    pruned_fact = fact.join(F.broadcast(freq), "l_partkey", "semi")
-    tot = fact.groupBy().agg(
-        F.count_distinct("l_orderkey").alias("n_baskets")
-    )
-    return _basket_affinity_from(pruned_fact, tot)
+    return fact.join(F.broadcast(freq), "l_partkey", "semi")
 
 
 _MAD_SQL = """

@@ -909,7 +909,8 @@ _SEMDEDUP_SQL = f"""
     )
     SELECT cluster_id, vec_a, vec_b, ROUND(cs, 4) AS cos_sim
     FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
-                                       ORDER BY cs DESC, vec_a, vec_b) AS rn
+                                       ORDER BY ROUND(cs, 4) DESC,
+                                                vec_a, vec_b) AS rn
           FROM pairs)
     WHERE rn <= {_SEMDEDUP_TOP}
 """
@@ -940,9 +941,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
       EnEnᵀ) — the exact compute shape production SemDeDup runs on
       GPU. Matmul sums floats in a different order than the SQL
       oracle's sequential fold, so pair similarities are rounded
-      half-away (matching SQL ROUND, not numpy's half-even) at 6
-      decimals before ranking — parity is asserted against the pure-
-      SQL oracle at every fixture scale.
+      half-away (matching SQL ROUND, not numpy's half-even) and both
+      engines RANK on the coarse 4-decimal value they report, with a
+      deterministic (vec_a, vec_b) tie-break — a boundary-straddling
+      6th-decimal difference can no longer reorder the top-k. Parity
+      is asserted against the pure-SQL oracle at every fixture
+      scale.
 
     Scale: seeds/centroids broadcast (K·dim doubles); the only
     data-proportional shuffle is the per-cluster co-location that
@@ -999,13 +1003,22 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b = ids[iu], ids[ju]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         cs6 = _round_half_away(sim[iu, ju], 6)
-        order = np.lexsort((hi, lo, -cs6))[:_SEMDEDUP_TOP]
+        # rank on the 4-decimal value that is also REPORTED, not the
+        # 6-decimal one: the matmul sums floats in a different order
+        # than the oracle's sequential fold, and a similarity within
+        # an ulp of a 6th-decimal rounding boundary could round — and
+        # therefore rank — differently per engine (ADVICE r7). At 4
+        # decimals the boundary band is 100× narrower than the
+        # engines' divergence, and an exact 4-decimal tie falls to
+        # the deterministic (vec_a, vec_b) break in BOTH engines.
+        cs4 = _round_half_away(cs6, 4)
+        order = np.lexsort((hi, lo, -cs4))[:_SEMDEDUP_TOP]
         return pd.DataFrame(
             {
                 "cluster_id": np.repeat(int(pdf["seed_id"].iloc[0]), len(order)),
                 "vec_a": lo[order],
                 "vec_b": hi[order],
-                "cos_sim": _round_half_away(cs6[order], 4),
+                "cos_sim": cs4[order],
             }
         )
 

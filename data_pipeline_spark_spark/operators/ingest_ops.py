@@ -207,6 +207,111 @@ def eeg_tidy_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# oracle-checked tidy-layout rollup (SURVEY.md §7 step 5 with a SQL
+# oracle: the wide→tidy strategy itself, not just its row counts)
+# ---------------------------------------------------------------------------
+
+_TIDY_STORE = os.path.join(tempfile.gettempdir(), "dps_eeg_tidy_store_v1")
+_TIDY_SIGNALS = [f"S{i + 1}_1" for i in range(12)]  # fixture n_signals=12
+
+
+def tidy_store(spark: SparkSession) -> str:
+    """Materialize the curated WIDE table + super-category mapping to
+    a deterministic parquet path, once per machine. Both engines then
+    read the SAME bytes: Spark unpivots/joins/aggregates with
+    DataFrame ops, DuckDB independently with SQL UNPIVOT — so the
+    oracle verifies the melt + mapping-join + rollup logic, with the
+    (already rows-only-checked) ingest as shared input."""
+    marker = os.path.join(_TIDY_STORE, ".complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(_TIDY_STORE, ignore_errors=True)
+        ingest_out = os.path.join(_TIDY_STORE, "ingest")
+        eeg_csv.ingest(spark, fixture_dir(), ingest_out, run_id="tidy-store")
+        wide = spark.read.parquet(os.path.join(ingest_out, "data"))
+        wide.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(_TIDY_STORE, "wide")
+        )
+        h = eeg_csv.probe_header(
+            spark, eeg_csv.list_input_files(fixture_dir())[0]
+        )
+        supercat_mapping_df(spark, h.supercategories).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(_TIDY_STORE, "mapping"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return _TIDY_STORE
+
+
+_TIDY_HOURLY_SQL = f"""
+    WITH tidy AS (
+      UNPIVOT (SELECT * FROM
+               read_parquet('{_TIDY_STORE}/wide/*.parquet'))
+      ON {", ".join(_TIDY_SIGNALS)}
+      INTO NAME channel VALUE value
+    ),
+    m AS (SELECT * FROM read_parquet('{_TIDY_STORE}/mapping/*.parquet'))
+    SELECT m.super_category,
+           (CAST(floor(epoch(t."Timestamp")) AS BIGINT) // 3600) % 24
+             AS hour_utc,
+           COUNT(*) AS n_obs,
+           CAST(SUM(CAST(round(t.value * 100000000) AS BIGINT)) AS DOUBLE)
+             / (100000000.0 * COUNT(*)) AS mean_value
+    FROM tidy t JOIN m ON t.channel = m."column"
+    GROUP BY m.super_category, hour_utc
+"""
+
+
+@query("tidy_supercat_hourly", oracle=_TIDY_HOURLY_SQL)
+def tidy_supercat_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-super-category hourly mean over the TIDY layout — the
+    oracle-checked form of the SURVEY §7 wide-data strategy
+    ([[eeg_tidy_melt]] is the rows-only composition): unpivot the
+    curated wide store into (Timestamp, channel, value), broadcast-
+    join the crawler's super-category mapping (reference
+    crawler.py:27-32), and roll up mean signal per (group,
+    hour-of-day).
+
+    Cross-engine exactness: the fixture writes signals as 8-decimal
+    strings, so CSV-parse → ×1e8 → round is the same integer in both
+    engines; sums stay bigint (associative — any partial-agg merge
+    order matches DuckDB's sequential fold) and the one double
+    division at the end is the same IEEE op. Hour-of-day is integer
+    epoch arithmetic (no timezone functions, so a hostile session TZ
+    cannot skew it). Scale shape: unpivot is a row-local generator
+    (no shuffle), the mapping joins as a broadcast, and the single
+    shuffle is the final (group, hour) rollup — O(|groups|·24)
+    output from partial aggregation, the same plan at 6,039 columns
+    as at 12."""
+    store = tidy_store(spark)
+    wide = spark.read.parquet(os.path.join(store, "wide"))
+    signal_cols = [c for c in wide.columns if c in set(_TIDY_SIGNALS)]
+    tidy = wide.unpivot(
+        ids=["Timestamp"],
+        values=signal_cols,
+        variableColumnName="channel",
+        valueColumnName="value",
+    )
+    mapping = spark.read.parquet(os.path.join(store, "mapping"))
+    secs = F.col("Timestamp").cast("long")
+    return (
+        tidy.join(F.broadcast(mapping), tidy.channel == mapping.column)
+        .select(
+            "super_category",
+            ((F.floor(secs / 3600)) % 24).cast("bigint").alias("hour_utc"),
+            F.round(F.col("value") * 100000000).cast("bigint").alias("v_e8"),
+        )
+        .groupBy("super_category", "hour_utc")
+        .agg(
+            F.count("*").alias("n_obs"),
+            (
+                F.sum("v_e8").cast("double")
+                / (F.lit(100000000.0) * F.count("*"))
+            ).alias("mean_value"),
+        )
+    )
+
+
 _RT_FORMATS = ("parquet", "parquet_gzip", "orc", "json", "csv")
 
 _RT_SQL = "\nUNION ALL\n".join(

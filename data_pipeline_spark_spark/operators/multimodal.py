@@ -30,26 +30,43 @@ from ..catalog import fan_out, load
 from ..registry import query
 
 
+def real_codecs_enabled() -> bool:
+    """The real-codec path is an EXPLICIT opt-in (DPS_REAL_CODECS=1),
+    not an import probe: keyed on import success, an environment that
+    happens to have Pillow installed would silently decode any payload
+    that parses as an image and diverge from the sha256-arithmetic
+    oracle — environment-dependent correctness, the worst kind
+    (ADVICE r7). Production sets the flag; oracle-checked runs never
+    do."""
+    import os
+
+    return os.environ.get("DPS_REAL_CODECS") == "1"
+
+
 def decode_image_stub(payload: bytes) -> dict:
-    """Image decode with a guarded real-codec path.
+    """Image decode with a gated real-codec path.
 
-    If PIL is importable AND the payload is a decodable image, return
-    the codec's true size/mode — the operator is production-real
-    wherever the codec library exists. Otherwise (PIL absent, or the
-    payload isn't an image — the synthetic fixtures are UTF-8 text,
-    never valid JPEG/PNG) fall back to a deterministic fake derived
-    from the payload digest, so the pipeline has varying values to
-    aggregate and the DuckDB oracle (pure sha256 arithmetic) stays
-    exact in this container."""
-    try:
-        import io
+    With DPS_REAL_CODECS=1 and a decodable payload, return the
+    codec's true size/mode — the operator is production-real where
+    explicitly enabled. Otherwise fall back to a deterministic fake
+    derived from the payload digest, so the pipeline has varying
+    values to aggregate and the DuckDB oracle (pure sha256
+    arithmetic) stays exact regardless of which libraries the
+    container ships."""
+    if real_codecs_enabled():
+        try:
+            import io
 
-        from PIL import Image  # not in this container; guarded
+            from PIL import Image  # not in this container; guarded
 
-        with Image.open(io.BytesIO(payload)) as im:
-            return {"width": im.width, "height": im.height, "mode": im.mode}
-    except Exception:
-        pass
+            with Image.open(io.BytesIO(payload)) as im:
+                return {
+                    "width": im.width,
+                    "height": im.height,
+                    "mode": im.mode,
+                }
+        except Exception:
+            pass
     digest = hashlib.sha256(payload).digest()
     return {
         "width": 64 + digest[0] % 192,   # fake 64..255 px

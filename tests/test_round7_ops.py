@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -57,10 +59,15 @@ def test_bm25_rarer_term_scores_higher(spark, sf_dir):
         r[f"tf_{v}"] == 0 for v in _BM25_TERMS if v != w
     )
     rare_docs = {r.dl: r.score for r in out if only(r, rare)}
+    compared = False
     for r in out:
         if only(r, common) and r.dl in rare_docs:
             assert rare_docs[r.dl] > r.score
-            return
+            compared = True
+    if not compared:
+        # silent non-coverage must be visible (ADVICE r7): without a
+        # same-dl pair the idf-ordering property was never exercised
+        pytest.skip("no same-dl single-term pair in fixture")
 
 
 def test_span_sharing_invariants(spark, sf_dir):
