@@ -71,6 +71,8 @@ HEADLINE = [
     "join_bloom_runtime",
     "window_twa",
     "basket_pair_affinity",
+    "basket_pair_affinity_apriori",
+    "tidy_supercat_hourly",
     "mv_incremental_refresh",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",

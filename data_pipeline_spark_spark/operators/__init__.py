@@ -91,6 +91,8 @@ _ROUND8_PRIORITY = [
     "dedup_semantic",
     "multimodal_decode",
     "tidy_supercat_hourly",
+    "dedup_containment",
+    "quality_unigram_logprob",
     # (c) last green row r05 — recall-checked dedup ladder first
     "dedup_fuzzy",
     "dedup_minhash_df",

@@ -288,6 +288,142 @@ def jaccard_pairs(
     )
 
 
+_CONTAIN_SQL = """
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           sa.n_sh AS n_sh_a,
+           CAST(p.inter AS BIGINT) AS inter,
+           ROUND(CAST(p.inter AS DOUBLE) / sa.n_sh, 4) AS containment
+    FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id
+    WHERE p.inter * 10 >= sa.n_sh * 9
+"""
+
+
+@query("dedup_containment", oracle=_CONTAIN_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle CONTAINMENT pairs (C(A→B) = |A∩B|/|A| ≥ 0.9)
+    — partial-copy detection, the asymmetric near-dup
+    [[dedup_ngram_jaccard]] structurally misses: a short document
+    pasted inside a long one has low Jaccard (union is dominated by
+    the long doc) but containment ≈ 1. The standard third rung of a
+    corpus dedup ladder (exact → Jaccard → containment), cf. the
+    containment variants of the PPJoin set-similarity family.
+
+    Shape mirrors the Jaccard prefix-filter with the containment-
+    specific asymmetry:
+
+    - **A-side prefix only.** C ≥ t means at most ⌈t·|A|⌉ − 1 of A's
+      shingles may miss B, so a qualifying pair must share one of
+      A's first |A| − ⌈t·|A|⌉ + 1 sorted shingles (pigeonhole on A
+      alone — B cannot be prefix-pruned, its posting list explodes
+      in full).
+    - **One-sided size band**: C ≥ t ⇒ |B| ≥ ⌈t·|A|⌉, as integer
+      cross-multiplication against the exact rational 9/10 (never
+      float 0.9).
+    - **Verification is exact**: one array_intersect over the full
+      sorted sets; the threshold test is ``inter·10 ≥ |A|·9`` in
+      both engines, so no float rounding can disagree at exactly
+      C = 0.9.
+    - Stop-shingles past ``_SHINGLE_DF_CAP`` leave candidate
+      generation via a broadcast anti-join (k-doc shingles emit k²
+      directed candidates); verification still sees full sets, same
+      contract as the Jaccard rung. Fixture df max (25) is far below
+      the cap, so oracle output is byte-identical to uncapped.
+
+    Scale: the posting-list self-join input is prefix×full rather
+    than prefix×prefix, so this rung costs more than Jaccard at the
+    same threshold — at 100 TB it runs AFTER exact+Jaccard dedup has
+    shrunk the corpus, against the (smaller) suspected-template
+    slice."""
+    return containment_pairs(load(spark, sf_dir, "documents"))
+
+
+def containment_pairs(
+    d: DataFrame, p: int = 9, q: int = 10
+) -> DataFrame:
+    """Directed containment pipeline over any (doc_id, text) frame at
+    threshold p/q — factored from [[dedup_containment]] (see its
+    docstring for the design) so tests can drive synthetic corpora
+    (e.g. the short-inside-long pair Jaccard misses)."""
+    toks = fan_out(d).select("doc_id", F.split("text", " ").alias("toks"))
+    shingled = (
+        toks.select(
+            "doc_id", F.sort_array(_hashed_shingles("toks")).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
+    n = F.size("sh")
+    ceil_tn = F.floor((n * p + (q - 1)) / q).cast("int")
+    pref = shingled.select(
+        "doc_id",
+        n.alias("n_sh"),
+        F.explode(F.slice("sh", 1, n - ceil_tn + 1)).alias("shingle"),
+    )
+    post = shingled.select(
+        "doc_id", n.alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    hot = (
+        post.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    pref = pref.join(F.broadcast(hot), "shingle", "left_anti")
+    post = post.join(F.broadcast(hot), "shingle", "left_anti")
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = post.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("nb") * q >= F.col("na") * p)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = shingled.toDF("doc_a", "sh_a")
+    sb = shingled.toDF("doc_b", "sh_b")
+    ver = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").cast("bigint").alias("n_sh_a"),
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("bigint")
+            .alias("inter"),
+        )
+    )
+    return ver.filter(F.col("inter") * q >= F.col("n_sh_a") * p).select(
+        "doc_a",
+        "doc_b",
+        "n_sh_a",
+        "inter",
+        F.round(
+            F.col("inter").cast("double") / F.col("n_sh_a"), 4
+        ).alias("containment"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH (approximate Jaccard at scale)
 # ---------------------------------------------------------------------------

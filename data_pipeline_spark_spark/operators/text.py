@@ -675,3 +675,86 @@ def vocab_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("oov_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality scoring (the perplexity-proxy filter)
+# ---------------------------------------------------------------------------
+
+_LOGPROB_SQL = """
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term,
+             CAST(round(ln(COUNT(*)) * 1000000) AS BIGINT) AS lp6
+      FROM tokens GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(round(ln(COUNT(*)) * 1000000) AS BIGINT) AS ln_total6
+      FROM tokens
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(v.lp6) AS BIGINT) AS sum_lp6,
+           CAST(SUM(v.lp6) - COUNT(*) * tot.ln_total6 AS DOUBLE)
+             / (1000000.0 * COUNT(*)) AS mean_logprob
+    FROM tokens t JOIN vocab v USING (term), tot
+    GROUP BY t.doc_id, tot.ln_total6
+"""
+
+
+@query("quality_unigram_logprob", oracle=_LOGPROB_SQL)
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: train a unigram LM on the
+    corpus itself and score every document by its mean token
+    log-probability — the CCNet/Gopher-family LM filter (low mean
+    logprob ⇒ rare-token gibberish; suspiciously high ⇒ boilerplate),
+    the standard third quality axis after rule scores
+    ([[quality_score]]) and repetition ([[repetition_stats]]).
+
+    Cross-engine exactness (the ln() hazard, same treatment as
+    [[keyword_search_bm25]]'s idf): every per-token log-probability
+    is quantized ONCE to integer micro-nats — lp6 = round(ln(count)
+    ·1e6) — in the vocabulary, where each distinct count is rounded
+    a single time; per-document accumulation is then a pure BIGINT
+    sum (associative — partial aggregation and any AQE merge order
+    match DuckDB's sequential fold bit-for-bit), ln(N_total) is
+    quantized the same way, and the one double division at the end
+    is the same IEEE operation in both engines. A 1-ulp ln()
+    divergence only matters if some ln(count)·1e6 sits within an ulp
+    of a .5 boundary — and because it is rounded once per DISTINCT
+    count (not per token), the exposure is a few thousand values,
+    not billions.
+
+    Scale shape: the vocabulary is one map-side-combined term-count
+    shuffle (vocabulary-sized state, the [[tfidf_top_terms]] /
+    [[vocab_oov_report]] bound); scoring BROADCAST-joins it onto the
+    token scan, so the corpus-proportional token stream is never
+    shuffled — the only data-proportional exchange is the per-doc
+    rollup, and its partial aggregation collapses each doc's tokens
+    map-side. Scoring the corpus with its own LM means count ≥ 1 for
+    every token (no OOV smoothing branch; scoring a HELD-OUT stream
+    adds a broadcast-miss default, same plan)."""
+    d = load(spark, sf_dir, "documents")
+    toks = fan_out(d).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    lp6 = F.round(F.log(F.count("*")) * 1000000).cast("bigint")
+    vocab = toks.groupBy("term").agg(lp6.alias("lp6"))
+    ln_total6 = (
+        F.round(F.log(F.count("*")) * 1000000).cast("bigint")
+    )
+    tot = toks.select(F.lit(1)).agg(ln_total6.alias("ln_total6"))
+    scored = toks.join(F.broadcast(vocab), "term").crossJoin(
+        F.broadcast(tot)
+    )
+    return scored.groupBy("doc_id", "ln_total6").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("lp6").cast("bigint").alias("sum_lp6"),
+        (
+            (F.sum("lp6") - F.count("*") * F.first("ln_total6")).cast("double")
+            / (F.lit(1000000.0) * F.count("*"))
+        ).alias("mean_logprob"),
+    ).drop("ln_total6")

@@ -118,3 +118,65 @@ def test_tidy_hourly_matches_manual_channel_mean(spark, sf_dir):
         n, mean = out[("Group 1", r["hour_utc"])]
         assert n == r["n_obs"]
         assert mean == r["sum_e8"] / (1e8 * r["n_obs"])
+
+
+def test_containment_asymmetry_and_bounds(spark, sf_dir):
+    """Containment output is directed: every (a→b) row has
+    inter ≤ n_sh_a, containment ∈ (0, 1], and threshold holds as the
+    exact integer predicate. A full-duplicate pair must appear in
+    BOTH directions."""
+    from data_pipeline_spark_spark.operators.dedup import dedup_containment
+
+    rows = dedup_containment(spark, sf_dir).collect()
+    assert rows, "fixture contains near-dup docs; expected output"
+    seen = {(r.doc_a, r.doc_b) for r in rows}
+    for r in rows:
+        assert 0 < r.inter <= r.n_sh_a
+        assert r.inter * 10 >= r.n_sh_a * 9
+        assert 0 < r.containment <= 1.0
+        if r.containment == 1.0 and r.inter == r.n_sh_a:
+            pass  # full containment need not be mutual (A ⊂ B)
+    # symmetric full duplicates (containment 1.0 both ways) exist in
+    # the fixture's duplicated docs: at least one mutual pair
+    mutual = [p for p in seen if (p[1], p[0]) in seen]
+    assert mutual, "expected at least one mutual containment pair"
+
+
+def test_containment_catches_jaccard_misses(spark):
+    """The reason this rung exists: a short doc pasted inside a long
+    one passes containment (≈1) while failing Jaccard 0.8 (the union
+    is dominated by the long doc). Built synthetically because the
+    fixture's near-dups are full duplicates where both rungs agree."""
+    from data_pipeline_spark_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"tok{i}" for i in range(40))
+    d = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = {(r.doc_a, r.doc_b) for r in containment_pairs(d).collect()}
+    jac = {(r.doc_a, r.doc_b) for r in jaccard_pairs(d).collect()}
+    assert (1, 2) in cont  # short ⊂ long: containment fires
+    assert (2, 1) not in cont  # but not in the reverse direction
+    assert (1, 2) not in jac and (2, 1) not in jac  # Jaccard misses it
+
+
+def test_unigram_logprob_invariants(spark, sf_dir):
+    """Mean log-prob is strictly negative unless a doc consists
+    entirely of the corpus's only token; the highest-scoring docs
+    must be built from more frequent tokens than the lowest."""
+    from data_pipeline_spark_spark.operators.text import (
+        quality_unigram_logprob,
+    )
+
+    rows = quality_unigram_logprob(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_tokens > 0
+        assert r.mean_logprob < 0  # p(w) < 1 for every fixture token
+        # sum_lp6 is Σ round(ln(count)*1e6) ≥ 0 (counts ≥ 1)
+        assert r.sum_lp6 >= 0
