@@ -93,21 +93,6 @@ def _shingles(col, n: int = 3):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _hashed_shingles(toks_col: str = "toks", n: int = 3):
-    """Word n-gram shingles pre-hashed to int64 INSIDE the transform,
-    so the explode emits 8-byte longs instead of ~20-char strings and
-    array_distinct compares longs, not strings. Measured 1.5-2×
-    faster than explode-then-hash at sf0.1. Expects a pre-split token
-    array column (factor the split once; inlining it re-evaluates the
-    split per reference)."""
-    return F.expr(
-        f"CASE WHEN size({toks_col}) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size({toks_col}) - {n - 1}), "
-        f"i -> xxhash64(concat_ws(' ', slice({toks_col}, i, {n}))))) "
-        f"ELSE array() END"
-    )
-
-
 _JACCARD_SQL = """
     WITH shingled AS (
       SELECT doc_id,
@@ -202,6 +187,42 @@ def _rational_le(t: float, max_den: int = 10_000) -> tuple[int, int]:
     return f.numerator, f.denominator
 
 
+def _shingle_sets(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh) with sh = SORTED DISTINCT int64-hashed word
+    n-gram shingles — the shared front end of the exact pair rungs
+    ([[dedup_ngram_jaccard]], [[dedup_containment]]).
+
+    Built as generator + codegen hash + one doc-keyed regroup, NOT
+    the in-row higher-order ``transform`` it replaced: lambda
+    expressions are interpreted (excluded from whole-stage codegen),
+    and the transform front end measured 2.0 s at sf0.1 against
+    0.3 s for this shape — the regroup's one extra shuffle carries
+    (doc_id, 8-byte hash) pairs and costs far less than running the
+    shingle loop in the expression interpreter. Hashing to int64
+    keeps every downstream explode/shuffle at 8 bytes per shingle
+    (64-bit collisions are negligible at any corpus size);
+    ``sort_array`` gives the global order the prefix filter needs
+    and makes verification an O(|a|+|b|) sorted intersect."""
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= n
+    )
+    spans = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t") - F.lit(n - 1))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("i"), n))).alias(
+            "h"
+        ),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("h")).alias("sh")
+    )
+
+
 def jaccard_pairs(
     d: DataFrame, threshold: float = 0.8, df_cap: int | None = _SHINGLE_DF_CAP
 ) -> DataFrame:
@@ -212,21 +233,9 @@ def jaccard_pairs(
     candidate generation; ``None`` disables the cap (the skew test
     measures the pair blowup both ways). ``threshold=0.0``
     degenerates to the full self-join (prefix = whole set)."""
-    # fan out: the shingle transform is compute-bound; factor the
-    # split ONCE (inlining re-evaluates split per reference)
-    toks = fan_out(d).select("doc_id", F.split("text", " ").alias("toks"))
-    # hash INSIDE the transform: the explode and every downstream
-    # shuffle carry 8-byte longs instead of ~20-char strings (64-bit
-    # collisions are negligible at any corpus size); sort_array gives
-    # the global order the prefix filter needs. The sorted sets feed
-    # prefix explosion AND both verification sides — lazy-checkpoint
-    # once instead of re-shingling three times.
-    shingled = (
-        toks.select(
-            "doc_id", F.sort_array(_hashed_shingles("toks")).alias("sh")
-        )
-        .localCheckpoint(eager=False)
-    )
+    # the sorted sets feed prefix explosion AND both verification
+    # sides — lazy-checkpoint once instead of re-shingling three times
+    shingled = _shingle_sets(d).localCheckpoint(eager=False)
     p, q = _rational_le(threshold)
     n = F.size("sh")
     # prefix length n − ⌈t·n⌉ + 1, with ⌈p·n/q⌉ = floor((p·n+q−1)/q)
@@ -358,14 +367,7 @@ def containment_pairs(
     threshold p/q — factored from [[dedup_containment]] (see its
     docstring for the design) so tests can drive synthetic corpora
     (e.g. the short-inside-long pair Jaccard misses)."""
-    toks = fan_out(d).select("doc_id", F.split("text", " ").alias("toks"))
-    shingled = (
-        toks.select(
-            "doc_id", F.sort_array(_hashed_shingles("toks")).alias("sh")
-        )
-        .filter(F.size("sh") > 0)
-        .localCheckpoint(eager=False)
-    )
+    shingled = _shingle_sets(d).localCheckpoint(eager=False)
     n = F.size("sh")
     ceil_tn = F.floor((n * p + (q - 1)) / q).cast("int")
     pref = shingled.select(

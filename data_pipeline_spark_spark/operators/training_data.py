@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
-from .dedup import _hashed_shingles
 
 #: tokens per training shard (shard_pack)
 _SHARD_TOKENS = 2048
@@ -144,22 +143,32 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcast and the corpus-side explode joins against it with NO
     shuffle of corpus data; only matched (doc_id, gram) survivors —
     a sliver — shuffle for the per-doc distinct count. 5-grams are
-    hashed to int64 inside the array transform (dedup.py pattern), so
-    the broadcast table and join keys are 8-byte longs, not strings."""
+    hashed to int64 in the generator projection (dedup._shingle_sets
+    pattern), so the broadcast table and join keys are 8-byte longs,
+    not strings."""
     d = load(spark, sf_dir, "documents")
 
-    def grams(side):
-        # filter FIRST, then fan out and shingle: each doc is shingled
-        # exactly once across the two branches, and the compute-bound
-        # transform is spread over all cores (the local fixture is a
-        # single-row-group file — one task without the fan-out)
-        from ..catalog import fan_out
-
-        return (
-            fan_out(side)
-            .select("doc_id", F.split("text", " ").alias("toks"))
-            .select("doc_id", _hashed_shingles("toks", n=5).alias("sh"))
-            .select("doc_id", F.explode("sh").alias("g"))
+    def grams(side, n=5):
+        # generator + codegen hash, not an in-row transform lambda
+        # (interpreted; the 3-gram front end measured 7× slower that
+        # way — dedup._shingle_sets r8 note). The stream may repeat a
+        # gram within a doc; both consumers are distinct-at-the-end
+        # (bench .distinct(), train count_distinct), so per-doc
+        # dedup here would only add work.
+        toks = side.select(
+            "doc_id", F.split("text", " ").alias("t")
+        ).filter(F.size("t") >= n)
+        return toks.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - F.lit(n - 1))
+            ).alias("i"),
+        ).select(
+            "doc_id",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice("t", F.col("i"), n))
+            ).alias("g"),
         )
 
     bench = grams(d.filter(F.md5("text") < _BENCH_THR)).select("g").distinct()
