@@ -261,16 +261,17 @@ def test_bm25_broadcast_stats_only(spark, sf_dir):
     assert shuffle_count(df) <= 1  # the single-row stats aggregate
 
 
-def test_minhash_signature_in_row(spark, sf_dir):
-    """The MinHash signature build is in-row (array_min over hash
-    transforms): the first exchange in minhash_df_pairs is the BAND
-    groupBy, not a per-shingle doc groupBy — so the plan has exactly
-    the band-key shuffle plus the pair aggregation."""
+def test_minhash_signature_bounded_shuffles(spark, sf_dir):
+    """The MinHash signature build is 32 codegen MIN aggregates over
+    the exploded shingle stream (map-side partial mins — the in-row
+    transform form ran interpreted and 4× slower, r8): the plan pays
+    at most the doc-keyed signature groupBy, the band self-join, and
+    the candidate distinct."""
     from data_pipeline_spark_spark.catalog import load
     from data_pipeline_spark_spark.operators.dedup import minhash_df_pairs
 
     df = minhash_df_pairs(load(spark, sf_dir, "documents"))
-    assert shuffle_count(df) <= 3  # bands groupBy, pair agg, distinct
+    assert shuffle_count(df) <= 3  # sig groupBy, band join, distinct
 
 
 def test_keep_canonical_broadcasts_dropped_ids(spark, sf_dir):
