@@ -66,6 +66,7 @@ HEADLINE = [
     "keyword_search_bm25",
     "vocab_oov_report",
     "sim_search",
+    "sim_search_pq",
     "text_stats",
     "repetition_stats",
     "ts_resample_ohlc",

@@ -93,6 +93,7 @@ _ROUND8_PRIORITY = [
     "tidy_supercat_hourly",
     "dedup_containment",
     "quality_unigram_logprob",
+    "sim_search_pq",
     # (c) last green row r05 — recall-checked dedup ladder first
     "dedup_fuzzy",
     "dedup_minhash_df",

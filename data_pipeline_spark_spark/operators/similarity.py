@@ -470,3 +470,188 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("norm2_u").alias("norm2_u_max"),
         (F.sum("norm2_u").cast("double") / F.count("*")).alias("norm2_u_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (the memory-bound ANN rung)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8       # subspaces (64-dim → 8 × 8-dim subvectors)
+_PQ_SUB = 8     # dims per subspace
+_PQ_K = 8       # codebook entries per subspace
+_PQ_TOP = 10
+
+
+def _pq_sq_spark(a, b):
+    """Unrolled ||a−b||² over an 8-dim subvector — eight explicit
+    (x−y)·(x−y) terms summed left-to-right, whole-stage codegen, and
+    the SAME association order the SQL oracle uses, so the double is
+    bit-identical in both engines (no fold lambda: interpreted, and
+    fold order is the one thing an oracle can't see)."""
+    terms = [
+        (F.element_at(a, i) - F.element_at(b, i))
+        * (F.element_at(a, i) - F.element_at(b, i))
+        for i in range(1, _PQ_SUB + 1)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def _pq_sq_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+        for i in range(1, _PQ_SUB + 1)
+    )
+
+
+_PQ_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    cb AS (  -- codebook: subvectors of the first {_PQ_K} vectors
+      SELECT m.m, e.vec_id AS c,
+             e.emb[m.m * {_PQ_SUB} + 1 : (m.m + 1) * {_PQ_SUB}] AS cent
+      FROM e, (SELECT unnest(range(0, {_PQ_M})) AS m) m
+      WHERE e.vec_id < {_PQ_K}
+    ),
+    sub AS (
+      SELECT e.vec_id, m.m,
+             e.emb[m.m * {_PQ_SUB} + 1 : (m.m + 1) * {_PQ_SUB}] AS sv
+      FROM e, (SELECT unnest(range(0, {_PQ_M})) AS m) m
+    ),
+    dists AS (
+      SELECT s.vec_id, s.m, cb.c,
+             CAST(round(({_pq_sq_sql("s.sv", "cb.cent")}) * 1000000)
+                  AS BIGINT) AS dist_u
+      FROM sub s JOIN cb ON s.m = cb.m
+    ),
+    codes AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist_u, c) AS rn
+        FROM dists) WHERE rn = 1
+    ),
+    terms AS (  -- ADC lookup table: query × subspace × code
+      SELECT q.vec_id AS query_id, cb.m, cb.c,
+             CAST(round(({_pq_sq_sql("q.sv", "cb.cent")}) * 1000000)
+                  AS BIGINT) AS term_u
+      FROM sub q JOIN cb ON q.m = cb.m
+      WHERE q.vec_id < {_N_QUERIES}
+    ),
+    adc AS (
+      SELECT t.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(t.term_u) AS BIGINT) AS est_dist_u
+      FROM codes c
+      JOIN terms t ON t.m = c.m AND t.c = c.code
+      WHERE c.vec_id <> t.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, est_dist_u,
+           CAST(est_dist_u AS DOUBLE) / 1000000.0 AS est_dist, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY est_dist_u, neighbor_id)
+                    AS rnk
+          FROM adc)
+    WHERE rnk <= {_PQ_TOP}
+"""
+
+
+@query("sim_search_pq", oracle=_PQ_SQL)
+def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011) — the
+    MEMORY-bound rung completing the ladder (exact [[sim_search]] →
+    LSH → IVF → int8 [[sim_search_rerank]] → PQ): each vector is
+    stored as {_PQ_M} one-byte codes (64× smaller than float32), and
+    queries scan codes with an asymmetric-distance (ADC) lookup
+    table instead of touching any vector data. Codebooks here are
+    the first {_PQ_K} vectors' subvectors (the deterministic seeding
+    trick shared with [[dedup_semantic]]); production swaps in
+    per-subspace k-means without changing the shape.
+
+    Unlike the LSH/IVF rungs (recall-checked booleans), PQ's
+    estimate is DETERMINISTIC, so this rung carries a full value
+    oracle: every squared distance is an unrolled 8-term codegen
+    expression (identical association order in both engines — never
+    a fold lambda), quantized ONCE to integer micro-units, and every
+    downstream aggregation (code argmin, ADC sum, ranking) is exact
+    bigint arithmetic that no summation order can perturb.
+
+    Scale shape: the codebook ({_PQ_M}×{_PQ_K} subvectors) and the
+    per-query ADC table ({_N_QUERIES}·{_PQ_M}·{_PQ_K} = 320 rows)
+    are broadcast; encoding is one groupBy over (vector, subspace)
+    rows, and the query scan touches only the integer code table —
+    the plan a 1B-vector serving tier runs, with the codes table as
+    the only data-proportional state."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    ms = F.explode(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1))
+    ).alias("m")
+    sub = e.select(
+        "vec_id", "emb", ms
+    ).select(
+        "vec_id",
+        "m",
+        F.slice("emb", F.col("m") * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+    )
+    cb = (
+        sub.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("m").alias("cm"), F.col("vec_id").alias("c"),
+                F.col("sv").alias("cent"))
+    )
+    dist_u = (
+        F.round(_pq_sq_spark(F.col("sv"), F.col("cent")) * 1000000)
+        .cast("bigint")
+        .alias("dist_u")
+    )
+    codes = (
+        sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select("vec_id", "m", "c", dist_u)
+        # integer lexicographic (dist_u, c) min = argmin with the
+        # deterministic centroid-id tie-break, one aggregation, no
+        # window
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist_u", "c")).getField("c").alias("code"))
+    )
+    terms = (
+        sub.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select(
+            "query_id",
+            # explicit renames: terms and codes share the `sub`
+            # lineage, and a codes.m == terms.m predicate degrades to
+            # a trivially-true self-comparison
+            F.col("m").alias("tm"),
+            F.col("c").alias("tc"),
+            F.round(_pq_sq_spark(F.col("sv"), F.col("cent")) * 1000000)
+            .cast("bigint")
+            .alias("term_u"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(terms),
+            (F.col("m") == F.col("tm")) & (F.col("code") == F.col("tc")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("term_u").cast("bigint").alias("est_dist_u"))
+    )
+    w = W.partitionBy("query_id").orderBy("est_dist_u", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOP)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "est_dist_u",
+            (F.col("est_dist_u").cast("double") / 1000000.0).alias(
+                "est_dist"
+            ),
+            "rnk",
+        )
+    )

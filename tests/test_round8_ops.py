@@ -180,3 +180,31 @@ def test_unigram_logprob_invariants(spark, sf_dir):
         assert r.mean_logprob < 0  # p(w) < 1 for every fixture token
         # sum_lp6 is Σ round(ln(count)*1e6) ≥ 0 (counts ≥ 1)
         assert r.sum_lp6 >= 0
+
+
+def test_pq_structure_and_estimate_sanity(spark, sf_dir):
+    """PQ output shape: exactly TOP ranked rows per query, ranks
+    dense from 1, self never among neighbors, estimated distances
+    non-negative and non-decreasing with rank — and the estimate of
+    an actual codebook vector for itself is 0 (a vector among the
+    first K has its own subvectors as centroids, so every code
+    distance is exactly zero)."""
+    from data_pipeline_spark_spark.operators.similarity import (
+        _N_QUERIES,
+        _PQ_TOP,
+        sim_search_pq,
+    )
+
+    rows = sim_search_pq(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert r.est_dist_u >= 0
+        assert r.est_dist == r.est_dist_u / 1e6
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(_N_QUERIES))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, _PQ_TOP + 1))
+        dists = [r.est_dist_u for r in rs]
+        assert dists == sorted(dists)
