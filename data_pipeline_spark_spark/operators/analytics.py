@@ -411,17 +411,20 @@ _BASKET_ITEM_CAP = 10_000
 
 
 def _basket_affinity_from(
-    fact: DataFrame, tot: DataFrame | None = None
+    fact: DataFrame, width: int, tot: DataFrame | None = None
 ) -> DataFrame:
     """Shared pair/lift tail: build per-order sorted item-set baskets
     from ``fact`` (one data-proportional shuffle), expand pairs
-    in-row, and attach counts as broadcasts. ``tot`` is a lazy 1-row
-    (n_baskets) frame; when None it is derived as a cheap O(P) count
-    of the checkpointed basket rows — correct ONLY for an unpruned
-    fact stream (the Apriori variant must count unpruned orders and
-    supplies its own)."""
-    from ..session import adaptive_shuffle_width
-
+    in-row, and attach counts as broadcasts. ``width`` is the pinned
+    repartition width, computed by the CALLER from the raw scan:
+    calling adaptive_shuffle_width on a frame that already contains
+    exchanges (the Apriori variant's semi-join build side) would
+    force AQE to materialize those stages at plan-construction time —
+    running the frequent-item job twice per execution. ``tot`` is a
+    lazy 1-row (n_baskets) frame; when None it is derived as a cheap
+    O(P) count of the checkpointed basket rows — correct ONLY for an
+    unpruned fact stream (the Apriori variant must count unpruned
+    orders and supplies its own)."""
     min_support = 2
     baskets = (
         fact
@@ -429,7 +432,7 @@ def _basket_affinity_from(
         # would squeeze the CPU-bound k²/2 pair expansion to ~1 task
         # because the basket arrays are few MB (measured 1.23 s with a
         # blanket 32-wide repartition vs 0.94 s adaptive at sf0.1)
-        .repartition(adaptive_shuffle_width(fact), "l_orderkey")
+        .repartition(width, "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
         .select(F.slice("items", 1, _BASKET_ITEM_CAP).alias("items"))
@@ -519,10 +522,12 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Lift's numerator and denominator are exact bigint products, so the
     single double division is bit-identical in both engines."""
+    from ..session import adaptive_shuffle_width
+
     fact = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    return _basket_affinity_from(fact)
+    return _basket_affinity_from(fact, adaptive_shuffle_width(fact))
 
 
 @query("basket_pair_affinity_apriori", oracle=_AFFINITY_SQL)
@@ -553,13 +558,18 @@ def basket_pair_affinity_apriori(
     shares the oracle verbatim; at scale the cost inverts — the saved
     fan-out is the difference between a runnable and an unrunnable
     basket job."""
+    from ..session import adaptive_shuffle_width
+
     fact = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
     tot = fact.groupBy().agg(
         F.count_distinct("l_orderkey").alias("n_baskets")
     )
-    return _basket_affinity_from(_apriori_pruned_fact(fact), tot)
+    # width from the RAW scan — the pruned frame contains exchanges
+    # and probing its partitioning would materialize them eagerly
+    width = adaptive_shuffle_width(fact)
+    return _basket_affinity_from(_apriori_pruned_fact(fact), width, tot)
 
 
 def _apriori_pruned_fact(fact: DataFrame) -> DataFrame:

@@ -202,10 +202,13 @@ def _shingle_sets(d: DataFrame, n: int = 3) -> DataFrame:
     keeps every downstream explode/shuffle at 8 bytes per shingle
     (64-bit collisions are negligible at any corpus size);
     ``sort_array`` gives the global order the prefix filter needs
-    and makes verification an O(|a|+|b|) sorted intersect."""
-    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= n
-    )
+    and makes verification an O(|a|+|b|) sorted intersect. fan_out
+    spreads the generator+hash stage across cores on single-split
+    local inputs (+0.12 s at sf0.1, a no-op-ish shuffle on a real
+    multi-split scan — catalog.fan_out)."""
+    toks = fan_out(d).select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= n)
     spans = toks.select(
         "doc_id",
         "t",
@@ -683,9 +686,9 @@ def minhash_df_pairs(d: DataFrame) -> DataFrame:
     stream change nothing. Then one explode × 8 (bands), one groupBy
     band key. The spark.ml twin is minhash_lsh_pairs; tests
     cross-check both recall every exact Jaccard-0.8 pair."""
-    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= 3
-    )
+    toks = fan_out(d).select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
     spans = toks.select(
         "doc_id",
         "t",
@@ -996,8 +999,14 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
+            # seed literal FIRST: Spark chains multi-arg xxhash64 as
+            # hash = xxhash64(child, prev_hash), so (span, lit(1))
+            # would make h2 a deterministic function of h1 — a fake
+            # 128-bit key with 64-bit collision resistance. With the
+            # literal first, the two hashes start from different
+            # effective seeds and are independent.
             F.xxhash64(span_txt).alias("h1"),
-            F.xxhash64(span_txt, F.lit(1)).alias("h2"),
+            F.xxhash64(F.lit(1), span_txt).alias("h2"),
         )
     )
     g = (

@@ -285,13 +285,23 @@ def tidy_supercat_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     as at 12."""
     store = tidy_store(spark)
     wide = spark.read.parquet(os.path.join(store, "wide"))
-    signal_cols = [c for c in wide.columns if c in set(_TIDY_SIGNALS)]
+    # the oracle UNPIVOTs the literal _TIDY_SIGNALS names, so a
+    # fixture-shape drift must fail LOUDLY here rather than let the
+    # engines silently aggregate different column subsets
+    actual = [c for c in wide.columns if c.startswith("S")]
+    if sorted(actual) != sorted(_TIDY_SIGNALS):
+        raise ValueError(
+            f"tidy store signals {actual} != oracle's {_TIDY_SIGNALS}"
+        )
     tidy = wide.unpivot(
         ids=["Timestamp"],
-        values=signal_cols,
+        values=_TIDY_SIGNALS,
         variableColumnName="channel",
         valueColumnName="value",
-    )
+    # Spark's unpivot RETAINS null cells; DuckDB's UNPIVOT excludes
+    # them by default — align explicitly (a malformed CSV cell parses
+    # to a null signal and survives ingest)
+    ).filter(F.col("value").isNotNull())
     mapping = spark.read.parquet(os.path.join(store, "mapping"))
     secs = F.col("Timestamp").cast("long")
     return (

@@ -741,12 +741,26 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = fan_out(d).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    lp6 = F.round(F.log(F.count("*")) * 1000000).cast("bigint")
-    vocab = toks.groupBy("term").agg(lp6.alias("lp6"))
-    ln_total6 = (
-        F.round(F.log(F.count("*")) * 1000000).cast("bigint")
+    # ONE corpus-proportional aggregation builds the count table; the
+    # lazy checkpoint lets both the lp6 vocabulary and the corpus
+    # total read it back at vocabulary size. N_total = Σ vocab counts
+    # — the same integer the oracle's COUNT(*) over tokens yields, so
+    # ln() quantizes identically — and deriving it here avoids a
+    # THIRD full scan+explode of the corpus (r8 review finding).
+    vocab_cnt = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    tot = toks.select(F.lit(1)).agg(ln_total6.alias("ln_total6"))
+    vocab = vocab_cnt.select(
+        "term",
+        F.round(F.log("cnt") * 1000000).cast("bigint").alias("lp6"),
+    )
+    tot = vocab_cnt.agg(
+        F.round(F.log(F.sum("cnt")) * 1000000)
+        .cast("bigint")
+        .alias("ln_total6")
+    )
     scored = toks.join(F.broadcast(vocab), "term").crossJoin(
         F.broadcast(tot)
     )

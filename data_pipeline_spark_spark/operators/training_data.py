@@ -154,8 +154,11 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # way — dedup._shingle_sets r8 note). The stream may repeat a
         # gram within a doc; both consumers are distinct-at-the-end
         # (bench .distinct(), train count_distinct), so per-doc
-        # dedup here would only add work.
-        toks = side.select(
+        # dedup here would only add work. fan_out spreads the hash
+        # stage on single-split local inputs.
+        from ..catalog import fan_out
+
+        toks = fan_out(side).select(
             "doc_id", F.split("text", " ").alias("t")
         ).filter(F.size("t") >= n)
         return toks.select(

@@ -271,7 +271,8 @@ def test_minhash_signature_bounded_shuffles(spark, sf_dir):
     from data_pipeline_spark_spark.operators.dedup import minhash_df_pairs
 
     df = minhash_df_pairs(load(spark, sf_dir, "documents"))
-    assert shuffle_count(df) <= 3  # sig groupBy, band join, distinct
+    # fan_out spread, sig groupBy, band join, distinct
+    assert shuffle_count(df) <= 4
 
 
 def test_keep_canonical_broadcasts_dropped_ids(spark, sf_dir):
