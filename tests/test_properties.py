@@ -219,3 +219,32 @@ def test_prefix_filter_recalls_every_pair_at_threshold(a, b, t):
         )
         # the size band must also keep the pair
         assert len(a) * q >= len(b) * p and len(b) * q >= len(a) * p
+
+
+# ---------------------------------------------------------------------------
+# A-side prefix pigeonhole (dedup.py::containment_pairs)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+    st.sets(st.integers(min_value=0, max_value=60), min_size=0, max_size=40),
+)
+def test_containment_prefix_recalls_every_pair(a, b):
+    """The one-sided pigeonhole behind containment_pairs' candidate
+    generation: ANY (A, B) with |A∩B|/|A| ≥ 9/10 must share an
+    element within A's prefix of length |A| − ⌈9·|A|/10⌉ + 1 against
+    B's FULL set — losing at most ⌈t·|A|⌉ − 1 of A's elements cannot
+    exhaust a prefix that long. Checked over random sets so the
+    integer ceil arithmetic (not float 0.9) is what's exercised. The
+    size band |B| ≥ ⌈t·|A|⌉ must also never exclude a true pair."""
+    p, q = 9, 10
+    inter = len(a & b)
+    if inter * q < len(a) * p:
+        return  # below threshold — no recall obligation
+    n = len(a)
+    plen = n - (p * n + q - 1) // q + 1
+    prefix = set(sorted(a)[:plen])
+    assert prefix & b, (sorted(a), sorted(b))
+    assert len(b) * q >= len(a) * p  # size band keeps the pair
