@@ -132,8 +132,9 @@ _SHINGLE_DF_CAP = 1000
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (≥ 0.8), prefix-filter
     + verify (the PPJoin family: Bayardo/Chaudhuri/Xiao's set-
-    similarity joins): shingle (hashed to int64 INSIDE the transform)
-    → sort each shingle set → explode only the PREFIX (the first
+    similarity joins): shingle (``_shingle_sets``: codegen generator
+    + int64 hash + regroup) → sorted set → explode only the PREFIX
+    (the first
     ``n − ⌈t·n⌉ + 1`` elements under the global hash order; two sets
     with Jaccard ≥ t must share a prefix element, by pigeonhole) →
     self-join prefixes with an exact size-band predicate (J ≥ t ⇒
