@@ -225,21 +225,30 @@ def tidy_store(spark: SparkSession) -> str:
     (already rows-only-checked) ingest as shared input."""
     marker = os.path.join(_TIDY_STORE, ".complete")
     if not os.path.exists(marker):
-        shutil.rmtree(_TIDY_STORE, ignore_errors=True)
-        ingest_out = os.path.join(_TIDY_STORE, "ingest")
+        # build in a session-private staging dir and atomically rename
+        # into place: a concurrent builder (driver + pytest) must never
+        # observe a half-written store, and the loser's rename simply
+        # fails after the winner's marker already exists
+        stage = tempfile.mkdtemp(prefix="dps_eeg_tidy_stage_")
+        ingest_out = os.path.join(stage, "ingest")
         eeg_csv.ingest(spark, fixture_dir(), ingest_out, run_id="tidy-store")
         wide = spark.read.parquet(os.path.join(ingest_out, "data"))
         wide.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(_TIDY_STORE, "wide")
+            os.path.join(stage, "wide")
         )
         h = eeg_csv.probe_header(
             spark, eeg_csv.list_input_files(fixture_dir())[0]
         )
         supercat_mapping_df(spark, h.supercategories).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(_TIDY_STORE, "mapping"))
-        with open(marker, "w") as f:
+        ).parquet(os.path.join(stage, "mapping"))
+        with open(os.path.join(stage, ".complete"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(stage, _TIDY_STORE)
+        except OSError:
+            # another builder won the race; its store is complete
+            shutil.rmtree(stage, ignore_errors=True)
     return _TIDY_STORE
 
 
