@@ -409,6 +409,14 @@ _AFFINITY_SQL = """
 # become a lower bound for pairs involving the truncated tail.
 _BASKET_ITEM_CAP = 10_000
 
+# Pair-support floor, shared by the support filter in
+# _basket_affinity_from AND the Apriori item prune in
+# _apriori_pruned_fact: the prune is only output-invariant because
+# its item threshold equals the pair threshold (a pair with support
+# ≥ S needs both items in ≥ S baskets) — two hardcoded copies would
+# silently desync.
+_MIN_SUPPORT = 2
+
 
 def _basket_affinity_from(
     fact: DataFrame, width: int, tot: DataFrame | None = None
@@ -425,7 +433,7 @@ def _basket_affinity_from(
     O(P) count of the checkpointed basket rows — correct ONLY for an
     unpruned fact stream (the Apriori variant must count unpruned
     orders and supplies its own)."""
-    min_support = 2
+    min_support = _MIN_SUPPORT
     baskets = (
         fact
         # pinned data-adaptive width: AQE's size-based coalescing
@@ -580,7 +588,7 @@ def _apriori_pruned_fact(fact: DataFrame) -> DataFrame:
     freq = (
         fact.groupBy("l_partkey")
         .agg(F.count("*").alias("n_raw"))
-        .filter(F.col("n_raw") >= 2)
+        .filter(F.col("n_raw") >= _MIN_SUPPORT)
         .select("l_partkey")
     )
     return fact.join(F.broadcast(freq), "l_partkey", "semi")

@@ -203,14 +203,37 @@ def _shingle_sets(d: DataFrame, n: int = 3) -> DataFrame:
     keeps every downstream explode/shuffle at 8 bytes per shingle
     (64-bit collisions are negligible at any corpus size);
     ``sort_array`` gives the global order the prefix filter needs
-    and makes verification an O(|a|+|b|) sorted intersect. fan_out
-    spreads the generator+hash stage across cores on single-split
-    local inputs (+0.12 s at sf0.1, a no-op-ish shuffle on a real
-    multi-split scan — catalog.fan_out)."""
+    and makes verification an O(|a|+|b|) sorted intersect."""
+    return span_stream(d, n=n).groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("h")).alias("sh")
+    )
+
+
+def span_stream(
+    d: DataFrame, n: int = 3, hashed: bool = True
+) -> DataFrame:
+    """(doc_id, h|s) stream of word n-gram spans — the ONE generator
+    + codegen projection every shingle consumer shares
+    ([[dedup_ngram_jaccard]] / [[dedup_containment]] via
+    ``_shingle_sets``, ``minhash_df_pairs``, training_data's
+    decontamination grams): a single definition of tokenization, the
+    ``size ≥ n`` guard, and the hash, so the dedup ladder's rungs
+    cannot silently desync (minhash recall is cross-checked against
+    Jaccard pairs — both must shingle identically). ``hashed``
+    emits int64 ``h`` (8-byte shuffle keys); False keeps the string
+    span ``s`` for consumers that seed their own hashes. The stream
+    may repeat a span within a doc — distinct-at-the-end consumers
+    (collect_set, count_distinct, min) are unaffected and per-row
+    dedup here would only add work. fan_out spreads the
+    generator+hash stage across cores on single-split local inputs
+    (+0.12 s at sf0.1, a no-op-ish shuffle on a real multi-split
+    scan — catalog.fan_out); lambdas are deliberately absent: the
+    transform front end this replaced ran interpreted, 7× slower."""
     toks = fan_out(d).select(
         "doc_id", F.split("text", " ").alias("t")
     ).filter(F.size("t") >= n)
-    spans = toks.select(
+    span = F.concat_ws(" ", F.slice("t", F.col("i"), n))
+    return toks.select(
         "doc_id",
         "t",
         F.explode(
@@ -218,12 +241,7 @@ def _shingle_sets(d: DataFrame, n: int = 3) -> DataFrame:
         ).alias("i"),
     ).select(
         "doc_id",
-        F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("i"), n))).alias(
-            "h"
-        ),
-    )
-    return spans.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("h")).alias("sh")
+        F.xxhash64(span).alias("h") if hashed else span.alias("s"),
     )
 
 
@@ -687,16 +705,7 @@ def minhash_df_pairs(d: DataFrame) -> DataFrame:
     stream change nothing. Then one explode × 8 (bands), one groupBy
     band key. The spark.ml twin is minhash_lsh_pairs; tests
     cross-check both recall every exact Jaccard-0.8 pair."""
-    toks = fan_out(d).select(
-        "doc_id", F.split("text", " ").alias("t")
-    ).filter(F.size("t") >= 3)
-    spans = toks.select(
-        "doc_id",
-        "t",
-        F.explode(F.sequence(F.lit(1), F.size("t") - F.lit(2))).alias("i"),
-    ).select(
-        "doc_id", F.concat_ws(" ", F.slice("t", F.col("i"), 3)).alias("s")
-    )
+    spans = span_stream(d, n=3, hashed=False)
     sig = spans.groupBy("doc_id").agg(
         F.array(
             *[

@@ -28,14 +28,27 @@ _FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "dps_eeg_fixture_v1")
 
 
 def fixture_dir() -> str:
-    """Deterministic corpus, generated once per machine."""
+    """Deterministic corpus, generated once per machine. Built in a
+    private staging dir and atomically renamed into place so a
+    concurrent builder (driver + pytest on a fresh machine) can never
+    interleave a rmtree with the other's writes and bake a truncated
+    corpus under the marker (r8 review finding — the downstream tidy
+    store would cache the corruption forever)."""
     marker = os.path.join(_FIXTURE_DIR, ".complete")
     if not os.path.exists(marker):
-        shutil.rmtree(_FIXTURE_DIR, ignore_errors=True)
-        generate_corpus(_FIXTURE_DIR, n_patients=3, max_sessions=2,
+        stage = tempfile.mkdtemp(prefix="dps_eeg_fixture_stage_")
+        generate_corpus(stage, n_patients=3, max_sessions=2,
                         rows_per_session=120, n_signals=12, seed=42)
-        with open(marker, "w") as f:
+        with open(os.path.join(stage, ".complete"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(stage, _FIXTURE_DIR)
+        except OSError:
+            if os.path.exists(marker):
+                shutil.rmtree(stage, ignore_errors=True)
+            else:  # stale markerless dir — replace it
+                shutil.rmtree(_FIXTURE_DIR, ignore_errors=True)
+                os.rename(stage, _FIXTURE_DIR)
     return _FIXTURE_DIR
 
 
@@ -247,8 +260,15 @@ def tidy_store(spark: SparkSession) -> str:
         try:
             os.rename(stage, _TIDY_STORE)
         except OSError:
-            # another builder won the race; its store is complete
-            shutil.rmtree(stage, ignore_errors=True)
+            if os.path.exists(marker):
+                # another builder won the race; its store is complete
+                shutil.rmtree(stage, ignore_errors=True)
+            else:
+                # a stale MARKERLESS store blocked the rename (killed
+                # pre-staging build, /tmp age-pruning) — replace it
+                # rather than serve broken parquet forever
+                shutil.rmtree(_TIDY_STORE, ignore_errors=True)
+                os.rename(stage, _TIDY_STORE)
     return _TIDY_STORE
 
 

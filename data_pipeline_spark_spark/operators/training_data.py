@@ -149,30 +149,11 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
 
     def grams(side, n=5):
-        # generator + codegen hash, not an in-row transform lambda
-        # (interpreted; the 3-gram front end measured 7× slower that
-        # way — dedup._shingle_sets r8 note). The stream may repeat a
-        # gram within a doc; both consumers are distinct-at-the-end
-        # (bench .distinct(), train count_distinct), so per-doc
-        # dedup here would only add work. fan_out spreads the hash
-        # stage on single-split local inputs.
-        from ..catalog import fan_out
+        # the shared span generator (dedup.span_stream: codegen hash,
+        # fan_out, size guard — one definition across the ladder)
+        from .dedup import span_stream
 
-        toks = fan_out(side).select(
-            "doc_id", F.split("text", " ").alias("t")
-        ).filter(F.size("t") >= n)
-        return toks.select(
-            "doc_id",
-            "t",
-            F.explode(
-                F.sequence(F.lit(1), F.size("t") - F.lit(n - 1))
-            ).alias("i"),
-        ).select(
-            "doc_id",
-            F.xxhash64(
-                F.concat_ws(" ", F.slice("t", F.col("i"), n))
-            ).alias("g"),
-        )
+        return span_stream(side, n=n).withColumnRenamed("h", "g")
 
     bench = grams(d.filter(F.md5("text") < _BENCH_THR)).select("g").distinct()
     train = grams(d.filter(F.md5("text") >= _BENCH_THR))
