@@ -304,35 +304,43 @@ def main() -> None:
     # ratio-vs-baseline directly (no separate solo run needed to judge
     # the 2× bar). BENCH_NO_DUCK=1 skips it (pure Spark timing run).
     duck: dict[str, float] = {}
-    try:
-        import duckdb
-    except ImportError:  # keep the Spark timings even without duckdb
-        duckdb = None
-    if duckdb is not None and not os.environ.get("BENCH_NO_DUCK"):
-        from data_pipeline_spark_spark.catalog import TABLES
+    if not os.environ.get("BENCH_NO_DUCK"):
+        # best-effort baseline: a missing duckdb package, an absent
+        # parquet file, or one failing oracle must never cost the
+        # Spark timings collected above — the single JSON line is the
+        # output contract and still prints with whatever baseline
+        # subset succeeded
+        try:
+            import duckdb
 
-        con = duckdb.connect()
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
-        for name in HEADLINE:
-            sql = registry.ORACLE_SQL.get(name)
-            if not sql:
-                continue
-            best_d = float("inf")
-            for _ in range(2):  # best-of-2: duckdb has no JIT warm-up
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                best_d = min(best_d, time.perf_counter() - t0)
-            duck[name] = round(best_d, 3)
-            if os.environ.get("BENCH_BASELINE"):
-                ratio = timings[name] / best_d if best_d > 0 else float("inf")
-                print(
-                    f"  baseline {name}: duckdb={best_d:.3f}s "
-                    f"spark={timings[name]:.3f}s ratio={ratio:.1f}x",
-                    file=sys.stderr,
+            from data_pipeline_spark_spark.catalog import TABLES
+
+            con = duckdb.connect()
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
                 )
+            for name in HEADLINE:
+                sql = registry.ORACLE_SQL.get(name)
+                if not sql:
+                    continue
+                best_d = float("inf")
+                for _ in range(2):  # best-of-2: duckdb has no JIT warm-up
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    best_d = min(best_d, time.perf_counter() - t0)
+                duck[name] = round(best_d, 3)
+                if os.environ.get("BENCH_BASELINE"):
+                    ratio = (
+                        timings[name] / best_d if best_d > 0 else float("inf")
+                    )
+                    print(
+                        f"  baseline {name}: duckdb={best_d:.3f}s "
+                        f"spark={timings[name]:.3f}s ratio={ratio:.1f}x",
+                        file=sys.stderr,
+                    )
+        except Exception as exc:  # noqa: BLE001
+            print(f"  baseline skipped: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -34,8 +34,13 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; inputs should be cast to array<double> first
-    so both engines accumulate in double precision."""
-    return dot(a, b) / (norm(a) * norm(b))
+    so both engines accumulate in double precision. The denominator is
+    null-guarded: Spark 4 runs ANSI mode by default, where a zero-norm
+    vector (all-zeros padding, missing embedding) would raise
+    DIVIDE_BY_ZERO and kill the whole job — verified live (r8 review);
+    NULL instead ranks last under the descending orderings every
+    consumer uses."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def as_double_array(c: Column) -> Column:

@@ -137,10 +137,19 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
-    unit = e.select(
-        "vec_id",
-        F.transform("emb", lambda x: x / norm(F.col("emb"))).alias("unit"),
-    ).select("vec_id", array_to_vector("unit").alias("features"))
+    unit = (
+        # a zero-norm vector has no direction (and under default ANSI
+        # mode the division would RAISE, not NaN) — excluded from the
+        # unit sphere; never present in the fixtures
+        e.filter(norm(F.col("emb")) > 0)
+        .select(
+            "vec_id",
+            F.transform("emb", lambda x: x / norm(F.col("emb"))).alias(
+                "unit"
+            ),
+        )
+        .select("vec_id", array_to_vector("unit").alias("features"))
+    )
 
     q = unit.filter(F.col("vec_id") < _N_QUERIES)
     lsh = BucketedRandomProjectionLSH(
@@ -206,9 +215,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
-    unit = e.select(
+    unit = e.filter(norm(F.col("emb")) > 0).select(
         "vec_id", F.transform("emb", lambda x: x / norm(F.col("emb"))).alias("unit")
-    )
+    )  # zero-norm guard: no direction, and ANSI division would raise
     feats = unit.select("vec_id", "unit", array_to_vector("unit").alias("features"))
 
     km = KMeans(

@@ -70,6 +70,11 @@ def get_spark(app_name: str = "data-pipeline-spark-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         # --- semantics ------------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # explain() metadata (ReadSchema/PushedFilters) truncates at
+        # 100 chars by default — wide-schema plan assertions
+        # (plans/analyze.py) would silently parse a '...'-clipped
+        # column list
+        .config("spark.sql.maxMetadataStringLength", "10000")
         # --- IO -------------------------------------------------------------
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

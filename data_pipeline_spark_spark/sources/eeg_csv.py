@@ -68,17 +68,32 @@ class SessionHeader:
 
 def probe_header(spark: SparkSession, path: str) -> SessionHeader:
     """Read the 8-row prelude of one session file: key/value metadata
-    (rows 1-6), super-category row (7), header row (8). A 2-column
-    string read + limit(8) — a tiny, bounded driver-side action
-    (reference sparkle-v5.py:49-68 / sparkle-v9.py:92-93)."""
-    raw = (
-        spark.read.schema("value string")
-        .option("lineSep", "\n")
-        .text(path)
-        .limit(PRELUDE_ROWS)
-        .collect()
-    )
-    lines = [r.value for r in raw]
+    (rows 1-6), super-category row (7), header row (8) — reference
+    sparkle-v5.py:49-68 / sparkle-v9.py:92-93.
+
+    Local files take a plain ``open()`` fast path: the prelude is 8
+    short lines, and launching a Spark job per probe turns a staging
+    dir of N files into N scheduler round-trips (~50-100 ms each —
+    the streaming path probes EVERY staged file each trigger, r8
+    review). Non-local URIs (s3://, hdfs://) keep the bounded
+    spark.read.text probe."""
+    if os.path.exists(path):
+        lines = []
+        with open(path, "r", encoding="utf-8") as fh:
+            for _ in range(PRELUDE_ROWS):
+                line = fh.readline()
+                if not line:  # EOF — same short-file shape as limit()
+                    break
+                lines.append(line.rstrip("\n"))
+    else:
+        raw = (
+            spark.read.schema("value string")
+            .option("lineSep", "\n")
+            .text(path)
+            .limit(PRELUDE_ROWS)
+            .collect()
+        )
+        lines = [r.value for r in raw]
     meta: dict[str, str] = {}
     for line in lines[:6]:
         key, _, value = line.partition(",")
@@ -121,10 +136,14 @@ def decode_clock(col):
 
 
 def _parse_ref_date(value: str | None):
-    """Reference dates are 'Y/M/D' strings; curated type is date."""
+    """Reference dates are 'Y/M/D' strings; curated type is date.
+    try_to_date, not to_date: Spark 4 defaults to ANSI mode, where
+    to_date RAISES on malformed input — one 'PatientBirthDate,unknown'
+    row would abort the whole ingest run instead of landing as the
+    null the curated schema already allows."""
     if not value:
         return F.lit(None).cast("date")
-    return F.to_date(F.lit(value), "y/M/d")
+    return F.try_to_date(F.lit(value), "y/M/d")
 
 
 def read_session(spark: SparkSession, path: str, header: SessionHeader | None = None) -> DataFrame:
@@ -175,9 +194,18 @@ def _read_ledger(output_dir: str) -> set[str]:
 
 
 def _write_ledger(output_dir: str, processed: set[str]) -> None:
+    """Atomic replace: writing in place with mode 'w' truncates
+    first, so a crash mid-dump would leave an empty/partial JSON that
+    _read_ledger treats as 'nothing processed' — the next run would
+    re-append EVERY file, not just the one in flight (r8 review).
+    Temp-file + os.replace keeps the crash window at the documented
+    single in-flight file."""
     os.makedirs(output_dir, exist_ok=True)
-    with open(_ledger_path(output_dir), "w") as f:
+    target = _ledger_path(output_dir)
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(sorted(processed), f, indent=1)
+    os.replace(tmp, target)
 
 
 def export_schema_registry(df: DataFrame, output_dir: str, run_id: str | None = None) -> str:

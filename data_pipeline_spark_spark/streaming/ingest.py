@@ -17,11 +17,11 @@ shuffle-free partitioned parquet append as the batch path.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..catalog import pin_utc
 from ..sources.eeg_csv import (
@@ -29,7 +29,6 @@ from ..sources.eeg_csv import (
     build_schema,
     decode_clock,
     probe_header,
-    read_session,
 )
 
 
@@ -87,14 +86,17 @@ def stream_ingest_eeg(
         "_file",
         "PatientName",
         "PatientID",
-        F.to_date("_birth", "y/M/d").alias("PatientBirthDate"),
-        F.to_date("_testdate", "y/M/d").alias("TestDate"),
+        # try_to_date: under Spark 4's default ANSI mode, to_date
+        # RAISES on malformed metadata — one bad file would abort the
+        # whole streaming run instead of landing a null date
+        F.try_to_date("_birth", "y/M/d").alias("PatientBirthDate"),
+        F.try_to_date("_testdate", "y/M/d").alias("TestDate"),
         "TestTime",
     )
 
     checkpoint = os.path.join(output_dir, "_checkpoint")
     data_dir = os.path.join(output_dir, "data")
-    before = _committed_count(spark, data_dir)
+    before_files = _committed_files(data_dir)
 
     stream = (
         spark.readStream.schema(schema)
@@ -125,25 +127,61 @@ def stream_ingest_eeg(
         .start()
     )
     query.awaitTermination()
-    # rows written THIS run = sink count delta (the file sink reports
-    # numOutputRows = -1, and the sink's total count would over-report
-    # on every incremental re-run). The sink is single-writer — the
-    # checkpoint serializes runs — so the delta is exact.
-    return _committed_count(spark, data_dir) - before
+    # rows written THIS run = footer row counts of the files this run
+    # COMMITTED (the file sink reports numOutputRows = -1, and the
+    # sink's total count would over-report on every incremental
+    # re-run). The before/after diff of the _spark_metadata manifest
+    # is O(new files) — parquet footers carry exact row counts, so no
+    # data is scanned and no O(total-history) count() job runs (the
+    # previous delta read the ENTIRE store twice per trigger, and a
+    # failed after-read could even report a negative delta). The sink
+    # is single-writer — the checkpoint serializes runs — so the diff
+    # is exact.
+    new_files = _committed_files(data_dir) - before_files
+    return _rows_in_files(new_files)
 
 
-def _committed_count(spark: SparkSession, data_dir: str) -> int:
-    """Rows the sink has actually committed at data_dir. A crashed
-    first run can leave the directory existing with zero committed
-    files (only _spark_metadata / _temporary debris), where a bare
-    read throws schema-inference AnalysisException and would wedge the
-    recovery re-run — treat that as 0 rows."""
-    if not os.path.isdir(data_dir):
-        return 0
-    try:
-        return spark.read.parquet(data_dir).count()
-    except Exception:
-        return 0
+def _committed_files(data_dir: str) -> set[str]:
+    """Absolute paths of data files the streaming file sink has
+    COMMITTED, from its _spark_metadata manifest (v1 line format:
+    'v1' header then one JSON entry per file; .compact files carry
+    the full history). Files present on disk but absent from the
+    manifest are uncommitted debris and excluded — the same
+    source-of-truth the sink's own readers use."""
+    md = os.path.join(data_dir, "_spark_metadata")
+    files: set[str] = set()
+    if not os.path.isdir(md):
+        return files
+    for name in os.listdir(md):
+        base = name[: -len(".compact")] if name.endswith(".compact") else name
+        if not base.isdigit():
+            continue
+        try:
+            with open(os.path.join(md, name)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue
+                    entry = json.loads(line)
+                    if entry.get("action", "add") == "add":
+                        p = entry["path"]
+                        files.add(p[7:] if p.startswith("file://") else p)
+        except (OSError, json.JSONDecodeError, KeyError):
+            continue  # half-written manifest file: not committed yet
+    return files
+
+
+def _rows_in_files(paths: set[str]) -> int:
+    """Exact row count from parquet FOOTERS — metadata reads only."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in paths:
+        try:
+            total += pq.ParquetFile(p).metadata.num_rows
+        except OSError:
+            pass  # compacted-away file; its rows were counted when new
+    return total
 
 
 def windowed_event_counts(
