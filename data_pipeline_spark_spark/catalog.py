@@ -116,6 +116,18 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(partitions or default_parallelism())
 
 
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Pin a result whose inputs are temp dirs deleted before the
+    driver consumes the DataFrame. localCheckpoint cuts the lineage
+    and keeps the (tiny, final) partitions in EXECUTOR block storage
+    — no driver-memory materialization; at scale these results would
+    be written to a real table instead. Shared by the maintenance and
+    scale-pattern operators (two identical private copies drifted
+    apart once — r8 review)."""
+    return df.localCheckpoint(eager=True)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose every fixture table as a temp view for spark.sql use."""
     for name in TABLES:

@@ -113,7 +113,12 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column, element-wise:
     posexplode → groupBy(label, dim) → avg. The shuffle carries
     (label, dim, partial sums) — at 100 TB this is the map-side-combined
-    reduction that feeds k-means/IVF training, never a driver collect."""
+    reduction that feeds k-means/IVF training, never a driver collect.
+
+    NB the oracle enumerates dims 1..64 LITERALLY (range(1, 65))
+    while this side posexplodes whatever length the arrays have — a
+    fixture dimension change goes loudly red on row count here
+    rather than silently aggregating different dim subsets."""
     e = load(spark, sf_dir, "embeddings")
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))

@@ -17,17 +17,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, materialize
 from ..registry import query
-
-
-def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Pin a result whose inputs are temp dirs deleted before the
-    driver consumes the DataFrame. localCheckpoint cuts the lineage
-    and keeps the (tiny, final) partitions in EXECUTOR block storage
-    — no driver-memory materialization; at scale these results would
-    be written to a real table instead."""
-    return df.localCheckpoint(eager=True)
 
 
 @query(
@@ -75,7 +66,7 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(out, "batch=1"), os.path.join(out, "batch=2"))
             .select("o_orderkey", "o_totalprice", "o_priority_rank")
         )
-        return _materialize(spark, merged)
+        return materialize(merged)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -110,7 +101,7 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_chars").cast("bigint").alias("total_chars"),
             )
         )
-        return _materialize(spark, result)
+        return materialize(result)
     finally:
         shutil.rmtree(frag, ignore_errors=True)
         shutil.rmtree(compacted, ignore_errors=True)
@@ -217,9 +208,11 @@ def partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("day"),
         F.round(F.col("value") * 1000).cast("bigint").alias("mv"),
     )
+    from ..session import get_explicit_conf, restore_conf
+
     root = tempfile.mkdtemp(prefix="dps_dynpart_")
     mode_key = "spark.sql.sources.partitionOverwriteMode"
-    old_mode = spark.conf.get(mode_key, "static")
+    old_mode = get_explicit_conf(spark, mode_key)
     try:
         e.write.partitionBy("day").mode("overwrite").parquet(root)
         d0 = e.agg(F.min("day")).collect()[0][0]
@@ -232,9 +225,9 @@ def partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = back.groupBy("day").agg(
             F.count("*").alias("n"), F.sum("mv").alias("sum_mv")
         )
-        return _materialize(spark, result)
+        return materialize(result)
     finally:
-        spark.conf.set(mode_key, old_mode)
+        restore_conf(spark, mode_key, old_mode)
         shutil.rmtree(root, ignore_errors=True)
 
 

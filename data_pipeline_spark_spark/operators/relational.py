@@ -701,8 +701,6 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
-    from pyspark.sql import Window as W
-
     return (
         binned.select(
             "bin_lo",

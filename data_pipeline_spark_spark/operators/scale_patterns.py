@@ -28,19 +28,38 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, materialize
 from ..registry import query
 
 _SALTS = 8
 
 
-def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Pin a result whose inputs are temp dirs deleted before the
-    driver consumes the DataFrame. localCheckpoint cuts the lineage
-    and keeps the (tiny, final) partitions in EXECUTOR block storage
-    — no driver-memory materialization; at scale these results would
-    be written to a real table instead."""
-    return df.localCheckpoint(eager=True)
+def _write_bucketed_tables(
+    spark: SparkSession, sf_dir: str, db: str
+) -> str:
+    """Write lineitem/orders bucketBy(8, orderkey)+sortBy into a
+    scratch database (shared by the oracle-checked join and the
+    plan-assertion helper — one definition of the bucket layout).
+    Returns the external location for the caller to clean up."""
+    loc = tempfile.mkdtemp(prefix=f"{db}_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(f"{db}.lineitem_b")
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(f"{db}.orders_b")
+    )
+    return loc
 
 
 @query(
@@ -60,30 +79,17 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     above either scan (asserted in tests/test_plans.py). At 100 TB
     this converts the recurring multi-TB join shuffle into a one-time
     ingest-side layout cost."""
+    from ..session import get_explicit_conf, restore_conf
+
     db = "dps_bucketed_scratch"
-    loc = tempfile.mkdtemp(prefix="dps_bucketed_")
-    old_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    k_bcast = "spark.sql.autoBroadcastJoinThreshold"
+    old_threshold = get_explicit_conf(spark, k_bcast)
+    loc = None
     try:
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
-        (
-            load(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_extendedprice")
-            .write.bucketBy(8, "l_orderkey")
-            .sortBy("l_orderkey")
-            .mode("overwrite")
-            .saveAsTable(f"{db}.lineitem_b")
-        )
-        (
-            load(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_orderpriority")
-            .write.bucketBy(8, "o_orderkey")
-            .sortBy("o_orderkey")
-            .mode("overwrite")
-            .saveAsTable(f"{db}.orders_b")
-        )
+        loc = _write_bucketed_tables(spark, sf_dir, db)
         # disable auto-broadcast so the bucket-to-bucket path (the
         # thing being demonstrated) is what actually runs
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(k_bcast, "-1")
         li = spark.table(f"{db}.lineitem_b")
         od = spark.table(f"{db}.orders_b")
         joined = (
@@ -94,42 +100,31 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
             )
         )
-        return _materialize(spark, joined)
+        return materialize(joined)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_threshold)
+        restore_conf(spark, k_bcast, old_threshold)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
-        shutil.rmtree(loc, ignore_errors=True)
+        if loc:
+            shutil.rmtree(loc, ignore_errors=True)
 
 
 def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     """The un-materialized bucketed join + its physical plan string,
     for the Exchange-free assertion in tests. Leaves the scratch
-    database in place for the caller to drop."""
+    database in place for the caller to drop; the external location
+    is removed here once the plan string is captured."""
     db = "dps_bucketed_plan"
-    loc = tempfile.mkdtemp(prefix="dps_bucketed_plan_")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
-    (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_extendedprice")
-        .write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .mode("overwrite")
-        .saveAsTable(f"{db}.lineitem_b")
-    )
-    (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .write.bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .mode("overwrite")
-        .saveAsTable(f"{db}.orders_b")
-    )
+    loc = _write_bucketed_tables(spark, sf_dir, db)
     li = spark.table(f"{db}.lineitem_b")
     od = spark.table(f"{db}.orders_b")
     joined = li.join(od, li.l_orderkey == od.o_orderkey).select(
         "o_orderpriority", "l_extendedprice"
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the plan string is captured; the bucketed files are no longer
+    # needed (the caller only DROPs the database) — remove the
+    # mkdtemp root so repeated test runs don't accumulate temp dirs
+    shutil.rmtree(loc, ignore_errors=True)
     return joined, plan
 
 
@@ -386,13 +381,17 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches merge like sums, so it rides a rollup the same way the
     HLL sketch does ([[agg_hll_mergeable]]).
 
-    Checked contract: a Misra-Gries-family sketch is EXACT whenever
-    its capacity covers the distinct-item count, and the fixture
-    vocabulary (31 terms) sits far under the 256 tracked here — so
-    the emitted (term, count) set must equal the exact GROUP BY the
-    oracle runs, a full value check of the sketch path. At real
-    scale (vocab ≫ capacity) counts carry the documented ±εN bound
-    and the query would keep only the top slice."""
+    Checked contract: COUNTS are exact while the 256-slot tracking
+    capacity covers the distinct-item count, but the emitted SET is
+    complete only while distinct ≤ k = 64 (approx_top_k returns at
+    most k entries) — the fixture vocabulary (31 terms) sits under
+    BOTH bounds, so the emitted (term, count) set must equal the
+    exact GROUP BY the oracle runs, a full value check of the sketch
+    path. A fixture regeneration pushing the vocabulary past 64
+    distinct terms flips this key red by row count: raise k before
+    raising the vocabulary. At real scale (vocab ≫ capacity) counts
+    carry the documented ±εN bound and the query would keep only the
+    top slice."""
     d = load(spark, sf_dir, "documents")
     words = d.select(F.explode(F.split("text", " ")).alias("term"))
     topk = words.agg(
@@ -434,32 +433,13 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py asserts might_contain lands in the plan; the
     filter is semantically transparent so the oracle is the plain
     join."""
+    from ..session import get_explicit_conf, restore_conf
+
     conf = spark.conf
-
-    def _get_explicit(key):
-        # distinguish "explicitly set" from "session default":
-        # restoring a default via set() would freeze the default's
-        # string form into the session as an explicit value, while
-        # unset() puts the key truly back. conf.get(key, None) can't
-        # tell the two apart (it returns the default), so use the
-        # JVM getOption when present (classic); on Spark Connect
-        # (no _jconf) fall back to the effective value — set/set
-        # restore, slightly lossy but correct-valued.
-        jconf = getattr(conf, "_jconf", None)
-        if jconf is not None:
-            opt = jconf.getOption(key)
-            return opt.get() if opt.isDefined() else None
-        return conf.get(key)
-
-    def _restore(key, old):
-        if old is None:
-            conf.unset(key)
-        else:
-            conf.set(key, old)
-
     k_scan = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
     k_bcast = "spark.sql.autoBroadcastJoinThreshold"
-    old_scan, old_bcast = _get_explicit(k_scan), _get_explicit(k_bcast)
+    old_scan = get_explicit_conf(spark, k_scan)
+    old_bcast = get_explicit_conf(spark, k_bcast)
     conf.set(k_scan, "0")
     conf.set(k_bcast, "-1")
     try:
@@ -489,6 +469,6 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         if jdf is not None:
             jdf.queryExecution().optimizedPlan()
     finally:
-        _restore(k_scan, old_scan)
-        _restore(k_bcast, old_bcast)
+        restore_conf(spark, k_scan, old_scan)
+        restore_conf(spark, k_bcast, old_bcast)
     return out

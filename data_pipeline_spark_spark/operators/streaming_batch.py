@@ -23,6 +23,22 @@ from ..catalog import load
 from ..registry import query
 
 
+
+def _stamp_in_order(src: str, names: list[str]) -> None:
+    """Stamp part files with strictly INCREASING mtimes in the given
+    order: the streaming file source orders micro-batches by mtime,
+    and same-second mtimes batch files together nondeterministically
+    — round 2's flake, now encoded ONCE instead of re-remembered at
+    every event-time-ordered streaming key."""
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, name in enumerate(names):
+        t = now - 600 + i * 60
+        _os.utime(_os.path.join(src, name), (t, t))
+
+
 @query(
     "stream_window_agg",
     oracle="""
@@ -168,6 +184,13 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+        try:
+            # drop the memory sink's temp view: the MemorySink behind
+            # it retains every sink row in driver memory for the
+            # session lifetime otherwise (r8 review)
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
 
 
 @query(
@@ -223,6 +246,13 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        try:
+            # drop the memory sink's temp view: the MemorySink behind
+            # it retains every sink row in driver memory for the
+            # session lifetime otherwise (r8 review)
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
 
 
 @query(
@@ -286,6 +316,13 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        try:
+            # drop the memory sink's temp view: the MemorySink behind
+            # it retains every sink row in driver memory for the
+            # session lifetime otherwise (r8 review)
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
 
 
 @query(
@@ -321,7 +358,6 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import time
 
     ev = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
@@ -333,11 +369,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_files = sorted(
             f for f in os.listdir(src) if f.endswith(".parquet")
         )
-        now = time.time()
-        for i, name in enumerate(chunk_files):
-            os.utime(
-                os.path.join(src, name), (now - 600 + i * 60, now - 600 + i * 60)
-            )
+        _stamp_in_order(src, chunk_files)
         schema = spark.read.parquet(src).schema
 
         def side(event_type: str, prefix: str):
@@ -381,6 +413,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        try:
+            # drop the memory sink's temp view: the MemorySink behind
+            # it retains every sink row in driver memory for the
+            # session lifetime otherwise (r8 review)
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
 
 
 _SESSION_WINDOW_SQL = """
@@ -450,7 +489,6 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import time
 
     _SENTINEL_USER = -1  # fixture user_ids are non-negative
 
@@ -475,9 +513,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in os.listdir(src)
             if f.endswith(".parquet") and f not in chunk_files
         ]
-        now = time.time()
-        for i, name in enumerate(chunk_files + sentinel_files):
-            os.utime(os.path.join(src, name), (now - 600 + i * 60, now - 600 + i * 60))
+        _stamp_in_order(src, chunk_files + sentinel_files)
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)

@@ -355,7 +355,11 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         li.join(load(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(load(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(load(spark, sf_dir, "supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier is SF-scaled (10k rows per SF) — no broadcast HINT;
+        # below the auto threshold Spark broadcasts it anyway, above
+        # it a forced broadcast would OOM at the 100 TB target (only
+        # the two 25-row nation dims earn unconditional hints)
+        .join(load(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(

@@ -45,6 +45,34 @@ def adaptive_shuffle_width(df, per_split: int = 4, floor: int = 8) -> int:
     return min(max(floor, per_split * splits), 8 * default_parallelism())
 
 
+def get_explicit_conf(spark: SparkSession, key: str):
+    """The EXPLICITLY-set value of a session conf, or None when the
+    key rides the session default. Restoring a default via
+    conf.set() would freeze the default's string form into the
+    session as an explicit value (conf.get can't tell the two
+    apart), so save/restore pairs must go through this +
+    restore_conf — the get/set form silently pins defaults, a bug
+    this module hoists out of the operators that each re-invented
+    the fix (r8 review)."""
+    conf = spark.conf
+    jconf = getattr(conf, "_jconf", None)
+    if jconf is not None:
+        opt = jconf.getOption(key)
+        return opt.get() if opt.isDefined() else None
+    # Spark Connect (no _jconf): fall back to the effective value —
+    # set/set restore, slightly lossy but correct-valued
+    return conf.get(key)
+
+
+def restore_conf(spark: SparkSession, key: str, old) -> None:
+    """Counterpart of get_explicit_conf: unset when the key was a
+    default, set when it was explicit."""
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+
+
 def get_spark(app_name: str = "data-pipeline-spark-spark") -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 

@@ -63,13 +63,19 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
         bucketed_join_plan,
     )
 
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    from data_pipeline_spark_spark.session import (
+        get_explicit_conf,
+        restore_conf,
+    )
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = get_explicit_conf(spark, key)
+    spark.conf.set(key, "-1")
     try:
         _, plan = bucketed_join_plan(spark, sf_dir)
         assert "Exchange" not in plan, plan
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        restore_conf(spark, key, old)
         spark.sql("DROP DATABASE IF EXISTS dps_bucketed_plan CASCADE")
 
 
