@@ -2,11 +2,11 @@
 query into data_pipeline_spark_spark.registry.
 
 The driver's correctness harness walks queries() in dict order under a
-time budget (~50 keys/round), so the explicit ``_ROUND8_PRIORITY``
+time budget (~50 keys/round), so the explicit ``_ROUND9_PRIORITY``
 list below decides which keys earn a CORRECTNESS row this round: the
-last r1-stale oracle keys, the keys whose implementation changed
-this round, then the oldest of the r5-stale keys. Keys past the
-budget keep their most recent row from earlier rounds.
+r5-stale oracle keys (streaming five first), then the r6-stale
+relational core. Keys past the budget keep their most recent row
+from earlier rounds.
 """
 
 from . import (  # noqa: F401
@@ -53,87 +53,88 @@ ALL_MODULES = (
     inventory,
 )
 
-# Round-8 check order. The driver walks queries() in dict order under
-# a ~50-key time budget. This rotation front-loads (a) the FIFTEEN
-# oracle keys whose last green row still dates to r01 — six fixture
-# regenerations old, the final tail of the r1 backlog (after this
-# round no oracle key's graded row predates r5) — then (b) the keys
-# whose implementation changed this round (span dedup 128-bit single-
-# repartition shape, basket affinity broadcast-join shape, semantic
-# dedup 4-decimal ranking, multimodal codec gating) plus the two new
-# round-8 keys, then (c) 29 of the 43 keys whose last green row dates
-# to r5 (the recall-checked dedup rungs dedup_fuzzy/minhash/simhash
-# first — they are the production dedup path). Everything r6/r7-green
+# Round-9 check order. The driver walks queries() in dict order under
+# a ~50-key time budget (exactly 50 keys earned rows in r8; positions
+# 51+ were cut). This rotation front-loads (a) the SEVENTEEN oracle
+# keys whose last green row dates to r05 — the streaming five first
+# (the only production-critical family with three-generation-old
+# evidence), then the approx-sketch family, the bucketed/salted join
+# patterns, and the remaining r5 leftovers — then (b) 33 of the 45
+# keys whose last green row dates to r06, relational core first.
+# After this round no oracle key's graded row predates r6. Positions
+# 51-52 carry the r6-dated ANN rungs (VERDICT r8 ask #7: graded only
+# if the driver budget stretches past 50). Everything r7/r8-green
 # keeps its registration order at the back and retains its recent
-# row; the 14 r5 leftovers (approx-topk/mode/hll, bucketed/salted
-# joins, streaming five, ohlc) rotate in round 9.
-_ROUND8_PRIORITY = [
-    # (a) last green row r01 — the end of the backlog
-    "corpus_sample_hash",
-    "corpus_stratified_sample",
-    "corpus_mix_weighted",
-    "corpus_pipeline",
-    "compact_small_files",
-    "catalog_repair",
-    "multimodal_cols",
-    "rename_all",
-    "add_literal_cols",
-    "ts_decode",
-    "date_parts",
-    "union_append",
-    "parquet_scan",
-    "parquet_write_part",
-    "type_rules",
-    # (b) implementation changed this round + new round-8 keys
-    "dedup_span_exact",
-    "basket_pair_affinity",
-    "basket_pair_affinity_apriori",
-    "dedup_semantic",
-    "multimodal_decode",
-    "tidy_supercat_hourly",
-    "dedup_containment",
-    "quality_unigram_logprob",
-    "sim_search_pq",
-    # (c) last green row r05 — recall-checked dedup ladder first
-    "dedup_fuzzy",
-    "dedup_minhash_df",
-    "dedup_simhash",
-    "dedup_keep_canonical",
-    "sim_search",
-    "sim_search_rerank",
-    "embedding_quantize",
-    "scalar_string",
-    "scalar_math",
-    "scalar_cond",
-    "scalar_json",
-    "scalar_array_map",
-    "scalar_array_explode",
-    "udf_surface",
-    "view_predefined",
-    "text_stats",
-    "tfidf_top_terms",
-    "doc_fingerprint",
-    "doc_fingerprint_rolling",
-    "corpus_decontaminate",
-    "shard_pack",
-    "pii_redact",
-    "text_normalize",
-    "token_count",
-    "quality_score",
-    "lang_id",
-    "repetition_stats",
+# row; the 12 remaining r6 keys rotate in round 10.
+_ROUND9_PRIORITY = [
+    # (a) last green row r05 — streaming five first
+    "stream_window_agg",
+    "stream_window_sliding",
+    "stream_stateful_agg",
+    "stream_dedup",
+    "stream_join_static",
     "agg_approx_distinct",
     "agg_approx_quantile",
+    "agg_approx_topk",
+    "agg_hll_mergeable",
+    "agg_mode_exact",
+    "join_bucketed",
+    "join_interval_bucketed",
+    "join_skew_salted",
+    "partition_overwrite_dynamic",
+    "rollup_reaggregate",
+    "repetition_stats",
+    "ts_resample_ohlc",
+    # (b) last green row r06 — relational core, then the rest
+    "filter_pred",
+    "project",
+    "partition_prune_filter",
+    "agg_basic",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_stats",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_outer",
+    "join_semi",
+    "join_semi_anti",
+    "join_asof_nearest",
+    "join_bloom_runtime",
+    "join_fuzzy_string",
+    "join_cross",
+    "sort_limit",
+    "sort_paginate",
+    "setop_union",
+    "setop_union_all",
+    "setop_intersect",
+    "merge_upsert",
+    "mv_incremental_refresh",
+    "scd2_intervals",
+    "stream_session_window",
+    "stream_stream_join",
+    "stream_upsert_sink",
+    "pivot_wide",
+    "unpivot_long",
+    "agg_filter_clause",
+    "agg_median_exact",
+    "agg_histogram",
+    "format_roundtrip",
+    # positions 51+ — graded only if the driver budget stretches
+    "sim_search_lsh",
+    "sim_search_ivf",
+    "ts_interpolate",
+    "ts_anomaly_mad",
+    "window_twa",
 ]
 
 
 def _apply_priority_order() -> None:
     from .. import registry
 
-    missing = [k for k in _ROUND8_PRIORITY if k not in registry.QUERIES]
+    missing = [k for k in _ROUND9_PRIORITY if k not in registry.QUERIES]
     if missing:  # fail loudly: a typo here silently wastes a round
-        raise KeyError(f"_ROUND8_PRIORITY names unknown keys: {missing}")
-    ordered = {k: registry.QUERIES[k] for k in _ROUND8_PRIORITY}
+        raise KeyError(f"_ROUND9_PRIORITY names unknown keys: {missing}")
+    ordered = {k: registry.QUERIES[k] for k in _ROUND9_PRIORITY}
     ordered.update(
         (k, v) for k, v in registry.QUERIES.items() if k not in ordered
     )
