@@ -2,11 +2,15 @@
 """Benchmark the engine's headline queries.
 
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]; prints ONE full JSON line:
     {"metric": ..., "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...,
      "contended_queries": [name, ...], "contended": bool,
      "duckdb": {name: sec, ...}, "ratio": {name: x, ...}}
+followed by ONE short summary line (metric
+"headline_queries_total_runtime_summary" with just the scalar
+totals), so an artifact that captures only the head or tail of the
+output still carries the headline numbers.
 
 Contention is metered PER QUERY, around exactly its timed runs
 (never warm-ups), through three independent signals: external-tree
@@ -181,6 +185,22 @@ def _calibrate_spin() -> float:
     return min(_spin() for _ in range(7))
 
 
+class SpinCal:
+    """Healthy-machine spin time, tracked as the running minimum of
+    every spin sample seen during the bench (min is monotonically
+    robust). A one-shot start-of-bench calibration goes blind when
+    the host is already degraded at calibration time: the inflated
+    baseline makes every later genuinely-contended window look
+    clean. Any single clean sample anywhere in the run repairs the
+    baseline for the whole run."""
+
+    def __init__(self) -> None:
+        self.value = _calibrate_spin()
+
+    def update(self, samples: list[float]) -> None:
+        self.value = min(self.value, min(samples))
+
+
 class ContentionMeter:
     """Samples machine vs own-tree CPU around the timed region; a run
     is `contended` when either (a) processes outside our own tree
@@ -232,7 +252,7 @@ def time_query(
     runs: int,
     warmup: int,
     retries: int,
-    spin_cal: float,
+    spin_cal: SpinCal,
 ) -> tuple[float, bool]:
     """Best-of-``runs`` steady-state seconds for one query, with the
     contention meter scoped to EXACTLY the timed executions (warm-ups
@@ -269,7 +289,8 @@ def time_query(
         # a contended attempt's floor is still an upper bound — keep
         # the min across attempts so a retry can only improve it
         best = min(best, attempt_best)
-        slow_cpu = max(spins) > 1.8 * spin_cal
+        spin_cal.update(spins)  # running min — see SpinCal
+        slow_cpu = max(spins) > 1.8 * spin_cal.value
         if meter.contended is not True and not slow_cpu:
             return best, False
     return best, True
@@ -302,7 +323,7 @@ def main() -> None:
     retries = int(os.environ.get("BENCH_RETRIES", "2"))
     timings: dict[str, float] = {}
     contended_queries: list[str] = []
-    spin_cal = _calibrate_spin()
+    spin_cal = SpinCal()
     for name in HEADLINE:
         best, dirty = time_query(
             spark, name, sf_dir, runs, warmup, retries, spin_cal
@@ -385,6 +406,28 @@ def main() -> None:
             k: round(timings[k] / d, 2) for k, d in duck.items() if d > 0
         }
     print(json.dumps(out))
+    # BENCH_r08 postmortem: the line above grew long enough (three
+    # embedded per-query maps) that the driver's artifact kept only
+    # its TAIL and parsed nothing. Follow with a second, short line
+    # carrying just the headline scalars so any head- or tail-capture
+    # of the output still contains a parseable summary.
+    summary = {
+        "metric": "headline_queries_total_runtime_summary",
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "spark_floor_sec": out["spark_floor_sec"],
+        "contended_queries": contended_queries,
+    }
+    if duck:
+        summary["duckdb_total"] = out["duckdb_total"]
+        summary["ratio_total"] = (
+            round(total / out["duckdb_total"], 2)
+            if out["duckdb_total"]
+            else None
+        )
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
