@@ -452,9 +452,19 @@ def _basket_affinity_from(
     )
     if tot is None:
         tot = baskets.select(F.count("*").alias("n_baskets"))
-    item = baskets.select(
-        F.explode("items").alias("l_partkey")
-    ).groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    # the item dictionary feeds TWO broadcasts (part_a and part_b
+    # sides); their renamed Projects canonicalize differently, so
+    # without a pin the explode+count aggregate runs once per
+    # broadcast. A lazy localCheckpoint shares one compute (r9: the
+    # grouping-sets fold of n_baskets into this same aggregate was
+    # measured SLOWER — 0.73 s vs 0.68 s at sf0.1 — the residual is
+    # per-job scheduling floor, quantified in docs/SCALE.md)
+    item = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_item"))
+        .localCheckpoint(eager=False)
+    )
     # in-basket pair expansion: items is a sorted set, so pairing each
     # element with its strict successors yields exactly the distinct
     # part_a < part_b pairs — all inside the row, JVM-side. Two
