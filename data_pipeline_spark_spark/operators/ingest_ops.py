@@ -19,12 +19,75 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import materialize
 from ..registry import query
 from ..sources import eeg_csv
 from ..sources.fixture import generate_corpus
 from ..sources.schema_rules import supercat_mapping_df
 
 _FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "dps_eeg_fixture_v1")
+
+
+def _promote_staged(stage: str, target: str) -> None:
+    """Atomically promote a complete staging dir (marker already
+    written inside) to ``target``. The fast path is a bare rename —
+    it wins iff the target is absent. When the rename fails, either
+    another builder won (its marker exists: discard our stage) or a
+    stale MARKERLESS target blocks the slot (killed pre-staging
+    build, /tmp age-pruning) and must be replaced. The replacement is
+    serialized through an O_EXCL lock file: without it, two losers
+    can interleave so one rmtree's the other's just-renamed complete
+    store, and a reader in that window sees a missing/partial dir
+    despite an earlier successful build (r8 ADVICE). A lock older
+    than _LOCK_STALE_SEC belongs to a dead process and is broken."""
+    import time
+
+    marker = os.path.join(target, ".complete")
+    try:
+        os.rename(stage, target)
+        return
+    except OSError:
+        pass
+    lock = target + ".lock"
+    deadline = time.monotonic() + 120
+    while True:
+        if os.path.exists(marker):
+            # another builder's complete store is live — ours loses
+            shutil.rmtree(stage, ignore_errors=True)
+            return
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:  # break locks abandoned by a killed builder
+                if time.time() - os.path.getmtime(lock) > _LOCK_STALE_SEC:
+                    os.unlink(lock)
+                    continue
+            except OSError:
+                continue  # lock vanished between the checks — retry
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"gave up waiting for fixture lock {lock!r}"
+                ) from None
+            time.sleep(0.1)
+            continue
+        try:
+            # re-check under the lock: the previous holder may have
+            # just promoted a complete store
+            if os.path.exists(marker):
+                shutil.rmtree(stage, ignore_errors=True)
+            else:
+                shutil.rmtree(target, ignore_errors=True)
+                os.rename(stage, target)
+            return
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+
+_LOCK_STALE_SEC = 300
 
 
 def fixture_dir() -> str:
@@ -41,14 +104,7 @@ def fixture_dir() -> str:
                         rows_per_session=120, n_signals=12, seed=42)
         with open(os.path.join(stage, ".complete"), "w") as f:
             f.write("ok")
-        try:
-            os.rename(stage, _FIXTURE_DIR)
-        except OSError:
-            if os.path.exists(marker):
-                shutil.rmtree(stage, ignore_errors=True)
-            else:  # stale markerless dir — replace it
-                shutil.rmtree(_FIXTURE_DIR, ignore_errors=True)
-                os.rename(stage, _FIXTURE_DIR)
+        _promote_staged(stage, _FIXTURE_DIR)
     return _FIXTURE_DIR
 
 
@@ -70,9 +126,9 @@ def eeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("PatientID", "Year", "Month", "Day")
         )
-        # materialize before the temp dir disappears
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        # pin before the temp dir disappears — executor-side
+        # localCheckpoint, not a driver collect (catalog.materialize)
+        return materialize(result)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -214,8 +270,7 @@ def eeg_tidy_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_obs"), F.round(F.avg("value"), 4).alias("avg_value"))
             .orderBy("channel")
         )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        return materialize(result)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -257,18 +312,7 @@ def tidy_store(spark: SparkSession) -> str:
         ).parquet(os.path.join(stage, "mapping"))
         with open(os.path.join(stage, ".complete"), "w") as f:
             f.write("ok")
-        try:
-            os.rename(stage, _TIDY_STORE)
-        except OSError:
-            if os.path.exists(marker):
-                # another builder won the race; its store is complete
-                shutil.rmtree(stage, ignore_errors=True)
-            else:
-                # a stale MARKERLESS store blocked the rename (killed
-                # pre-staging build, /tmp age-pruning) — replace it
-                # rather than serve broken parquet forever
-                shutil.rmtree(_TIDY_STORE, ignore_errors=True)
-                os.rename(stage, _TIDY_STORE)
+        _promote_staged(stage, _TIDY_STORE)
     return _TIDY_STORE
 
 

@@ -108,11 +108,13 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(loc, ignore_errors=True)
 
 
-def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
-    """The un-materialized bucketed join + its physical plan string,
-    for the Exchange-free assertion in tests. Leaves the scratch
-    database in place for the caller to drop; the external location
-    is removed here once the plan string is captured."""
+def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> str:
+    """Physical plan string of the bucketed join, for the
+    Exchange-free assertion in tests. Returns ONLY the string: the
+    bucketed files are deleted before returning, so a DataFrame
+    handle would be a time bomb — executing it after this returns
+    would hit FileNotFound (r8 ADVICE). Leaves the scratch database
+    entry in place for the caller to drop."""
     db = "dps_bucketed_plan"
     loc = _write_bucketed_tables(spark, sf_dir, db)
     li = spark.table(f"{db}.lineitem_b")
@@ -125,7 +127,7 @@ def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str
     # needed (the caller only DROPs the database) — remove the
     # mkdtemp root so repeated test runs don't accumulate temp dirs
     shutil.rmtree(loc, ignore_errors=True)
-    return joined, plan
+    return plan
 
 
 @query(

@@ -164,23 +164,47 @@ def _committed_files(data_dir: str) -> set[str]:
                         continue
                     entry = json.loads(line)
                     if entry.get("action", "add") == "add":
-                        p = entry["path"]
-                        files.add(p[7:] if p.startswith("file://") else p)
+                        files.add(_manifest_local_path(entry["path"]))
         except (OSError, json.JSONDecodeError, KeyError):
             continue  # half-written manifest file: not committed yet
     return files
 
 
+def _manifest_local_path(p: str) -> str:
+    """Local filesystem path for a sink-manifest entry. The manifest
+    records URIs in whatever form the sink's Hadoop FS produced —
+    'file://host/x', 'file:/x', or a bare '/x' — and a naive
+    prefix-strip of just 'file://' leaves the other forms unusable,
+    making every footer read miss silently (r8 ADVICE: the run then
+    reports 0 rows written instead of erroring). Non-file schemes
+    (hdfs://, s3a://) have no local path; returned as-is so the
+    footer read raises loudly below instead of being half-stripped."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(p)
+    if parsed.scheme in ("file", ""):
+        return unquote(parsed.path) or p
+    return p
+
+
 def _rows_in_files(paths: set[str]) -> int:
-    """Exact row count from parquet FOOTERS — metadata reads only."""
+    """Exact row count from parquet FOOTERS — metadata reads only.
+    A MISSING file is tolerated (the sink's log compaction deletes
+    data files whose rows were already counted when they were new);
+    any other read failure on a manifest-committed file means the
+    count would silently undercount, so it raises."""
     import pyarrow.parquet as pq
 
     total = 0
     for p in paths:
         try:
             total += pq.ParquetFile(p).metadata.num_rows
-        except OSError:
+        except FileNotFoundError:
             pass  # compacted-away file; its rows were counted when new
+        except OSError as exc:
+            raise RuntimeError(
+                f"unreadable committed data file {p!r}: {exc}"
+            ) from exc
     return total
 
 

@@ -72,7 +72,7 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     old = get_explicit_conf(spark, key)
     spark.conf.set(key, "-1")
     try:
-        _, plan = bucketed_join_plan(spark, sf_dir)
+        plan = bucketed_join_plan(spark, sf_dir)
         assert "Exchange" not in plan, plan
     finally:
         restore_conf(spark, key, old)
