@@ -10,6 +10,18 @@ cluster scale); one growing ≥10× has a super-linear stage that will
 NOT survive a 100× scale-up and must be fixed.
 
     python scripts/scaling_probe.py [key ...]
+    python scripts/scaling_probe.py --dense
+
+--dense probes the PAIR rungs (dedup_ngram_jaccard,
+dedup_containment) against synthetically densified documents
+corpora: every sf0.1 document is replicated ×2/×3/×5 as near-
+duplicates (a per-copy tail token keeps Jaccard ≈0.9, not 1.0), so
+the TRUE-pair count grows quadratically in the factor while corpus
+bytes grow linearly. The observable: wall time tracking the
+~linear corpus size, NOT the quadratic pair bound, is direct
+evidence that the prefix filter + size band + df-cap hold the
+quadratic term — the property that decides whether the rung
+survives a dense real-world corpus.
 """
 
 from __future__ import annotations
@@ -55,7 +67,89 @@ def best_of(fn, runs: int = 3) -> float:
     return best
 
 
+DENSE_FACTORS = [1, 2, 3, 5]
+DENSE_PROBES = ["dedup_ngram_jaccard", "dedup_containment"]
+
+
+def _dense_dir(spark, factor: int) -> str:
+    """Write (once) a documents corpus where every sf0.1 doc appears
+    ``factor`` times as a near-duplicate. doc_ids stay unique via a
+    per-copy offset above the real id range."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_spark.catalog import load
+
+    out = os.path.join(tempfile.gettempdir(), f"dps_dense_docs_x{factor}")
+    target = os.path.join(out, "documents.parquet")
+    if os.path.isdir(target):
+        return out
+    docs = load(spark, "/root/testdata/sf0.1", "documents")
+    offset = 10_000_000
+    copies = [
+        docs.select(
+            (F.col("doc_id") + i * offset).alias("doc_id"),
+            # a short unique tail per copy: copies are ~0.9-Jaccard
+            # near-dups of each other, not byte-exact duplicates
+            F.concat(F.col("text"), F.lit(f" densecopy tail{i}")).alias(
+                "text"
+            )
+            if i
+            else F.col("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(factor)
+    ]
+    union = copies[0]
+    for c in copies[1:]:
+        union = union.unionByName(c)
+    union.write.mode("overwrite").parquet(target)
+    return out
+
+
+def dense_main() -> None:
+    registry.load_all()
+    spark = get_spark("scaling-probe-dense")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name, d):
+        df = registry.QUERIES[name](spark, d)
+        df.write.format("noop").mode("overwrite").save()
+
+    dirs = {f: _dense_dir(spark, f) for f in DENSE_FACTORS}
+    # interpretation: replicating every doc ×f makes the TRUE-pair
+    # output itself grow ~quadratically in f (C(f,2) pairs per doc
+    # group — irreducible work for ANY exact algorithm), while naive
+    # all-pairs candidate generation would grow with the squared
+    # corpus. A healthy filter stack shows time growth well BELOW
+    # output growth (per-pair cost amortized, no candidate blowup
+    # beyond the output); a broken one tracks the all-pairs bound.
+    print(
+        f"{'query':22s} "
+        + " ".join(f"x{f}:sec/pairs " for f in DENSE_FACTORS)
+        + " t-growth out-growth"
+    )
+    for name in DENSE_PROBES:
+        times, pairs = [], []
+        for f in DENSE_FACTORS:
+            times.append(best_of(lambda: run(name, dirs[f])))
+            pairs.append(registry.QUERIES[name](spark, dirs[f]).count())
+        tg = times[-1] / times[0] if times[0] > 0 else float("inf")
+        og = pairs[-1] / pairs[0] if pairs[0] > 0 else float("inf")
+        cells = " ".join(
+            f"{t:5.2f}/{p:<7d}" for t, p in zip(times, pairs)
+        )
+        verdict = "OK (sub-output)" if tg <= og else "CANDIDATE BLOWUP?!"
+        print(f"{name:22s} {cells}  {tg:5.1f}x {og:6.1f}x  {verdict}")
+
+
 def main() -> None:
+    if sys.argv[1:] == ["--dense"]:
+        dense_main()
+        return
     probes = sys.argv[1:] or DEFAULT_PROBES
     registry.load_all()
     spark = get_spark("scaling-probe")
