@@ -84,6 +84,7 @@ HEADLINE = [
     "basket_pair_affinity_apriori",
     "tidy_supercat_hourly",
     "mv_incremental_refresh",
+    "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
     "tpch_q10_returned_items",

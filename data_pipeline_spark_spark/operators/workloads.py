@@ -460,3 +460,354 @@ def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(ROUND(l_quantity) AS BIGINT)            AS qty,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(ROUND(l_discount * 100) AS BIGINT)      AS disc_c,
+             CAST(ROUND(l_tax * 100) AS BIGINT)           AS tax_c
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    )
+    SELECT l_returnflag, l_linestatus,
+           SUM(qty)                                          AS sum_qty,
+           CAST(SUM(price_c) AS DOUBLE) / 100.0              AS sum_base_price,
+           CAST(SUM(price_c * (100 - disc_c)) AS DOUBLE) / 1e4 AS sum_disc_price,
+           CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE) / 1e6
+                                                             AS sum_charge,
+           CAST(SUM(qty) AS DOUBLE) / COUNT(*)               AS avg_qty,
+           CAST(SUM(price_c) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_price,
+           CAST(SUM(disc_c) AS DOUBLE) / (100.0 * COUNT(*))  AS avg_disc,
+           COUNT(*)                                          AS count_order
+    FROM c
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1, the canonical scan-heavy aggregation: one pass over
+    lineitem, eight aggregates over six (returnflag, linestatus)
+    groups — pure map-side partial aggregation, shuffle bytes ∝
+    groups. Cross-engine exactness is the interesting part: double
+    sums are NOT associative, so two engines summing millions of
+    doubles in different orders drift in the last ulps. The fixture's
+    measures are ≤2-decimal, so every sum here is carried as an EXACT
+    bigint in centi-units (disc_price in 10⁻⁴, charge in 10⁻⁶ units)
+    and only divided back to double once at the end — bit-identical
+    on both engines with no ROUND anywhere (the verify-skill
+    "strongest form"). Overflow headroom: |price_c·100·100| ≤ ~1e11
+    per row, ~6e16 summed at sf0.1 — 100× under bigint."""
+    c = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "2001-09-01")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round("l_quantity").cast("bigint").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_c"),
+            F.round(F.col("l_tax") * 100).cast("bigint").alias("tax_c"),
+        )
+    )
+    return (
+        c.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").alias("sum_qty"),
+            F.sum("price_c").alias("s_price"),
+            F.sum(F.col("price_c") * (100 - F.col("disc_c"))).alias("s_disc"),
+            F.sum(
+                F.col("price_c")
+                * (100 - F.col("disc_c"))
+                * (100 + F.col("tax_c"))
+            ).alias("s_charge"),
+            F.sum("disc_c").alias("s_disc_c"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            (F.col("s_price").cast("double") / 100.0).alias("sum_base_price"),
+            (F.col("s_disc").cast("double") / 1e4).alias("sum_disc_price"),
+            (F.col("s_charge").cast("double") / 1e6).alias("sum_charge"),
+            (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (
+                F.col("s_price").cast("double") / (100.0 * F.col("count_order"))
+            ).alias("avg_price"),
+            (
+                F.col("s_disc_c").cast("double") / (100.0 * F.col("count_order"))
+            ).alias("avg_disc"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (adapted to the fixture schema: the classic
+    l_commitdate < l_receiptdate late-delivery predicate becomes
+    "some item shipped >30 days after the order date" — the fixture
+    carries only l_shipdate): EXISTS over the fact table as a LEFT
+    SEMI join, so lineitem is never duplicated per match and the
+    quarter's orders are counted once regardless of how many items
+    ran late. The semi join's non-equi half (shipdate vs orderdate +
+    30d) rides the join condition, not a post-filter, so it prunes
+    during the match. Timestamp comparisons are exact in both
+    engines."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 1e4
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6, the pure scan-filter-aggregate: no join, no group — the
+    query IS the predicate pushdown story. All three filters reach
+    the parquet scan as PushedFilters (shipdate range and quantity
+    directly; the discount band is applied on exact centi-units
+    post-scan, since ROUND(col*100) can't push). The revenue sum is
+    an exact bigint in 10⁻⁴ units divided once — the classic
+    BETWEEN 0.05 AND 0.07 on raw doubles would be engine-dependent
+    at the band edges (0.07*100 = 7.000000000000001)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_quantity") < 24)
+    )
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.filter(disc_c.between(5, 7))
+        .agg(
+            (F.sum(price_c * disc_c).cast("double") / 1e4).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (adapted to the fixture schema: the classic
+    o_comment NOT LIKE '%special%requests%' exclusion becomes a
+    priority exclusion — the fixture carries no comment column):
+    customers LEFT JOIN their qualifying orders, so zero-order
+    customers survive with c_count = 0, then the count-of-counts
+    histogram. COUNT(o_orderkey) — not COUNT(*) — is the
+    null-semantics crux: an unmatched left row contributes a NULL
+    orderkey that COUNT must skip. Two shuffles ∝ customers, then ∝
+    distinct counts; the exclusion filter pushes below the join."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#2' AND p_size <= 10
+      GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 700.0 AS avg_yearly
+    FROM lineitem l
+    JOIN pq ON l.l_partkey = pq.l_partkey
+    WHERE CAST(ROUND(l.l_quantity) AS BIGINT) * 5 * pq.cnt < pq.sum_qty
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (adapted to the fixture schema: p_container becomes
+    a p_size band): for a selective part slice, revenue from orders
+    below 20% of that part's average order quantity — the classic
+    correlated scalar subquery, decorrelated by hand into a per-part
+    aggregate joined back. The 20%-of-average comparison never
+    materializes an average: `qty < sum/(5·cnt)` is cross-multiplied
+    into the exact-integer `5·qty·cnt < sum` (quantities are
+    integer-valued), so no division, no rounding, no cross-engine
+    drift. Plan shape: the filtered part slice broadcasts into the
+    lineitem scan; the per-part aggregate is dimension-sized and
+    broadcasts back onto the same semi-filtered stream — lineitem
+    shuffles at most once, on l_partkey."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.round("l_quantity").cast("bigint").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "semi")
+        # both the per-part aggregate and the final filter consume
+        # this narrow slice; pin it so the scan+semi-join runs once
+        .localCheckpoint(eager=False)
+    )
+    pq = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    return (
+        li.join(
+            F.broadcast(pq.toDF("pq_partkey", "sum_qty", "cnt")),
+            F.col("l_partkey") == F.col("pq_partkey"),
+        )
+        .filter(F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum("price_c").cast("double") / 700.0).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+      WHERE c_nationkey IN (3, 8, 13, 17, 21)
+    ),
+    avg_bal AS (
+      SELECT SUM(bal_c) AS sum_pos, COUNT(*) AS n_pos
+      FROM pool WHERE bal_c > 0
+    )
+    SELECT p.c_nationkey AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(p.bal_c) AS DOUBLE) / 100.0 AS totacctbal
+    FROM pool p, avg_bal a
+    WHERE p.bal_c * a.n_pos > a.sum_pos
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = p.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY p.c_nationkey
+    ORDER BY p.c_nationkey
+    """,
+)
+def tpch_q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q22 shape (adapted to the fixture schema: the phone-prefix
+    country codes become c_nationkey, and "never ordered" becomes
+    "dormant — no orders since 2000", since every fixture customer
+    has ordered at least once): wealthy-but-dormant customers per
+    country. Three classic decorrelations in one query: the scalar
+    AVG subquery is a 1-row broadcast joined cross; the
+    above-average predicate is cross-multiplied into exact integers
+    (`bal·n > sum` instead of `bal > sum/n`); and NOT EXISTS is a
+    LEFT ANTI join against the recent-orders slice, whose date
+    filter pushes into the orders scan. Customer shuffles never —
+    the anti join's build side is the (small, filtered) distinct
+    custkey set; at 100 TB the anti join flips to shuffle on
+    custkey, same plan otherwise."""
+    pool = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(3, 8, 13, 17, 21))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+        )
+    )
+    avg_bal = pool.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_pos"), F.count("*").alias("n_pos")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_pos"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_c").cast("double") / 100.0).alias("totacctbal"),
+        )
+        .select(
+            F.col("c_nationkey").alias("cntrycode"), "numcust", "totacctbal"
+        )
+        .orderBy("cntrycode")
+    )
