@@ -351,3 +351,100 @@ def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_pass"),
     )
+
+
+_DUP_PROFILE_SQL = """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+               || t[i+3] || ' ' || t[i+4] AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+      WHERE len(t) >= 5
+    ),
+    gc AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g),
+    gs AS (SELECT CAST(SUM(c) AS BIGINT) AS n_ngrams,
+                  COUNT(*) AS n_distinct_ngrams,
+                  CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0)
+                       AS BIGINT) AS n_dup_occ
+           FROM gc),
+    dc AS (SELECT text, COUNT(*) AS c FROM documents GROUP BY text),
+    ds AS (SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+                  CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0)
+                       AS BIGINT) AS n_exact_dup_docs
+           FROM dc)
+    SELECT n_docs, n_exact_dup_docs,
+           CAST(n_exact_dup_docs AS DOUBLE) / n_docs AS exact_dup_frac,
+           n_ngrams, n_distinct_ngrams,
+           CAST(n_dup_occ AS DOUBLE) / n_ngrams AS dup_ngram_frac
+    FROM gs, ds
+"""
+
+
+@query("corpus_duplication_profile", oracle=_DUP_PROFILE_SQL)
+def corpus_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplication report — the measurement that decides
+    whether a dedup pass is worth scheduling (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of documents that are byte-exact duplicates of another,
+    and the fraction of 5-gram OCCURRENCES whose 5-gram appears more
+    than once in the corpus (near-dup / boilerplate mass that exact
+    dedup cannot see). Two independent aggregation trees joined as
+    1-row broadcasts:
+
+    - doc level: groupBy(text) count — at scale, group on
+      sha2(text) instead so the shuffle key is 32 bytes, the same
+      digest trick as [[dedup_exact]];
+    - n-gram level: in-row generator expansion (no lambda in the
+      hot path beyond one transform per doc) → one count shuffle on
+      the gram, map-side combined, then a second tiny aggregate over
+      the count table. The gram strings themselves are the scale
+      knob: hash each gram to a bigint (xxhash64) at 100 TB to cut
+      shuffle bytes ~5× — kept as strings here so the DuckDB oracle
+      can mirror the grouping exactly.
+
+    All counts are exact bigints; the two fractions are single double
+    divisions of exact integers — bit-identical across engines."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    grams = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 5 THEN"
+                " transform(sequence(0, size(split(text, ' ')) - 5),"
+                "  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 5)))"
+                " ELSE array() END"
+            )
+        ).alias("g")
+    )
+    gs = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.count("*").alias("n_distinct_ngrams"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+            ).alias("n_dup_occ"),
+        )
+    )
+    ds = (
+        d.groupBy("text")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+            ).alias("n_exact_dup_docs"),
+        )
+    )
+    return gs.crossJoin(F.broadcast(ds)).select(
+        "n_docs",
+        "n_exact_dup_docs",
+        (
+            F.col("n_exact_dup_docs").cast("double") / F.col("n_docs")
+        ).alias("exact_dup_frac"),
+        "n_ngrams",
+        "n_distinct_ngrams",
+        (F.col("n_dup_occ").cast("double") / F.col("n_ngrams")).alias(
+            "dup_ngram_frac"
+        ),
+    )

@@ -475,7 +475,7 @@ def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate <= TIMESTAMP '2001-09-01'
     )
     SELECT l_returnflag, l_linestatus,
-           SUM(qty)                                          AS sum_qty,
+           CAST(SUM(qty) AS BIGINT)                          AS sum_qty,
            CAST(SUM(price_c) AS DOUBLE) / 100.0              AS sum_base_price,
            CAST(SUM(price_c * (100 - disc_c)) AS DOUBLE) / 1e4 AS sum_disc_price,
            CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE) / 1e6
