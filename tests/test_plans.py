@@ -300,3 +300,44 @@ def test_span_exact_two_exchanges(spark, sf_dir):
     from data_pipeline_spark_spark.operators.dedup import dedup_span_exact
 
     assert shuffle_count(dedup_span_exact(spark, sf_dir)) == 2
+
+
+def test_q6_filters_reach_scan(spark, sf_dir):
+    """tpch_q6 is the predicate-pushdown story: the shipdate range
+    and quantity bound must reach the parquet scan as PushedFilters
+    (the centi-unit discount band is post-scan by design — a
+    ROUND(col*100) expression can't push). Exactly one exchange: the
+    SinglePartition gather for the global sum."""
+    from data_pipeline_spark_spark.operators.workloads import (
+        tpch_q6_forecast_revenue,
+    )
+
+    df = tpch_q6_forecast_revenue(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf and "l_quantity" in pf
+    assert shuffle_count(df) == 1
+
+
+def test_q1_two_phase_agg(spark, sf_dir):
+    """tpch_q1: partial aggregation must run map-side so the single
+    hash exchange carries bytes ∝ 6 groups, not ∝ lineitem."""
+    from data_pipeline_spark_spark.operators.workloads import (
+        tpch_q1_pricing_summary,
+    )
+
+    df = tpch_q1_pricing_summary(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "partial_sum" in plan  # map-side combine
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf
+
+
+def test_q17_per_part_agg_broadcasts(spark, sf_dir):
+    """tpch_q17's decorrelated per-part aggregate is dimension-sized
+    and must attach to the lineitem stream as a broadcast, never a
+    fact-sized shuffle join."""
+    from data_pipeline_spark_spark.operators.workloads import (
+        tpch_q17_small_quantity_revenue,
+    )
+
+    assert has_broadcast_join(tpch_q17_small_quantity_revenue(spark, sf_dir))
