@@ -515,8 +515,11 @@ def _pq_sq_sql(a: str, b: str) -> str:
     )
 
 
-_PQ_SQL = f"""
-    WITH e AS (
+# shared CTE prefix for the PQ rungs (sim_search_pq and the IVF+PQ
+# capstone): raw vectors, PQ codebook, subvector expansion, code
+# assignment, and the per-query ADC lookup table
+_PQ_CORE_SQL = f"""
+    e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ),
     cb AS (  -- codebook: subvectors of the first {_PQ_K} vectors
@@ -548,7 +551,20 @@ _PQ_SQL = f"""
                   AS BIGINT) AS term_u
       FROM sub q JOIN cb ON q.m = cb.m
       WHERE q.vec_id < {_N_QUERIES}
-    ),
+    )"""
+
+_PQ_RANKED_TAIL_SQL = f"""
+    SELECT query_id, neighbor_id, est_dist_u,
+           CAST(est_dist_u AS DOUBLE) / 1000000.0 AS est_dist, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY est_dist_u, neighbor_id)
+                    AS rnk
+          FROM adc)
+    WHERE rnk <= {_PQ_TOP}
+"""
+
+_PQ_SQL = f"""
+    WITH {_PQ_CORE_SQL},
     adc AS (
       SELECT t.query_id, c.vec_id AS neighbor_id,
              CAST(SUM(t.term_u) AS BIGINT) AS est_dist_u
@@ -557,13 +573,7 @@ _PQ_SQL = f"""
       WHERE c.vec_id <> t.query_id
       GROUP BY 1, 2
     )
-    SELECT query_id, neighbor_id, est_dist_u,
-           CAST(est_dist_u AS DOUBLE) / 1000000.0 AS est_dist, rnk
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY est_dist_u, neighbor_id)
-                    AS rnk
-          FROM adc)
-    WHERE rnk <= {_PQ_TOP}
+    {_PQ_RANKED_TAIL_SQL}
 """
 
 
@@ -596,6 +606,25 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
+    sub, cb, codes = _pq_frames(e)
+    terms = _pq_terms(sub, cb)
+    adc = (
+        codes.join(
+            F.broadcast(terms),
+            (F.col("m") == F.col("tm")) & (F.col("code") == F.col("tc")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("term_u").cast("bigint").alias("est_dist_u"))
+    )
+    return _pq_ranked(adc)
+
+
+def _pq_frames(e) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(sub, cb, codes) shared by the PQ rungs: per-(vector,
+    subspace) subvectors, the deterministic codebook (first
+    ``_PQ_K`` vectors' subvectors), and the one-byte code
+    assignment."""
     ms = F.explode(
         F.sequence(F.lit(0), F.lit(_PQ_M - 1))
     ).alias("m")
@@ -625,7 +654,13 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "m")
         .agg(F.min(F.struct("dist_u", "c")).getField("c").alias("code"))
     )
-    terms = (
+    return sub, cb, codes
+
+
+def _pq_terms(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-query ADC lookup table (query × subspace × code) in exact
+    integer micro-units."""
+    return (
         sub.filter(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "m", "sv")
         .join(F.broadcast(cb), F.col("m") == F.col("cm"))
@@ -641,15 +676,11 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("term_u"),
         )
     )
-    adc = (
-        codes.join(
-            F.broadcast(terms),
-            (F.col("m") == F.col("tm")) & (F.col("code") == F.col("tc")),
-        )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("term_u").cast("bigint").alias("est_dist_u"))
-    )
+
+
+def _pq_ranked(adc: DataFrame) -> DataFrame:
+    """Per-query top-``_PQ_TOP`` by exact-integer estimated distance,
+    ids breaking ties — the shared output shape of the PQ rungs."""
     w = W.partitionBy("query_id").orderBy("est_dist_u", "neighbor_id")
     return (
         adc.withColumn("rnk", F.row_number().over(w))
@@ -664,3 +695,146 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ combined (the full serving-tier architecture)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_CELLS = 16   # coarse cells (deterministic: first 16 vectors)
+_IVFPQ_NPROBE = 4   # cells probed per query
+
+_IVFPQ_SQL = f"""
+    WITH {_PQ_CORE_SQL},
+    ccb AS (  -- coarse centroids: subvectors of the first {_IVFPQ_CELLS} vectors
+      SELECT m.m, e.vec_id AS cell,
+             e.emb[m.m * {_PQ_SUB} + 1 : (m.m + 1) * {_PQ_SUB}] AS cent
+      FROM e, (SELECT unnest(range(0, {_PQ_M})) AS m) m
+      WHERE e.vec_id < {_IVFPQ_CELLS}
+    ),
+    cd AS (  -- full squared distance to every cell, per subspace
+      SELECT s.vec_id, ccb.cell,
+             CAST(SUM(CAST(round(({_pq_sq_sql("s.sv", "ccb.cent")}) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS cdist_u
+      FROM sub s JOIN ccb ON s.m = ccb.m
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cdist_u, cell) AS rn
+        FROM cd) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cdist_u, cell) AS rn
+        FROM cd WHERE vec_id < {_N_QUERIES}) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    pairs AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assign a ON p.cell = a.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT pr.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(t.term_u) AS BIGINT) AS est_dist_u
+      FROM pairs pr
+      JOIN codes c ON c.vec_id = pr.vec_id
+      JOIN terms t ON t.query_id = pr.query_id
+                  AND t.m = c.m AND t.c = c.code
+      GROUP BY 1, 2
+    )
+    {_PQ_RANKED_TAIL_SQL}
+"""
+
+
+@query("sim_search_ivfpq", oracle=_IVFPQ_SQL)
+def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the ladder's capstone, and the architecture a real
+    billion-vector serving tier actually deploys (FAISS IVFPQ, Jégou
+    et al. 2011 §V): a coarse inverted-file quantizer prunes WHICH
+    vectors are scored, and product-quantization codes prune WHAT is
+    read per scored vector. A query touches nprobe/k of the corpus
+    ({_IVFPQ_NPROBE}/{_IVFPQ_CELLS} = 25% here) and reads only
+    {_PQ_M}-byte codes inside those cells — compute and memory
+    pruning compose multiplicatively, which is why the combination,
+    not either half, is the deployable tier.
+
+    Determinism carries the same FULL value oracle as
+    [[sim_search_pq]] (no recall-threshold weakening): coarse
+    centroids are the first {_IVFPQ_CELLS} vectors (the seeding
+    trick of [[dedup_semantic]]), coarse distances decompose over
+    the SAME unrolled 8-term subspace expression as the PQ codebook
+    distances — quantized once to integer micro-units, summed as
+    exact bigints — so cell assignment, probe selection, and ADC
+    ranking are all integer arithmetic with id tie-breaks.
+
+    Deliberate simplification, documented: codes quantize RAW
+    vectors, not per-cell residuals; residual encoding (classic
+    IVFADC) is a drop-in — subtract the broadcast cell centroid
+    before [[_pq_frames]] — that changes no plan shape. Scale shape:
+    coarse centroids, PQ codebook, and the per-query ADC+probe
+    tables are broadcasts; `assign` is computed once at ingest (it
+    would be the partition key of the codes table, making the
+    probe-cell join partition pruning instead of a shuffle); the
+    only data-proportional state the query touches is the pruned
+    integer code stream."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    sub, cb, codes = _pq_frames(e)
+    terms = _pq_terms(sub, cb)
+    ccb = (
+        sub.filter(F.col("vec_id") < _IVFPQ_CELLS)
+        .select(F.col("m").alias("ccm"), F.col("vec_id").alias("cell"),
+                F.col("sv").alias("ccent"))
+    )
+    cd = (
+        sub.join(F.broadcast(ccb), F.col("m") == F.col("ccm"))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(_pq_sq_spark(F.col("sv"), F.col("ccent")) * 1000000)
+            .cast("bigint")
+            .alias("cdist_u"),
+        )
+        .groupBy("vec_id", "cell")
+        .agg(F.sum("cdist_u").cast("bigint").alias("cdist_u"))
+        # both the corpus assignment and the query probes read this
+        # frame; pin it so the 16-way fan-out runs once
+        .localCheckpoint(eager=False)
+    )
+    assign = cd.groupBy("vec_id").agg(
+        F.min(F.struct("cdist_u", "cell")).getField("cell").alias("cell")
+    )
+    probe_w = W.partitionBy("query_id").orderBy("cdist_u", "cell")
+    probes = (
+        cd.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "cell", "cdist_u")
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("query_id", "cell")
+    )
+    pairs = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        codes.join(pairs.withColumnRenamed("vec_id", "pv"),
+                   F.col("vec_id") == F.col("pv"))
+        .join(
+            # tq rename: pairs already carries a query_id and an
+            # ambiguous equality would not resolve
+            F.broadcast(terms.withColumnRenamed("query_id", "tq")),
+            (F.col("m") == F.col("tm"))
+            & (F.col("code") == F.col("tc"))
+            & (F.col("query_id") == F.col("tq")),
+        )
+        .groupBy(
+            F.col("query_id"), F.col("vec_id").alias("neighbor_id")
+        )
+        .agg(F.sum("term_u").cast("bigint").alias("est_dist_u"))
+    )
+    return _pq_ranked(adc)
