@@ -54,6 +54,8 @@ DEFAULT_PROBES = [
     "sim_search_pq",
     "repetition_stats",
     "tpch_q18_large_orders",
+    "tpch_q1_pricing_summary",
+    "corpus_duplication_profile",
 ]
 
 
