@@ -49,7 +49,11 @@ def _promote_staged(stage: str, target: str) -> None:
     except OSError:
         pass
     lock = target + ".lock"
-    deadline = time.monotonic() + 120
+    # the deadline must exceed the stale threshold: a lock abandoned
+    # the moment before we arrive only becomes breakable after
+    # _LOCK_STALE_SEC, and timing out before that point would turn an
+    # automatically-recoverable crash into a raised error
+    deadline = time.monotonic() + _LOCK_STALE_SEC + 120
     while True:
         if os.path.exists(marker):
             # another builder's complete store is live — ours loses
@@ -58,13 +62,25 @@ def _promote_staged(stage: str, target: str) -> None:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            try:  # break locks abandoned by a killed builder
-                if time.time() - os.path.getmtime(lock) > _LOCK_STALE_SEC:
-                    os.unlink(lock)
-                    continue
+            try:
+                stale = time.time() - os.path.getmtime(lock) > _LOCK_STALE_SEC
             except OSError:
                 continue  # lock vanished between the checks — retry
+            if stale:
+                # break an abandoned lock by RENAMING it first: the
+                # rename is atomic, so of N waiters that all judged it
+                # stale exactly one wins and unlinks the moved file —
+                # a bare unlink here could delete a DIFFERENT waiter's
+                # freshly created lock and let two processes into the
+                # critical section at once
+                try:
+                    os.rename(lock, f"{lock}.stale.{os.getpid()}")
+                    os.unlink(f"{lock}.stale.{os.getpid()}")
+                except OSError:
+                    pass  # someone else broke it — retry the O_EXCL
+                continue
             if time.monotonic() > deadline:
+                shutil.rmtree(stage, ignore_errors=True)
                 raise TimeoutError(
                     f"gave up waiting for fixture lock {lock!r}"
                 ) from None
@@ -77,7 +93,17 @@ def _promote_staged(stage: str, target: str) -> None:
                 shutil.rmtree(stage, ignore_errors=True)
             else:
                 shutil.rmtree(target, ignore_errors=True)
-                os.rename(stage, target)
+                try:
+                    os.rename(stage, target)
+                except OSError:
+                    # a lock-free fast-path builder (first rename
+                    # above) can slide its complete store into the
+                    # emptied slot between our rmtree and rename; if
+                    # a marker-bearing store now occupies the target,
+                    # the machine has a good fixture and ours loses
+                    if not os.path.exists(marker):
+                        raise
+                    shutil.rmtree(stage, ignore_errors=True)
             return
         finally:
             os.close(fd)
@@ -87,7 +113,9 @@ def _promote_staged(stage: str, target: str) -> None:
                 pass
 
 
-_LOCK_STALE_SEC = 300
+# a fixture/tidy-store build takes seconds; a lock minutes old
+# belongs to a killed process
+_LOCK_STALE_SEC = 120
 
 
 def fixture_dir() -> str:

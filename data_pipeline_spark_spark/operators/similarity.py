@@ -785,6 +785,39 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sub, cb, codes = _pq_frames(e)
     terms = _pq_terms(sub, cb)
+    assign, probes = _ivfpq_coarse(sub)
+    pairs = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        codes.join(pairs.withColumnRenamed("vec_id", "pv"),
+                   F.col("vec_id") == F.col("pv"))
+        .join(
+            # tq rename: pairs already carries a query_id and an
+            # ambiguous equality would not resolve
+            F.broadcast(terms.withColumnRenamed("query_id", "tq")),
+            (F.col("m") == F.col("tm"))
+            & (F.col("code") == F.col("tc"))
+            & (F.col("query_id") == F.col("tq")),
+        )
+        .groupBy(
+            F.col("query_id"), F.col("vec_id").alias("neighbor_id")
+        )
+        .agg(F.sum("term_u").cast("bigint").alias("est_dist_u"))
+    )
+    return _pq_ranked(adc)
+
+
+def _ivfpq_coarse(sub: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(assign, probes) for the IVF+PQ rung: per-vector cell
+    assignment and per-query probed-cell set, both derived from one
+    pinned coarse-distance frame (full squared distance to every
+    coarse centroid, decomposed over the PQ subspaces as exact
+    integer micro-unit sums). Module-level so the probed-cell
+    containment test exercises the SAME construction the operator
+    runs instead of a hand-copied twin that could drift."""
     ccb = (
         sub.filter(F.col("vec_id") < _IVFPQ_CELLS)
         .select(F.col("m").alias("ccm"), F.col("vec_id").alias("cell"),
@@ -816,25 +849,4 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _IVFPQ_NPROBE)
         .select("query_id", "cell")
     )
-    pairs = (
-        assign.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-    )
-    adc = (
-        codes.join(pairs.withColumnRenamed("vec_id", "pv"),
-                   F.col("vec_id") == F.col("pv"))
-        .join(
-            # tq rename: pairs already carries a query_id and an
-            # ambiguous equality would not resolve
-            F.broadcast(terms.withColumnRenamed("query_id", "tq")),
-            (F.col("m") == F.col("tm"))
-            & (F.col("code") == F.col("tc"))
-            & (F.col("query_id") == F.col("tq")),
-        )
-        .groupBy(
-            F.col("query_id"), F.col("vec_id").alias("neighbor_id")
-        )
-        .agg(F.sum("term_u").cast("bigint").alias("est_dist_u"))
-    )
-    return _pq_ranked(adc)
+    return assign, probes

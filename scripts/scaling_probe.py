@@ -83,10 +83,17 @@ def _dense_dir(spark, factor: int) -> str:
 
     from data_pipeline_spark_spark.catalog import load
 
+    import shutil
+
     out = os.path.join(tempfile.gettempdir(), f"dps_dense_docs_x{factor}")
     target = os.path.join(out, "documents.parquet")
-    if os.path.isdir(target):
+    # _SUCCESS, not isdir: an interrupted write leaves a partial dir
+    # that a bare existence check would silently reuse, and the
+    # truncated corpus would fabricate the growth ratios this probe
+    # exists to measure
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
         return out
+    shutil.rmtree(out, ignore_errors=True)
     docs = load(spark, "/root/testdata/sf0.1", "documents")
     offset = 10_000_000
     copies = [
@@ -112,7 +119,7 @@ def _dense_dir(spark, factor: int) -> str:
     return out
 
 
-def dense_main() -> None:
+def dense_main(probe_keys: list[str] | None = None) -> None:
     registry.load_all()
     spark = get_spark("scaling-probe-dense")
     spark.sparkContext.setLogLevel("ERROR")
@@ -134,7 +141,7 @@ def dense_main() -> None:
         + " ".join(f"x{f}:sec/pairs " for f in DENSE_FACTORS)
         + " t-growth out-growth"
     )
-    for name in DENSE_PROBES:
+    for name in probe_keys or DENSE_PROBES:
         times, pairs = [], []
         for f in DENSE_FACTORS:
             times.append(best_of(lambda: run(name, dirs[f])))
@@ -149,10 +156,12 @@ def dense_main() -> None:
 
 
 def main() -> None:
-    if sys.argv[1:] == ["--dense"]:
-        dense_main()
+    args = sys.argv[1:]
+    if "--dense" in args:
+        keys = [a for a in args if a != "--dense"]
+        dense_main(keys or None)
         return
-    probes = sys.argv[1:] or DEFAULT_PROBES
+    probes = args or DEFAULT_PROBES
     registry.load_all()
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")

@@ -88,39 +88,12 @@ def test_ivfpq_only_scores_probed_cells(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
-    sub, cb, codes = sim._pq_frames(e)
-    ccb = (
-        sub.filter(F.col("vec_id") < sim._IVFPQ_CELLS)
-        .select(F.col("m").alias("ccm"), F.col("vec_id").alias("cell"),
-                F.col("sv").alias("ccent"))
-    )
-    cd = (
-        sub.join(F.broadcast(ccb), F.col("m") == F.col("ccm"))
-        .select(
-            "vec_id", "cell",
-            F.round(sim._pq_sq_spark(F.col("sv"), F.col("ccent")) * 1000000)
-            .cast("bigint").alias("cdist_u"),
-        )
-        .groupBy("vec_id", "cell")
-        .agg(F.sum("cdist_u").alias("cdist_u"))
-    )
-    assign = {
-        r.vec_id: r.cell
-        for r in cd.groupBy("vec_id")
-        .agg(F.min(F.struct("cdist_u", "cell")).getField("cell").alias("cell"))
-        .collect()
-    }
-    from pyspark.sql import Window as W
-
-    probe_w = W.partitionBy("vec_id").orderBy("cdist_u", "cell")
+    sub, _, _ = sim._pq_frames(e)
+    assign_df, probes_df = sim._ivfpq_coarse(sub)
+    assign = {r.vec_id: r.cell for r in assign_df.collect()}
     probed = {}
-    for r in (
-        cd.filter(F.col("vec_id") < sim._N_QUERIES)
-        .withColumn("rn", F.row_number().over(probe_w))
-        .filter(F.col("rn") <= sim._IVFPQ_NPROBE)
-        .collect()
-    ):
-        probed.setdefault(r.vec_id, set()).add(r.cell)
+    for r in probes_df.collect():
+        probed.setdefault(r.query_id, set()).add(r.cell)
     for r in sim.sim_search_ivfpq(spark, sf_dir).collect():
         assert assign[r.neighbor_id] in probed[r.query_id], (
             f"neighbor {r.neighbor_id} (cell {assign[r.neighbor_id]}) "
