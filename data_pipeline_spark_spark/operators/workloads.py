@@ -811,3 +811,251 @@ def tpch_q22_global_sales_opportunity(
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH flat AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS vol_u,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_6'
+                                       THEN vol_u END), 0) AS BIGINT)
+                AS DOUBLE) / 1e4 AS nation_vol,
+           CAST(CAST(SUM(vol_u) AS BIGINT) AS DOUBLE) / 1e4 AS total_vol,
+           CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_6'
+                                  THEN vol_u END), 0) AS DOUBLE)
+             / CAST(SUM(vol_u) AS DOUBLE) AS mkt_share
+    FROM flat
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8, national market share: one supplier nation's slice of the
+    revenue that AMERICA-region customers spent on one part type,
+    per order year. The widest join in the suite — two fact tables
+    and five dimension hops — and every dimension (part slice,
+    nation×2, region, supplier) broadcasts, so lineitem is shuffled
+    only by the orders join. The share is a ratio of two exact
+    bigint micro-unit sums (numerator = conditional sum — the
+    pivot-style CASE inside SUM runs map-side), divided once at the
+    end: bit-identical across engines with no ROUND."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("vol_u"),
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load(spark, sf_dir, "nation").toDF("n1_key", "n1_name", "n1_region")
+    n2 = load(spark, sf_dir, "nation").toDF("n2_key", "supp_nation", "n2_region")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    flat = (
+        li.join(F.broadcast(p.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(F.year("o_orderdate").alias("o_year"), "vol_u", "supp_nation")
+    )
+    nat = F.coalesce(
+        F.sum(F.when(F.col("supp_nation") == "NATION_6", F.col("vol_u"))),
+        F.lit(0),
+    )
+    return (
+        flat.groupBy("o_year")
+        .agg(
+            nat.alias("nat_u"),
+            F.sum("vol_u").alias("tot_u"),
+        )
+        .select(
+            "o_year",
+            (F.col("nat_u").cast("double") / 1e4).alias("nation_vol"),
+            (F.col("tot_u").cast("double") / 1e4).alias("total_vol"),
+            (
+                F.col("nat_u").cast("double") / F.col("tot_u").cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS rev_u
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(rev_u) AS max_u FROM rev)
+    SELECT s_suppkey, s_name,
+           CAST(rev_u AS DOUBLE) / 1e4 AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey, mx
+    WHERE rev_u = max_u
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15, top supplier (the classic CREATE VIEW + scalar MAX
+    subquery, decorrelated): per-supplier quarter revenue as an
+    exact bigint, the 1-row MAX attached as a broadcast, and an
+    integer equality selecting the winner(s) — ties are kept, as in
+    the spec, and integer comparison makes the tie set
+    deterministic where a double comparison could drop a
+    last-ulp-equal supplier on one engine only."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("rev_u")
+        )
+    )
+    mx = rev.agg(F.max("rev_u").alias("max_u"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_u") == F.col("max_u"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_u").cast("double") / 1e4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q21_suppliers_who_kept_waiting",
+    oracle="""
+    WITH item AS (
+      SELECT l_orderkey, l_suppkey, o_orderstatus,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM item l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.late = 1 AND l1.o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM item l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM item l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.late = 1
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_suppliers_who_kept_waiting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q21 shape (adapted to the fixture schema: "late" is shipping
+    >45 days after the order date — the fixture carries no
+    commit/receipt dates): suppliers who were the SOLE late supplier
+    on a finished multi-supplier order. The hardest subquery
+    composition in the suite — a correlated EXISTS and NOT EXISTS
+    against the same fact table — decorrelated into one LEFT SEMI
+    plus one LEFT ANTI join, both on the order key with a
+    supplier-inequality rider. The item frame (order-joined lineitem
+    with its late flag) is built once and pinned so the three
+    logical references (l1, l2, l3) share one compute; at 100 TB
+    all three joins co-locate on l_orderkey — one repartition serves
+    the semi, the anti, and the original grouping."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    item = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "o_orderstatus",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+            )
+            .cast("int")
+            .alias("late"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    l1 = item.filter(
+        (F.col("late") == 1) & (F.col("o_orderstatus") == "F")
+    )
+    l2 = item.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = item.filter(F.col("late") == 1).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+    return waited
