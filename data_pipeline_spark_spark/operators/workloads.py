@@ -1005,9 +1005,13 @@ def tpch_q21_suppliers_who_kept_waiting(
     plus one LEFT ANTI join, both on the order key with a
     supplier-inequality rider. The item frame (order-joined lineitem
     with its late flag) is built once and pinned so the three
-    logical references (l1, l2, l3) share one compute; at 100 TB
-    all three joins co-locate on l_orderkey — one repartition serves
-    the semi, the anti, and the original grouping."""
+    logical references (l1, l2, l3) share one compute. Plan shape
+    (verified on the executed plan): the l1 probe stream is
+    hash-partitioned on l_orderkey ONCE and flows through the semi
+    and then the anti join with no re-exchange between them; the l2
+    and l3 build sides each shuffle once on the same key (they are
+    different filtered subsets, so this is irreducible); the final
+    rollup shuffles only supplier-count rows."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
