@@ -71,6 +71,8 @@ HEADLINE = [
     "vocab_oov_report",
     "sim_search",
     "sim_search_pq",
+    "sim_search_ivfpq",
+    "corpus_duplication_profile",
     "text_stats",
     "repetition_stats",
     "ts_resample_ohlc",
