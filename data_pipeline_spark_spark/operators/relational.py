@@ -1103,3 +1103,87 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_FILTER_SQL)
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(ROUND(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, price_c, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                          ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot_w,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n_rows
+      FROM t
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN cum_w * 2 >= tot_w THEN price_c END)
+                AS DOUBLE) / 100.0 AS weighted_median_price,
+           CAST(MIN(tot_w) AS BIGINT) AS total_weight,
+           CAST(MIN(n_rows) AS BIGINT) AS n_rows
+    FROM c
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group — the order statistic
+    [[agg_median_exact]] cannot express: the price at which half the
+    QUANTITY (not half the rows) has been covered, i.e. the classic
+    inventory/market-microstructure "median price by volume". No
+    built-in computes this; the selection is coded directly: one
+    in-partition cumulative-weight window over the price-sorted
+    group, then the smallest price whose running weight reaches half
+    the group total (the lower weighted median).
+
+    Determinism without rounding: prices and weights travel as exact
+    centi/integer units, the threshold test ``2·cum_w ≥ tot_w`` is
+    pure bigint (no division), and ROW-frame ties within an equal
+    price cannot move the answer — wherever inside a price's run the
+    crossing lands, the SELECTED price is that run's price. One
+    shuffle on the group key serves the sort window, the
+    whole-partition totals, and the final fold (subset-clustering
+    reuse); at 100 TB the window sorts within groups, the same cost
+    class as any exact percentile."""
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        F.round("l_quantity").cast("bigint").alias("w"),
+    )
+    w_sort = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("l_returnflag")
+    c = t.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("w").over(w_sort).alias("cum_w"),
+        F.sum("w").over(w_all).alias("tot_w"),
+        F.count("*").over(w_all).alias("n_rows"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum_w") * 2 >= F.col("tot_w"), F.col("price_c")
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("weighted_median_price"),
+            F.min("tot_w").cast("bigint").alias("total_weight"),
+            F.min("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
