@@ -772,3 +772,65 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1000000.0) * F.count("*"))
         ).alias("mean_logprob"),
     ).drop("ln_total6")
+
+
+_DECILE_SQL = f"""
+    WITH perdoc AS ({_LOGPROB_SQL}),
+    ranked AS (
+      SELECT *, NTILE(10) OVER (ORDER BY mean_logprob, doc_id) AS decile
+      FROM perdoc
+    )
+    SELECT decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           MIN(mean_logprob) AS min_mean_logprob,
+           MAX(mean_logprob) AS max_mean_logprob
+    FROM ranked
+    GROUP BY decile
+    ORDER BY decile
+"""
+
+
+@query("quality_decile_report", oracle=_DECILE_SQL)
+def quality_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile report over the [[quality_unigram_logprob]]
+    scores — the data-mixing ablation table: rank every document by
+    its LM quality score, split into ten equal-count buckets, and
+    report each bucket's size and score range. This is the artifact
+    a curation run reads to pick a quality threshold (or per-decile
+    sampling weights) BEFORE committing to a filtered mix.
+
+    Cross-engine determinism of the ranking: mean_logprob is one
+    IEEE division of exact integers on both engines, so the doubles
+    are bit-identical; NTILE's order (score, then doc_id) is total;
+    and both engines share the standard NTILE remainder rule (first
+    buckets take the extra row). Scale shape: the scores themselves
+    are the [[quality_unigram_logprob]] plan; the global NTILE is
+    the only new exchange — a single-partition sort of doc-level
+    rows. At 100 TB replace it with a two-pass split: approx
+    percentile boundaries on the score column, then a broadcast
+    range-bucket join — same report, no global sort; the exact
+    NTILE form here is the oracle-checkable anchor."""
+    scores = quality_unigram_logprob(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    ranked = scores.withColumn(
+        "decile",
+        F.ntile(10).over(
+            W.orderBy(F.col("mean_logprob").asc(), F.col("doc_id").asc())
+        ),
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count("*")).alias(
+                "avg_tokens"
+            ),
+            F.min("mean_logprob").alias("min_mean_logprob"),
+            F.max("mean_logprob").alias("max_mean_logprob"),
+        )
+        .orderBy("decile")
+    )
