@@ -69,13 +69,21 @@ def _promote_staged(stage: str, target: str) -> None:
             if stale:
                 # break an abandoned lock by RENAMING it first: the
                 # rename is atomic, so of N waiters that all judged it
-                # stale exactly one wins and unlinks the moved file —
-                # a bare unlink here could delete a DIFFERENT waiter's
-                # freshly created lock and let two processes into the
-                # critical section at once
+                # stale exactly one wins — a bare unlink could delete
+                # a DIFFERENT waiter's freshly created lock and let
+                # two processes into the critical section at once.
+                # After winning, re-verify on the MOVED file: between
+                # this waiter's staleness check and its rename,
+                # another waiter may have broken the old lock AND a
+                # third created a fresh one at the same path — if the
+                # moved file turns out fresh, put it back (r9 review)
+                moved = f"{lock}.stale.{os.getpid()}"
                 try:
-                    os.rename(lock, f"{lock}.stale.{os.getpid()}")
-                    os.unlink(f"{lock}.stale.{os.getpid()}")
+                    os.rename(lock, moved)
+                    if time.time() - os.path.getmtime(moved) > _LOCK_STALE_SEC:
+                        os.unlink(moved)
+                    else:
+                        os.rename(moved, lock)
                 except OSError:
                     pass  # someone else broke it — retry the O_EXCL
                 continue

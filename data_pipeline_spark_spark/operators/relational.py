@@ -1151,8 +1151,6 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-partition totals, and the final fold (subset-clustering
     reuse); at 100 TB the window sorts within groups, the same cost
     class as any exact percentile."""
-    from pyspark.sql import Window as W
-
     t = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),

@@ -813,8 +813,6 @@ def quality_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-bucket join — same report, no global sort; the exact
     NTILE form here is the oracle-checkable anchor."""
     scores = quality_unigram_logprob(spark, sf_dir)
-    from pyspark.sql import Window as W
-
     ranked = scores.withColumn(
         "decile",
         F.ntile(10).over(

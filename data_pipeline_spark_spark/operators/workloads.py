@@ -835,11 +835,11 @@ def tpch_q22_global_sales_opportunity(
         AND o_orderdate <  TIMESTAMP '1998-01-01'
     )
     SELECT o_year,
-           CAST(CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_6'
+           CAST(CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_3'
                                        THEN vol_u END), 0) AS BIGINT)
                 AS DOUBLE) / 1e4 AS nation_vol,
            CAST(CAST(SUM(vol_u) AS BIGINT) AS DOUBLE) / 1e4 AS total_vol,
-           CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_6'
+           CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_3'
                                   THEN vol_u END), 0) AS DOUBLE)
              / CAST(SUM(vol_u) AS DOUBLE) AS mkt_share
     FROM flat
@@ -871,8 +871,16 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n1 = load(spark, sf_dir, "nation").toDF("n1_key", "n1_name", "n1_region")
-    n2 = load(spark, sf_dir, "nation").toDF("n2_key", "supp_nation", "n2_region")
+    # explicit aliases, not positional toDF: a reordered fixture
+    # schema must fail loudly, never silently join the wrong column
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     flat = (
         li.join(F.broadcast(p.select("p_partkey")),
@@ -886,7 +894,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.year("o_orderdate").alias("o_year"), "vol_u", "supp_nation")
     )
     nat = F.coalesce(
-        F.sum(F.when(F.col("supp_nation") == "NATION_6", F.col("vol_u"))),
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol_u"))),
         F.lit(0),
     )
     return (
