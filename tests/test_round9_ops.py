@@ -99,3 +99,41 @@ def test_ivfpq_only_scores_probed_cells(spark, sf_dir):
             f"neighbor {r.neighbor_id} (cell {assign[r.neighbor_id]}) "
             f"outside query {r.query_id}'s probed cells {probed[r.query_id]}"
         )
+
+
+def test_promote_staged_paths(tmp_path):
+    """The three single-process promotion outcomes (the concurrent
+    interleavings are reasoned in _promote_staged's docstring; these
+    anchor the state machine): fast-path rename into an empty slot,
+    losing to an existing complete store, and replacing a stale
+    markerless one."""
+    import os
+
+    from data_pipeline_spark_spark.operators.ingest_ops import (
+        _promote_staged,
+    )
+
+    def mkstage(name, payload):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "data.txt").write_text(payload)
+        (d / ".complete").write_text("ok")
+        return str(d)
+
+    # 1: empty slot — plain rename
+    target = str(tmp_path / "store")
+    _promote_staged(mkstage("s1", "one"), target)
+    assert open(os.path.join(target, "data.txt")).read() == "one"
+
+    # 2: complete store present — the newcomer loses and is removed
+    s2 = mkstage("s2", "two")
+    _promote_staged(s2, target)
+    assert open(os.path.join(target, "data.txt")).read() == "one"
+    assert not os.path.exists(s2)
+
+    # 3: stale markerless target — replaced
+    os.unlink(os.path.join(target, ".complete"))
+    _promote_staged(mkstage("s3", "three"), target)
+    assert open(os.path.join(target, "data.txt")).read() == "three"
+    assert os.path.exists(os.path.join(target, ".complete"))
+    assert not os.path.exists(target + ".lock")
