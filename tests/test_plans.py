@@ -341,3 +341,18 @@ def test_q17_per_part_agg_broadcasts(spark, sf_dir):
     )
 
     assert has_broadcast_join(tpch_q17_small_quantity_revenue(spark, sf_dir))
+
+
+def test_q21_aggregation_shape(spark, sf_dir):
+    """tpch_q21's rewrite contract: the EXISTS / NOT EXISTS pair is
+    order-level aggregation, not subquery joins — the plan must
+    contain NO semi/anti join on the fact stream and NO Expand (a
+    distinct-aggregate fallback would double the stream and was
+    measured 40% slower)."""
+    from data_pipeline_spark_spark.operators.workloads import (
+        tpch_q21_suppliers_who_kept_waiting,
+    )
+
+    plan = formatted_plan(tpch_q21_suppliers_who_kept_waiting(spark, sf_dir))
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan, plan
+    assert "Expand" not in plan, plan
