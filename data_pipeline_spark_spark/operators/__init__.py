@@ -59,14 +59,14 @@ ALL_MODULES = (
 # keys whose last green row dates to r05 — the streaming five first
 # (the only production-critical family with three-generation-old
 # evidence), then the approx-sketch family, the bucketed/salted join
-# patterns, and the remaining r5 leftovers — then (b) the thirteen NEW
-# round-9 keys (no row from any round yet), then (c) 20 of the 45
+# patterns, and the remaining r5 leftovers — then (b) the fourteen NEW
+# round-9 keys (no row from any round yet), then (c) 19 of the 45
 # keys whose last green row dates to r06, relational core first.
 # After this round no oracle key's graded row predates r6. Positions
 # 51+ carry the r6 keys that didn't fit plus the r6-dated ANN rungs
 # (VERDICT r8 ask #7: graded only if the driver budget stretches
 # past 50). Everything r7/r8-green keeps its registration order at
-# the back and retains its recent row; the 25 remaining r6 keys
+# the back and retains its recent row; the 26 remaining r6 keys
 # rotate in round 10.
 _ROUND9_PRIORITY = [
     # (a) last green row r05 — streaming five first
@@ -101,6 +101,7 @@ _ROUND9_PRIORITY = [
     "tpch_q21_suppliers_who_kept_waiting",
     "agg_weighted_median",
     "quality_decile_report",
+    "sim_search_ivfadc_residual",
     # (c) last green row r06 — relational core, then the rest
     "filter_pred",
     "project",
@@ -113,7 +114,6 @@ _ROUND9_PRIORITY = [
     "join_broadcast",
     "join_outer",
     "join_semi_anti",
-    "join_bloom_runtime",
     "join_fuzzy_string",
     "sort_limit",
     "setop_union",
@@ -123,6 +123,7 @@ _ROUND9_PRIORITY = [
     "stream_stream_join",
     "stream_upsert_sink",
     # positions 51+ — graded only if the driver budget stretches
+    "join_bloom_runtime",
     "join_asof_nearest",
     "join_semi",
     "sort_paginate",

@@ -855,3 +855,229 @@ def _ivfpq_coarse(sub: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("query_id", "cell")
     )
     return assign, probes
+
+
+def _pq_sq_res_spark(a, ca, b, cb):
+    """Unrolled ||(a−ca) − (b−cb)||² over 8-dim subvectors — the
+    residual-space squared distance, with the residual subtractions
+    INSIDE the expression (no materialized residual arrays, stays in
+    whole-stage codegen) and the same association order as the SQL
+    twin, so the double is bit-identical in both engines."""
+    terms = [
+        (
+            (F.element_at(a, i) - F.element_at(ca, i))
+            - (F.element_at(b, i) - F.element_at(cb, i))
+        )
+        * (
+            (F.element_at(a, i) - F.element_at(ca, i))
+            - (F.element_at(b, i) - F.element_at(cb, i))
+        )
+        for i in range(1, _PQ_SUB + 1)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def _pq_sq_res_sql(a: str, ca: str, b: str, cb: str) -> str:
+    return " + ".join(
+        f"(({a}[{i}] - {ca}[{i}]) - ({b}[{i}] - {cb}[{i}]))"
+        f" * (({a}[{i}] - {ca}[{i}]) - ({b}[{i}] - {cb}[{i}]))"
+        for i in range(1, _PQ_SUB + 1)
+    )
+
+
+_IVFADC_SQL = f"""
+    WITH {_PQ_CORE_SQL},
+    ccb AS (
+      SELECT m.m, e.vec_id AS cell,
+             e.emb[m.m * {_PQ_SUB} + 1 : (m.m + 1) * {_PQ_SUB}] AS ccent
+      FROM e, (SELECT unnest(range(0, {_PQ_M})) AS m) m
+      WHERE e.vec_id < {_IVFPQ_CELLS}
+    ),
+    cd AS (
+      SELECT s.vec_id, ccb.cell,
+             CAST(SUM(CAST(round(({_pq_sq_sql("s.sv", "ccb.ccent")}) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS cdist_u
+      FROM sub s JOIN ccb ON s.m = ccb.m
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cdist_u, cell) AS rn
+        FROM cd) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cdist_u, cell) AS rn
+        FROM cd WHERE vec_id < {_N_QUERIES}) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    rsub AS (  -- each vector's subvectors + its OWN cell centroid
+      SELECT s.vec_id, s.m, s.sv, a.cell, ccb.ccent
+      FROM sub s
+      JOIN assign a ON s.vec_id = a.vec_id
+      JOIN ccb ON ccb.cell = a.cell AND ccb.m = s.m
+    ),
+    rcb AS (  -- residual codebook: residuals of the first {_PQ_K} vectors
+      SELECT m AS cm, vec_id AS c, sv AS csv, ccent AS ccent_c
+      FROM rsub WHERE vec_id < {_PQ_K}
+    ),
+    rdists AS (
+      SELECT r.vec_id, r.m, rcb.c,
+             CAST(round(({_pq_sq_res_sql("r.sv", "r.ccent", "rcb.csv", "rcb.ccent_c")})
+                        * 1000000) AS BIGINT) AS dist_u
+      FROM rsub r JOIN rcb ON r.m = rcb.cm
+    ),
+    rcodes AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist_u, c) AS rn
+        FROM rdists) WHERE rn = 1
+    ),
+    rterms AS (  -- ADC table PER PROBED CELL: query × cell × subspace × code
+      SELECT p.query_id, p.cell, q.m, rcb.c,
+             CAST(round(({_pq_sq_res_sql("q.sv", "ccb.ccent", "rcb.csv", "rcb.ccent_c")})
+                        * 1000000) AS BIGINT) AS term_u
+      FROM probes p
+      JOIN sub q ON q.vec_id = p.query_id
+      JOIN ccb ON ccb.cell = p.cell AND ccb.m = q.m
+      JOIN rcb ON rcb.cm = q.m
+    ),
+    pairs AS (
+      SELECT p.query_id, a.vec_id, a.cell
+      FROM probes p JOIN assign a ON p.cell = a.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT pr.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(t.term_u) AS BIGINT) AS est_dist_u
+      FROM pairs pr
+      JOIN rcodes c ON c.vec_id = pr.vec_id
+      JOIN rterms t ON t.query_id = pr.query_id AND t.cell = pr.cell
+                   AND t.m = c.m AND t.c = c.code
+      GROUP BY 1, 2
+    )
+    {_PQ_RANKED_TAIL_SQL}
+"""
+
+
+@query("sim_search_ivfadc_residual", oracle=_IVFADC_SQL)
+def sim_search_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the exact architecture of
+    Jégou et al. 2011 §V (and FAISS's IndexIVFPQ default), delivered
+    as the drop-in [[sim_search_ivfpq]]'s docstring promises: PQ
+    codes quantize the residual (vector − its cell centroid), not
+    the raw vector. Residuals are far more concentrated than raw
+    vectors, so the same codebook budget yields lower quantization
+    error — the reason production IVFPQ is residual-encoded — at the
+    cost of a PER-PROBED-CELL ADC table (the query's residual
+    differs per cell), i.e. nprobe× more lookup-table rows, still
+    broadcast-sized.
+
+    Full value oracle, same exactness discipline as the ladder's
+    other rungs: the residual subtractions happen INSIDE the
+    unrolled 8-term squared-distance expression (identical IEEE
+    association order both engines — residual arrays are never
+    materialized where a fold could reorder), each pair distance is
+    quantized once to integer micro-units, and assignment, probing,
+    coding, and ADC ranking are exact bigint arithmetic with id
+    tie-breaks. Scale shape unchanged from [[sim_search_ivfpq]]:
+    coarse centroids, residual codebook, probes, and the per-cell
+    ADC tables broadcast; the only data-proportional state is the
+    integer code stream, partition-prunable by cell."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    sub, _, _ = _pq_frames(e)
+    assign, probes = _ivfpq_coarse(sub)
+    ccb = (
+        sub.filter(F.col("vec_id") < _IVFPQ_CELLS)
+        .select(F.col("m").alias("ccm"), F.col("vec_id").alias("ccell"),
+                F.col("sv").alias("ccent"))
+    )
+    rsub = (
+        sub.join(assign, "vec_id")
+        .join(
+            F.broadcast(ccb),
+            (F.col("m") == F.col("ccm")) & (F.col("cell") == F.col("ccell")),
+        )
+        .select("vec_id", "m", "sv", "cell", "ccent")
+        # feeds the residual codebook, the code assignment, and (for
+        # the first vectors) nothing else twice — pin the join fan-in
+        .localCheckpoint(eager=False)
+    )
+    rcb = rsub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("m").alias("cm"),
+        F.col("vec_id").alias("c"),
+        F.col("sv").alias("csv"),
+        F.col("ccent").alias("ccent_c"),
+    )
+    rdist_u = (
+        F.round(
+            _pq_sq_res_spark(
+                F.col("sv"), F.col("ccent"), F.col("csv"), F.col("ccent_c")
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("dist_u")
+    )
+    rcodes = (
+        rsub.join(F.broadcast(rcb), F.col("m") == F.col("cm"))
+        .select("vec_id", "m", "c", rdist_u)
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist_u", "c")).getField("c").alias("code"))
+    )
+    rterms = (
+        probes.join(
+            sub.select(F.col("vec_id").alias("qv"), "m", "sv"),
+            F.col("query_id") == F.col("qv"),
+        )
+        .join(
+            F.broadcast(ccb),
+            (F.col("m") == F.col("ccm")) & (F.col("cell") == F.col("ccell")),
+        )
+        .join(F.broadcast(rcb), F.col("m") == F.col("cm"))
+        .select(
+            F.col("query_id").alias("tq"),
+            F.col("cell").alias("tcell"),
+            F.col("m").alias("tm"),
+            F.col("c").alias("tc"),
+            F.round(
+                _pq_sq_res_spark(
+                    F.col("sv"), F.col("ccent"), F.col("csv"), F.col("ccent_c")
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("term_u"),
+        )
+    )
+    pairs = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cell")
+    )
+    adc = (
+        rcodes.join(
+            pairs.select(
+                F.col("query_id"), F.col("vec_id").alias("pv"), F.col("cell")
+            ),
+            F.col("vec_id") == F.col("pv"),
+        )
+        .join(
+            F.broadcast(rterms),
+            (F.col("m") == F.col("tm"))
+            & (F.col("code") == F.col("tc"))
+            & (F.col("query_id") == F.col("tq"))
+            & (F.col("cell") == F.col("tcell")),
+        )
+        .groupBy(
+            F.col("query_id"), F.col("vec_id").alias("neighbor_id")
+        )
+        .agg(F.sum("term_u").cast("bigint").alias("est_dist_u"))
+    )
+    return _pq_ranked(adc)

@@ -78,9 +78,11 @@ def test_ivfpq_scores_match_pq_on_shared_pairs(spark, sf_dir):
 
 
 def test_ivfpq_only_scores_probed_cells(spark, sf_dir):
-    """Every neighbor the IVF+PQ rung returns must live in one of its
+    """Every neighbor the IVF+PQ rungs return must live in one of its
     query's nprobe probed cells — the pruning contract that makes the
-    rung sub-scan at scale."""
+    rungs sub-scan at scale. Both the raw-code rung and the
+    residual-encoded rung share one coarse quantizer
+    (sim._ivfpq_coarse), so one assignment check covers both."""
     from data_pipeline_spark_spark.operators import similarity as sim
     from data_pipeline_spark_spark.catalog import load
     from data_pipeline_spark_spark.functions.vector import as_double_array
@@ -94,11 +96,13 @@ def test_ivfpq_only_scores_probed_cells(spark, sf_dir):
     probed = {}
     for r in probes_df.collect():
         probed.setdefault(r.query_id, set()).add(r.cell)
-    for r in sim.sim_search_ivfpq(spark, sf_dir).collect():
-        assert assign[r.neighbor_id] in probed[r.query_id], (
-            f"neighbor {r.neighbor_id} (cell {assign[r.neighbor_id]}) "
-            f"outside query {r.query_id}'s probed cells {probed[r.query_id]}"
-        )
+    for rung in (sim.sim_search_ivfpq, sim.sim_search_ivfadc_residual):
+        for r in rung(spark, sf_dir).collect():
+            assert assign[r.neighbor_id] in probed[r.query_id], (
+                f"{rung.__name__}: neighbor {r.neighbor_id} (cell "
+                f"{assign[r.neighbor_id]}) outside query {r.query_id}'s "
+                f"probed cells {probed[r.query_id]}"
+            )
 
 
 def test_promote_staged_paths(tmp_path):
