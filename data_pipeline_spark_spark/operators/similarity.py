@@ -970,12 +970,21 @@ def sim_search_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jégou et al. 2011 §V (and FAISS's IndexIVFPQ default), delivered
     as the drop-in [[sim_search_ivfpq]]'s docstring promises: PQ
     codes quantize the residual (vector − its cell centroid), not
-    the raw vector. Residuals are far more concentrated than raw
-    vectors, so the same codebook budget yields lower quantization
-    error — the reason production IVFPQ is residual-encoded — at the
-    cost of a PER-PROBED-CELL ADC table (the query's residual
-    differs per cell), i.e. nprobe× more lookup-table rows, still
-    broadcast-sized.
+    the raw vector. On real clustered corpora residuals are far more
+    concentrated than raw vectors, so the same codebook budget
+    yields lower quantization error — the reason production IVFPQ is
+    residual-encoded — at the cost of a PER-PROBED-CELL ADC table
+    (the query's residual differs per cell), i.e. nprobe× more
+    lookup-table rows, still broadcast-sized.
+
+    Measured caveat (isotropic fixture, seeded codebook): recall@10
+    vs the exact top-k is 0.06 here vs 0.30 for the raw-code
+    [[sim_search_ivfpq]] — residual encoding only pays when the
+    codebook is TRAINED on the residual distribution (per-subspace
+    k-means); the deterministic first-K seeding these oracle-checked
+    rungs use is a poor residual codebook on unclustered data. The
+    rung's value is architecture parity with an exact value oracle;
+    production swaps in trained codebooks without changing the plan.
 
     Full value oracle, same exactness discipline as the ladder's
     other rungs: the residual subtractions happen INSIDE the
