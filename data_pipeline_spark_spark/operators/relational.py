@@ -1156,32 +1156,44 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
         F.round("l_quantity").cast("bigint").alias("w"),
     )
-    w_sort = (
-        W.partitionBy("l_returnflag")
-        .orderBy("price_c")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    w_all = W.partitionBy("l_returnflag")
-    c = t.select(
-        "l_returnflag",
-        "price_c",
-        F.sum("w").over(w_sort).alias("cum_w"),
-        F.sum("w").over(w_all).alias("tot_w"),
-        F.count("*").over(w_all).alias("n_rows"),
-    )
     return (
-        c.groupBy("l_returnflag")
-        .agg(
-            (
-                F.min(
-                    F.when(
-                        F.col("cum_w") * 2 >= F.col("tot_w"), F.col("price_c")
-                    )
-                ).cast("double")
-                / 100.0
-            ).alias("weighted_median_price"),
-            F.min("tot_w").cast("bigint").alias("total_weight"),
-            F.min("n_rows").cast("bigint").alias("n_rows"),
+        weighted_median_by(t, "l_returnflag", "price_c", "w")
+        .select(
+            "l_returnflag",
+            (F.col("wmedian").cast("double") / 100.0).alias(
+                "weighted_median_price"
+            ),
+            "total_weight",
+            "n_rows",
         )
         .orderBy("l_returnflag")
+    )
+
+
+def weighted_median_by(
+    t: DataFrame, group: str, value: str, weight: str
+) -> DataFrame:
+    """Lower weighted median of integer ``value`` by integer
+    ``weight`` per ``group``: (group, wmedian, total_weight, n_rows).
+    Module-level so the hypothesis differential test exercises the
+    SAME selection the registered query runs."""
+    w_sort = (
+        W.partitionBy(group)
+        .orderBy(value)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy(group)
+    c = t.select(
+        F.col(group),
+        F.col(value).alias("_v"),
+        F.sum(weight).over(w_sort).alias("cum_w"),
+        F.sum(weight).over(w_all).alias("tot_w"),
+        F.count("*").over(w_all).alias("n_rows"),
+    )
+    return c.groupBy(group).agg(
+        F.min(
+            F.when(F.col("cum_w") * 2 >= F.col("tot_w"), F.col("_v"))
+        ).alias("wmedian"),
+        F.min("tot_w").cast("bigint").alias("total_weight"),
+        F.min("n_rows").cast("bigint").alias("n_rows"),
     )

@@ -248,3 +248,49 @@ def test_containment_prefix_recalls_every_pair(a, b):
     prefix = set(sorted(a)[:plen])
     assert prefix & b, (sorted(a), sorted(b))
     assert len(b) * q >= len(a) * p  # size band keeps the pair
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # group
+            st.integers(min_value=-(10**6), max_value=10**6),  # value
+            st.integers(min_value=1, max_value=10**4),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_weighted_median_matches_reference(spark, rows):
+    """Differential: weighted_median_by vs a direct per-group fold —
+    sort by value, accumulate weights, first value whose running
+    weight reaches half the total (lower weighted median). Random
+    groups/values/weights, including duplicate values (the ROW-frame
+    tie case the docstring argues about) and single-row groups."""
+    from collections import defaultdict
+
+    from data_pipeline_spark_spark.operators.relational import (
+        weighted_median_by,
+    )
+
+    expect = {}
+    by_g = defaultdict(list)
+    for g, v, w in rows:
+        by_g[g].append((v, w))
+    for g, pairs in by_g.items():
+        pairs.sort()
+        tot = sum(w for _, w in pairs)
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if cum * 2 >= tot:
+                expect[g] = (v, tot, len(pairs))
+                break
+
+    df = spark.createDataFrame(rows, "g int, v long, w long")
+    got = {
+        r.g: (r.wmedian, r.total_weight, r.n_rows)
+        for r in weighted_median_by(df, "g", "v", "w").collect()
+    }
+    assert got == expect
