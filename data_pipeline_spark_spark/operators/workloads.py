@@ -1044,10 +1044,28 @@ def tpch_q21_suppliers_who_kept_waiting(
         .cast("int")
         .alias("late"),
     )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late_supplier_counts(item)
+        .join(F.broadcast(s), F.col("lsk") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+def sole_late_supplier_counts(item: DataFrame) -> DataFrame:
+    """The q21 qualification collapsed to aggregation, over any
+    (l_orderkey, l_suppkey, o_orderstatus, late) frame: per supplier
+    ``lsk``, the count ``numwait`` of its late rows in finished
+    multi-supplier orders where it was the ONLY late supplier —
+    exactly COUNT(*) of the classic EXISTS / NOT EXISTS form.
+    Module-level so the hypothesis differential test runs the SAME
+    aggregation against a brute-force subquery evaluation."""
     per_pair = item.groupBy(
         "l_orderkey", "l_suppkey", "o_orderstatus"
     ).agg(F.sum("late").alias("n_late_s"))
-    per_order = (
+    return (
         per_pair.groupBy("l_orderkey", "o_orderstatus")
         .agg(
             F.count("*").alias("nd_supp"),
@@ -1063,13 +1081,6 @@ def tpch_q21_suppliers_who_kept_waiting(
             & (F.col("nd_late_supp") == 1)
         )
         .select(F.col("late_supp").alias("lsk"), "n_late")
-    )
-    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        per_order.groupBy("lsk")
+        .groupBy("lsk")
         .agg(F.sum("n_late").alias("numwait"))
-        .join(F.broadcast(s), F.col("lsk") == F.col("s_suppkey"))
-        .select("s_name", "numwait")
-        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
-        .limit(20)
     )

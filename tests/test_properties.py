@@ -294,3 +294,55 @@ def test_weighted_median_matches_reference(spark, rows):
         for r in weighted_median_by(df, "g", "v", "w").collect()
     }
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # orderkey
+            st.integers(min_value=0, max_value=3),   # suppkey
+            st.booleans(),                           # late
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.sampled_from(["F", "O", "P"]), min_size=7, max_size=7),
+)
+def test_q21_aggregation_matches_subquery_semantics(spark, rows, statuses):
+    """Differential for the q21 rewrite: the order-level aggregation
+    must equal a literal evaluation of the classic correlated
+    EXISTS / NOT EXISTS definition — per supplier, count rows l1
+    with (late, order status F) such that the order has another
+    supplier's row AND no other supplier's late row. Random multi-
+    and single-supplier orders, multiple late rows per supplier, and
+    all order statuses."""
+    from collections import defaultdict
+
+    from data_pipeline_spark_spark.operators.workloads import (
+        sole_late_supplier_counts,
+    )
+
+    item = [
+        (ok, sk, statuses[ok], 1 if late else 0) for ok, sk, late in rows
+    ]
+    # brute force the subquery form
+    by_order = defaultdict(list)
+    for ok, sk, stt, late in item:
+        by_order[ok].append((sk, late))
+    expect = defaultdict(int)
+    for ok, sk, stt, late in item:
+        if not (late and stt == "F"):
+            continue
+        others = [(s2, l2) for s2, l2 in by_order[ok] if s2 != sk]
+        if not others:
+            continue  # EXISTS fails
+        if any(l2 for _, l2 in others):
+            continue  # NOT EXISTS fails
+        expect[sk] += 1
+
+    df = spark.createDataFrame(
+        item, "l_orderkey int, l_suppkey int, o_orderstatus string, late int"
+    )
+    got = {r.lsk: r.numwait for r in sole_late_supplier_counts(df).collect()}
+    assert got == dict(expect)
