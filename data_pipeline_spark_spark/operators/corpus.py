@@ -362,7 +362,7 @@ _DUP_PROFILE_SQL = """
       WHERE len(t) >= 5
     ),
     gc AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g),
-    gs AS (SELECT CAST(SUM(c) AS BIGINT) AS n_ngrams,
+    gs AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_ngrams,
                   COUNT(*) AS n_distinct_ngrams,
                   CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0)
                        AS BIGINT) AS n_dup_occ
@@ -375,7 +375,9 @@ _DUP_PROFILE_SQL = """
     SELECT n_docs, n_exact_dup_docs,
            CAST(n_exact_dup_docs AS DOUBLE) / n_docs AS exact_dup_frac,
            n_ngrams, n_distinct_ngrams,
-           CAST(n_dup_occ AS DOUBLE) / n_ngrams AS dup_ngram_frac
+           CASE WHEN n_ngrams = 0 THEN 0.0
+                ELSE CAST(n_dup_occ AS DOUBLE) / n_ngrams
+           END AS dup_ngram_frac
     FROM gs, ds
 """
 
@@ -404,7 +406,13 @@ def corpus_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All counts are exact bigints; the two fractions are single double
     divisions of exact integers — bit-identical across engines."""
-    d = fan_out(load(spark, sf_dir, "documents"))
+    return duplication_profile_of(fan_out(load(spark, sf_dir, "documents")))
+
+
+def duplication_profile_of(d: DataFrame) -> DataFrame:
+    """The duplication-profile aggregation over any (text, ...) frame
+    — module-level so the hypothesis differential test runs the SAME
+    counting the registered query runs."""
     grams = d.select(
         F.explode(
             F.expr(
@@ -419,7 +427,11 @@ def corpus_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.groupBy("g")
         .agg(F.count("*").alias("c"))
         .agg(
-            F.sum("c").alias("n_ngrams"),
+            # coalesce: a corpus where NO document reaches 5 tokens
+            # aggregates an empty gram stream — SUM over it is NULL
+            # in both engines (hypothesis-found edge), and a count
+            # must be 0, not NULL
+            F.coalesce(F.sum("c"), F.lit(0)).alias("n_ngrams"),
             F.count("*").alias("n_distinct_ngrams"),
             F.coalesce(
                 F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
@@ -444,7 +456,9 @@ def corpus_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exact_dup_frac"),
         "n_ngrams",
         "n_distinct_ngrams",
-        (F.col("n_dup_occ").cast("double") / F.col("n_ngrams")).alias(
-            "dup_ngram_frac"
-        ),
+        F.when(F.col("n_ngrams") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_dup_occ").cast("double") / F.col("n_ngrams")
+        )
+        .alias("dup_ngram_frac"),
     )

@@ -346,3 +346,57 @@ def test_q21_aggregation_matches_subquery_semantics(spark, rows, statuses):
     )
     got = {r.lsk: r.numwait for r in sole_late_supplier_counts(df).collect()}
     assert got == dict(expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_duplication_profile_matches_reference(spark, docs):
+    """Differential for corpus_duplication_profile: random small-
+    alphabet token docs (maximizing 5-gram collisions and exact
+    duplicates) vs a direct python count of every metric — exact-dup
+    doc membership and duplicated-5-gram occurrence mass."""
+    from collections import Counter
+
+    from data_pipeline_spark_spark.operators.corpus import (
+        duplication_profile_of,
+    )
+
+    texts = [" ".join(toks) for toks in docs]
+    text_counts = Counter(texts)
+    n_docs = len(texts)
+    n_dup_docs = sum(c for c in text_counts.values() if c > 1)
+    gram_counts = Counter(
+        " ".join(toks[i : i + 5])
+        for toks in docs
+        if len(toks) >= 5
+        for i in range(len(toks) - 4)
+    )
+    n_ngrams = sum(gram_counts.values())
+    n_distinct = len(gram_counts)
+    n_dup_occ = sum(c for c in gram_counts.values() if c > 1)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    row = duplication_profile_of(df).collect()[0]
+    assert row.n_docs == n_docs
+    assert row.n_exact_dup_docs == n_dup_docs
+    assert row.exact_dup_frac == n_dup_docs / n_docs
+    if n_ngrams:
+        assert row.n_ngrams == n_ngrams
+        assert row.n_distinct_ngrams == n_distinct
+        assert row.dup_ngram_frac == n_dup_occ / n_ngrams
+    else:
+        # no doc reaches 5 tokens: the gram tree aggregates an empty
+        # stream — counts must be 0/0-safe, not crash
+        assert row.n_ngrams == 0
