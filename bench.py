@@ -91,6 +91,8 @@ HEADLINE = [
     "tpch_q5_local_volume",
     "tpch_q10_returned_items",
     "tpch_q18_large_orders",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "agg_weighted_median",
 ]
 
 
@@ -414,6 +416,31 @@ def main() -> None:
     # its TAIL and parsed nothing. Follow with a second, short line
     # carrying just the headline scalars so any head- or tail-capture
     # of the output still contains a parseable summary.
+    # Truncation-proof per-key detail (BENCH_r09 postmortem: the
+    # driver's 2 kB tail capture amputated the embedded per-query
+    # maps, so per-key comparison had to be reconstructed). Emit the
+    # per-key numbers again as SHORT independent lines, most
+    # important LAST so a tail capture keeps them: chunked
+    # {key: [spark, duck]} maps, then the 10 slowest keys, then the
+    # scalar summary as the final line.
+    items = sorted(timings.items(), key=lambda kv: kv[1])
+    for i in range(0, len(items), 10):
+        chunk = {
+            k: [v, duck.get(k)] for k, v in items[i : i + 10]
+        }
+        print(
+            json.dumps(
+                {"metric": "per_key_chunk", "spark_duck": chunk},
+                separators=(",", ":"),
+            )
+        )
+    slowest = {k: [v, duck.get(k)] for k, v in items[-10:]}
+    print(
+        json.dumps(
+            {"metric": "per_key_slowest10", "spark_duck": slowest},
+            separators=(",", ":"),
+        )
+    )
     summary = {
         "metric": "headline_queries_total_runtime_summary",
         "value": total,
@@ -425,8 +452,13 @@ def main() -> None:
     }
     if duck:
         summary["duckdb_total"] = out["duckdb_total"]
+        summary["duckdb_n"] = len(duck)
+        # ratio over the INTERSECTION only: if an oracle failed
+        # mid-loop, duck holds a prefix subset of HEADLINE and a
+        # full-total ratio would silently compare mismatched sets
+        spark_matched = sum(timings[k] for k in duck)
         summary["ratio_total"] = (
-            round(total / out["duckdb_total"], 2)
+            round(spark_matched / out["duckdb_total"], 2)
             if out["duckdb_total"]
             else None
         )

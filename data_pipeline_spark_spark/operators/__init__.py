@@ -2,11 +2,11 @@
 query into data_pipeline_spark_spark.registry.
 
 The driver's correctness harness walks queries() in dict order under a
-time budget (~50 keys/round), so the explicit ``_ROUND9_PRIORITY``
+time budget (~50 keys/round), so the explicit ``_ROUND10_PRIORITY``
 list below decides which keys earn a CORRECTNESS row this round: the
-r5-stale oracle keys (streaming five first), then the r6-stale
-relational core. Keys past the budget keep their most recent row
-from earlier rounds.
+r6-stale oracle backlog, then the new round-10 keys, then the oldest
+r7 keys. Keys past the budget keep their most recent row from
+earlier rounds.
 """
 
 from . import (  # noqa: F401
@@ -53,105 +53,83 @@ ALL_MODULES = (
     inventory,
 )
 
-# Round-9 check order. The driver walks queries() in dict order under
-# a ~50-key time budget (exactly 50 keys earned rows in r8; positions
-# 51+ were cut). This rotation front-loads (a) the SEVENTEEN oracle
-# keys whose last green row dates to r05 — the streaming five first
-# (the only production-critical family with three-generation-old
-# evidence), then the approx-sketch family, the bucketed/salted join
-# patterns, and the remaining r5 leftovers — then (b) the fourteen NEW
-# round-9 keys (no row from any round yet), then (c) 19 of the 45
-# keys whose last green row dates to r06, relational core first.
-# After this round no oracle key's graded row predates r6. Positions
-# 51+ carry the r6 keys that didn't fit plus the r6-dated ANN rungs
-# (VERDICT r8 ask #7: graded only if the driver budget stretches
-# past 50). Everything r7/r8-green keeps its registration order at
-# the back and retains its recent row; the 26 remaining r6 keys
-# rotate in round 10.
-_ROUND9_PRIORITY = [
-    # (a) last green row r05 — streaming five first
-    "stream_window_agg",
-    "stream_window_sliding",
-    "stream_stateful_agg",
-    "stream_dedup",
-    "stream_join_static",
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "agg_approx_topk",
-    "agg_hll_mergeable",
-    "agg_mode_exact",
-    "join_bucketed",
-    "join_interval_bucketed",
-    "join_skew_salted",
-    "partition_overwrite_dynamic",
-    "rollup_reaggregate",
-    "repetition_stats",
-    "ts_resample_ohlc",
-    # (b) new round-9 keys — no graded row exists yet
-    "tpch_q1_pricing_summary",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "corpus_duplication_profile",
-    "sim_search_ivfpq",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "tpch_q21_suppliers_who_kept_waiting",
-    "agg_weighted_median",
-    "quality_decile_report",
-    "sim_search_ivfadc_residual",
-    # (c) last green row r06 — relational core, then the rest
-    "filter_pred",
-    "project",
-    "partition_prune_filter",
-    "agg_basic",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_stats",
-    "join_inner_equi",
-    "join_broadcast",
-    "join_outer",
-    "join_semi_anti",
-    "join_fuzzy_string",
-    "sort_limit",
-    "setop_union",
-    "merge_upsert",
-    "mv_incremental_refresh",
-    "stream_session_window",
-    "stream_stream_join",
-    "stream_upsert_sink",
-    # positions 51+ — graded only if the driver budget stretches
-    "join_bloom_runtime",
-    "join_asof_nearest",
-    "join_semi",
-    "sort_paginate",
-    "setop_union_all",
-    "setop_intersect",
-    "join_cross",
-    "scd2_intervals",
-    "pivot_wide",
-    "unpivot_long",
+# Round-10 check order. The driver walks queries() in dict order
+# under a ~50-key time budget (exactly 50 keys earned rows in r8 and
+# r9; positions 51+ were cut). This rotation front-loads (a) the
+# TWENTY-SIX oracle keys whose last green row dates to r06 — the
+# complete r6-stale backlog, so after this round no oracle key's
+# graded row predates r7 — then (b) the NEW round-10 keys (no row
+# from any round yet), then (c) the oldest r7 keys, production
+# dedup/similarity/window path first (VERDICT r9 ask #1). Positions
+# 51+ carry the r7 keys that didn't fit; they rotate in round 11.
+# Everything r8/r9-green keeps its registration order at the back
+# and retains its recent row.
+_ROUND10_PRIORITY = [
+    # (a) last green row r06 — the full stale backlog
+    "agg_corr_exact",
     "agg_filter_clause",
-    "agg_median_exact",
     "agg_histogram",
+    "agg_median_exact",
+    "agg_percentile_disc",
+    "agg_string_concat",
+    "corpus_filter_report",
     "format_roundtrip",
-    "sim_search_lsh",
+    "join_asof_nearest",
+    "join_bloom_runtime",
+    "join_cross",
+    "join_semi",
+    "multimodal_meta",
+    "ngram_lm_counts",
+    "pivot_wide",
+    "profile_join_skew",
+    "scd2_intervals",
+    "setop_intersect",
+    "setop_union_all",
     "sim_search_ivf",
-    "ts_interpolate",
+    "sim_search_lsh",
+    "sort_paginate",
     "ts_anomaly_mad",
+    "ts_interpolate",
+    "unpivot_long",
     "window_twa",
+    # (b) new round-10 keys — no graded row exists yet (inserted as
+    # they are registered during the round)
+    # (c) last green row r07 — production path first; the front-50
+    # boundary falls inside this block
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "dedup_cluster",
+    "dedup_incremental",
+    "embedding_centroids",
+    "embedding_profile",
+    "join_range_asof",
+    "window_rank",
+    "window_analytic",
+    "window_rank_dense",
+    "window_range_frame",
+    "window_distribution",
+    "window_gaps_islands",
+    "sessionization",
+    "keyword_search_bm25",
+    "vocab_oov_report",
+    "doc_truncate_tokens",
+    "multimodal_arrow_scan",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "scalar_datetime",
+    "tpch_q3_shipping_priority",
 ]
 
 
 def _apply_priority_order() -> None:
     from .. import registry
 
-    missing = [k for k in _ROUND9_PRIORITY if k not in registry.QUERIES]
+    missing = [k for k in _ROUND10_PRIORITY if k not in registry.QUERIES]
     if missing:  # fail loudly: a typo here silently wastes a round
-        raise KeyError(f"_ROUND9_PRIORITY names unknown keys: {missing}")
-    ordered = {k: registry.QUERIES[k] for k in _ROUND9_PRIORITY}
+        raise KeyError(f"_ROUND10_PRIORITY names unknown keys: {missing}")
+    ordered = {k: registry.QUERIES[k] for k in _ROUND10_PRIORITY}
     ordered.update(
         (k, v) for k, v in registry.QUERIES.items() if k not in ordered
     )

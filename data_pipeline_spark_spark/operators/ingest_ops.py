@@ -67,25 +67,51 @@ def _promote_staged(stage: str, target: str) -> None:
             except OSError:
                 continue  # lock vanished between the checks — retry
             if stale:
-                # break an abandoned lock by RENAMING it first: the
-                # rename is atomic, so of N waiters that all judged it
-                # stale exactly one wins — a bare unlink could delete
-                # a DIFFERENT waiter's freshly created lock and let
-                # two processes into the critical section at once.
-                # After winning, re-verify on the MOVED file: between
-                # this waiter's staleness check and its rename,
-                # another waiter may have broken the old lock AND a
-                # third created a fresh one at the same path — if the
-                # moved file turns out fresh, put it back (r9 review)
-                moved = f"{lock}.stale.{os.getpid()}"
+                # break an abandoned lock ONLY while holding a
+                # dedicated O_EXCL break-guard, so breaks are
+                # serialized (r9 shipped a rename-aside + rename-back
+                # scheme; r9 ADVICE showed the rename-BACK can clobber
+                # a fresh lock another waiter O_EXCL-created after the
+                # aside, admitting two holders). With breaks
+                # serialized, a lock that still reads stale under the
+                # guard is safe to unlink: a FRESH lock at this path
+                # can only appear via O_EXCL create after a guarded
+                # unlink, and no other break runs concurrently.
+                guard = lock + ".break"
                 try:
-                    os.rename(lock, moved)
-                    if time.time() - os.path.getmtime(moved) > _LOCK_STALE_SEC:
-                        os.unlink(moved)
-                    else:
-                        os.rename(moved, lock)
-                except OSError:
-                    pass  # someone else broke it — retry the O_EXCL
+                    gfd = os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    # another waiter is mid-break; if IT died holding
+                    # the guard, the guard goes stale and is unlinked
+                    # here (residual window: two waiters both judging
+                    # a dead breaker's guard stale need a dead lock
+                    # holder AND a dead breaker AND a third waiter
+                    # racing — accepted as vanishingly unlikely)
+                    try:
+                        if (
+                            time.time() - os.path.getmtime(guard)
+                            > _LOCK_STALE_SEC
+                        ):
+                            os.unlink(guard)
+                    except OSError:
+                        pass
+                    time.sleep(0.1)
+                    continue
+                try:
+                    try:
+                        if (
+                            time.time() - os.path.getmtime(lock)
+                            > _LOCK_STALE_SEC
+                        ):
+                            os.unlink(lock)
+                    except OSError:
+                        pass  # lock vanished meanwhile — nothing to do
+                finally:
+                    os.close(gfd)
+                    try:
+                        os.unlink(guard)
+                    except OSError:
+                        pass
                 continue
             if time.monotonic() > deadline:
                 shutil.rmtree(stage, ignore_errors=True)

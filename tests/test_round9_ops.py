@@ -141,3 +141,26 @@ def test_promote_staged_paths(tmp_path):
     assert open(os.path.join(target, "data.txt")).read() == "three"
     assert os.path.exists(os.path.join(target, ".complete"))
     assert not os.path.exists(target + ".lock")
+
+    # 4: abandoned (stale) lock — broken via the serialized
+    # break-guard, promotion proceeds, no lock/guard debris
+    os.unlink(os.path.join(target, ".complete"))
+    lock = target + ".lock"
+    open(lock, "w").close()
+    os.utime(lock, (1, 1))  # ancient mtime = dead holder
+    _promote_staged(mkstage("s4", "four"), target)
+    assert open(os.path.join(target, "data.txt")).read() == "four"
+    assert not os.path.exists(lock)
+    assert not os.path.exists(lock + ".break")
+
+    # 5: abandoned lock AND abandoned break-guard (a breaker died
+    # mid-break) — the stale guard is broken too, then the lock
+    os.unlink(os.path.join(target, ".complete"))
+    open(lock, "w").close()
+    os.utime(lock, (1, 1))
+    open(lock + ".break", "w").close()
+    os.utime(lock + ".break", (1, 1))
+    _promote_staged(mkstage("s5", "five"), target)
+    assert open(os.path.join(target, "data.txt")).read() == "five"
+    assert not os.path.exists(lock)
+    assert not os.path.exists(lock + ".break")
