@@ -553,15 +553,23 @@ _PQ_CORE_SQL = f"""
       WHERE q.vec_id < {_N_QUERIES}
     )"""
 
-_PQ_RANKED_TAIL_SQL = f"""
+def _pq_ranked_tail_sql(unit: str = "1000000.0") -> str:
+    """Shared top-k tail of every PQ-family oracle; ``unit`` is the
+    integer quantization scale dividing est_dist_u back to a double
+    (1e6 for the round-per-term rungs, 1e12 for the fully-integer
+    trained rung whose units are squared micro-units)."""
+    return f"""
     SELECT query_id, neighbor_id, est_dist_u,
-           CAST(est_dist_u AS DOUBLE) / 1000000.0 AS est_dist, rnk
+           CAST(est_dist_u AS DOUBLE) / {unit} AS est_dist, rnk
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY est_dist_u, neighbor_id)
                     AS rnk
           FROM adc)
     WHERE rnk <= {_PQ_TOP}
 """
+
+
+_PQ_RANKED_TAIL_SQL = _pq_ranked_tail_sql()
 
 _PQ_SQL = f"""
     WITH {_PQ_CORE_SQL},
@@ -683,9 +691,12 @@ def _pq_terms(sub: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_ranked(adc: DataFrame) -> DataFrame:
+def _pq_ranked(adc: DataFrame, unit: float = 1000000.0) -> DataFrame:
     """Per-query top-``_PQ_TOP`` by exact-integer estimated distance,
-    ids breaking ties — the shared output shape of the PQ rungs."""
+    ids breaking ties — the shared output shape of the PQ rungs.
+    ``unit`` is the quantization scale dividing est_dist_u back to a
+    double (1e6 for the round-per-term rungs, 1e12 for the
+    fully-integer trained rung)."""
     w = W.partitionBy("query_id").orderBy("est_dist_u", "neighbor_id")
     return (
         adc.withColumn("rnk", F.row_number().over(w))
@@ -694,7 +705,7 @@ def _pq_ranked(adc: DataFrame) -> DataFrame:
             "query_id",
             "neighbor_id",
             "est_dist_u",
-            (F.col("est_dist_u").cast("double") / 1000000.0).alias(
+            (F.col("est_dist_u").cast("double") / unit).alias(
                 "est_dist"
             ),
             "rnk",
@@ -709,17 +720,23 @@ def _pq_ranked(adc: DataFrame) -> DataFrame:
 _IVFPQ_CELLS = 16   # coarse cells (deterministic: first 16 vectors)
 _IVFPQ_NPROBE = 4   # cells probed per query
 
-_IVFPQ_SQL = f"""
-    WITH {_PQ_CORE_SQL},
-    ccb AS (  -- coarse centroids: subvectors of the first {_IVFPQ_CELLS} vectors
+
+def _ivf_coarse_sql(cent_alias: str) -> str:
+    """The coarse-quantizer CTE block (ccb/cd/assign/probes) shared
+    verbatim by every IVF-family oracle — one construction site so
+    the rungs can never drift apart on assignment or probe
+    semantics. ``cent_alias`` names the centroid column (the
+    residual rung reads it as ``ccent`` to keep its residual
+    codebook's ``cent`` unambiguous)."""
+    return f"""ccb AS (  -- coarse centroids: subvectors of the first {_IVFPQ_CELLS} vectors
       SELECT m.m, e.vec_id AS cell,
-             e.emb[m.m * {_PQ_SUB} + 1 : (m.m + 1) * {_PQ_SUB}] AS cent
+             e.emb[m.m * {_PQ_SUB} + 1 : (m.m + 1) * {_PQ_SUB}] AS {cent_alias}
       FROM e, (SELECT unnest(range(0, {_PQ_M})) AS m) m
       WHERE e.vec_id < {_IVFPQ_CELLS}
     ),
     cd AS (  -- full squared distance to every cell, per subspace
       SELECT s.vec_id, ccb.cell,
-             CAST(SUM(CAST(round(({_pq_sq_sql("s.sv", "ccb.cent")}) * 1000000)
+             CAST(SUM(CAST(round(({_pq_sq_sql("s.sv", "ccb." + cent_alias)}) * 1000000)
                            AS BIGINT)) AS BIGINT) AS cdist_u
       FROM sub s JOIN ccb ON s.m = ccb.m
       GROUP BY 1, 2
@@ -735,7 +752,12 @@ _IVFPQ_SQL = f"""
         SELECT *, row_number() OVER (PARTITION BY vec_id
                                      ORDER BY cdist_u, cell) AS rn
         FROM cd WHERE vec_id < {_N_QUERIES}) WHERE rn <= {_IVFPQ_NPROBE}
-    ),
+    )"""
+
+
+_IVFPQ_SQL = f"""
+    WITH {_PQ_CORE_SQL},
+    {_ivf_coarse_sql("cent")},
     pairs AS (
       SELECT p.query_id, a.vec_id
       FROM probes p JOIN assign a ON p.cell = a.cell
@@ -890,31 +912,7 @@ def _pq_sq_res_sql(a: str, ca: str, b: str, cb: str) -> str:
 
 _IVFADC_SQL = f"""
     WITH {_PQ_CORE_SQL},
-    ccb AS (
-      SELECT m.m, e.vec_id AS cell,
-             e.emb[m.m * {_PQ_SUB} + 1 : (m.m + 1) * {_PQ_SUB}] AS ccent
-      FROM e, (SELECT unnest(range(0, {_PQ_M})) AS m) m
-      WHERE e.vec_id < {_IVFPQ_CELLS}
-    ),
-    cd AS (
-      SELECT s.vec_id, ccb.cell,
-             CAST(SUM(CAST(round(({_pq_sq_sql("s.sv", "ccb.ccent")}) * 1000000)
-                           AS BIGINT)) AS BIGINT) AS cdist_u
-      FROM sub s JOIN ccb ON s.m = ccb.m
-      GROUP BY 1, 2
-    ),
-    assign AS (
-      SELECT vec_id, cell FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY cdist_u, cell) AS rn
-        FROM cd) WHERE rn = 1
-    ),
-    probes AS (
-      SELECT vec_id AS query_id, cell FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY cdist_u, cell) AS rn
-        FROM cd WHERE vec_id < {_N_QUERIES}) WHERE rn <= {_IVFPQ_NPROBE}
-    ),
+    {_ivf_coarse_sql("ccent")},
     rsub AS (  -- each vector's subvectors + its OWN cell centroid
       SELECT s.vec_id, s.m, s.sv, a.cell, ccb.ccent
       FROM sub s
@@ -1090,3 +1088,324 @@ def sim_search_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("term_u").cast("bigint").alias("est_dist_u"))
     )
     return _pq_ranked(adc)
+
+
+# ---------------------------------------------------------------------------
+# trained PQ codebooks (per-subspace Lloyd iterations, exact-integer)
+# ---------------------------------------------------------------------------
+
+#: fixed Lloyd iteration count — fixed (not convergence-tested) so the
+#: plan is static and both engines run the identical computation;
+#: measured recall@10 on the fixture peaks here (0.42/0.38 at
+#: sf0.01/0.1 vs 0.34/0.30 untrained) and more iterations only
+#: oscillate (see docs/SCALE.md)
+_PQT_ITERS = 2
+
+
+def _squ_frame(sub: DataFrame) -> DataFrame:
+    """Integer micro-unit subvectors (vec_id, m, svu array<bigint>):
+    the double subvectors of [[_pq_frames]] quantized ONCE, so every
+    downstream training / coding / ADC step is exact bigint
+    arithmetic with no further rounding (components ≤0.58 → ≤5.8e5
+    micro-units; an 8-term squared distance ≤1.1e13, far inside
+    bigint). Pinned: the Lloyd loop reads it once per iteration and
+    the code/ADC stages read it twice more."""
+    svu = F.array(
+        *[
+            F.round(F.element_at("sv", i) * 1000000).cast("bigint")
+            for i in range(1, _PQ_SUB + 1)
+        ]
+    )
+    return (
+        sub.select("vec_id", "m", svu.alias("svu"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def trained_pq_codebook(
+    squ: DataFrame, iters: int = _PQT_ITERS
+) -> DataFrame:
+    """Per-subspace k-means (Lloyd) codebook training over integer
+    micro-unit subvectors — the training step whose absence the
+    r9 residual rung measured (recall@10 0.06 with seeded residual
+    codebooks, docs/SCALE.md): seed = the first ``_PQ_K`` vectors'
+    subvectors, then ``iters`` fixed assign/update rounds.
+
+    Exact cross-engine by construction: distances are bigint sums of
+    squares (no rounding, order-free); each centroid update is
+    round(SUM/COUNT) — the bigint component sums stay < 2^53, so
+    SUM/COUNT is ONE IEEE division identical in both engines, and
+    rounding happens at the UNITS digit where the only half-boundary
+    doubles are exactly-representable .5s (Spark's shortest-repr
+    HALF_UP and DuckDB's binary-value round agree there; fractional
+    digits would not be safe — the ROUND gotcha in the verify
+    notes). A cluster that loses every member keeps its previous
+    centroid (left join + coalesce), mirroring the COALESCE in the
+    SQL twin.
+
+    Scale shape: the codebook (``_PQ_M``·``_PQ_K`` rows) is
+    broadcast every iteration and pinned between iterations; each
+    iteration is one groupBy(vec_id, m) integer argmin over the
+    pinned subvector stream plus one tiny groupBy(m, code) mean —
+    two shuffles of the (n·M)-row stream per iteration and zero
+    driver-side state, which is the standard distributed-k-means
+    shape (same as [[embedding_centroids]]'s Lloyd loop) at any
+    corpus size."""
+    cb = (
+        squ.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.col("m").alias("cm"),
+            F.col("vec_id").alias("c"),
+            F.col("svu").alias("cent"),
+        )
+    )
+    for _ in range(iters):
+        asg = (
+            squ.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(
+                    F.struct(
+                        _pq_sq_spark(
+                            F.col("svu"), F.col("cent")
+                        ).alias("du"),
+                        F.col("c"),
+                    )
+                )
+                .getField("c")
+                .alias("code"),
+                # svu is constant within the (vec_id, m) group — carry
+                # it through instead of joining back to squ
+                F.first("svu").alias("svu"),
+            )
+        )
+        means = (
+            asg.groupBy("m", "code")
+            .agg(
+                *[
+                    F.sum(F.element_at("svu", i)).alias(f"s{i}")
+                    for i in range(1, _PQ_SUB + 1)
+                ],
+                F.count("*").alias("cnt"),
+            )
+            .select(
+                F.col("m").alias("nm"),
+                F.col("code").alias("nc"),
+                F.array(
+                    *[
+                        F.round(F.col(f"s{i}") / F.col("cnt")).cast(
+                            "bigint"
+                        )
+                        for i in range(1, _PQ_SUB + 1)
+                    ]
+                ).alias("cent_new"),
+            )
+        )
+        cb = (
+            cb.join(
+                means,
+                (F.col("cm") == F.col("nm"))
+                & (F.col("c") == F.col("nc")),
+                "left",
+            )
+            .select(
+                "cm",
+                "c",
+                F.coalesce("cent_new", "cent").alias("cent"),
+            )
+            # truncate the per-iteration lineage so iteration t+1's
+            # broadcast doesn't recompute every earlier iteration
+            .localCheckpoint(eager=False)
+        )
+    return cb
+
+
+def _trained_cb_sql(iters: int = _PQT_ITERS) -> str:
+    """CTE chain mirroring [[trained_pq_codebook]] with the Lloyd
+    loop UNROLLED (squ, cbt0, at1, cbt1, …, cbt{iters}) — every
+    assign/update round is plain SQL over exact integers, so DuckDB
+    replays the identical training run."""
+    arr_q = (
+        "["
+        + ", ".join(
+            f"CAST(round(sv[{i}] * 1000000) AS BIGINT)"
+            for i in range(1, _PQ_SUB + 1)
+        )
+        + "]"
+    )
+    mean_arr = (
+        "["
+        + ", ".join(
+            f"CAST(round(SUM(svu[{i}]) / COUNT(*)) AS BIGINT)"
+            for i in range(1, _PQ_SUB + 1)
+        )
+        + "]"
+    )
+    ctes = [
+        f"""squ AS (
+      SELECT vec_id, m, {arr_q} AS svu FROM sub
+    ),
+    cbt0 AS (
+      SELECT m AS cm, vec_id AS c, svu AS cent
+      FROM squ WHERE vec_id < {_PQ_K}
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""at{t} AS (
+      SELECT vec_id, m, svu, c AS code FROM (
+        SELECT s.vec_id, s.m, s.svu, cb.c,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY ({_pq_sq_sql("s.svu", "cb.cent")}), cb.c) AS rn
+        FROM squ s JOIN cbt{t - 1} cb ON s.m = cb.cm) WHERE rn = 1
+    ),
+    cbt{t} AS (
+      SELECT p.cm, p.c, COALESCE(n.cent_new, p.cent) AS cent
+      FROM cbt{t - 1} p LEFT JOIN (
+        SELECT m AS cm, code AS c, {mean_arr} AS cent_new
+        FROM at{t} GROUP BY 1, 2) n
+      ON p.cm = n.cm AND p.c = n.c
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+_IVFPQ_TRAINED_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    sub AS (
+      SELECT e.vec_id, m.m,
+             e.emb[m.m * {_PQ_SUB} + 1 : (m.m + 1) * {_PQ_SUB}] AS sv
+      FROM e, (SELECT unnest(range(0, {_PQ_M})) AS m) m
+    ),
+    {_trained_cb_sql()},
+    codest AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT s.vec_id, s.m, cb.c,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY ({_pq_sq_sql("s.svu", "cb.cent")}), cb.c) AS rn
+        FROM squ s JOIN cbt{_PQT_ITERS} cb ON s.m = cb.cm) WHERE rn = 1
+    ),
+    termst AS (
+      SELECT q.vec_id AS query_id, cb.cm AS m, cb.c,
+             ({_pq_sq_sql("q.svu", "cb.cent")}) AS term_u
+      FROM squ q JOIN cbt{_PQT_ITERS} cb ON q.m = cb.cm
+      WHERE q.vec_id < {_N_QUERIES}
+    ),
+    {_ivf_coarse_sql("cent")},
+    pairs AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assign a ON p.cell = a.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT pr.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(t.term_u) AS BIGINT) AS est_dist_u
+      FROM pairs pr
+      JOIN codest c ON c.vec_id = pr.vec_id
+      JOIN termst t ON t.query_id = pr.query_id
+                   AND t.m = c.m AND t.c = c.code
+      GROUP BY 1, 2
+    )
+    {_pq_ranked_tail_sql("1000000000000.0")}
+"""
+
+
+@query("sim_search_ivfpq_trained", oracle=_IVFPQ_TRAINED_SQL)
+def sim_search_ivfpq_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF+PQ with TRAINED per-subspace codebooks — the round-9
+    verdict's ask: [[sim_search_ivfpq]] with its deterministic
+    first-K seeding replaced by a real Lloyd training run
+    ([[trained_pq_codebook]]), exactly the codebook swap its
+    docstring promised production would make, with the plan
+    otherwise unchanged. Measured on the fixture: recall@10 vs the
+    exact cosine top-k rises to 0.42 / 0.38 (sf0.01 / sf0.1) from
+    the seeded rung's 0.34 / 0.30 — training pays even on isotropic
+    data, where k-means at least spreads the codebook to the data's
+    scale. (Retraining the RESIDUAL variant was evaluated too, via
+    an exact numpy replication of this same integer Lloyd scheme
+    applied to residuals — scripts/ann_recall.py reproduces it: 0.12
+    at sf0.1, better than its seeded 0.06 but still far below raw
+    codes, confirming docs/SCALE.md's diagnosis that residual
+    encoding needs CLUSTERED data, not just a trained codebook; the
+    raw-code rung is therefore the one a deployment of this fixture
+    class should run, and the Spark residual rung keeps its seeded
+    codebook + caveat rather than gaining machinery that measurably
+    doesn't pay here.)
+
+    The full value oracle survives training because the whole
+    pipeline after one quantization is exact integer arithmetic:
+    subvectors quantize once to micro-units ([[_squ_frame]]),
+    distances are bigint sums of squares (never rounded), centroid
+    updates are round(SUM/COUNT) at the units digit (safe
+    cross-engine — see [[trained_pq_codebook]]), and the SQL twin
+    unrolls the identical Lloyd loop ([[_trained_cb_sql]]). ADC
+    distances here are in squared-micro-units (1e-12), hence the
+    wider unit in the ranked tail.
+
+    Scale shape: training adds 2 broadcast-join + tiny-agg rounds
+    over the pinned subvector stream (ingest-time cost, amortized
+    over every query the index serves); the query path is byte-for-
+    byte [[sim_search_ivfpq]]'s — broadcast codebook/probes/ADC
+    table, integer code stream as the only data-proportional
+    state."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    sub, _, _ = _pq_frames(e)
+    squ = _squ_frame(sub)
+    cbt = trained_pq_codebook(squ)
+    codes = (
+        squ.join(F.broadcast(cbt), F.col("m") == F.col("cm"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(
+                    _pq_sq_spark(F.col("svu"), F.col("cent")).alias(
+                        "du"
+                    ),
+                    F.col("c"),
+                )
+            )
+            .getField("c")
+            .alias("code")
+        )
+    )
+    terms = (
+        squ.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(cbt), F.col("m") == F.col("cm"))
+        .select(
+            F.col("vec_id").alias("tq"),
+            F.col("m").alias("tm"),
+            F.col("c").alias("tc"),
+            _pq_sq_spark(F.col("svu"), F.col("cent")).alias("term_u"),
+        )
+    )
+    assign, probes = _ivfpq_coarse(sub)
+    pairs = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        codes.join(
+            pairs.withColumnRenamed("vec_id", "pv"),
+            F.col("vec_id") == F.col("pv"),
+        )
+        .join(
+            F.broadcast(terms),
+            (F.col("tm") == F.col("m"))
+            & (F.col("tc") == F.col("code"))
+            & (F.col("tq") == F.col("query_id")),
+        )
+        .groupBy(
+            F.col("query_id"), F.col("vec_id").alias("neighbor_id")
+        )
+        .agg(F.sum("term_u").cast("bigint").alias("est_dist_u"))
+    )
+    return _pq_ranked(adc, unit=1e12)

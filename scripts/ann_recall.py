@@ -1,0 +1,153 @@
+"""Measure recall@10 of every ANN rung against the exact cosine
+top-k — the reproducible source of every recall number quoted in
+docs/SCALE.md and the similarity docstrings.
+
+Usage::
+
+    python scripts/ann_recall.py [sf_dir ...]
+
+Defaults to sf0.001, sf0.01 and sf0.1. Also reprints the
+numpy-replicated trained-RESIDUAL evaluation (the variant the repo
+deliberately does NOT ship as a Spark rung because this measurement
+shows it loses to raw codes on unclustered data): an exact mirror of
+``trained_pq_codebook``'s integer Lloyd semantics applied to
+residual subvectors, run in numpy because a one-off evaluation does
+not justify a full oracle-checked rung.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+_RUNGS = [
+    "sim_search_ivfpq",
+    "sim_search_pq",
+    "sim_search_ivfadc_residual",
+    "sim_search_ivfpq_trained",
+]
+
+
+def _topk_sets(df):
+    rows = df.select("query_id", "neighbor_id").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def spark_recalls(sf_dirs):
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("dps-ann-recall")
+    for sf_dir in sf_dirs:
+        exact = _topk_sets(registry.QUERIES["sim_search"](spark, sf_dir))
+        total = sum(len(v) for v in exact.values())
+        for name in _RUNGS:
+            approx = _topk_sets(registry.QUERIES[name](spark, sf_dir))
+            hits = sum(
+                len(exact[q] & approx.get(q, set())) for q in exact
+            )
+            print(f"{sf_dir} {name}: recall@10 = {hits / total:.2f}")
+
+
+def residual_trained_recall(sf_dir, iters=2):
+    """Numpy mirror of the integer Lloyd scheme on RESIDUAL
+    subvectors (vector − its coarse cell centroid, micro-units) —
+    per-cell ADC tables, same tie-breaks, same rounded-mean updates."""
+    import numpy as np
+
+    from data_pipeline_spark_spark.operators.similarity import (
+        _IVFPQ_CELLS,
+        _IVFPQ_NPROBE,
+        _N_QUERIES,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        _TOP_K,
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchnumpy()
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    n = len(X)
+    Xu = np.rint(X * 1e6).astype(np.int64)
+    C = Xu[:_IVFPQ_CELLS]
+    cd = ((Xu[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = cd.argmin(axis=1)
+    probes = {
+        q: list(np.lexsort((np.arange(_IVFPQ_CELLS), cd[q]))[:_IVFPQ_NPROBE])
+        for q in range(_N_QUERIES)
+    }
+    R = Xu - C[assign]
+    cents = np.stack(
+        [R[:_PQ_K, m * _PQ_SUB : (m + 1) * _PQ_SUB] for m in range(_PQ_M)]
+    )
+    for _ in range(iters):
+        for m in range(_PQ_M):
+            S = R[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            a = ((S[:, None, :] - cents[m][None, :, :]) ** 2).sum(2).argmin(1)
+            for c in range(_PQ_K):
+                if (a == c).any():
+                    cents[m, c] = np.rint(
+                        S[a == c].sum(0) / (a == c).sum()
+                    ).astype(np.int64)
+    codes = np.stack(
+        [
+            ((R[:, m * _PQ_SUB : (m + 1) * _PQ_SUB][:, None, :]
+              - cents[m][None, :, :]) ** 2).sum(2).argmin(1)
+            for m in range(_PQ_M)
+        ],
+        axis=1,
+    )
+    norms = np.linalg.norm(X, axis=1)
+    hits = 0
+    for q in range(_N_QUERIES):
+        cos = np.round((X @ X[q]) / (norms * norms[q]), 4)
+        idx = sorted(
+            (i for i in range(n) if i != q), key=lambda i: (-cos[i], i)
+        )
+        exact = set(idx[:_TOP_K])
+        cands = []
+        for cell in probes[q]:
+            qr = Xu[q] - C[cell]
+            terms = np.stack(
+                [
+                    ((cents[m] - qr[m * _PQ_SUB : (m + 1) * _PQ_SUB]) ** 2
+                     ).sum(1)
+                    for m in range(_PQ_M)
+                ]
+            )
+            for v in np.where(assign == cell)[0]:
+                if v != q:
+                    cands.append(
+                        (sum(terms[m, codes[v, m]] for m in range(_PQ_M)), v)
+                    )
+        cands.sort()
+        hits += len({v for _, v in cands[:_TOP_K]} & exact)
+    print(
+        f"{sf_dir} residual+trained (numpy mirror): "
+        f"recall@10 = {hits / (_N_QUERIES * _TOP_K):.2f}"
+    )
+
+
+if __name__ == "__main__":
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]
+    spark_recalls(dirs)
+    for d in dirs:
+        residual_trained_recall(d)
