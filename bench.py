@@ -73,6 +73,7 @@ HEADLINE = [
     "sim_search_pq",
     "sim_search_ivfpq",
     "corpus_duplication_profile",
+    "corpus_duplication_profile_hashed",
     "text_stats",
     "repetition_stats",
     "ts_resample_ohlc",

@@ -95,6 +95,7 @@ _ROUND10_PRIORITY = [
     # (b) new round-10 keys — no graded row exists yet (inserted as
     # they are registered during the round)
     "sim_search_ivfpq_trained",
+    "corpus_duplication_profile_hashed",
     # (c) last green row r07 — production path first; the front-50
     # boundary falls inside this block
     "dedup_exact",

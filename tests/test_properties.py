@@ -388,15 +388,21 @@ def test_duplication_profile_matches_reference(spark, docs):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    row = duplication_profile_of(df).collect()[0]
-    assert row.n_docs == n_docs
-    assert row.n_exact_dup_docs == n_dup_docs
-    assert row.exact_dup_frac == n_dup_docs / n_docs
-    if n_ngrams:
-        assert row.n_ngrams == n_ngrams
-        assert row.n_distinct_ngrams == n_distinct
-        assert row.dup_ngram_frac == n_dup_occ / n_ngrams
-    else:
-        # no doc reaches 5 tokens: the gram tree aggregates an empty
-        # stream — counts must be 0/0-safe, not crash
-        assert row.n_ngrams == 0
+    # both the string-keyed profile and the hashed-exchange variant
+    # must report the literal counts (the hash pair is 128-bit — a
+    # collision on these tiny corpora would be a broken hash, and
+    # any divergence between the variants is exactly the bug the
+    # shared oracle is meant to catch)
+    for hashed in (False, True):
+        row = duplication_profile_of(df, hashed=hashed).collect()[0]
+        assert row.n_docs == n_docs
+        assert row.n_exact_dup_docs == n_dup_docs
+        assert row.exact_dup_frac == n_dup_docs / n_docs
+        if n_ngrams:
+            assert row.n_ngrams == n_ngrams
+            assert row.n_distinct_ngrams == n_distinct
+            assert row.dup_ngram_frac == n_dup_occ / n_ngrams
+        else:
+            # no doc reaches 5 tokens: the gram tree aggregates an
+            # empty stream — counts must be 0/0-safe, not crash
+            assert row.n_ngrams == 0
