@@ -96,6 +96,7 @@ _ROUND10_PRIORITY = [
     # they are registered during the round)
     "sim_search_ivfpq_trained",
     "corpus_duplication_profile_hashed",
+    "stream_late_data_accounting",
     # (c) last green row r07 — production path first; the front-50
     # boundary falls inside this block
     "dedup_exact",

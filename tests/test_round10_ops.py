@@ -174,3 +174,24 @@ def test_trained_codebook_covers_every_subspace_code(spark, sf_dir):
     assert all(
         all(not math.isnan(x) for x in map(float, r.cent)) for r in rows
     )
+
+
+def test_late_data_accounting_drops_and_reconciles(spark, sf_dir):
+    """The late-data key must (a) reconcile exactly — accepted +
+    dropped = batch recount per window, (b) actually DROP something
+    (the bump batch exists precisely because Spark's late-event
+    filter lags eviction by one batch — zero drops would mean the
+    arrangement regressed to all-on-time), and (c) keep the tail
+    window fully accepted (odd stragglers there are younger than
+    the watermark)."""
+    from data_pipeline_spark_spark.operators.streaming_batch import (
+        stream_late_data_accounting,
+    )
+
+    rows = stream_late_data_accounting(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_accepted + r.n_late_dropped == r.n_total for r in rows)
+    assert all(0 <= r.n_accepted <= r.n_total for r in rows)
+    assert sum(r.n_late_dropped for r in rows) > 0
+    tail = max(rows, key=lambda r: r.window_start)
+    assert tail.n_late_dropped == 0, tail
