@@ -195,3 +195,28 @@ def test_late_data_accounting_drops_and_reconciles(spark, sf_dir):
     assert sum(r.n_late_dropped for r in rows) > 0
     tail = max(rows, key=lambda r: r.window_start)
     assert tail.n_late_dropped == 0, tail
+
+
+def test_weighted_median_two_phase_shape(spark, sf_dir):
+    """The r10 weighted-median rewrite contract: the selection stays
+    a bounded-exchange two-phase plan — bucket histogram (map-side
+    combined), tiny cumulative window, 1-row-per-group broadcast
+    back onto the stream, threshold-bucket-only sort. No Expand, no
+    cartesian, ≤4 exchanges; the old single-window form (which
+    serialized whole groups through single sort tasks) had its
+    regression measured at 2.9 s vs ~1.1 s at sf0.1."""
+    from data_pipeline_spark_spark.operators.relational import (
+        agg_weighted_median,
+    )
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        has_broadcast_join,
+        shuffle_count,
+    )
+
+    df = agg_weighted_median(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 4, plan
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df)
