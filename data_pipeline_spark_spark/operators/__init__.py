@@ -97,6 +97,8 @@ _ROUND10_PRIORITY = [
     "sim_search_ivfpq_trained",
     "corpus_duplication_profile_hashed",
     "stream_late_data_accounting",
+    "corpus_mix_temperature",
+    "corpus_shuffle_deterministic",
     # (c) last green row r07 — production path first; the front-50
     # boundary falls inside this block
     "dedup_exact",

@@ -506,3 +506,183 @@ def duplication_profile_of(d: DataFrame, hashed: bool = False) -> DataFrame:
         )
         .alias("dup_ngram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature (alpha) sampling + deterministic training-order shuffle
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.5   # target distribution q_i ∝ p_i^alpha
+_HEX6 = 16 ** 6     # md5-prefix acceptance-threshold scale
+
+
+_MIX_TEMPERATURE_SQL = f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS n_min FROM c),
+    r AS (
+      SELECT lang,
+             CAST(round(pow(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE),
+                            {1 - _TEMP_ALPHA}) * {_HEX6}) AS BIGINT) AS thr,
+             ROUND(pow(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE),
+                       {1 - _TEMP_ALPHA}), 6) AS rate
+      FROM c, m
+    )
+    SELECT d.doc_id, d.lang, r.rate
+    FROM documents d JOIN r USING (lang)
+    WHERE r.thr >= {_HEX6}
+       OR substr(md5(CAST(d.doc_id AS VARCHAR) || '/temp-v1'), 1, 6)
+          < lpad(printf('%x', r.thr), 6, '0')
+"""
+
+
+@query("corpus_mix_temperature", oracle=_MIX_TEMPERATURE_SQL)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature / alpha sampling across languages — the standard
+    multilingual-pretraining mix (Conneau & Lample 2019 §3.1; mT5,
+    XLM-R): resample so the effective language distribution is
+    q_i ∝ p_i^α (α = {alpha}), i.e. keep every document of the
+    rarest language and downsample language i at rate
+    (n_min / n_i)^(1−α) — flattening the head without discarding
+    the tail, which fixed per-language weights
+    ([[corpus_mix_weighted]]) can't do because they don't adapt to
+    the observed counts.
+
+    Reproducibility discipline (the [[corpus_sample_hash]]
+    contract): membership depends only on (doc_id, salt) via an md5
+    prefix against a per-language integer threshold — identical hex
+    on every engine, so the oracle reproduces exact membership, and
+    a rerun/backfill draws the SAME subcorpus. The threshold is
+    round(rate · 16⁶) — an integer, so the only cross-engine
+    exposure is pow()'s final ulp, quenched by the rounding (the
+    ROUND(...,6) rule for the reported rate). Rate-1 languages
+    short-circuit (a 7-hex-digit threshold would break the 6-char
+    string comparison).
+
+    Scale shape: one tiny per-language count aggregate broadcast
+    back onto the stream; the acceptance test is a per-row md5 +
+    string compare, no shuffle of the corpus at all."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    m = c.agg(F.min("n").alias("n_min"))
+    ratio = F.col("n_min").cast("double") / F.col("n").cast("double")
+    r = (
+        c.crossJoin(F.broadcast(m))
+        .select(
+            "lang",
+            F.round(F.pow(ratio, 1 - _TEMP_ALPHA) * _HEX6)
+            .cast("bigint")
+            .alias("thr"),
+            F.round(F.pow(ratio, 1 - _TEMP_ALPHA), 6).alias("rate"),
+        )
+    )
+    prefix = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/temp-v1"))),
+        1,
+        6,
+    )
+    accept = (F.col("thr") >= _HEX6) | (
+        prefix < F.lpad(F.format_string("%x", F.col("thr")), 6, "0")
+    )
+    return (
+        d.join(F.broadcast(r), "lang")
+        .filter(accept)
+        .select("doc_id", "lang", "rate")
+    )
+
+
+corpus_mix_temperature.__doc__ = corpus_mix_temperature.__doc__.replace(
+    "{alpha}", str(_TEMP_ALPHA)
+)
+
+
+_SHUFFLE_SHARDS = 8
+
+_SHUFFLE_SQL = f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '/shuffle-v1') AS hk
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((row_number() OVER (ORDER BY hk, doc_id) - 1)
+                % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           -- // : DuckDB's / is FLOAT division and CAST rounds, so a
+           -- plain /-then-CAST would misplace every 8k+5..8k+7 row
+           CAST((row_number() OVER (ORDER BY hk, doc_id) - 1)
+                // {_SHUFFLE_SHARDS} AS BIGINT) AS shard_pos
+    FROM h
+"""
+
+
+@query("corpus_shuffle_deterministic", oracle=_SHUFFLE_SQL)
+def corpus_shuffle_deterministic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic global training-order shuffle — the step between
+    curation and [[shard_pack]]: documents ordered by a salted
+    content hash (a seedable pseudo-random permutation that any
+    rerun reproduces, unlike rand()), then striped round-robin
+    across {n} shards so every shard is an unbiased interleaved
+    sample of the corpus (contiguous slicing would put all of one
+    source's clustered docs in one shard).
+
+    Scale shape: a global row_number window would serialize the
+    corpus through ONE task (Spark warns exactly that), so the
+    global position is the [[shard_pack]] two-phase prefix sum
+    instead — repartitionByRange on the hash (sampled boundaries,
+    fully parallel sort), per-partition row_number, then the P
+    per-partition COUNTS folded into global offsets on the driver
+    (O(partitions) rows) and broadcast back. Every data-sized step
+    is partitioned; downstream (packing, sharded writes) partitions
+    by the assigned shard."""
+    from pyspark.sql import Window as W
+
+    from ..session import default_parallelism
+
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("/shuffle-v1"))
+        ).alias("hk"),
+    )
+    p = default_parallelism()
+    t = (
+        h.repartitionByRange(p, "hk", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        # traversed twice (per-partition counts, final projection);
+        # the sampled range boundaries must not differ between the
+        # two traversals
+        .cache()
+    )
+    try:
+        counts = (
+            t.groupBy("pid").agg(F.count("*").alias("n")).orderBy("pid").collect()
+        )
+        offsets, acc = [], 0
+        for r in counts:
+            offsets.append((r["pid"], acc))
+            acc += r["n"]
+        off_df = spark.createDataFrame(offsets, "pid int, glob_off long")
+        w_local = W.partitionBy("pid").orderBy("hk", "doc_id")
+        pos = (
+            F.col("glob_off") + F.row_number().over(w_local) - 1
+        )
+        out = (
+            t.join(F.broadcast(off_df), "pid")
+            .select(
+                "doc_id",
+                (pos % _SHUFFLE_SHARDS).cast("bigint").alias("shard"),
+                F.floor(pos / _SHUFFLE_SHARDS)
+                .cast("bigint")
+                .alias("shard_pos"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        t.unpersist()
+
+
+corpus_shuffle_deterministic.__doc__ = (
+    corpus_shuffle_deterministic.__doc__.replace("{n}", str(_SHUFFLE_SHARDS))
+)

@@ -220,3 +220,61 @@ def test_weighted_median_two_phase_shape(spark, sf_dir):
     assert "Expand" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert has_broadcast_join(df)
+
+
+def test_mix_temperature_keeps_rarest_language_whole(spark, sf_dir):
+    """Alpha-sampling contract: the rarest language is never
+    downsampled (rate exactly 1.0, every doc kept), and acceptance
+    rates are monotone non-increasing in language size — the
+    flatten-the-head property that distinguishes temperature mixing
+    from fixed weights."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.corpus import (
+        corpus_mix_temperature,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    totals = {
+        r.lang: r.n
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    out = corpus_mix_temperature(spark, sf_dir)
+    kept = {
+        r.lang: (r.n, r.rate)
+        for r in out.groupBy("lang", "rate")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rare = min(totals, key=lambda k: (totals[k], k))
+    assert kept[rare][1] == 1.0
+    assert kept[rare][0] == totals[rare]
+    by_size = sorted(totals, key=totals.get)
+    rates = [kept[lang][1] for lang in by_size if lang in kept]
+    assert rates == sorted(rates, reverse=True)
+
+
+def test_shuffle_deterministic_is_balanced_permutation(spark, sf_dir):
+    """The training-order shuffle must be a PERMUTATION (every doc
+    exactly once), stripe shards to within one document of each
+    other (round-robin), and number positions 0..k−1 contiguously
+    within every shard."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.corpus import (
+        _SHUFFLE_SHARDS,
+        corpus_shuffle_deterministic,
+    )
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    rows = corpus_shuffle_deterministic(spark, sf_dir).collect()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for r in rows:
+        shards[r.shard].append(r.shard_pos)
+    sizes = [len(v) for v in shards.values()]
+    assert set(shards) <= set(range(_SHUFFLE_SHARDS))
+    assert max(sizes) - min(sizes) <= 1
+    for poss in shards.values():
+        assert sorted(poss) == list(range(len(poss)))
