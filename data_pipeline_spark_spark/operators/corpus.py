@@ -522,12 +522,11 @@ _MIX_TEMPERATURE_SQL = f"""
     r AS (
       SELECT lang,
              CAST(round(pow(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE),
-                            {1 - _TEMP_ALPHA}) * {_HEX6}) AS BIGINT) AS thr,
-             ROUND(pow(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE),
-                       {1 - _TEMP_ALPHA}), 6) AS rate
+                            {1 - _TEMP_ALPHA}) * {_HEX6}) AS BIGINT) AS thr
       FROM c, m
     )
-    SELECT d.doc_id, d.lang, r.rate
+    SELECT d.doc_id, d.lang,
+           CAST(r.thr AS DOUBLE) / {_HEX6} AS rate
     FROM documents d JOIN r USING (lang)
     WHERE r.thr >= {_HEX6}
        OR substr(md5(CAST(d.doc_id AS VARCHAR) || '/temp-v1'), 1, 6)
@@ -552,9 +551,15 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix against a per-language integer threshold — identical hex
     on every engine, so the oracle reproduces exact membership, and
     a rerun/backfill draws the SAME subcorpus. The threshold is
-    round(rate · 16⁶) — an integer, so the only cross-engine
-    exposure is pow()'s final ulp, quenched by the rounding (the
-    ROUND(...,6) rule for the reported rate). Rate-1 languages
+    round((n_min/n)^(1−α) · 16⁶) — rounding at the INTEGER digit,
+    so the only cross-engine exposure is pow()'s final ulp. The
+    reported ``rate`` is derived FROM the threshold (thr / 16⁶ —
+    the exact realized acceptance rate of the filter), not rounded
+    independently from the pow() double: fractional-digit ROUND of
+    a pow() result is exactly the repr-vs-binary-value rounding
+    divergence the trained-codebook docstring rules unsafe (r10
+    review), while one integer over one constant divides to the
+    same IEEE double in both engines. Rate-1 languages
     short-circuit (a 7-hex-digit threshold would break the 6-char
     string comparison).
 
@@ -572,8 +577,8 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(ratio, 1 - _TEMP_ALPHA) * _HEX6)
             .cast("bigint")
             .alias("thr"),
-            F.round(F.pow(ratio, 1 - _TEMP_ALPHA), 6).alias("rate"),
         )
+        .withColumn("rate", F.col("thr").cast("double") / _HEX6)
     )
     prefix = F.substring(
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/temp-v1"))),

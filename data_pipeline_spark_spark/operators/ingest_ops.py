@@ -35,11 +35,23 @@ def _promote_staged(stage: str, target: str) -> None:
     another builder won (its marker exists: discard our stage) or a
     stale MARKERLESS target blocks the slot (killed pre-staging
     build, /tmp age-pruning) and must be replaced. The replacement is
-    serialized through an O_EXCL lock file: without it, two losers
-    can interleave so one rmtree's the other's just-renamed complete
-    store, and a reader in that window sees a missing/partial dir
-    despite an earlier successful build (r8 ADVICE). A lock older
-    than _LOCK_STALE_SEC belongs to a dead process and is broken."""
+    serialized through ``flock`` on a lock file: without it, two
+    losers can interleave so one rmtree's the other's just-renamed
+    complete store, and a reader in that window sees a missing/
+    partial dir despite an earlier successful build (r8 ADVICE).
+
+    Kernel-owned ``flock`` instead of an O_EXCL-file + mtime-stale
+    heuristic: a dead holder's lock vanishes with its process, so
+    there is no break path at all. Two generations of break schemes
+    each left a two-holder window (r9's rename-aside restore could
+    clobber a waiter's fresh lock; r10's serialized-guard unlink
+    still had a stat→unlink TOCTOU against a holder that resumed
+    after reading stale — r10 review). The lock FILE is deliberately
+    never unlinked: unlink-while-locked is flock-by-path's one hole
+    (A locks inode, B unlinks path, C creates+locks a NEW inode
+    while A still holds the old one), and a leftover empty
+    ``.lock`` beside the store is free."""
+    import fcntl
     import time
 
     marker = os.path.join(target, ".complete")
@@ -49,107 +61,47 @@ def _promote_staged(stage: str, target: str) -> None:
     except OSError:
         pass
     lock = target + ".lock"
-    # the deadline must exceed the stale threshold: a lock abandoned
-    # the moment before we arrive only becomes breakable after
-    # _LOCK_STALE_SEC, and timing out before that point would turn an
-    # automatically-recoverable crash into a raised error
-    deadline = time.monotonic() + _LOCK_STALE_SEC + 120
-    while True:
-        if os.path.exists(marker):
-            # another builder's complete store is live — ours loses
-            shutil.rmtree(stage, ignore_errors=True)
-            return
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+    # a fixture/tidy-store build takes seconds; minutes of waiting
+    # means a live-but-wedged holder, which no heuristic can safely
+    # distinguish from a slow one — give up loudly
+    deadline = time.monotonic() + 240
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
+    try:
+        while True:
             try:
-                stale = time.time() - os.path.getmtime(lock) > _LOCK_STALE_SEC
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
             except OSError:
-                continue  # lock vanished between the checks — retry
-            if stale:
-                # break an abandoned lock ONLY while holding a
-                # dedicated O_EXCL break-guard, so breaks are
-                # serialized (r9 shipped a rename-aside + rename-back
-                # scheme; r9 ADVICE showed the rename-BACK can clobber
-                # a fresh lock another waiter O_EXCL-created after the
-                # aside, admitting two holders). With breaks
-                # serialized, a lock that still reads stale under the
-                # guard is safe to unlink: a FRESH lock at this path
-                # can only appear via O_EXCL create after a guarded
-                # unlink, and no other break runs concurrently.
-                guard = lock + ".break"
-                try:
-                    gfd = os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                except FileExistsError:
-                    # another waiter is mid-break; if IT died holding
-                    # the guard, the guard goes stale and is unlinked
-                    # here (residual window: two waiters both judging
-                    # a dead breaker's guard stale need a dead lock
-                    # holder AND a dead breaker AND a third waiter
-                    # racing — accepted as vanishingly unlikely)
-                    try:
-                        if (
-                            time.time() - os.path.getmtime(guard)
-                            > _LOCK_STALE_SEC
-                        ):
-                            os.unlink(guard)
-                    except OSError:
-                        pass
-                    time.sleep(0.1)
-                    continue
-                try:
-                    try:
-                        if (
-                            time.time() - os.path.getmtime(lock)
-                            > _LOCK_STALE_SEC
-                        ):
-                            os.unlink(lock)
-                    except OSError:
-                        pass  # lock vanished meanwhile — nothing to do
-                finally:
-                    os.close(gfd)
-                    try:
-                        os.unlink(guard)
-                    except OSError:
-                        pass
-                continue
-            if time.monotonic() > deadline:
-                shutil.rmtree(stage, ignore_errors=True)
-                raise TimeoutError(
-                    f"gave up waiting for fixture lock {lock!r}"
-                ) from None
-            time.sleep(0.1)
-            continue
-        try:
-            # re-check under the lock: the previous holder may have
-            # just promoted a complete store
-            if os.path.exists(marker):
-                shutil.rmtree(stage, ignore_errors=True)
-            else:
-                shutil.rmtree(target, ignore_errors=True)
-                try:
-                    os.rename(stage, target)
-                except OSError:
-                    # a lock-free fast-path builder (first rename
-                    # above) can slide its complete store into the
-                    # emptied slot between our rmtree and rename; if
-                    # a marker-bearing store now occupies the target,
-                    # the machine has a good fixture and ours loses
-                    if not os.path.exists(marker):
-                        raise
+                if os.path.exists(marker):
+                    # the holder (or an earlier winner) promoted a
+                    # complete store — ours loses, no need to wait
                     shutil.rmtree(stage, ignore_errors=True)
-            return
-        finally:
-            os.close(fd)
+                    return
+                if time.monotonic() > deadline:
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise TimeoutError(
+                        f"gave up waiting for fixture lock {lock!r}"
+                    ) from None
+                time.sleep(0.1)
+        # re-check under the lock: the previous holder may have just
+        # promoted a complete store
+        if os.path.exists(marker):
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            shutil.rmtree(target, ignore_errors=True)
             try:
-                os.unlink(lock)
+                os.rename(stage, target)
             except OSError:
-                pass
-
-
-# a fixture/tidy-store build takes seconds; a lock minutes old
-# belongs to a killed process
-_LOCK_STALE_SEC = 120
+                # a lock-free fast-path builder (first rename above)
+                # can slide its complete store into the emptied slot
+                # between our rmtree and rename; if a marker-bearing
+                # store now occupies the target, the machine has a
+                # good fixture and ours loses
+                if not os.path.exists(marker):
+                    raise
+                shutil.rmtree(stage, ignore_errors=True)
+    finally:
+        os.close(fd)  # releases the flock
 
 
 def fixture_dir() -> str:

@@ -1208,7 +1208,16 @@ def weighted_median_by(
     weight meets the threshold (monotonicity), and within-bucket
     running sums seeded with cum_before equal the global running sum
     at every row, so the selected value is identical to the
-    single-window form for any tie order among equal values."""
+    single-window form for any tie order among equal values.
+
+    NULL ``value`` rows are dropped up front (the SQL aggregate
+    convention — percentile_cont skips NULLs), so ``total_weight``
+    and ``n_rows`` count only non-NULL rows and a group whose
+    values are all NULL is absent from the output. Without the
+    filter a NULL bucket could win the histogram crossing and phase
+    2's ``bucket == _sel_b`` would evaluate NULL, silently dropping
+    the whole group (r10 review)."""
+    t = t.filter(F.col(value).isNotNull())
     bucket = F.shiftright(F.col(value).cast("bigint"), bucket_bits)
     hist = (
         t.groupBy(F.col(group), bucket.alias("_b"))

@@ -628,6 +628,33 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_ranked(adc)
 
 
+def _assign_codes(frame, cb, dist, carry=()):
+    """Integer-lexicographic (distance, centroid-id) argmin per
+    (vec_id, m): broadcast-join ``frame`` to codebook ``cb`` on the
+    subspace (m == cm) and take min(struct(dist, c)) — one
+    aggregation, deterministic centroid-id tie-break, no window.
+    The ONE assignment implementation shared by query-time encoding
+    ([[_pq_frames]], the residual rung, [[sim_search_ivfpq_trained]])
+    and training-time assignment ([[trained_pq_codebook]]'s Lloyd
+    loop), so the two can never drift — the Spark-side twin of the
+    ``_ivf_coarse_sql`` extraction (r10 review found three
+    hand-copied sites).
+
+    ``carry`` columns are constant within a (vec_id, m) group and
+    ride through as F.first instead of a join back to ``frame``."""
+    aggs = [
+        F.min(F.struct(dist.alias("du"), F.col("c")))
+        .getField("c")
+        .alias("code")
+    ]
+    aggs += [F.first(c).alias(c) for c in carry]
+    return (
+        frame.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .groupBy("vec_id", "m")
+        .agg(*aggs)
+    )
+
+
 def _pq_frames(e) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(sub, cb, codes) shared by the PQ rungs: per-(vector,
     subspace) subvectors, the deterministic codebook (first
@@ -653,19 +680,11 @@ def _pq_frames(e) -> tuple[DataFrame, DataFrame, DataFrame]:
         .select(F.col("m").alias("cm"), F.col("vec_id").alias("c"),
                 F.col("sv").alias("cent"))
     )
-    dist_u = (
+    codes = _assign_codes(
+        sub,
+        cb,
         F.round(_pq_sq_spark(F.col("sv"), F.col("cent")) * 1000000)
-        .cast("bigint")
-        .alias("dist_u")
-    )
-    codes = (
-        sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
-        .select("vec_id", "m", "c", dist_u)
-        # integer lexicographic (dist_u, c) min = argmin with the
-        # deterministic centroid-id tie-break, one aggregation, no
-        # window
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("dist_u", "c")).getField("c").alias("code"))
+        .cast("bigint"),
     )
     return sub, cb, codes
 
@@ -1022,21 +1041,16 @@ def sim_search_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sv").alias("csv"),
         F.col("ccent").alias("ccent_c"),
     )
-    rdist_u = (
+    rcodes = _assign_codes(
+        rsub,
+        rcb,
         F.round(
             _pq_sq_res_spark(
                 F.col("sv"), F.col("ccent"), F.col("csv"), F.col("ccent_c")
             )
             * 1000000
         )
-        .cast("bigint")
-        .alias("dist_u")
-    )
-    rcodes = (
-        rsub.join(F.broadcast(rcb), F.col("m") == F.col("cm"))
-        .select("vec_id", "m", "c", rdist_u)
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("dist_u", "c")).getField("c").alias("code"))
+        .cast("bigint"),
     )
     rterms = (
         probes.join(
@@ -1160,24 +1174,11 @@ def trained_pq_codebook(
         )
     )
     for _ in range(iters):
-        asg = (
-            squ.join(F.broadcast(cb), F.col("m") == F.col("cm"))
-            .groupBy("vec_id", "m")
-            .agg(
-                F.min(
-                    F.struct(
-                        _pq_sq_spark(
-                            F.col("svu"), F.col("cent")
-                        ).alias("du"),
-                        F.col("c"),
-                    )
-                )
-                .getField("c")
-                .alias("code"),
-                # svu is constant within the (vec_id, m) group — carry
-                # it through instead of joining back to squ
-                F.first("svu").alias("svu"),
-            )
+        asg = _assign_codes(
+            squ,
+            cb,
+            _pq_sq_spark(F.col("svu"), F.col("cent")),
+            carry=("svu",),
         )
         means = (
             asg.groupBy("m", "code")
@@ -1360,21 +1361,8 @@ def sim_search_ivfpq_trained(
     sub, _, _ = _pq_frames(e)
     squ = _squ_frame(sub)
     cbt = trained_pq_codebook(squ)
-    codes = (
-        squ.join(F.broadcast(cbt), F.col("m") == F.col("cm"))
-        .groupBy("vec_id", "m")
-        .agg(
-            F.min(
-                F.struct(
-                    _pq_sq_spark(F.col("svu"), F.col("cent")).alias(
-                        "du"
-                    ),
-                    F.col("c"),
-                )
-            )
-            .getField("c")
-            .alias("code")
-        )
+    codes = _assign_codes(
+        squ, cbt, _pq_sq_spark(F.col("svu"), F.col("cent"))
     )
     terms = (
         squ.filter(F.col("vec_id") < _N_QUERIES)

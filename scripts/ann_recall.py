@@ -57,10 +57,26 @@ def spark_recalls(sf_dirs):
             print(f"{sf_dir} {name}: recall@10 = {hits / total:.2f}")
 
 
+def _rhu(x):
+    """Round half AWAY FROM ZERO, matching Spark ``F.round`` /
+    DuckDB ``round`` at digit 0 — np.rint is half-to-EVEN, which
+    diverges on every exact .5 (sum=5,count=2 → rint 2, Spark 3),
+    so a rint-based mirror measures a different algorithm than the
+    one it claims to replicate (r10 review)."""
+    import numpy as np
+
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def residual_trained_recall(sf_dir, iters=2):
     """Numpy mirror of the integer Lloyd scheme on RESIDUAL
     subvectors (vector − its coarse cell centroid, micro-units) —
-    per-cell ADC tables, same tie-breaks, same rounded-mean updates."""
+    per-cell ADC tables, same tie-breaks, same rounded-mean updates.
+    Mirrors the Spark rungs' exact arithmetic: HALF_UP quantization
+    and centroid updates (``_rhu``), and coarse assignment as
+    per-subspace DOUBLE squared distances rounded to micro-units
+    then summed (``_ivfpq_coarse``'s cdist_u), not full-vector
+    integer distance on pre-quantized vectors."""
     import numpy as np
 
     from data_pipeline_spark_spark.operators.similarity import (
@@ -82,9 +98,18 @@ def residual_trained_recall(sf_dir, iters=2):
     ).fetchnumpy()
     X = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
     n = len(X)
-    Xu = np.rint(X * 1e6).astype(np.int64)
+    Xu = _rhu(X * 1e6)
     C = Xu[:_IVFPQ_CELLS]
-    cd = ((Xu[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    # coarse distance exactly as _ivfpq_coarse computes cdist_u:
+    # per-subspace double squared distance, rounded to micro-units,
+    # summed over subspaces
+    Cd = X[:_IVFPQ_CELLS]
+    cd = np.zeros((n, _IVFPQ_CELLS), dtype=np.int64)
+    for m in range(_PQ_M):
+        s = slice(m * _PQ_SUB, (m + 1) * _PQ_SUB)
+        cd += _rhu(
+            ((X[:, None, s] - Cd[None, :, s]) ** 2).sum(axis=2) * 1e6
+        )
     assign = cd.argmin(axis=1)
     probes = {
         q: list(np.lexsort((np.arange(_IVFPQ_CELLS), cd[q]))[:_IVFPQ_NPROBE])
@@ -100,9 +125,9 @@ def residual_trained_recall(sf_dir, iters=2):
             a = ((S[:, None, :] - cents[m][None, :, :]) ** 2).sum(2).argmin(1)
             for c in range(_PQ_K):
                 if (a == c).any():
-                    cents[m, c] = np.rint(
+                    cents[m, c] = _rhu(
                         S[a == c].sum(0) / (a == c).sum()
-                    ).astype(np.int64)
+                    )
     codes = np.stack(
         [
             ((R[:, m * _PQ_SUB : (m + 1) * _PQ_SUB][:, None, :]

@@ -255,7 +255,10 @@ def test_containment_prefix_recalls_every_pair(a, b):
     st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=2),      # group
-            st.integers(min_value=-(10**6), max_value=10**6),  # value
+            st.one_of(                                  # value (or NULL)
+                st.none(),
+                st.integers(min_value=-(10**6), max_value=10**6),
+            ),
             st.integers(min_value=1, max_value=10**4),  # weight
         ),
         min_size=1,
@@ -267,7 +270,9 @@ def test_weighted_median_matches_reference(spark, rows):
     sort by value, accumulate weights, first value whose running
     weight reaches half the total (lower weighted median). Random
     groups/values/weights, including duplicate values (the ROW-frame
-    tie case the docstring argues about) and single-row groups."""
+    tie case the docstring argues about), single-row groups, and
+    NULL values (ignored per the docstring's SQL-aggregate
+    convention; an all-NULL group is absent — r10 review)."""
     from collections import defaultdict
 
     from data_pipeline_spark_spark.operators.relational import (
@@ -277,7 +282,8 @@ def test_weighted_median_matches_reference(spark, rows):
     expect = {}
     by_g = defaultdict(list)
     for g, v, w in rows:
-        by_g[g].append((v, w))
+        if v is not None:
+            by_g[g].append((v, w))
     for g, pairs in by_g.items():
         pairs.sort()
         tot = sum(w for _, w in pairs)

@@ -135,32 +135,41 @@ def test_promote_staged_paths(tmp_path):
     assert open(os.path.join(target, "data.txt")).read() == "one"
     assert not os.path.exists(s2)
 
-    # 3: stale markerless target — replaced
+    # 3: stale markerless target — replaced (the lock file is
+    # deliberately LEFT behind: unlinking a flock'd path is the one
+    # hole in flock-by-path, see _promote_staged's docstring)
     os.unlink(os.path.join(target, ".complete"))
     _promote_staged(mkstage("s3", "three"), target)
     assert open(os.path.join(target, "data.txt")).read() == "three"
     assert os.path.exists(os.path.join(target, ".complete"))
-    assert not os.path.exists(target + ".lock")
 
-    # 4: abandoned (stale) lock — broken via the serialized
-    # break-guard, promotion proceeds, no lock/guard debris
+    # 4: a dead holder's leftover lock FILE (its flock died with the
+    # process) — not locked, so promotion proceeds immediately: the
+    # flock design has no staleness wait and no break path
     os.unlink(os.path.join(target, ".complete"))
     lock = target + ".lock"
-    open(lock, "w").close()
-    os.utime(lock, (1, 1))  # ancient mtime = dead holder
+    os.utime(lock, (1, 1))  # ancient mtime: irrelevant to flock
     _promote_staged(mkstage("s4", "four"), target)
     assert open(os.path.join(target, "data.txt")).read() == "four"
-    assert not os.path.exists(lock)
-    assert not os.path.exists(lock + ".break")
 
-    # 5: abandoned lock AND abandoned break-guard (a breaker died
-    # mid-break) — the stale guard is broken too, then the lock
+    # 5: a LIVE holder — promotion blocks until the flock is
+    # released, then proceeds (kernel serialization, no heuristic)
+    import fcntl
+    import threading
+    import time
+
     os.unlink(os.path.join(target, ".complete"))
-    open(lock, "w").close()
-    os.utime(lock, (1, 1))
-    open(lock + ".break", "w").close()
-    os.utime(lock + ".break", (1, 1))
-    _promote_staged(mkstage("s5", "five"), target)
+    hfd = os.open(lock, os.O_CREAT | os.O_WRONLY)
+    fcntl.flock(hfd, fcntl.LOCK_EX)
+    s5 = mkstage("s5", "five")
+    t = threading.Thread(target=_promote_staged, args=(s5, target))
+    t.start()
+    time.sleep(0.5)
+    # still blocked: the markerless target must not have been touched
+    assert t.is_alive()
+    assert open(os.path.join(target, "data.txt")).read() == "four"
+    os.close(hfd)  # releases the flock
+    t.join(timeout=10)
+    assert not t.is_alive()
     assert open(os.path.join(target, "data.txt")).read() == "five"
-    assert not os.path.exists(lock)
-    assert not os.path.exists(lock + ".break")
+    assert os.path.exists(os.path.join(target, ".complete"))
