@@ -13,6 +13,14 @@ shows it loses to raw codes on unclustered data): an exact mirror of
 ``trained_pq_codebook``'s integer Lloyd semantics applied to
 residual subvectors, run in numpy because a one-off evaluation does
 not justify a full oracle-checked rung.
+
+Finally prints the COARSE-TRAINING matrix — {seeded, Lloyd-trained}
+coarse quantizer × {raw, residual} trained PQ codes, all in the
+rungs' exact-integer semantics — the measurement behind the decision
+NOT to ship a trained-coarse IVFPQ rung either (r10): on the
+isotropic fixture, training the coarse cells leaves raw-code recall
+flat (0.38 at sf0.1, same as seeded) and lifts residual codes from
+broken (0.12) only to 0.30, still below the shipped raw-code rung.
 """
 
 from __future__ import annotations
@@ -167,6 +175,128 @@ def residual_trained_recall(sf_dir, iters=2):
     )
 
 
+def coarse_training_matrix(sf_dir, iters=2):
+    """{seeded, trained} coarse × {raw, residual} trained PQ, all
+    exact-integer (micro-unit subvectors, integer distances, HALF_UP
+    centroid updates, (dist, id) tie-breaks). Coarse assignment here
+    is the INTEGER subspace-sum distance a trained-coarse Spark rung
+    would use (the shipped seeded rung rounds per-subspace double
+    distances instead — same cells on this fixture)."""
+    import numpy as np
+
+    from data_pipeline_spark_spark.operators.similarity import (
+        _IVFPQ_CELLS,
+        _IVFPQ_NPROBE,
+        _N_QUERIES,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        _TOP_K,
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchnumpy()
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    n = len(X)
+    Xu = _rhu(X * 1e6)
+    S = Xu.reshape(n, _PQ_M, _PQ_SUB)
+
+    def coarse_dist(C):
+        return ((S[:, None, :, :] - C[None, :, :, :]) ** 2).sum(axis=(2, 3))
+
+    def train_coarse():
+        C = S[:_IVFPQ_CELLS].copy()
+        for _ in range(iters):
+            a = coarse_dist(C).argmin(axis=1)
+            for c in range(_IVFPQ_CELLS):
+                m = a == c
+                if m.any():
+                    C[c] = _rhu(S[m].sum(0) / m.sum()).reshape(
+                        _PQ_M, _PQ_SUB
+                    )
+        return C
+
+    def train_pq(R):
+        cents = np.stack(
+            [R[:_PQ_K, m * _PQ_SUB:(m + 1) * _PQ_SUB]
+             for m in range(_PQ_M)]
+        )
+        for _ in range(iters):
+            for m in range(_PQ_M):
+                Sm = R[:, m * _PQ_SUB:(m + 1) * _PQ_SUB]
+                a = ((Sm[:, None, :] - cents[m][None, :, :]) ** 2
+                     ).sum(2).argmin(1)
+                for c in range(_PQ_K):
+                    if (a == c).any():
+                        cents[m, c] = _rhu(
+                            Sm[a == c].sum(0) / (a == c).sum()
+                        )
+        codes = np.stack(
+            [
+                ((R[:, m * _PQ_SUB:(m + 1) * _PQ_SUB][:, None, :]
+                  - cents[m][None, :, :]) ** 2).sum(2).argmin(1)
+                for m in range(_PQ_M)
+            ],
+            axis=1,
+        )
+        return cents, codes
+
+    norms = np.linalg.norm(X, axis=1)
+    exact = {}
+    for q in range(_N_QUERIES):
+        cos = np.round((X @ X[q]) / (norms * norms[q]), 4)
+        idx = sorted(
+            (i for i in range(n) if i != q), key=lambda i: (-cos[i], i)
+        )
+        exact[q] = set(idx[:_TOP_K])
+
+    def recall(C, cents, codes, residual):
+        cd = coarse_dist(C)
+        assign = cd.argmin(axis=1)
+        Cflat = C.reshape(_IVFPQ_CELLS, -1)
+        hits = 0
+        for q in range(_N_QUERIES):
+            cells = np.lexsort(
+                (np.arange(_IVFPQ_CELLS), cd[q])
+            )[:_IVFPQ_NPROBE]
+            cands = []
+            for cell in cells:
+                qv = Xu[q] - Cflat[cell] if residual else Xu[q]
+                terms = np.stack(
+                    [
+                        ((cents[m] - qv[m * _PQ_SUB:(m + 1) * _PQ_SUB])
+                         ** 2).sum(1)
+                        for m in range(_PQ_M)
+                    ]
+                )
+                for v in np.where(assign == cell)[0]:
+                    if v != q:
+                        cands.append(
+                            (sum(terms[m, codes[v, m]]
+                                 for m in range(_PQ_M)), v)
+                        )
+            cands.sort()
+            hits += len({v for _, v in cands[:_TOP_K]} & exact[q])
+        return hits / (_N_QUERIES * _TOP_K)
+
+    seedC = S[:_IVFPQ_CELLS].copy()
+    trC = train_coarse()
+    cents, codes = train_pq(Xu)
+    aT = coarse_dist(trC).argmin(axis=1)
+    rcents, rcodes = train_pq(Xu - trC.reshape(_IVFPQ_CELLS, -1)[aT])
+    print(
+        f"{sf_dir} coarse matrix: seeded+rawPQ="
+        f"{recall(seedC, cents, codes, False):.2f} trained+rawPQ="
+        f"{recall(trC, cents, codes, False):.2f} trained+residPQ="
+        f"{recall(trC, rcents, rcodes, True):.2f}"
+    )
+
+
 if __name__ == "__main__":
     dirs = sys.argv[1:] or [
         "/root/testdata/sf0.001",
@@ -176,3 +306,5 @@ if __name__ == "__main__":
     spark_recalls(dirs)
     for d in dirs:
         residual_trained_recall(d)
+    for d in dirs:
+        coarse_training_matrix(d)
