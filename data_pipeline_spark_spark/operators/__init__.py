@@ -99,6 +99,7 @@ _ROUND10_PRIORITY = [
     "stream_late_data_accounting",
     "corpus_mix_temperature",
     "corpus_shuffle_deterministic",
+    "dedup_substring_spans",
     # (c) last green row r07 — production path first; the front-50
     # boundary falls inside this block
     "dedup_exact",

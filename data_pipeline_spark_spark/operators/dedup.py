@@ -1038,6 +1038,130 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact substring dedup (Lee et al. 2022): maximal duplicated spans
+# ---------------------------------------------------------------------------
+
+_SUBSTR_SPAN_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i:i+{_SPAN_W - 1}], ' ')) AS h
+      FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_W - 1})) AS u(i)
+      WHERE len(t) >= {_SPAN_W}
+    ),
+    dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) >= 2),
+    flagged AS (
+      SELECT s.doc_id, s.i,
+             lag(s.i) OVER (PARTITION BY s.doc_id ORDER BY s.i) AS prev
+      FROM spans s JOIN dup USING (h)
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN i - prev > {_SPAN_W} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) + {_SPAN_W - 1} AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island
+"""
+
+
+def substring_spans_of(d: DataFrame, w: int, width: int = 32) -> DataFrame:
+    """Maximal duplicated token intervals per document — the
+    ExactSubstr output of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"): a ``w``-token window is
+    DUPLICATED if its text occurs ≥2 times anywhere in the corpus
+    (including within the same document, per the paper), and
+    overlapping-or-contiguous duplicated windows merge into one
+    maximal interval (gap > ``w`` between window starts breaks
+    coverage). Output (doc_id, span_start, span_end, n_windows),
+    1-based inclusive token positions — the cut-list a removal pass
+    applies with slice/concat, where [[dedup_span_exact]] only
+    COUNTS shared windows per doc. Module-level so the hypothesis
+    differential exercises the SAME pipeline at a small ``w``.
+
+    Scale shape, in corpus-sized terms: the window stream is
+    (doc_id, i, two-seed xxhash64) — never the text (the shuffle-
+    byte discipline of [[dedup_span_exact]]; the string-keyed oracle
+    doubles as the collision check). One explicit repartition on the
+    hash pair serves the occurrence-count window; the surviving
+    duplicated positions (a small fraction of the corpus) then
+    shuffle ONCE by doc_id for the gaps-and-islands merge, whose
+    per-partition work is bounded by DOCUMENT length, not corpus
+    size — the per-doc sequential scan is inherent to the problem
+    (suffix-array ExactSubstr has the same per-doc merge step) and a
+    document is the natural bounded unit at any corpus scale."""
+    from pyspark.sql import Window as W
+
+    toks = F.split("text", " ")
+    span_txt = F.array_join(F.slice("t", F.col("i"), w), " ")
+    spans = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= w)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - F.lit(w - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("i"),
+            # seed literal FIRST — see [[dedup_span_exact]] on why
+            # (span, lit) chaining would collapse the 128-bit space
+            F.xxhash64(span_txt).alias("h1"),
+            F.xxhash64(F.lit(1), span_txt).alias("h2"),
+        )
+    )
+    cnt = F.count("*").over(W.partitionBy("h1", "h2"))
+    flagged = (
+        spans.repartition(width, "h1", "h2")
+        .withColumn("cnt", cnt)
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "i")
+    )
+    prev = F.lag("i").over(W.partitionBy("doc_id").orderBy("i"))
+    brk = F.when(F.col("i") - F.col("prev") > w, 1).otherwise(0)
+    run = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    isl = (
+        flagged.withColumn("prev", prev)
+        .withColumn("island", F.sum(brk).over(run))
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + F.lit(w - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+@query("dedup_substring_spans", oracle=_SUBSTR_SPAN_SQL)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup over the documents table: the maximal
+    ≥``_SPAN_W``-token intervals whose every window occurs more than
+    once in the corpus — see [[substring_spans_of]] for semantics
+    and the scale argument."""
+    from ..session import adaptive_shuffle_width
+
+    d = load(spark, sf_dir, "documents")
+    return substring_spans_of(d, _SPAN_W, adaptive_shuffle_width(d))
+
+
+# ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup): embedding-cluster-bucketed near-dup
 # ---------------------------------------------------------------------------
 

@@ -302,6 +302,19 @@ def test_span_exact_two_exchanges(spark, sf_dir):
     assert shuffle_count(dedup_span_exact(spark, sf_dir)) == 2
 
 
+def test_substring_spans_two_exchanges(spark, sf_dir):
+    """dedup_substring_spans pays exactly two data-proportional
+    shuffles: the (h1, h2) repartition serving the occurrence-count
+    window, then ONE doc_id shuffle that both the islands window and
+    the (doc_id, island) rollup reuse (hash on doc_id is subset
+    clustering for the rollup key)."""
+    from data_pipeline_spark_spark.operators.dedup import (
+        dedup_substring_spans,
+    )
+
+    assert shuffle_count(dedup_substring_spans(spark, sf_dir)) == 2
+
+
 def test_q6_filters_reach_scan(spark, sf_dir):
     """tpch_q6 is the predicate-pushdown story: the shipdate range
     and quantity bound must reach the parquet scan as PushedFilters

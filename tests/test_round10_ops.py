@@ -278,3 +278,89 @@ def test_shuffle_deterministic_is_balanced_permutation(spark, sf_dir):
     assert max(sizes) - min(sizes) <= 1
     for poss in shards.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup: maximal duplicated spans
+# ---------------------------------------------------------------------------
+
+
+def _reference_spans(docs, w):
+    """Literal ExactSubstr fold: count every w-window's text across
+    the corpus, flag starts whose window occurs >=2 times anywhere,
+    merge starts whose gap <= w into maximal intervals."""
+    from collections import Counter
+
+    counts = Counter()
+    for tk in docs:
+        for i in range(len(tk) - w + 1):
+            counts[" ".join(tk[i:i + w])] += 1
+    expect = set()
+    for d_id, tk in enumerate(docs):
+        starts = [
+            i + 1
+            for i in range(len(tk) - w + 1)
+            if counts[" ".join(tk[i:i + w])] >= 2
+        ]
+        groups = []
+        for s in starts:
+            if groups and s - groups[-1][-1] <= w:
+                groups[-1].append(s)
+            else:
+                groups.append([s])
+        for g in groups:
+            expect.add((d_id, g[0], g[-1] + w - 1, len(g)))
+    return expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=14),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_substring_spans_match_reference(spark, docs):
+    """Differential: substring_spans_of vs the literal fold, on tiny
+    two-token-alphabet corpora where duplicated windows are dense —
+    stresses within-doc repeats (Lee et al count those), island
+    merging across overlapping and contiguous windows, and gap
+    breaks."""
+    from data_pipeline_spark_spark.operators.dedup import (
+        substring_spans_of,
+    )
+
+    w = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in substring_spans_of(df, w, width=4).collect()
+    }
+    assert got == _reference_spans(docs, w)
+
+
+def test_substring_spans_crafted_cases(spark):
+    """Anchors: a cross-doc shared prefix yields one span per doc; a
+    within-doc repeated block yields ONE merged island (the two
+    occurrences' windows are within gap w); unique docs yield
+    nothing."""
+    from data_pipeline_spark_spark.operators.dedup import (
+        substring_spans_of,
+    )
+
+    docs = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d q r s t"),
+        (2, "m n o p m n o p"),
+        (3, "u v w x y z zz zzz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in substring_spans_of(df, 4, width=4).collect()
+    }
+    assert got == {(0, 1, 4, 1), (1, 1, 4, 1), (2, 1, 8, 2)}
