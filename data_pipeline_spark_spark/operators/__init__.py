@@ -100,6 +100,7 @@ _ROUND10_PRIORITY = [
     "corpus_mix_temperature",
     "corpus_shuffle_deterministic",
     "dedup_substring_spans",
+    "dedup_substring_apply",
     # (c) last green row r07 — production path first; the front-50
     # boundary falls inside this block
     "dedup_exact",

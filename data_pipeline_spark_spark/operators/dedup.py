@@ -1161,6 +1161,126 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_spans_of(d, _SPAN_W, adaptive_shuffle_width(d))
 
 
+_SUBSTR_APPLY_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i:i+{_SPAN_W - 1}], ' ')) AS h
+      FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_W - 1})) AS u(i)
+      WHERE len(t) >= {_SPAN_W}
+    ),
+    dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) >= 2),
+    flagged AS (
+      SELECT s.doc_id, s.i,
+             lag(s.i) OVER (PARTITION BY s.doc_id ORDER BY s.i) AS prev
+      FROM spans s JOIN dup USING (h)
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN i - prev > {_SPAN_W} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    cuts AS (
+      SELECT doc_id,
+             list({{'s': s, 'e': e}}) AS cuts
+      FROM (SELECT doc_id, MIN(i) AS s, MAX(i) + {_SPAN_W - 1} AS e
+            FROM isl GROUP BY doc_id, island)
+      GROUP BY doc_id
+    ),
+    applied AS (
+      SELECT tk.doc_id,
+             len(tk.t) AS n_tokens,
+             list_filter(
+               range(1, len(tk.t) + 1),
+               i -> len(list_filter(COALESCE(c.cuts, []),
+                                    x -> i >= x.s AND i <= x.e)) = 0
+             ) AS keep
+      FROM toks tk LEFT JOIN cuts c ON tk.doc_id = c.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - len(keep) AS BIGINT) AS n_removed,
+           -- COALESCE: DuckDB's array_to_string([]) is NULL where
+           -- Spark's array_join([]) is '' (a fully-removed document)
+           md5(COALESCE(
+             array_to_string(list_transform(keep, i -> t[i]), ' '), ''))
+             AS kept_md5
+    FROM applied JOIN toks USING (doc_id)
+"""
+
+
+def substring_apply_of(d: DataFrame, w: int, width: int = 32) -> DataFrame:
+    """Apply the [[substring_spans_of]] cut-list: remove every
+    token position covered by a maximal duplicated interval and
+    rebuild each document — the REMOVAL half of Lee et al. 2022's
+    ExactSubstr (the spans key is the analysis half). Output
+    (doc_id, n_tokens, n_removed, kept_md5): the md5 of the
+    rebuilt text keeps the oracle row narrow while still proving
+    byte-identical reconstruction cross-engine. Module-level so the
+    hypothesis differential exercises the SAME pipeline at a small
+    ``w``.
+
+    Scale shape: the cut-list rides the spans pipeline's doc_id
+    clustering into a per-doc collect_list (no new exchange), is
+    LEFT-joined back to the token stream, and the removal itself is
+    pure whole-stage-codegen higher-order functions — filter a
+    position sequence through an exists() over the (tiny, per-doc)
+    interval array, then transform/array_join to rebuild. No Python
+    touches a row; untouched documents pass through with
+    n_removed = 0 via the coalesced empty cut array."""
+    spans = substring_spans_of(d, w, width)
+    cuts = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("cuts")
+    )
+    t = F.split("text", " ")
+    covered = lambda i: F.exists(  # noqa: E731
+        "cuts",
+        lambda c: (i >= c["span_start"]) & (i <= c["span_end"]),
+    )
+    keep = F.filter(
+        F.sequence(F.lit(1), F.size("t")),
+        lambda i: ~covered(i),
+    )
+    return (
+        d.select("doc_id", t.alias("t"))
+        .join(cuts, "doc_id", "left")
+        .withColumn("cuts", F.coalesce("cuts", F.array()))
+        .select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            keep.alias("keep"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.size("keep")).cast("bigint").alias(
+                "n_removed"
+            ),
+            F.md5(
+                F.array_join(
+                    F.transform("keep", lambda i: F.element_at("t", i)),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+    )
+
+
+@query("dedup_substring_apply", oracle=_SUBSTR_APPLY_SQL)
+def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal over the documents table — see
+    [[substring_apply_of]] for semantics and the scale argument."""
+    from ..session import adaptive_shuffle_width
+
+    d = load(spark, sf_dir, "documents")
+    return substring_apply_of(d, _SPAN_W, adaptive_shuffle_width(d))
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup): embedding-cluster-bucketed near-dup
 # ---------------------------------------------------------------------------

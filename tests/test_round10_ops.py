@@ -364,3 +364,53 @@ def test_substring_spans_crafted_cases(spark):
         for r in substring_spans_of(df, 4, width=4).collect()
     }
     assert got == {(0, 1, 4, 1), (1, 1, 4, 1), (2, 1, 8, 2)}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=14),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_substring_apply_matches_reference(spark, docs):
+    """Differential for the removal half: every position covered by
+    a maximal duplicated interval is cut and the rebuilt text's md5
+    matches a literal python rebuild — including fully-removed
+    documents (md5('')) and untouched ones (n_removed = 0)."""
+    import hashlib
+
+    from data_pipeline_spark_spark.operators.dedup import (
+        substring_apply_of,
+    )
+
+    w = 3
+    spans = _reference_spans(docs, w)
+    expect = {}
+    for d_id, raw in enumerate(docs):
+        # derive tokens the way both engines do: split the text
+        # string, so an empty doc is [''] (one empty token), not []
+        tk = " ".join(raw).split(" ")
+        cut = set()
+        for sd, s, e, _ in spans:
+            if sd == d_id:
+                cut.update(range(s, e + 1))
+        kept = " ".join(
+            tok for i, tok in enumerate(tk, 1) if i not in cut
+        )
+        expect[d_id] = (
+            len(tk),
+            len(cut & set(range(1, len(tk) + 1))),
+            hashlib.md5(kept.encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.kept_md5)
+        for r in substring_apply_of(df, w, width=4).collect()
+    }
+    assert got == expect
