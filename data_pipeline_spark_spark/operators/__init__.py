@@ -101,6 +101,8 @@ _ROUND10_PRIORITY = [
     "corpus_shuffle_deterministic",
     "dedup_substring_spans",
     "dedup_substring_apply",
+    "quality_classifier_nb",
+    "corpus_dsir_select",
     # (c) last green row r07 — production path first; the front-50
     # boundary falls inside this block
     "dedup_exact",

@@ -691,3 +691,196 @@ def corpus_shuffle_deterministic(
 corpus_shuffle_deterministic.__doc__ = (
     corpus_shuffle_deterministic.__doc__.replace("{n}", str(_SHUFFLE_SHARDS))
 )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+#: Hashed-feature dimension for [[corpus_dsir_select]] — small enough
+#: that distinct bigrams genuinely collide (the hashing IS the
+#: technique: the model is a fixed-width count vector, not a
+#: vocabulary), large enough that the weights stay informative.
+_DSIR_BUCKETS = 256
+
+#: Fraction of the corpus the resampling keeps, in percent.
+_DSIR_KEEP_PCT = 25
+
+_DSIR_SQL = f"""
+    WITH lab AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             string_split(text, ' ') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, pos,
+             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1]), 1, 8))
+                  AS BIGINT) % {_DSIR_BUCKETS} AS b
+      FROM lab, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    bc AS (
+      SELECT b,
+             CAST(round(ln(SUM(pos) + 1) * 1000000) AS BIGINT)
+               - CAST(round(ln(COUNT(*) + 1) * 1000000) AS BIGINT) AS w6
+      FROM feats GROUP BY b
+    ),
+    norm AS (
+      SELECT CAST(round(ln(SUM(pos) + {_DSIR_BUCKETS}) * 1000000)
+                  AS BIGINT)
+               - CAST(round(ln(COUNT(*) + {_DSIR_BUCKETS}) * 1000000)
+                      AS BIGINT) AS z6
+      FROM feats
+    ),
+    perdoc AS (
+      SELECT f.doc_id, COUNT(*) AS n_feats,
+             CAST(SUM(w6) AS BIGINT) AS sum_w6
+      FROM feats f JOIN bc USING (b) GROUP BY f.doc_id
+    ),
+    scored AS (
+      SELECT l.doc_id, l.lang,
+             CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+             CAST(COALESCE(p.sum_w6, 0) AS BIGINT) AS sum_w6,
+             COALESCE(p.sum_w6, 0)
+               - COALESCE(p.n_feats, 0) * norm.z6 AS m6
+      FROM lab l LEFT JOIN perdoc p USING (doc_id), norm
+    ),
+    k AS (SELECT COUNT(*) * {_DSIR_KEEP_PCT} // 100 AS k FROM documents)
+    SELECT doc_id, lang, n_feats, sum_w6,
+           CAST(m6 AS DOUBLE) / 1000000.0 AS log_importance
+    FROM (SELECT *, row_number() OVER (ORDER BY m6 DESC, doc_id) AS rnk
+          FROM scored), k
+    WHERE rnk <= k.k
+"""
+
+
+@query("corpus_dsir_select", oracle=_DSIR_SQL)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023) — pick the raw-corpus slice that looks most like a target
+    domain, using HASHED n-gram features exactly as the paper does:
+    every word bigram hashes into a fixed ``_DSIR_BUCKETS``-wide
+    count vector (collisions are intentional — the model is a
+    fixed-width vector, never a vocabulary), the importance weight of
+    a bucket is the smoothed log-ratio of its target-vs-raw
+    occurrence probability, a document's log importance is the sum
+    over its bigrams, and the top ``_DSIR_KEEP_PCT`` % by importance
+    (ties broken by doc_id) is the selected training slice. Target
+    here = ``lang = 'en'`` (standing in for the paper's Wikipedia
+    pile); raw = the whole corpus.
+
+    Cross-engine exactness: the bucket hash is the first 8 hex chars
+    of md5 parsed as an integer — bit-identical in Spark
+    (``conv(substr(md5(g),1,8),16,10)``) and DuckDB
+    (``CAST('0x'||substr(md5(g),1,8) AS BIGINT)``), unlike xxhash64
+    which only Spark exposes; every ln takes an integer argument and
+    quantizes once to micro-nat BIGINTs (the
+    [[quality_unigram_logprob]] treatment); ranking runs on the exact
+    integer margin m6, BEFORE the one cosmetic double division.
+
+    Scale shape: featurizing is an in-row generator expansion (no
+    shuffle); training is ONE map-side-combined count shuffle whose
+    state is the fixed 256-row bucket table — broadcast back, so the
+    corpus-proportional feature stream is never shuffled; scoring is
+    the per-doc rollup. The top-k is the only global exchange — a
+    single-partition row_number at fixture scale; at 100 TB replace
+    it with an approx-quantile importance threshold + broadcast
+    range filter (same slice, no global sort), the
+    [[quality_decile_report]] scale path."""
+    return dsir_select_of(
+        fan_out(load(spark, sf_dir, "documents")).select(
+            "doc_id",
+            "lang",
+            "text",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+    )
+
+
+def dsir_select_of(
+    lab: DataFrame,
+    buckets: int = _DSIR_BUCKETS,
+    keep_pct: int = _DSIR_KEEP_PCT,
+) -> DataFrame:
+    """The DSIR score-and-select over any labeled ``(doc_id, lang,
+    text, pos)`` frame — module-level so the hypothesis differential
+    test runs the SAME fold the registered query runs."""
+    from pyspark.sql import Window as W
+
+    def _r6(col):
+        return F.round(F.log(col) * 1000000).cast("bigint")
+
+    feats = lab.select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+                " transform(sequence(0, size(split(text, ' ')) - 2),"
+                "  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "pos",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint")
+            % buckets
+        ).alias("b"),
+    )
+    bucket_cnt = (
+        feats.groupBy("b")
+        .agg(F.sum("pos").alias("ct"), F.count("*").alias("craw"))
+        .localCheckpoint(eager=False)
+    )
+    bc = bucket_cnt.select(
+        "b", (_r6(F.col("ct") + 1) - _r6(F.col("craw") + 1)).alias("w6")
+    )
+    norm = bucket_cnt.agg(
+        F.sum("ct").alias("nt"), F.sum("craw").alias("nr")
+    ).select(
+        (_r6(F.col("nt") + buckets) - _r6(F.col("nr") + buckets)).alias("z6")
+    )
+    perdoc = (
+        feats.join(F.broadcast(bc), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("w6").cast("bigint").alias("sum_w6"),
+        )
+    )
+    k = lab.agg(
+        (F.count("*") * keep_pct).cast("bigint").alias("k100")
+    ).select((F.col("k100") / 100).cast("bigint").alias("k"))
+    scored = (
+        lab.select("doc_id", "lang")
+        .join(perdoc, "doc_id", "left")
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce("sum_w6", F.lit(0)).cast("bigint").alias("sum_w6"),
+            (
+                F.coalesce("sum_w6", F.lit(0))
+                - F.coalesce("n_feats", F.lit(0)) * F.col("z6")
+            ).alias("m6"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.col("m6").desc(), F.col("doc_id").asc())
+        ),
+    ).crossJoin(F.broadcast(k))
+    return ranked.filter(F.col("rnk") <= F.col("k")).select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "sum_w6",
+        (F.col("m6").cast("double") / F.lit(1000000.0)).alias(
+            "log_importance"
+        ),
+    )

@@ -832,3 +832,151 @@ def quality_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# trained quality classifier (multinomial Naive Bayes log-odds)
+# ---------------------------------------------------------------------------
+
+_NB_SQL = """
+    WITH lab AS (
+      SELECT doc_id, text,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    tokens AS (
+      SELECT doc_id, pos, unnest(string_split(text, ' ')) AS term
+      FROM lab
+    ),
+    vocab AS (
+      SELECT term,
+             CAST(round(ln(SUM(pos) + 1) * 1000000) AS BIGINT)
+               - CAST(round(ln(SUM(1 - pos) + 1) * 1000000) AS BIGINT)
+               AS w6
+      FROM tokens GROUP BY term
+    ),
+    norm AS (
+      SELECT CAST(round(ln(SUM(pos)
+                           + (SELECT COUNT(*) FROM vocab)) * 1000000)
+                  AS BIGINT)
+               - CAST(round(ln(SUM(1 - pos)
+                               + (SELECT COUNT(*) FROM vocab)) * 1000000)
+                      AS BIGINT) AS z6
+      FROM tokens
+    ),
+    prior AS (
+      SELECT CAST(round(ln(SUM(pos)) * 1000000) AS BIGINT)
+               - CAST(round(ln(SUM(1 - pos)) * 1000000) AS BIGINT) AS p6
+      FROM lab
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(v.w6) AS BIGINT) AS sum_w6,
+           CAST(SUM(v.w6) - COUNT(*) * norm.z6 + prior.p6 AS DOUBLE)
+             / 1000000.0 AS nb_logodds,
+           CASE WHEN SUM(v.w6) - COUNT(*) * norm.z6 + prior.p6 > 0
+                THEN 1 ELSE 0 END AS pred_target
+    FROM tokens t JOIN vocab v USING (term), norm, prior
+    GROUP BY t.doc_id, norm.z6, prior.p6
+"""
+
+
+@query("quality_classifier_nb", oracle=_NB_SQL)
+def quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier — the GPT-3/CCNet pipeline step the
+    heuristic gates ([[quality_score]]) and the unigram LM
+    ([[quality_unigram_logprob]]) lead up to: train a multinomial
+    Naive Bayes model against a reference "target" slice (here
+    ``lang = 'en'`` stands in for the curated high-quality corpus)
+    and score EVERY document by its token log-odds
+
+        logodds(d) = Σ_t [ln(c_pos(t)+1) − ln(c_neg(t)+1)]
+                     − n_d·[ln(N_pos+V) − ln(N_neg+V)]
+                     + ln(D_pos) − ln(D_neg)
+
+    (add-one smoothing over the shared vocabulary V; the bracketed
+    per-token weight is exactly the linear fastText-style filter
+    weight, trained in-engine with one aggregation instead of SGD).
+    ``pred_target`` is the sign of the log-odds.
+
+    Cross-engine exactness (the [[quality_unigram_logprob]] ln
+    treatment): every ln takes an INTEGER argument and is quantized
+    once per distinct value to micro-nats (round(ln(k)·1e6) —
+    BIGINT); per-document accumulation is a pure BIGINT sum, and the
+    one double division at the end is the same IEEE operation in both
+    engines. The sign test runs on the exact integers, BEFORE any
+    float appears.
+
+    Scale shape: training is ONE map-side-combined term-count shuffle
+    with two conditional sums (vocabulary-sized state — the model IS
+    the w6 column); the two normalizer frames are 1-row broadcasts;
+    scoring BROADCAST-joins the model onto the token scan, so the
+    corpus-proportional token stream is never shuffled — the only
+    data-proportional exchange is the per-doc rollup, partially
+    aggregated map-side. Retraining on a new reference slice is the
+    same plan with a different label predicate."""
+    return nb_quality_scores_of(
+        fan_out(load(spark, sf_dir, "documents")).select(
+            "doc_id",
+            "text",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+    )
+
+
+def nb_quality_scores_of(lab: DataFrame) -> DataFrame:
+    """The Naive Bayes train+score aggregation over any labeled
+    ``(doc_id, text, pos)`` frame — module-level so the hypothesis
+    differential test runs the SAME fold the registered query runs.
+    Requires at least one document in each class (``ln(D)`` of an
+    empty class is the usual NB degenerate case — a production run
+    validates its reference slice first)."""
+
+    def _r6(col):
+        return F.round(F.log(col) * 1000000).cast("bigint")
+
+    toks = lab.select(
+        "doc_id", "pos", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab_cnt = (
+        toks.groupBy("term")
+        .agg(
+            F.sum("pos").alias("cpos"),
+            F.sum(1 - F.col("pos")).alias("cneg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    vocab = vocab_cnt.select(
+        "term",
+        (_r6(F.col("cpos") + 1) - _r6(F.col("cneg") + 1)).alias("w6"),
+    )
+    norm = vocab_cnt.agg(
+        F.sum("cpos").alias("npos"),
+        F.sum("cneg").alias("nneg"),
+        F.count("*").alias("v"),
+    ).select(
+        (_r6(F.col("npos") + F.col("v")) - _r6(F.col("nneg") + F.col("v")))
+        .alias("z6")
+    )
+    prior = lab.agg(
+        F.sum("pos").alias("dpos"),
+        F.sum(1 - F.col("pos")).alias("dneg"),
+    ).select((_r6("dpos") - _r6("dneg")).alias("p6"))
+    scored = (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(prior))
+    )
+    margin = (
+        F.sum("w6") - F.count("*") * F.first("z6") + F.first("p6")
+    )
+    return (
+        scored.groupBy("doc_id", "z6", "p6")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w6").cast("bigint").alias("sum_w6"),
+            (margin.cast("double") / F.lit(1000000.0)).alias("nb_logodds"),
+            F.when(margin > 0, 1).otherwise(0).alias("pred_target"),
+        )
+        .drop("z6", "p6")
+    )

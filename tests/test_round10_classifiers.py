@@ -1,0 +1,260 @@
+"""Round-10 classifier-family additions: the trained Naive Bayes
+quality classifier (quality_classifier_nb) and DSIR importance
+resampling (corpus_dsir_select). Each key ships the differential trio
+— a hypothesis differential against a literal-semantics python fold,
+a plan-shape guard, and the behavioral contract the technique exists
+for (the selected slice must actually skew toward the target).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import assume, given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_spark_spark.operators.corpus import (
+    _DSIR_BUCKETS,
+    _DSIR_KEEP_PCT,
+    dsir_select_of,
+)
+from data_pipeline_spark_spark.operators.text import nb_quality_scores_of
+
+
+def _r6(k: int) -> int:
+    """round(ln(k)·1e6) with Spark F.round double semantics: HALF_UP
+    on the shortest decimal repr (BigDecimal.valueOf)."""
+    return int(
+        Decimal(repr(math.log(k) * 1000000.0)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes quality classifier
+# ---------------------------------------------------------------------------
+
+_DOCS = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=1,
+            max_size=10,
+        ),
+        st.booleans(),
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+def _nb_reference(labeled):
+    """Literal NB fold mirroring the documented semantics with no
+    DataFrame machinery: token = split(' ') (so an empty text is one
+    '' token, exactly as both engines split), add-one smoothing over
+    the shared vocabulary, micro-nat quantization once per distinct
+    integer, BIGINT accumulation, one final float division."""
+    cpos: Counter = Counter()
+    cneg: Counter = Counter()
+    for text, pos in labeled:
+        for t in text.split(" "):
+            (cpos if pos else cneg)[t] += 1
+    vocab = set(cpos) | set(cneg)
+    v = len(vocab)
+    npos = sum(cpos.values())
+    nneg = sum(cneg.values())
+    dpos = sum(1 for _, p in labeled if p)
+    dneg = len(labeled) - dpos
+    z6 = _r6(npos + v) - _r6(nneg + v)
+    p6 = _r6(dpos) - _r6(dneg)
+    out = {}
+    for i, (text, _) in enumerate(labeled):
+        toks = text.split(" ")
+        sum_w6 = sum(
+            _r6(cpos[t] + 1) - _r6(cneg[t] + 1) for t in toks
+        )
+        m = sum_w6 - len(toks) * z6 + p6
+        out[i] = (
+            len(toks),
+            sum_w6,
+            float(m) / 1000000.0,
+            1 if m > 0 else 0,
+        )
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(_DOCS)
+def test_nb_scores_match_reference(spark, docs):
+    """Differential for quality_classifier_nb: random two-class
+    corpora over a 5-token alphabet vs a literal python NB fold —
+    n_tokens, the exact integer weight sum, the log-odds double, and
+    the sign prediction must all match."""
+    assume(any(p for _, p in docs) and any(not p for _, p in docs))
+    labeled = [(" ".join(toks), pos) for toks, pos in docs]
+    expect = _nb_reference(labeled)
+    df = spark.createDataFrame(
+        [(i, t, 1 if p else 0) for i, (t, p) in enumerate(labeled)],
+        "doc_id long, text string, pos int",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_w6, r.nb_logodds, r.pred_target)
+        for r in nb_quality_scores_of(df).collect()
+    }
+    assert got == expect
+
+
+def test_nb_plan_shape(spark, sf_dir):
+    """The model attaches to the token stream as a BROADCAST join —
+    the corpus-proportional explode must never reach a sort-merge
+    exchange, and no join may degenerate to a cartesian product."""
+    from data_pipeline_spark_spark.operators.text import (
+        quality_classifier_nb,
+    )
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        has_broadcast_join,
+    )
+
+    df = quality_classifier_nb(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_nb_separates_the_training_classes(spark, sf_dir):
+    """The behavioral contract: scored on its own training corpus,
+    the classifier must rank the target slice above the rest — the
+    mean log-odds of lang='en' documents exceeds the mean of the
+    others (if it didn't, the weights would be noise)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.text import (
+        quality_classifier_nb,
+    )
+
+    scores = quality_classifier_nb(spark, sf_dir)
+    labeled = scores.join(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    )
+    row = labeled.agg(
+        F.avg(F.when(F.col("lang") == "en", F.col("nb_logodds"))).alias(
+            "pos_mean"
+        ),
+        F.avg(F.when(F.col("lang") != "en", F.col("nb_logodds"))).alias(
+            "neg_mean"
+        ),
+    ).collect()[0]
+    assert row.pos_mean > row.neg_mean, (row.pos_mean, row.neg_mean)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def _dsir_reference(labeled, buckets, keep_pct):
+    """Literal DSIR fold: hashed-bigram bucket counts (bucket = first
+    8 md5 hex chars as an int, mod the fixed dimension), smoothed
+    micro-nat log-ratio weights, per-doc integer margins, top-k by
+    (margin desc, doc_id asc) with k = n·pct//100."""
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % buckets
+
+    ct: Counter = Counter()
+    craw: Counter = Counter()
+    perdoc = {}
+    for i, (text, pos) in enumerate(labeled):
+        toks = text.split(" ")
+        bs = [
+            bucket(f"{toks[j]} {toks[j + 1]}")
+            for j in range(len(toks) - 1)
+        ]
+        perdoc[i] = bs
+        for b in bs:
+            craw[b] += 1
+            if pos:
+                ct[b] += 1
+    nt = sum(ct.values())
+    nr = sum(craw.values())
+    z6 = _r6(nt + buckets) - _r6(nr + buckets)
+    scored = []
+    for i, bs in perdoc.items():
+        sum_w6 = sum(_r6(ct[b] + 1) - _r6(craw[b] + 1) for b in bs)
+        m6 = sum_w6 - len(bs) * z6
+        scored.append((i, len(bs), sum_w6, m6))
+    k = len(labeled) * keep_pct // 100
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    return {
+        i: (nf, sw, float(m6) / 1000000.0)
+        for i, nf, sw, m6 in scored[:k]
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(_DOCS)
+def test_dsir_select_matches_reference(spark, docs):
+    """Differential for corpus_dsir_select: random labeled corpora vs
+    a literal python DSIR fold — the selected doc set, each feature
+    count, the exact integer weight sum, and the importance double
+    must all match (single-token docs exercise the zero-feature
+    branch; n < 4 exercises the empty-selection branch)."""
+    labeled = [(" ".join(toks), pos) for toks, pos in docs]
+    expect = _dsir_reference(labeled, _DSIR_BUCKETS, _DSIR_KEEP_PCT)
+    df = spark.createDataFrame(
+        [
+            (i, "en" if p else "xx", t, 1 if p else 0)
+            for i, (t, p) in enumerate(labeled)
+        ],
+        "doc_id long, lang string, text string, pos int",
+    )
+    got = {
+        r.doc_id: (r.n_feats, r.sum_w6, r.log_importance)
+        for r in dsir_select_of(df).collect()
+    }
+    assert got == expect
+
+
+def test_dsir_plan_shape(spark, sf_dir):
+    """The 256-row bucket model and the two scalar frames attach as
+    broadcasts; the corpus-proportional feature stream must never
+    reach a sort-merge exchange before its per-doc rollup."""
+    from data_pipeline_spark_spark.operators.corpus import (
+        corpus_dsir_select,
+    )
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        has_broadcast_join,
+    )
+
+    df = corpus_dsir_select(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df)
+
+
+def test_dsir_selection_skews_toward_target(spark, sf_dir):
+    """The behavioral contract (the paper's Figure-1 claim): the
+    selected slice's target-language share must exceed the raw
+    corpus's share, and the slice size is exactly n·pct//100."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.corpus import (
+        corpus_dsir_select,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    raw_share = d.filter(F.col("lang") == "en").count() / n
+    sel = corpus_dsir_select(spark, sf_dir).collect()
+    assert len(sel) == n * _DSIR_KEEP_PCT // 100
+    sel_share = sum(1 for r in sel if r.lang == "en") / len(sel)
+    assert sel_share > raw_share, (sel_share, raw_share)
