@@ -779,15 +779,20 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     [[quality_unigram_logprob]] treatment); ranking runs on the exact
     integer margin m6, BEFORE the one cosmetic double division.
 
-    Scale shape: featurizing is an in-row generator expansion (no
-    shuffle); training is ONE map-side-combined count shuffle whose
-    state is the fixed 256-row bucket table — broadcast back, so the
-    corpus-proportional feature stream is never shuffled; scoring is
-    the per-doc rollup. The top-k is the only global exchange — a
-    single-partition row_number at fixture scale; at 100 TB replace
-    it with an approx-quantile importance threshold + broadcast
-    range filter (same slice, no global sort), the
-    [[quality_decile_report]] scale path."""
+    Scale shape: featurizing is an in-row generator expansion into a
+    per-doc bucket ARRAY (computed once, lazily checkpointed —
+    8-byte ints, smaller state than rerunning split+md5 twice);
+    training is ONE map-side-combined count shuffle whose state is
+    the fixed 256-row bucket table; and because that model is
+    fixed-width by construction it travels back as a single map
+    column in a 1-row broadcast, so scoring is an in-row
+    ``aggregate`` fold — the corpus-proportional feature stream is
+    NEVER shuffled, neither into a join nor into a per-doc rollup.
+    The top-k is the only global exchange — a single-partition
+    row_number at fixture scale; at 100 TB replace it with an
+    approx-quantile importance threshold + broadcast range filter
+    (same slice, no global sort), the [[quality_decile_report]]
+    scale path."""
     return dsir_select_of(
         fan_out(load(spark, sf_dir, "documents")).select(
             "doc_id",
@@ -805,68 +810,79 @@ def dsir_select_of(
 ) -> DataFrame:
     """The DSIR score-and-select over any labeled ``(doc_id, lang,
     text, pos)`` frame — module-level so the hypothesis differential
-    test runs the SAME fold the registered query runs."""
+    test runs the SAME fold the registered query runs.
+
+    The fixed model width is what the plan exploits: because the
+    model is ≤``buckets`` (b, w6) rows BY CONSTRUCTION — never
+    vocabulary-sized — the whole model travels as ONE map column in a
+    1-row broadcast, and scoring is an in-row ``aggregate`` fold over
+    each document's bucket array: the corpus-proportional feature
+    stream is never exploded into a join and never shuffled into a
+    per-doc rollup. (The NB classifier can't do this — its model IS
+    the vocabulary, so it broadcast-JOINS the token scan instead.)
+    The bucket arrays are computed once and lazily checkpointed:
+    8-byte ints per bigram is cheaper state than re-running split +
+    md5 over the text for the train and score passes separately."""
     from pyspark.sql import Window as W
 
     def _r6(col):
         return F.round(F.log(col) * 1000000).cast("bigint")
 
-    feats = lab.select(
+    docs_b = lab.select(
         "doc_id",
+        "lang",
         "pos",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
-                " transform(sequence(0, size(split(text, ' ')) - 2),"
-                "  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))"
-                " ELSE array() END"
-            )
-        ).alias("g"),
-    ).select(
-        "doc_id",
-        "pos",
-        (
-            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint")
-            % buckets
-        ).alias("b"),
-    )
+        F.expr(
+            "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+            " transform(sequence(0, size(split(text, ' ')) - 2),"
+            "  i -> CAST(conv(substring(md5(concat_ws(' ',"
+            "         slice(split(text, ' '), i + 1, 2))), 1, 8),"
+            "         16, 10) AS BIGINT)"
+            f"       % {int(buckets)})"
+            " ELSE array() END"
+        ).alias("bs"),
+    ).localCheckpoint(eager=False)
     bucket_cnt = (
-        feats.groupBy("b")
+        docs_b.select("pos", F.explode("bs").alias("b"))
+        .groupBy("b")
         .agg(F.sum("pos").alias("ct"), F.count("*").alias("craw"))
-        .localCheckpoint(eager=False)
     )
-    bc = bucket_cnt.select(
-        "b", (_r6(F.col("ct") + 1) - _r6(F.col("craw") + 1)).alias("w6")
+    # the ENTIRE model — 256 bucket weights plus the normalizer — as
+    # one broadcastable row
+    model = bucket_cnt.select(
+        "b",
+        (_r6(F.col("ct") + 1) - _r6(F.col("craw") + 1)).alias("w6"),
+        "ct",
+        "craw",
+    ).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("w6")))
+        ).alias("wm"),
+        (
+            _r6(F.sum("ct") + buckets) - _r6(F.sum("craw") + buckets)
+        ).alias("z6"),
     )
-    norm = bucket_cnt.agg(
-        F.sum("ct").alias("nt"), F.sum("craw").alias("nr")
-    ).select(
-        (_r6(F.col("nt") + buckets) - _r6(F.col("nr") + buckets)).alias("z6")
-    )
-    perdoc = (
-        feats.join(F.broadcast(bc), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_feats"),
-            F.sum("w6").cast("bigint").alias("sum_w6"),
-        )
-    )
-    k = lab.agg(
+    k = docs_b.agg(
         (F.count("*") * keep_pct).cast("bigint").alias("k100")
     ).select((F.col("k100") / 100).cast("bigint").alias("k"))
     scored = (
-        lab.select("doc_id", "lang")
-        .join(perdoc, "doc_id", "left")
-        .crossJoin(F.broadcast(norm))
+        docs_b.crossJoin(F.broadcast(model))
         .select(
             "doc_id",
             "lang",
-            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
-            F.coalesce("sum_w6", F.lit(0)).cast("bigint").alias("sum_w6"),
-            (
-                F.coalesce("sum_w6", F.lit(0))
-                - F.coalesce("n_feats", F.lit(0)) * F.col("z6")
-            ).alias("m6"),
+            F.size("bs").cast("bigint").alias("n_feats"),
+            F.expr(
+                "CAST(aggregate(bs, 0L, (acc, b) -> acc + wm[b])"
+                " AS BIGINT)"
+            ).alias("sum_w6"),
+            "z6",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            "sum_w6",
+            (F.col("sum_w6") - F.col("n_feats") * F.col("z6")).alias("m6"),
         )
     )
     ranked = scored.withColumn(

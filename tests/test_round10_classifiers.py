@@ -223,21 +223,22 @@ def test_dsir_select_matches_reference(spark, docs):
 
 
 def test_dsir_plan_shape(spark, sf_dir):
-    """The 256-row bucket model and the two scalar frames attach as
-    broadcasts; the corpus-proportional feature stream must never
-    reach a sort-merge exchange before its per-doc rollup."""
+    """The model travels as a 1-row broadcast map column and scoring
+    is an in-row fold: the plan must contain NO hash/sort-merge join
+    at all (the only joins are 1-row broadcast nested-loop
+    crossJoins) and no cartesian product — the feature stream never
+    reaches a join or a per-doc rollup exchange."""
     from data_pipeline_spark_spark.operators.corpus import (
         corpus_dsir_select,
     )
-    from data_pipeline_spark_spark.plans.analyze import (
-        formatted_plan,
-        has_broadcast_join,
-    )
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
 
     df = corpus_dsir_select(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
-    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
 
 
 def test_dsir_selection_skews_toward_target(spark, sf_dir):
