@@ -94,6 +94,7 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "tpch_q21_suppliers_who_kept_waiting",
     "agg_weighted_median",
+    "doc_fingerprint_winnow",
 ]
 
 

@@ -103,6 +103,7 @@ _ROUND10_PRIORITY = [
     "dedup_substring_apply",
     "quality_classifier_nb",
     "corpus_dsir_select",
+    "doc_fingerprint_winnow",
     # (c) last green row r07 — production path first; the front-50
     # boundary falls inside this block
     "dedup_exact",

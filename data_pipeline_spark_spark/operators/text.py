@@ -980,3 +980,123 @@ def nb_quality_scores_of(lab: DataFrame) -> DataFrame:
         )
         .drop("z6", "p6")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS local fingerprinting)
+# ---------------------------------------------------------------------------
+
+#: Winnowing parameters: token k-gram size and window width. Any
+#: duplicated token run of length ≥ t = _WIN_W + _WIN_K − 1 (= 7) is
+#: GUARANTEED to share a fingerprint — the paper's correctness bound.
+_WIN_K = 4
+_WIN_W = 4
+
+_WINNOW_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, i,
+             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' '
+                    || t[i+2] || ' ' || t[i+3]), 1, 8)) AS BIGINT) AS h
+      FROM toks, UNNEST(generate_series(1, len(t) - {_WIN_K - 1}))
+             AS u(i)
+      WHERE len(t) >= {_WIN_K}
+    ),
+    wins AS (
+      SELECT doc_id, j
+      FROM toks, UNNEST(generate_series(1,
+             greatest(1, len(t) - {_WIN_K - 1} - {_WIN_W} + 1))) AS u(j)
+      WHERE len(t) >= {_WIN_K}
+    ),
+    sel AS (
+      SELECT w.doc_id, w.j, k.i, k.h,
+             row_number() OVER (PARTITION BY w.doc_id, w.j
+                                ORDER BY k.h ASC, k.i DESC) AS rn
+      FROM wins w JOIN kg k
+        ON k.doc_id = w.doc_id
+       AND k.i >= w.j AND k.i <= w.j + {_WIN_W - 1}
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, i, h FROM sel WHERE rn = 1
+    ),
+    nk AS (SELECT doc_id, COUNT(*) AS n_kgrams FROM kg GROUP BY doc_id)
+    SELECT nk.doc_id, nk.n_kgrams,
+           COUNT(*) AS n_fingerprints,
+           CAST(COUNT(*) AS DOUBLE) / nk.n_kgrams AS fp_density,
+           CAST(SUM(h) AS BIGINT) AS fp_checksum
+    FROM nk JOIN fp USING (doc_id)
+    GROUP BY nk.doc_id, nk.n_kgrams
+"""
+
+
+@query("doc_fingerprint_winnow", oracle=_WINNOW_SQL)
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm), completing the fingerprint family after
+    whole-doc digests ([[doc_fingerprint]]) and rolling hashes
+    ([[doc_fingerprint_rolling]]): hash every token ``_WIN_K``-gram,
+    slide a ``_WIN_W``-wide window over the hash sequence, and keep
+    each window's minimum hash (rightmost on ties); the distinct
+    selected (position, hash) pairs are the fingerprint set. The
+    guarantee that makes it famous: any duplicated run of at least
+    w+k−1 tokens shares a fingerprint between the two copies, at an
+    expected density of only 2/(w+1) — the local, position-robust
+    near-dup signal that whole-doc hashing cannot give. Documents
+    shorter than k tokens have no k-gram and are absent, matching
+    the oracle; shorter than w+k−1 winnow one truncated window.
+
+    Scale shape — the headline fact: winnowing is a PER-DOCUMENT
+    local algorithm, and the plan keeps it that way. Hash sequence,
+    window minima (an ``aggregate`` fold per window with the
+    rightmost-tie rule folded in), dedup, and checksum are ALL
+    in-row higher-order functions in one codegen stage: the operator
+    has ZERO exchanges at any corpus size (the plan-shape test
+    asserts no Exchange node). The oracle states the same semantics
+    relationally (window × k-gram range join + rank) — the shape a
+    non-columnar engine is forced into. Cross-engine exactness: the
+    k-gram hash is the md5-hex-substring integer (bit-identical in
+    both engines, [[corpus_dsir_select]]); counts and the checksum
+    are exact bigints; density is one IEEE division."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    k, w = _WIN_K, _WIN_W
+    # filter BEFORE building the hash sequence: sequence(1, n) with
+    # n < 1 would generate a DESCENDING range, not an empty one
+    hs = d.filter(F.expr(f"size(split(text, ' ')) >= {k}")).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {k - 1}),"
+            f" i -> CAST(conv(substring(md5(concat_ws(' ',"
+            f"        slice(split(text, ' '), i, {k}))), 1, 8),"
+            f"        16, 10) AS BIGINT))"
+        ).alias("hs"),
+    )
+    # per-window rightmost-min selection, then distinct (i, h) pairs
+    # — all in-row; `hs` is 0-indexed inside the lambdas while the
+    # oracle is 1-indexed: only the pair SET's cardinality and the
+    # hash checksum surface, both index-shift-invariant
+    sel = hs.select(
+        "doc_id",
+        F.size("hs").alias("n_kgrams"),
+        F.expr(
+            f"array_distinct(transform("
+            f"  sequence(0, greatest(0, size(hs) - {w})),"
+            f"  j -> aggregate("
+            f"    sequence(j, least(j + {w - 1}, size(hs) - 1)),"
+            f"    named_struct('i', -1, 'h', 9223372036854775807L),"
+            f"    (acc, i) -> IF(hs[i] <= acc.h,"
+            f"      named_struct('i', i, 'h', hs[i]), acc))))"
+        ).alias("fps"),
+    )
+    return sel.select(
+        "doc_id",
+        F.col("n_kgrams").cast("bigint").alias("n_kgrams"),
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        (F.size("fps").cast("double") / F.col("n_kgrams")).alias(
+            "fp_density"
+        ),
+        F.expr(
+            "CAST(aggregate(fps, 0L, (acc, f) -> acc + f.h) AS BIGINT)"
+        ).alias("fp_checksum"),
+    )

@@ -1,9 +1,11 @@
-"""Round-10 classifier-family additions: the trained Naive Bayes
-quality classifier (quality_classifier_nb) and DSIR importance
-resampling (corpus_dsir_select). Each key ships the differential trio
-— a hypothesis differential against a literal-semantics python fold,
-a plan-shape guard, and the behavioral contract the technique exists
-for (the selected slice must actually skew toward the target).
+"""Round-10 classifier/fingerprint additions: the trained Naive Bayes
+quality classifier (quality_classifier_nb), DSIR importance
+resampling (corpus_dsir_select), and winnowing fingerprints
+(doc_fingerprint_winnow). Each key ships the differential trio — a
+hypothesis differential against a literal-semantics python fold, a
+plan-shape guard, and the behavioral contract the technique exists
+for (NB separates its classes, the DSIR slice skews toward the
+target, winnowing's shared-run guarantee holds).
 """
 
 from __future__ import annotations
@@ -259,3 +261,160 @@ def test_dsir_selection_skews_toward_target(spark, sf_dir):
     assert len(sel) == n * _DSIR_KEEP_PCT // 100
     sel_share = sum(1 for r in sel if r.lang == "en") / len(sel)
     assert sel_share > raw_share, (sel_share, raw_share)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _winnow_reference(texts, k, w):
+    """Literal winnowing fold (Schleimer et al. §4): k-gram hashes,
+    per-window rightmost minimum, distinct (position, hash) pairs."""
+
+    def h(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+
+    out = {}
+    for doc_id, text in texts:
+        toks = text.split(" ")
+        if len(toks) < k:
+            continue
+        hs = [
+            h(" ".join(toks[i : i + k]))
+            for i in range(len(toks) - k + 1)
+        ]
+        m = len(hs)
+        fps = set()
+        for j in range(max(1, m - w + 1)):
+            win = hs[j : j + w]
+            best = min(range(len(win)), key=lambda x: (win[x], -x))
+            fps.add((j + best, win[best]))
+        out[doc_id] = (
+            m,
+            len(fps),
+            len(fps) / m,
+            sum(hv for _, hv in fps),
+        )
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=1,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_winnow_matches_reference(spark, docs):
+    """Differential for doc_fingerprint_winnow: small-alphabet docs
+    (maximizing k-gram hash ties, the rightmost-tie rule's only
+    exercise) vs a literal python winnow — k-gram count, fingerprint
+    count, density, and the hash checksum must all match; docs
+    shorter than k are absent from both."""
+    from data_pipeline_spark_spark.operators.text import (
+        _WIN_K,
+        _WIN_W,
+        doc_fingerprint_winnow,
+    )
+
+    texts = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    expect = _winnow_reference(texts, _WIN_K, _WIN_W)
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    df.createOrReplaceTempView("_winnow_diff_docs")
+    # run the registered query's fold via its module path against the
+    # temp frame by monkey-free substitution: rebuild the same select
+    import data_pipeline_spark_spark.operators.text as text_mod
+
+    orig_load, orig_fan = text_mod.load, text_mod.fan_out
+    text_mod.load = lambda s, sf, name: df
+    text_mod.fan_out = lambda d: d
+    try:
+        got = {
+            r.doc_id: (
+                r.n_kgrams,
+                r.n_fingerprints,
+                r.fp_density,
+                r.fp_checksum,
+            )
+            for r in doc_fingerprint_winnow(spark, "ignored").collect()
+        }
+    finally:
+        text_mod.load, text_mod.fan_out = orig_load, orig_fan
+    assert got == expect
+
+
+def test_winnow_plan_has_zero_algorithmic_exchanges(spark, sf_dir):
+    """The headline scale fact: winnowing is a per-document local
+    algorithm and the plan must keep it that way — the ONLY Exchange
+    is fan_out's round-robin input spread (needed because the local
+    fixture is one unsplittable row group; a no-op on a real
+    multi-file scan). No hash repartitioning, no join, no aggregate
+    exchange: hashing, window minima, dedup, and checksum are all
+    in-row higher-order functions."""
+    from data_pipeline_spark_spark.operators.text import (
+        doc_fingerprint_winnow,
+    )
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    plan = formatted_plan(doc_fingerprint_winnow(spark, sf_dir))
+    assert "RoundRobinPartitioning" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Join" not in plan and "Aggregate" not in plan, plan
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """The theorem the algorithm exists for: two documents sharing a
+    token run of length ≥ w+k−1 MUST share at least one fingerprint
+    hash (any shorter shared run may be missed; equal-length runs
+    are guaranteed)."""
+    from data_pipeline_spark_spark.operators.text import (
+        _WIN_K,
+        _WIN_W,
+        doc_fingerprint_winnow,
+    )
+    import data_pipeline_spark_spark.operators.text as text_mod
+
+    t = _WIN_K + _WIN_W - 1
+    shared = " ".join(f"s{i}" for i in range(t))
+    texts = [
+        (0, "x1 x2 x3 " + shared + " y1 y2"),
+        (1, "z1 " + shared + " z2 z3 z4"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    orig_load, orig_fan = text_mod.load, text_mod.fan_out
+    text_mod.load = lambda s, sf, name: df
+    text_mod.fan_out = lambda d: d
+    try:
+        rows = doc_fingerprint_winnow(spark, "ignored").collect()
+    finally:
+        text_mod.load, text_mod.fan_out = orig_load, orig_fan
+    assert len(rows) == 2
+    # re-derive each doc's fingerprint hash sets via the reference
+    # fold and intersect
+    ref = {
+        doc_id: set()
+        for doc_id, _ in texts
+    }
+    for doc_id, text in texts:
+        toks = text.split(" ")
+        hs = [
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + _WIN_K]).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            for i in range(len(toks) - _WIN_K + 1)
+        ]
+        for j in range(max(1, len(hs) - _WIN_W + 1)):
+            win = hs[j : j + _WIN_W]
+            b = min(range(len(win)), key=lambda x: (win[x], -x))
+            ref[doc_id].add(win[b])
+    assert ref[0] & ref[1], "guaranteed shared fingerprint missing"
