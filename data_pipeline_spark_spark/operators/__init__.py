@@ -104,6 +104,7 @@ _ROUND10_PRIORITY = [
     "quality_classifier_nb",
     "corpus_dsir_select",
     "doc_fingerprint_winnow",
+    "tokenizer_bpe_train",
     # (c) last green row r07 — production path first; the front-50
     # boundary falls inside this block
     "dedup_exact",

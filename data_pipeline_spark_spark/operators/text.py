@@ -1100,3 +1100,165 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(aggregate(fps, 0L, (acc, f) -> acc + f.h) AS BIGINT)"
         ).alias("fp_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (byte-pair-encoding merge learning)
+# ---------------------------------------------------------------------------
+
+#: Number of BPE merges the training key learns. Fixed so the SQL
+#: oracle can unroll the loop as CTEs (the [[sim_search_ivfpq_trained]]
+#: treatment of iterative algorithms).
+_BPE_MERGES = 6
+
+
+def _bpe_sql(merges: int) -> str:
+    """Oracle twin of [[tokenizer_bpe_train]]: the merge loop unrolled
+    as CTE triples (pair counts → argmax merge → greedy apply), with
+    the greedy left-to-right merge expressed as a ``list_reduce``
+    string fold — acc ends with '…<sep>p1', so merging is the pure
+    string append acc||p2 (a just-merged symbol can never re-match as
+    p1 of the same pair, since p1p2 = p1 is impossible)."""
+    parts = [
+        """w0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+             array_to_string(string_split(word, ''), ' ') AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word)"""
+    ]
+    for t in range(1, merges + 1):
+        parts.append(
+            f"""p{t} AS (
+      SELECT a[i] AS l, a[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, string_split(syms, ' ') AS a FROM w{t - 1}),
+           UNNEST(generate_series(1, len(a) - 1)) AS u(i)
+      GROUP BY l, r)"""
+        )
+        parts.append(
+            f"""m{t} AS (
+      SELECT l, r, c FROM p{t} ORDER BY c DESC, l, r LIMIT 1)"""
+        )
+        parts.append(
+            f"""w{t} AS (
+      SELECT word, cnt,
+             CASE WHEN m.l IS NULL THEN w.syms
+                  ELSE list_reduce(string_split(w.syms, ' '),
+                    (acc, y) -> CASE
+                      WHEN list_extract(string_split(acc, ' '), -1) = m.l
+                           AND y = m.r
+                      THEN acc || y ELSE acc || ' ' || y END)
+             END AS syms
+      FROM w{t - 1} w LEFT JOIN m{t} m ON TRUE)"""
+        )
+    final = "\n    UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS merge_rank, l AS sym_left,"
+        f" r AS sym_right, c AS pair_count FROM m{t}"
+        for t in range(1, merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+@query("tokenizer_bpe_train", oracle=_bpe_sql(_BPE_MERGES))
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training IN-ENGINE (Sennrich et al. 2016 — the
+    vocabulary-learning step every modern LM tokenizer descends
+    from): start from characters, repeatedly count adjacent symbol
+    pairs over the corpus and merge the most frequent one (ties
+    broken count-desc, then pair lexicographic — a total order), for
+    ``_BPE_MERGES`` fixed iterations. Output is the learned merge
+    table (rank, left symbol, right symbol, pair count) — the
+    artifact a tokenizer ships.
+
+    The classic scale trick is built in: BPE trains on the WORD
+    FREQUENCY DICTIONARY, not the token stream — the single
+    corpus-proportional operation is the initial word count shuffle;
+    every merge iteration then touches only the vocabulary-sized
+    word table (pair counts weighted by word frequency), so the loop
+    cost is independent of corpus size. Each iteration's winning
+    pair attaches as a 1-row broadcast and the greedy left-to-right
+    merge is an in-row fold (acc ends with '…␠p1' ⇒ merging is the
+    pure append acc||p2; a just-merged symbol can never re-match as
+    p1 in the same pass since p1p2 = p1 is impossible — the overlap
+    rule, e.g. 'aaa' merges to ['aa','a'], falls out of the fold).
+    Per-iteration lazy localCheckpoints keep the 6-deep lineage
+    shallow, the [[sim_search_ivfpq_trained]] Lloyd-loop treatment;
+    exactness is trivial — every value is an exact BIGINT count or a
+    string, no floats anywhere. A corpus whose words are all single
+    characters stops merging (empty argmax → word table passes
+    through unchanged, no merge row), matching the oracle's LEFT
+    JOIN ON TRUE."""
+    return bpe_train_of(fan_out(load(spark, sf_dir, "documents")))
+
+
+def bpe_train_of(d: DataFrame, merges: int = _BPE_MERGES) -> DataFrame:
+    """The BPE merge-learning loop over any ``(text, ...)`` frame —
+    module-level so the hypothesis differential test runs the SAME
+    fold the registered query runs."""
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.array_join(F.split("word", ""), " ").alias("syms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    merge_rows = []
+    w = words
+    for t in range(1, merges + 1):
+        pairs = w.filter(F.size(F.split("syms", " ")) >= 2).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(syms, ' ')) - 1),"
+                    " i -> struct(split(syms, ' ')[i-1] AS l,"
+                    "             split(syms, ' ')[i] AS r))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(
+                F.col("p.l").alias("l"), F.col("p.r").alias("r")
+            )
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(t).cast("bigint").alias("merge_rank"),
+                F.col("l").alias("sym_left"),
+                F.col("r").alias("sym_right"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        w = (
+            w.join(F.broadcast(best), F.lit(True), "left")
+            .select(
+                "word",
+                "cnt",
+                F.when(F.col("l").isNull(), F.col("syms"))
+                .otherwise(
+                    F.expr(
+                        "aggregate("
+                        " slice(split(syms, ' '), 2,"
+                        "       size(split(syms, ' ')) - 1),"
+                        " split(syms, ' ')[0],"
+                        " (acc, y) -> IF("
+                        "   element_at(split(acc, ' '), -1) = l AND y = r,"
+                        "   concat(acc, y), concat(acc, ' ', y)))"
+                    )
+                )
+                .alias("syms"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out

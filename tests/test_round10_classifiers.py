@@ -1,11 +1,12 @@
-"""Round-10 classifier/fingerprint additions: the trained Naive Bayes
-quality classifier (quality_classifier_nb), DSIR importance
-resampling (corpus_dsir_select), and winnowing fingerprints
-(doc_fingerprint_winnow). Each key ships the differential trio — a
-hypothesis differential against a literal-semantics python fold, a
-plan-shape guard, and the behavioral contract the technique exists
-for (NB separates its classes, the DSIR slice skews toward the
-target, winnowing's shared-run guarantee holds).
+"""Round-10 trained-artifact additions: the Naive Bayes quality
+classifier (quality_classifier_nb), DSIR importance resampling
+(corpus_dsir_select), winnowing fingerprints (doc_fingerprint_winnow),
+and in-engine BPE tokenizer training (tokenizer_bpe_train). Each key
+ships the differential trio — a hypothesis differential against a
+literal-semantics python fold, a plan-shape guard, and the behavioral
+contract the technique exists for (NB separates its classes, the DSIR
+slice skews toward the target, winnowing's shared-run guarantee
+holds, BPE honors the overlap rule and merge exhaustion).
 """
 
 from __future__ import annotations
@@ -418,3 +419,118 @@ def test_winnow_shared_run_guarantee(spark):
             b = min(range(len(win)), key=lambda x: (win[x], -x))
             ref[doc_id].add(win[b])
     assert ref[0] & ref[1], "guaranteed shared fingerprint missing"
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(texts, merges):
+    """Literal BPE fold (Sennrich et al. §3.2): word-frequency dict,
+    per-iteration weighted pair counts, argmax merge (count desc,
+    pair lexicographic), greedy left-to-right apply. An iteration
+    with no pairs emits no row and changes nothing."""
+    words: Counter = Counter()
+    for text in texts:
+        for wd in text.split(" "):
+            if wd:
+                words[wd] += 1
+    syms = {wd: list(wd) for wd in words}
+    rows = []
+    for t in range(1, merges + 1):
+        pc: Counter = Counter()
+        for wd, cnt in words.items():
+            s = syms[wd]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        if not pc:
+            continue
+        (l, r), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rows.append((t, l, r, c))
+        for wd in syms:
+            s = syms[wd]
+            out = [s[0]]
+            for y in s[1:]:
+                if out[-1] == l and y == r:
+                    out[-1] = out[-1] + y
+                else:
+                    out.append(y)
+            syms[wd] = out
+    return rows
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=4),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bpe_train_matches_reference(spark, docs):
+    """Differential for tokenizer_bpe_train: random 2-char-alphabet
+    corpora (maximizing pair-count ties, the tie rule's only
+    exercise, and single-char words, the merge-exhaustion branch) vs
+    a literal python BPE fold — the full merge table must match."""
+    from data_pipeline_spark_spark.operators.text import (
+        _BPE_MERGES,
+        bpe_train_of,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    expect = _bpe_reference(texts, _BPE_MERGES)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.merge_rank, r.sym_left, r.sym_right, r.pair_count)
+        for r in bpe_train_of(df).collect()
+    )
+    assert got == expect
+
+
+def test_bpe_crafted_overlap_and_exhaustion(spark):
+    """Hand-checked case covering the two famous subtleties: the
+    overlap rule ('aaa' holds TWO (a,a) pairs in the count but greedy
+    application merges only one) and merge exhaustion (once every
+    word is a single symbol, remaining ranks emit nothing)."""
+    from data_pipeline_spark_spark.operators.text import bpe_train_of
+
+    df = spark.createDataFrame(
+        [(0, "aaab aaab ab")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.merge_rank, r.sym_left, r.sym_right, r.pair_count)
+        for r in bpe_train_of(df).collect()
+    )
+    assert got == [
+        (1, "a", "a", 4),   # aaab×2: two overlapping (a,a) each
+        (2, "a", "b", 3),   # after merge: [aa,a,b]×2 + [a,b]
+        (3, "aa", "ab", 2),
+    ]  # ranks 4-6: every word is one symbol — exhausted, no rows
+
+
+def test_bpe_merge_loop_is_vocab_sized(spark, sf_dir):
+    """The scale contract: the corpus-proportional work is the ONE
+    initial word-count aggregation; the merge table itself must be
+    ≤ _BPE_MERGES rows with each winner attached as a broadcast (no
+    sort-merge join anywhere in the final assembly)."""
+    from data_pipeline_spark_spark.operators.text import (
+        _BPE_MERGES,
+        tokenizer_bpe_train,
+    )
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    df = tokenizer_bpe_train(spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= _BPE_MERGES
+    assert len({r.merge_rank for r in rows}) == len(rows)
+    assert all(r.pair_count > 0 for r in rows)
+    assert "SortMergeJoin" not in formatted_plan(df)
