@@ -105,6 +105,7 @@ _ROUND10_PRIORITY = [
     "corpus_dsir_select",
     "doc_fingerprint_winnow",
     "tokenizer_bpe_train",
+    "tokenizer_fertility_report",
     # (c) last green row r07 — production path first; the front-50
     # boundary falls inside this block
     "dedup_exact",

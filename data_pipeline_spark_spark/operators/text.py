@@ -1112,13 +1112,15 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 6
 
 
-def _bpe_sql(merges: int) -> str:
-    """Oracle twin of [[tokenizer_bpe_train]]: the merge loop unrolled
-    as CTE triples (pair counts → argmax merge → greedy apply), with
-    the greedy left-to-right merge expressed as a ``list_reduce``
-    string fold — acc ends with '…<sep>p1', so merging is the pure
-    string append acc||p2 (a just-merged symbol can never re-match as
-    p1 of the same pair, since p1p2 = p1 is impossible)."""
+def _bpe_cte_parts(merges: int) -> list:
+    """The unrolled BPE merge-loop CTE chain shared by the
+    [[tokenizer_bpe_train]] and [[tokenizer_fertility_report]]
+    oracles: per iteration a (pair counts → argmax merge → greedy
+    apply) triple, with the greedy left-to-right merge expressed as a
+    ``list_reduce`` string fold — acc ends with '…<sep>p1', so
+    merging is the pure string append acc||p2 (a just-merged symbol
+    can never re-match as p1 of the same pair, since p1p2 = p1 is
+    impossible)."""
     parts = [
         """w0 AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -1151,12 +1153,42 @@ def _bpe_sql(merges: int) -> str:
              END AS syms
       FROM w{t - 1} w LEFT JOIN m{t} m ON TRUE)"""
         )
+    return parts
+
+
+def _bpe_sql(merges: int) -> str:
+    """[[tokenizer_bpe_train]]'s oracle: the merge table."""
+    parts = _bpe_cte_parts(merges)
     final = "\n    UNION ALL ".join(
         f"SELECT CAST({t} AS BIGINT) AS merge_rank, l AS sym_left,"
         f" r AS sym_right, c AS pair_count FROM m{t}"
         for t in range(1, merges + 1)
     )
     return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+def _bpe_fertility_sql(merges: int) -> str:
+    """[[tokenizer_fertility_report]]'s oracle: the trained vocabulary
+    (w{merges}) applied back to the token stream, rolled up per
+    language."""
+    parts = _bpe_cte_parts(merges)
+    final = f"""tok AS (
+      SELECT lang, word FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS word
+        FROM documents) WHERE word <> ''),
+    voc AS (
+      SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_sub
+      FROM w{merges})
+    SELECT lang,
+           COUNT(*) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+           CAST(SUM(n_sub) AS DOUBLE) / COUNT(*) AS fertility,
+           CAST(SUM(length(word)) AS DOUBLE) / SUM(n_sub)
+             AS chars_per_token
+    FROM tok JOIN voc USING (word)
+    GROUP BY lang"""
+    return "WITH " + ",\n    ".join(parts) + ",\n    " + final
 
 
 @query("tokenizer_bpe_train", oracle=_bpe_sql(_BPE_MERGES))
@@ -1192,9 +1224,21 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bpe_train_of(d: DataFrame, merges: int = _BPE_MERGES) -> DataFrame:
-    """The BPE merge-learning loop over any ``(text, ...)`` frame —
+    """The BPE merge table over any ``(text, ...)`` frame —
     module-level so the hypothesis differential test runs the SAME
     fold the registered query runs."""
+    merge_rows, _ = _bpe_loop(d, merges)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_loop(d: DataFrame, merges: int):
+    """The shared merge-learning loop: returns the per-iteration
+    1-row merge frames AND the final word table (word, cnt, syms
+    after all merges) — [[tokenizer_bpe_train]] unions the former,
+    [[tokenizer_fertility_report]] applies the latter."""
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -1258,7 +1302,52 @@ def bpe_train_of(d: DataFrame, merges: int = _BPE_MERGES) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionAll(m)
-    return out
+    return merge_rows, w
+
+
+_FERTILITY_ORACLE = _bpe_fertility_sql(_BPE_MERGES)
+
+
+@query("tokenizer_fertility_report", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility per language — the metric a multilingual
+    tokenizer is judged by (fertility = subword tokens emitted per
+    word; a vocabulary trained on one language's corpus fragments the
+    others, inflating their training cost and context usage): apply
+    the [[tokenizer_bpe_train]] vocabulary back to the corpus and
+    report, per language, word/token/char totals, fertility, and
+    chars-per-token compression.
+
+    Scale shape: the trained word table is vocabulary-sized, so the
+    apply step is a BROADCAST join riding the token scan (the
+    [[vocab_oov_report]] shape) — the corpus-proportional token
+    stream is never shuffled; the rollup is O(languages). Every
+    total is an exact BIGINT; the two ratios are single IEEE
+    divisions. Training cost is shared with the merge-table key via
+    the same loop (vocab-sized, corpus-size-independent)."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    _, w_final = _bpe_loop(d, _BPE_MERGES)
+    voc = w_final.select(
+        "word",
+        F.size(F.split("syms", " ")).cast("bigint").alias("n_sub"),
+    )
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(F.broadcast(voc), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            (F.sum("n_sub").cast("double") / F.count("*")).alias(
+                "fertility"
+            ),
+            (
+                F.sum(F.length("word")).cast("double") / F.sum("n_sub")
+            ).alias("chars_per_token"),
+        )
+    )

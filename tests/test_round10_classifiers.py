@@ -534,3 +534,110 @@ def test_bpe_merge_loop_is_vocab_sized(spark, sf_dir):
     assert len({r.merge_rank for r in rows}) == len(rows)
     assert all(r.pair_count > 0 for r in rows)
     assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_bpe_fertility_matches_reference_fold(spark):
+    """The fertility report must equal the literal fold's final
+    symbol tables applied per language — totals, fertility, and
+    compression on a crafted 2-language corpus."""
+    import data_pipeline_spark_spark.operators.text as text_mod
+    from data_pipeline_spark_spark.operators.text import (
+        _BPE_MERGES,
+        tokenizer_fertility_report,
+    )
+
+    texts = [
+        (0, "en", "aaab aaab ab"),
+        (1, "xx", "ab ba aaab"),
+    ]
+    # reference: word dict + merge loop (reuse _bpe_reference's
+    # semantics by re-deriving final syms)
+    words: Counter = Counter()
+    for _, _, t in texts:
+        for wd in t.split(" "):
+            if wd:
+                words[wd] += 1
+    syms = {wd: list(wd) for wd in words}
+    for _ in range(_BPE_MERGES):
+        pc: Counter = Counter()
+        for wd, cnt in words.items():
+            s = syms[wd]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        if not pc:
+            break
+        (l, r), _c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for wd in syms:
+            s = syms[wd]
+            out = [s[0]]
+            for y in s[1:]:
+                if out[-1] == l and y == r:
+                    out[-1] = out[-1] + y
+                else:
+                    out.append(y)
+            syms[wd] = out
+    expect = {}
+    for lang in ("en", "xx"):
+        ws = [
+            wd
+            for _, lg, t in texts
+            if lg == lang
+            for wd in t.split(" ")
+            if wd
+        ]
+        n_sub = sum(len(syms[wd]) for wd in ws)
+        n_ch = sum(len(wd) for wd in ws)
+        expect[lang] = (
+            len(ws),
+            n_sub,
+            n_ch,
+            float(n_sub) / len(ws),
+            float(n_ch) / n_sub,
+        )
+
+    df = spark.createDataFrame(
+        texts, "doc_id long, lang string, text string"
+    )
+    orig_load, orig_fan = text_mod.load, text_mod.fan_out
+    text_mod.load = lambda s, sf, name: df
+    text_mod.fan_out = lambda d: d
+    try:
+        got = {
+            r.lang: (
+                r.n_words,
+                r.n_bpe_tokens,
+                r.n_chars,
+                r.fertility,
+                r.chars_per_token,
+            )
+            for r in tokenizer_fertility_report(spark, "ignored").collect()
+        }
+    finally:
+        text_mod.load, text_mod.fan_out = orig_load, orig_fan
+    assert got == expect
+
+
+def test_bpe_fertility_plan_and_invariants(spark, sf_dir):
+    """The apply join must be a broadcast riding the token scan (no
+    sort-merge join), and the report's arithmetic invariants hold:
+    1 ≤ fertility, chars_per_token ≥ 1, one row per language."""
+    from data_pipeline_spark_spark.operators.text import (
+        tokenizer_fertility_report,
+    )
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        has_broadcast_join,
+    )
+
+    df = tokenizer_fertility_report(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert has_broadcast_join(df)
+    rows = df.collect()
+    assert len(rows) == 5  # fixture languages
+    for r in rows:
+        assert r.fertility >= 1.0
+        assert r.chars_per_token >= 1.0
+        assert r.n_bpe_tokens <= r.n_chars
