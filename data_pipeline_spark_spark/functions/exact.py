@@ -1,0 +1,49 @@
+"""Cross-engine-exact building blocks shared by every operator whose
+DuckDB oracle must match Spark bit-for-bit.
+
+Two load-bearing contracts live here so they exist in ONE place each
+(an edit that desynchronizes an operator from its oracle should be
+impossible to make in only one copy):
+
+- ``micro_ln`` — the micro-nat quantization of ``ln`` over integer
+  arguments: round(ln(k)·1e6) as BIGINT, rounded ONCE per distinct
+  integer so a 1-ulp libm divergence only matters if some value sits
+  within an ulp of a .5 boundary (a few thousand exposures, not
+  billions). Used by the unigram LM, BM25 idf, the NB classifier,
+  and DSIR. The DuckDB twin is the literal SQL
+  ``CAST(round(ln(k) * 1000000) AS BIGINT)``.
+- ``md5_u32_sql`` / ``md5_u32_duck`` — the one 32-bit hash both
+  engines compute bit-identically: the first 8 hex chars of md5
+  parsed as an integer (Spark ``conv``, DuckDB ``CAST('0x…')``).
+  xxhash64 is Spark-only, so any operator that wants a FULL value
+  oracle over hashed features (DSIR buckets, winnowing fingerprints)
+  must hash through this pair. The two fragments MUST stay the same
+  function — change them together or not at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def micro_ln(col) -> Column:
+    """``round(ln(col)·1e6)`` as BIGINT — exact micro-nats. ``col``
+    must be an integer-valued column (the single-rounding exposure
+    argument depends on it)."""
+    return F.round(F.log(col) * 1000000).cast("bigint")
+
+
+def md5_u32_sql(operand: str) -> str:
+    """Spark SQL fragment for the cross-engine 32-bit md5 hash of
+    ``operand`` (an expression string), usable inside higher-order
+    lambdas. Twin of [[md5_u32_duck]]."""
+    return (
+        f"CAST(conv(substring(md5({operand}), 1, 8), 16, 10) AS BIGINT)"
+    )
+
+
+def md5_u32_duck(operand: str) -> str:
+    """DuckDB SQL fragment computing the SAME integer as
+    [[md5_u32_sql]] for the same input."""
+    return f"CAST(concat('0x', substr(md5({operand}), 1, 8)) AS BIGINT)"

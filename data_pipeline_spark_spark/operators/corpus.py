@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load
+from ..functions.exact import md5_u32_duck, md5_u32_sql, micro_ln
 from ..registry import query
 
 
@@ -715,8 +716,8 @@ _DSIR_SQL = f"""
     ),
     feats AS (
       SELECT doc_id, pos,
-             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1]), 1, 8))
-                  AS BIGINT) % {_DSIR_BUCKETS} AS b
+             {md5_u32_duck("t[i] || ' ' || t[i+1]")}
+               % {_DSIR_BUCKETS} AS b
       FROM lab, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
       WHERE len(t) >= 2
     ),
@@ -825,9 +826,8 @@ def dsir_select_of(
     md5 over the text for the train and score passes separately."""
     from pyspark.sql import Window as W
 
-    def _r6(col):
-        return F.round(F.log(col) * 1000000).cast("bigint")
-
+    _r6 = micro_ln
+    bigram = "concat_ws(' ', slice(split(text, ' '), i + 1, 2))"
     docs_b = lab.select(
         "doc_id",
         "lang",
@@ -835,10 +835,7 @@ def dsir_select_of(
         F.expr(
             "CASE WHEN size(split(text, ' ')) >= 2 THEN"
             " transform(sequence(0, size(split(text, ' ')) - 2),"
-            "  i -> CAST(conv(substring(md5(concat_ws(' ',"
-            "         slice(split(text, ' '), i + 1, 2))), 1, 8),"
-            "         16, 10) AS BIGINT)"
-            f"       % {int(buckets)})"
+            f" i -> {md5_u32_sql(bigram)} % {int(buckets)})"
             " ELSE array() END"
         ).alias("bs"),
     ).localCheckpoint(eager=False)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import fan_out, load
+from ..functions.exact import md5_u32_duck, md5_u32_sql, micro_ln
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -752,15 +753,8 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    vocab = vocab_cnt.select(
-        "term",
-        F.round(F.log("cnt") * 1000000).cast("bigint").alias("lp6"),
-    )
-    tot = vocab_cnt.agg(
-        F.round(F.log(F.sum("cnt")) * 1000000)
-        .cast("bigint")
-        .alias("ln_total6")
-    )
+    vocab = vocab_cnt.select("term", micro_ln("cnt").alias("lp6"))
+    tot = vocab_cnt.agg(micro_ln(F.sum("cnt")).alias("ln_total6"))
     scored = toks.join(F.broadcast(vocab), "term").crossJoin(
         F.broadcast(tot)
     )
@@ -932,9 +926,7 @@ def nb_quality_scores_of(lab: DataFrame) -> DataFrame:
     empty class is the usual NB degenerate case — a production run
     validates its reference slice first)."""
 
-    def _r6(col):
-        return F.round(F.log(col) * 1000000).cast("bigint")
-
+    _r6 = micro_ln
     toks = lab.select(
         "doc_id", "pos", F.explode(F.split("text", " ")).alias("term")
     )
@@ -998,8 +990,9 @@ _WINNOW_SQL = f"""
     ),
     kg AS (
       SELECT doc_id, i,
-             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' '
-                    || t[i+2] || ' ' || t[i+3]), 1, 8)) AS BIGINT) AS h
+             {md5_u32_duck(
+                 "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]"
+             )} AS h
       FROM toks, UNNEST(generate_series(1, len(t) - {_WIN_K - 1}))
              AS u(i)
       WHERE len(t) >= {_WIN_K}
@@ -1063,13 +1056,12 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, w = _WIN_K, _WIN_W
     # filter BEFORE building the hash sequence: sequence(1, n) with
     # n < 1 would generate a DESCENDING range, not an empty one
+    kgram = f"concat_ws(' ', slice(split(text, ' '), i, {k}))"
     hs = d.filter(F.expr(f"size(split(text, ' ')) >= {k}")).select(
         "doc_id",
         F.expr(
             f"transform(sequence(1, size(split(text, ' ')) - {k - 1}),"
-            f" i -> CAST(conv(substring(md5(concat_ws(' ',"
-            f"        slice(split(text, ' '), i, {k}))), 1, 8),"
-            f"        16, 10) AS BIGINT))"
+            f" i -> {md5_u32_sql(kgram)})"
         ).alias("hs"),
     )
     # per-window rightmost-min selection, then distinct (i, h) pairs
@@ -1325,8 +1317,12 @@ def tokenizer_fertility_report(
     [[vocab_oov_report]] shape) — the corpus-proportional token
     stream is never shuffled; the rollup is O(languages). Every
     total is an exact BIGINT; the two ratios are single IEEE
-    divisions. Training cost is shared with the merge-table key via
-    the same loop (vocab-sized, corpus-size-independent)."""
+    divisions. The merge loop IMPLEMENTATION is shared with
+    [[tokenizer_bpe_train]] (``_bpe_loop``), but each registered key
+    executes its own training run — a caller wanting both the merge
+    table and the fertility report in one pass should call
+    ``_bpe_loop`` once and derive both artifacts from its return
+    value (the loop is vocab-sized either way)."""
     d = fan_out(load(spark, sf_dir, "documents"))
     _, w_final = _bpe_loop(d, _BPE_MERGES)
     voc = w_final.select(

@@ -14,10 +14,28 @@ from __future__ import annotations
 import hashlib
 import math
 from collections import Counter
+from contextlib import contextmanager
 from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import assume, given, settings
 from hypothesis import strategies as st
+
+
+@contextmanager
+def _docs_fixture(df):
+    """Route the text-module operators at a crafted documents frame:
+    patches load/fan_out on the module and guarantees restore, so a
+    failing test can't leak the patch into the session-scoped spark
+    fixture."""
+    import data_pipeline_spark_spark.operators.text as text_mod
+
+    orig_load, orig_fan = text_mod.load, text_mod.fan_out
+    text_mod.load = lambda s, sf, name: df
+    text_mod.fan_out = lambda d: d
+    try:
+        yield
+    finally:
+        text_mod.load, text_mod.fan_out = orig_load, orig_fan
 
 from data_pipeline_spark_spark.operators.corpus import (
     _DSIR_BUCKETS,
@@ -327,15 +345,7 @@ def test_winnow_matches_reference(spark, docs):
     texts = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
     expect = _winnow_reference(texts, _WIN_K, _WIN_W)
     df = spark.createDataFrame(texts, "doc_id long, text string")
-    df.createOrReplaceTempView("_winnow_diff_docs")
-    # run the registered query's fold via its module path against the
-    # temp frame by monkey-free substitution: rebuild the same select
-    import data_pipeline_spark_spark.operators.text as text_mod
-
-    orig_load, orig_fan = text_mod.load, text_mod.fan_out
-    text_mod.load = lambda s, sf, name: df
-    text_mod.fan_out = lambda d: d
-    try:
+    with _docs_fixture(df):
         got = {
             r.doc_id: (
                 r.n_kgrams,
@@ -345,8 +355,6 @@ def test_winnow_matches_reference(spark, docs):
             )
             for r in doc_fingerprint_winnow(spark, "ignored").collect()
         }
-    finally:
-        text_mod.load, text_mod.fan_out = orig_load, orig_fan
     assert got == expect
 
 
@@ -374,13 +382,15 @@ def test_winnow_shared_run_guarantee(spark):
     """The theorem the algorithm exists for: two documents sharing a
     token run of length ≥ w+k−1 MUST share at least one fingerprint
     hash (any shorter shared run may be missed; equal-length runs
-    are guaranteed)."""
+    are guaranteed). The engine output is pinned to the reference
+    fold on this exact input (so the theorem, demonstrated on the
+    reference's fingerprint sets, transfers to the engine), and the
+    reference sets must intersect."""
     from data_pipeline_spark_spark.operators.text import (
         _WIN_K,
         _WIN_W,
         doc_fingerprint_winnow,
     )
-    import data_pipeline_spark_spark.operators.text as text_mod
 
     t = _WIN_K + _WIN_W - 1
     shared = " ".join(f"s{i}" for i in range(t))
@@ -389,20 +399,22 @@ def test_winnow_shared_run_guarantee(spark):
         (1, "z1 " + shared + " z2 z3 z4"),
     ]
     df = spark.createDataFrame(texts, "doc_id long, text string")
-    orig_load, orig_fan = text_mod.load, text_mod.fan_out
-    text_mod.load = lambda s, sf, name: df
-    text_mod.fan_out = lambda d: d
-    try:
-        rows = doc_fingerprint_winnow(spark, "ignored").collect()
-    finally:
-        text_mod.load, text_mod.fan_out = orig_load, orig_fan
-    assert len(rows) == 2
-    # re-derive each doc's fingerprint hash sets via the reference
-    # fold and intersect
-    ref = {
-        doc_id: set()
-        for doc_id, _ in texts
-    }
+    with _docs_fixture(df):
+        got = {
+            r.doc_id: (
+                r.n_kgrams,
+                r.n_fingerprints,
+                r.fp_density,
+                r.fp_checksum,
+            )
+            for r in doc_fingerprint_winnow(spark, "ignored").collect()
+        }
+    # engine == reference on every surfaced value for this input …
+    assert got == _winnow_reference(texts, _WIN_K, _WIN_W)
+    # … so the theorem shown on the reference's fingerprint SETS
+    # (which the operator surfaces only as counts/checksums) holds
+    # for the engine too
+    ref = {doc_id: set() for doc_id, _ in texts}
     for doc_id, text in texts:
         toks = text.split(" ")
         hs = [
@@ -430,7 +442,9 @@ def _bpe_reference(texts, merges):
     """Literal BPE fold (Sennrich et al. §3.2): word-frequency dict,
     per-iteration weighted pair counts, argmax merge (count desc,
     pair lexicographic), greedy left-to-right apply. An iteration
-    with no pairs emits no row and changes nothing."""
+    with no pairs emits no row and changes nothing. Returns the
+    merge rows AND the final per-word symbol table (the trained
+    vocabulary the fertility test applies)."""
     words: Counter = Counter()
     for text in texts:
         for wd in text.split(" "):
@@ -459,7 +473,7 @@ def _bpe_reference(texts, merges):
                 else:
                     out.append(y)
             syms[wd] = out
-    return rows
+    return rows, syms
 
 
 @settings(max_examples=6, deadline=None)
@@ -485,7 +499,7 @@ def test_bpe_train_matches_reference(spark, docs):
     )
 
     texts = [" ".join(ws) for ws in docs]
-    expect = _bpe_reference(texts, _BPE_MERGES)
+    expect, _ = _bpe_reference(texts, _BPE_MERGES)
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
@@ -540,7 +554,6 @@ def test_bpe_fertility_matches_reference_fold(spark):
     """The fertility report must equal the literal fold's final
     symbol tables applied per language — totals, fertility, and
     compression on a crafted 2-language corpus."""
-    import data_pipeline_spark_spark.operators.text as text_mod
     from data_pipeline_spark_spark.operators.text import (
         _BPE_MERGES,
         tokenizer_fertility_report,
@@ -550,34 +563,9 @@ def test_bpe_fertility_matches_reference_fold(spark):
         (0, "en", "aaab aaab ab"),
         (1, "xx", "ab ba aaab"),
     ]
-    # reference: word dict + merge loop (reuse _bpe_reference's
-    # semantics by re-deriving final syms)
-    words: Counter = Counter()
-    for _, _, t in texts:
-        for wd in t.split(" "):
-            if wd:
-                words[wd] += 1
-    syms = {wd: list(wd) for wd in words}
-    for _ in range(_BPE_MERGES):
-        pc: Counter = Counter()
-        for wd, cnt in words.items():
-            s = syms[wd]
-            for i in range(len(s) - 1):
-                pc[(s[i], s[i + 1])] += cnt
-        if not pc:
-            break
-        (l, r), _c = min(
-            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        for wd in syms:
-            s = syms[wd]
-            out = [s[0]]
-            for y in s[1:]:
-                if out[-1] == l and y == r:
-                    out[-1] = out[-1] + y
-                else:
-                    out.append(y)
-            syms[wd] = out
+    # ONE reference fold serves both BPE tests: its final symbol
+    # table is the trained vocabulary the fertility report applies
+    _, syms = _bpe_reference([t for _, _, t in texts], _BPE_MERGES)
     expect = {}
     for lang in ("en", "xx"):
         ws = [
@@ -600,10 +588,7 @@ def test_bpe_fertility_matches_reference_fold(spark):
     df = spark.createDataFrame(
         texts, "doc_id long, lang string, text string"
     )
-    orig_load, orig_fan = text_mod.load, text_mod.fan_out
-    text_mod.load = lambda s, sf, name: df
-    text_mod.fan_out = lambda d: d
-    try:
+    with _docs_fixture(df):
         got = {
             r.lang: (
                 r.n_words,
@@ -614,8 +599,6 @@ def test_bpe_fertility_matches_reference_fold(spark):
             )
             for r in tokenizer_fertility_report(spark, "ignored").collect()
         }
-    finally:
-        text_mod.load, text_mod.fan_out = orig_load, orig_fan
     assert got == expect
 
 
