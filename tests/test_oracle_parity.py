@@ -85,7 +85,11 @@ def test_partitioning_hostile_session_still_matches(spark, sf_dir):
         for name in ["sort_paginate", "corpus_stratified_sample",
                      "window_rank", "tfidf_top_terms", "dedup_cluster",
                      "agg_corr_exact", "dedup_semantic",
-                     "vocab_oov_report"]:
+                     "vocab_oov_report",
+                     # r10 argmax/top-k additions: DSIR's global
+                     # top-25% row_number and BPE's per-iteration
+                     # argmax merge must not depend on partitioning
+                     "corpus_dsir_select", "tokenizer_bpe_train"]:
             from .oracle import assert_matches_oracle
 
             assert_matches_oracle(
