@@ -107,6 +107,7 @@ _ROUND10_PRIORITY = [
     "doc_fingerprint_winnow",
     "tokenizer_bpe_train",
     "tokenizer_fertility_report",
+    "corpus_pipeline_trained",
     # (c) last green row r07 — production path first; the front-50
     # boundary falls inside this block
     "dedup_exact",

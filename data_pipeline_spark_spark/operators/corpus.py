@@ -897,3 +897,96 @@ def dsir_select_of(
             "log_importance"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# trained curation pipeline (the round-10 artifacts composed)
+# ---------------------------------------------------------------------------
+
+
+def _trained_pipeline_sql() -> str:
+    """Oracle for [[corpus_pipeline_trained]]: the NB-classifier and
+    DSIR oracles embedded verbatim as CTEs (so the composition is
+    graded against EXACTLY the per-stage semantics the stage keys are
+    graded against), joined back to the corpus and rolled up per
+    language."""
+    from .text import _NB_SQL
+
+    return f"""
+    WITH nb AS ({_NB_SQL}),
+    sel AS ({_DSIR_SQL})
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nb.pred_target) AS BIGINT) AS n_pass_nb,
+           CAST(SUM(CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass_dsir,
+           CAST(SUM(CASE WHEN nb.pred_target = 1
+                          AND sel.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_both,
+           COUNT(DISTINCT CASE WHEN nb.pred_target = 1
+                                AND sel.doc_id IS NOT NULL
+                               THEN sha256(d.text) END)
+             AS n_unique_surviving
+    FROM documents d
+    JOIN nb ON nb.doc_id = d.doc_id
+    LEFT JOIN (SELECT doc_id FROM sel) sel ON sel.doc_id = d.doc_id
+    GROUP BY d.lang
+"""
+
+
+@query("corpus_pipeline_trained", oracle=_trained_pipeline_sql())
+def corpus_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern curation pipeline — [[corpus_pipeline]]'s heuristic
+    gates upgraded to this round's TRAINED artifacts, composed the
+    way a production crawl-refresh chains them: score every document
+    with the in-engine Naive Bayes quality classifier
+    ([[quality_classifier_nb]]), select the importance-resampled
+    slice with DSIR ([[corpus_dsir_select]]), and account the
+    intersection plus its exact-dedup survivor count, per language —
+    the per-stage attrition table a curation run publishes before
+    committing a training mix.
+
+    Correctness by construction: the oracle embeds the two stage
+    oracles VERBATIM as CTEs, so this key is graded against exactly
+    the semantics its stages are graded against — any drift between
+    a stage function and its oracle shows up twice. Scale shape: the
+    stage plans are unchanged (NB's broadcast-model token scan;
+    DSIR's in-row fold + fixed-width model); the composition adds
+    two doc-grain equi-joins on doc_id (compact rows, AQE-planned)
+    and one per-lang rollup whose distinct-digest count shuffles
+    32-byte hashes, the [[dedup_exact]] trick — nothing
+    corpus-text-proportional moves."""
+    from .text import nb_quality_scores_of
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    lab = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    nb = nb_quality_scores_of(
+        lab.select("doc_id", "text", "pos")
+    ).select("doc_id", "pred_target")
+    sel = dsir_select_of(lab).select(
+        "doc_id", F.lit(1).alias("dsir_selected")
+    )
+    joined = (
+        d.select("doc_id", "lang", "text")
+        .join(nb, "doc_id")
+        .join(sel, "doc_id", "left")
+    )
+    both = (F.col("pred_target") == 1) & F.col("dsir_selected").isNotNull()
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("pred_target").cast("bigint").alias("n_pass_nb"),
+        F.sum(F.when(F.col("dsir_selected").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass_dsir"),
+        F.sum(F.when(both, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass_both"),
+        F.countDistinct(F.when(both, F.sha2("text", 256))).alias(
+            "n_unique_surviving"
+        ),
+    )

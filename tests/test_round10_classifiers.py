@@ -20,6 +20,13 @@ from decimal import ROUND_HALF_UP, Decimal
 from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
+from data_pipeline_spark_spark.operators.corpus import (
+    _DSIR_BUCKETS,
+    _DSIR_KEEP_PCT,
+    dsir_select_of,
+)
+from data_pipeline_spark_spark.operators.text import nb_quality_scores_of
+
 
 @contextmanager
 def _docs_fixture(df):
@@ -36,13 +43,6 @@ def _docs_fixture(df):
         yield
     finally:
         text_mod.load, text_mod.fan_out = orig_load, orig_fan
-
-from data_pipeline_spark_spark.operators.corpus import (
-    _DSIR_BUCKETS,
-    _DSIR_KEEP_PCT,
-    dsir_select_of,
-)
-from data_pipeline_spark_spark.operators.text import nb_quality_scores_of
 
 
 def _r6(k: int) -> int:
@@ -624,3 +624,52 @@ def test_bpe_fertility_plan_and_invariants(spark, sf_dir):
         assert r.fertility >= 1.0
         assert r.chars_per_token >= 1.0
         assert r.n_bpe_tokens <= r.n_chars
+
+
+# ---------------------------------------------------------------------------
+# trained curation pipeline (composition)
+# ---------------------------------------------------------------------------
+
+
+def test_trained_pipeline_reconciles_with_its_stages(spark, sf_dir):
+    """The composed attrition table must agree with the stage keys it
+    is built from: per-language NB pass counts equal the classifier's
+    own positives, DSIR pass counts equal the selected slice's
+    language histogram, the intersection is bounded by both, and the
+    n_docs column partitions the corpus."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.corpus import (
+        corpus_dsir_select,
+        corpus_pipeline_trained,
+    )
+    from data_pipeline_spark_spark.operators.text import (
+        quality_classifier_nb,
+    )
+
+    rows = {r.lang: r for r in corpus_pipeline_trained(spark, sf_dir).collect()}
+    d = load(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows.values()) == d.count()
+
+    nb_by_lang = {
+        r.lang: r.n
+        for r in quality_classifier_nb(spark, sf_dir)
+        .filter(F.col("pred_target") == 1)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    dsir_by_lang = {
+        r.lang: r.n
+        for r in corpus_dsir_select(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, r in rows.items():
+        assert r.n_pass_nb == nb_by_lang.get(lang, 0), lang
+        assert r.n_pass_dsir == dsir_by_lang.get(lang, 0), lang
+        assert r.n_pass_both <= min(r.n_pass_nb, r.n_pass_dsir)
+        assert r.n_unique_surviving <= r.n_pass_both
