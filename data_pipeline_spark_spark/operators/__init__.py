@@ -58,11 +58,11 @@ ALL_MODULES = (
 # r9; positions 51+ were cut). This rotation front-loads (a) the
 # TWENTY-SIX oracle keys whose last green row dates to r06 — the
 # complete r6-stale backlog, so after this round no oracle key's
-# graded row predates r7 — then (b) the TWELVE new round-10 keys (no
-# row from any round yet; the list grew during the round as keys
+# graded row predates r7 — then (b) the THIRTEEN new round-10 keys
+# (no row from any round yet; the list grew during the round as keys
 # landed), then (c) the oldest r7 keys, production dedup/similarity/
-# window path first (VERDICT r9 ask #1). With 26+12=38 ahead of it,
-# only ~12 of section (c) fit the budget; the remaining ~32 r7 keys
+# window path first (VERDICT r9 ask #1). With 26+13=39 ahead of it,
+# only ~11 of section (c) fit the budget; the remaining ~33 r7 keys
 # rotate in round 11. Everything r8/r9-green keeps its registration
 # order at the back and retains its recent row.
 _ROUND10_PRIORITY = [

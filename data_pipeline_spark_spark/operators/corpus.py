@@ -17,6 +17,12 @@ from ..catalog import fan_out, load
 from ..functions.exact import md5_u32_duck, md5_u32_sql, micro_ln
 from ..registry import query
 
+# explicit dependency on the text module (NB stage + shared target
+# label); importing at module top keeps registration order visible
+# instead of a decoration-time side effect (text.py does not import
+# corpus.py, so no cycle)
+from .text import _NB_SQL, nb_quality_scores_of, target_label
+
 
 @query(
     "dedup_incremental",
@@ -796,10 +802,7 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path."""
     return dsir_select_of(
         fan_out(load(spark, sf_dir, "documents")).select(
-            "doc_id",
-            "lang",
-            "text",
-            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+            "doc_id", "lang", "text", target_label().alias("pos")
         )
     )
 
@@ -910,8 +913,6 @@ def _trained_pipeline_sql() -> str:
     graded against EXACTLY the per-stage semantics the stage keys are
     graded against), joined back to the corpus and rolled up per
     language."""
-    from .text import _NB_SQL
-
     return f"""
     WITH nb AS ({_NB_SQL}),
     sel AS ({_DSIR_SQL})
@@ -951,19 +952,18 @@ def corpus_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the semantics its stages are graded against — any drift between
     a stage function and its oracle shows up twice. Scale shape: the
     stage plans are unchanged (NB's broadcast-model token scan;
-    DSIR's in-row fold + fixed-width model); the composition adds
-    two doc-grain equi-joins on doc_id (compact rows, AQE-planned)
-    and one per-lang rollup whose distinct-digest count shuffles
-    32-byte hashes, the [[dedup_exact]] trick — nothing
-    corpus-text-proportional moves."""
-    from .text import nb_quality_scores_of
-
-    d = fan_out(load(spark, sf_dir, "documents"))
-    lab = d.select(
-        "doc_id",
-        "lang",
-        "text",
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    DSIR's in-row fold + fixed-width model) but all four consumers —
+    NB's token explode, DSIR's feature arrays, the join base, and
+    the digest rollup — read ONE lazily-checkpointed labeled frame,
+    so the scan and its fan_out shuffle run once, not per stage; the
+    composition adds two doc-grain equi-joins on doc_id (compact
+    rows, AQE-planned) and one per-lang rollup whose distinct-digest
+    count shuffles 32-byte hashes, the [[dedup_exact]] trick —
+    nothing corpus-text-proportional moves."""
+    lab = (
+        fan_out(load(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", "text", target_label().alias("pos"))
+        .localCheckpoint(eager=False)
     )
     nb = nb_quality_scores_of(
         lab.select("doc_id", "text", "pos")
@@ -972,7 +972,7 @@ def corpus_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit(1).alias("dsir_selected")
     )
     joined = (
-        d.select("doc_id", "lang", "text")
+        lab.select("doc_id", "lang", "text")
         .join(nb, "doc_id")
         .join(sel, "doc_id", "left")
     )

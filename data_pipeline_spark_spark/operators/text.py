@@ -911,11 +911,19 @@ def quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan with a different label predicate."""
     return nb_quality_scores_of(
         fan_out(load(spark, sf_dir, "documents")).select(
-            "doc_id",
-            "text",
-            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+            "doc_id", "text", target_label().alias("pos")
         )
     )
+
+
+def target_label():
+    """The shared target-slice label (``lang = 'en'`` stands in for
+    the curated reference corpus) used by the NB classifier, DSIR,
+    and their composition [[corpus_pipeline_trained]] — ONE
+    definition so a future reference-slice change can't
+    desynchronize a stage from the composed key (whose oracle embeds
+    the stage oracles verbatim)."""
+    return F.when(F.col("lang") == "en", 1).otherwise(0)
 
 
 def nb_quality_scores_of(lab: DataFrame) -> DataFrame:
