@@ -457,8 +457,11 @@ def main() -> None:
         summary["duckdb_n"] = len(duck)
         # ratio over the INTERSECTION only: if an oracle failed
         # mid-loop, duck holds a prefix subset of HEADLINE and a
-        # full-total ratio would silently compare mismatched sets
+        # full-total ratio would silently compare mismatched sets;
+        # spark_matched is published so ratio_total is reproducible
+        # from the summary scalars even when it differs from "value"
         spark_matched = sum(timings[k] for k in duck)
+        summary["spark_matched"] = round(spark_matched, 3)
         summary["ratio_total"] = (
             round(spark_matched / out["duckdb_total"], 2)
             if out["duckdb_total"]

@@ -63,8 +63,14 @@ def _promote_staged(stage: str, target: str) -> None:
     lock = target + ".lock"
     # a fixture/tidy-store build takes seconds; minutes of waiting
     # means a live-but-wedged holder, which no heuristic can safely
-    # distinguish from a slow one — give up loudly
-    deadline = time.monotonic() + 240
+    # distinguish from a slow one — give up loudly. The deadline is
+    # env-tunable because "slow" scales with the build (a loaded host
+    # building a large fixture is legitimately minutes, r10 ADVICE);
+    # on timeout the COMPLETE stage is left on disk and named in the
+    # error so a retry can re-promote it instead of rebuilding.
+    deadline = time.monotonic() + float(
+        os.environ.get("DPS_FIXTURE_LOCK_TIMEOUT_SEC", "240")
+    )
     fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
     try:
         while True:
@@ -78,9 +84,11 @@ def _promote_staged(stage: str, target: str) -> None:
                     shutil.rmtree(stage, ignore_errors=True)
                     return
                 if time.monotonic() > deadline:
-                    shutil.rmtree(stage, ignore_errors=True)
                     raise TimeoutError(
-                        f"gave up waiting for fixture lock {lock!r}"
+                        f"gave up waiting for fixture lock {lock!r}; "
+                        f"complete stage kept at {stage!r} — retry "
+                        "with DPS_FIXTURE_LOCK_TIMEOUT_SEC raised, "
+                        "or promote the stage manually"
                     ) from None
                 time.sleep(0.1)
         # re-check under the lock: the previous holder may have just

@@ -994,14 +994,21 @@ def sim_search_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the query's residual differs per cell), i.e. nprobe× more
     lookup-table rows, still broadcast-sized.
 
-    Measured caveat (isotropic fixture, seeded codebook): recall@10
-    vs the exact top-k is 0.06 here vs 0.30 for the raw-code
-    [[sim_search_ivfpq]] — residual encoding only pays when the
-    codebook is TRAINED on the residual distribution (per-subspace
-    k-means); the deterministic first-K seeding these oracle-checked
-    rungs use is a poor residual codebook on unclustered data. The
-    rung's value is architecture parity with an exact value oracle;
-    production swaps in trained codebooks without changing the plan.
+    DO NOT DEPLOY THIS RUNG ON ISOTROPIC DATA — use
+    [[sim_search_ivfpq_trained]], the measured argmax of the full
+    r10 training matrix (docs/SCALE.md "ANN training matrix",
+    reproducible via ``scripts/ann_recall.py``). Measured recall@10
+    vs the exact top-k on this fixture: **0.06 here** (seeded
+    residual codebook) vs 0.30 for raw-code [[sim_search_ivfpq]] and
+    **0.38 for the trained raw-code rung** at sf0.1; even TRAINING
+    the residual codebook (matrix row "residual+trained": 0.48/0.44
+    at sf0.001/0.01 but 0.12 at sf0.1) loses at scale because
+    residual encoding only pays when the corpus is CLUSTERED so that
+    residuals concentrate — this fixture's embeddings are isotropic.
+    The rung's value is architecture parity with an exact value
+    oracle; a production corpus with real cluster structure swaps in
+    trained residual codebooks without changing the plan, but the
+    shipped default for THIS data is [[sim_search_ivfpq_trained]].
 
     Full value oracle, same exactness discipline as the ladder's
     other rungs: the residual subtractions happen INSIDE the

@@ -859,8 +859,16 @@ _NB_SQL = """
       FROM tokens
     ),
     prior AS (
-      SELECT CAST(round(ln(SUM(pos)) * 1000000) AS BIGINT)
-               - CAST(round(ln(SUM(1 - pos)) * 1000000) AS BIGINT) AS p6
+      -- empty-class guard mirrors the Spark operator: without it the
+      -- engines fail DIFFERENTLY (Spark ln(0) -> NULL silently nulls
+      -- every score, DuckDB ln(0) -> -inf), turning a bad reference
+      -- slice into a confusing hash mismatch instead of an error
+      SELECT CASE WHEN SUM(pos) > 0 AND SUM(1 - pos) > 0
+                  THEN CAST(round(ln(SUM(pos)) * 1000000) AS BIGINT)
+                       - CAST(round(ln(SUM(1 - pos)) * 1000000) AS BIGINT)
+                  ELSE CAST(error('nb: reference slice has an empty class')
+                            AS BIGINT)
+             END AS p6
       FROM lab
     )
     SELECT t.doc_id,
@@ -931,8 +939,10 @@ def nb_quality_scores_of(lab: DataFrame) -> DataFrame:
     ``(doc_id, text, pos)`` frame — module-level so the hypothesis
     differential test runs the SAME fold the registered query runs.
     Requires at least one document in each class (``ln(D)`` of an
-    empty class is the usual NB degenerate case — a production run
-    validates its reference slice first)."""
+    empty class is the usual NB degenerate case) — ENFORCED: an empty
+    class raises via the guard in the prior aggregate rather than
+    silently nulling every score (Spark ``ln(0)`` is NULL), and the
+    SQL twin raises identically via ``error()``."""
 
     _r6 = micro_ln
     toks = lab.select(
@@ -958,10 +968,27 @@ def nb_quality_scores_of(lab: DataFrame) -> DataFrame:
         (_r6(F.col("npos") + F.col("v")) - _r6(F.col("nneg") + F.col("v")))
         .alias("z6")
     )
+    # empty-class guard (r10 ADVICE): Spark's ln(0) is NULL, which
+    # would silently null every nb_logodds/pred_target downstream —
+    # fail loudly instead, and identically to the SQL twin's error()
+    # branch. Lives in the 1-row prior aggregate so it costs nothing
+    # and fires before any score is emitted.
     prior = lab.agg(
         F.sum("pos").alias("dpos"),
         F.sum(1 - F.col("pos")).alias("dneg"),
-    ).select((_r6("dpos") - _r6("dneg")).alias("p6"))
+    ).select(
+        F.when(
+            (F.col("dpos") > 0) & (F.col("dneg") > 0),
+            _r6("dpos") - _r6("dneg"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("nb_quality_scores_of: reference slice has an "
+                      "empty class (need >=1 doc on each side)")
+            ).cast("bigint")
+        )
+        .alias("p6")
+    )
     scored = (
         toks.join(F.broadcast(vocab), "term")
         .crossJoin(F.broadcast(norm))

@@ -129,6 +129,31 @@ def test_nb_scores_match_reference(spark, docs):
     assert got == expect
 
 
+def test_nb_empty_class_fails_loudly(spark):
+    """r10 ADVICE: a reference slice with an empty class must raise —
+    in BOTH engines — instead of Spark's ln(0)->NULL silently nulling
+    every score (which would surface as a baffling hash mismatch)."""
+    import duckdb
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, "a b", 1), (1, "b c", 1)],  # no pos=0 documents
+        "doc_id long, text string, pos int",
+    )
+    with pytest.raises(Exception, match="empty class"):
+        nb_quality_scores_of(df).collect()
+
+    from data_pipeline_spark_spark.operators.text import _NB_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, 'a b', 'en'), (1, 'b c', 'en')) t(doc_id, text, lang)"
+    )
+    with pytest.raises(Exception, match="empty class"):
+        con.execute(_NB_SQL).fetchall()
+
+
 def test_nb_plan_shape(spark, sf_dir):
     """The model attaches to the token stream as a BROADCAST join —
     the corpus-proportional explode must never reach a sort-merge
