@@ -28,13 +28,10 @@ before anything else. Scale design per rung:
 
 from __future__ import annotations
 
-import hashlib
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..catalog import fan_out, load
 from ..functions.vector import as_double_array, cosine
@@ -528,29 +525,54 @@ _SIMHASH_BITS = 64
 _SIMHASH_BANDS = 4  # 16 bits per band
 
 
-def _simhash_udf():
-    @F.pandas_udf(T.LongType())
-    def simhash(texts: pd.Series) -> pd.Series:
-        def sh(text: str) -> int:
-            acc = [0] * _SIMHASH_BITS
-            for tok in text.split(" "):
-                if not tok:
-                    continue
-                h = int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
-                )
-                for i in range(_SIMHASH_BITS):
-                    acc[i] += 1 if (h >> i) & 1 else -1
-            v = 0
-            for i in range(_SIMHASH_BITS):
-                if acc[i] > 0:
-                    v |= 1 << i
-            # to signed 64-bit
-            return v - (1 << 64) if v >= (1 << 63) else v
+def simhash_sigs(d: DataFrame) -> DataFrame:
+    """(doc_id, sig): 64-bit SimHash signatures as PURE WHOLE-STAGE
+    CODEGEN — token explode → xxhash64 → 64 conditional bit-vote sums
+    in one map-side-combined aggregate → signed bit reassembly. This
+    replaced the r8 pandas_udf whose per-token Python loop was the one
+    non-JVM compute in the dedup family (r10 VERDICT ask #7); the
+    token hash moved md5[:8] → the built-in ``xxhash64`` with it
+    (only determinism matters to SimHash, not which 64-bit hash).
 
-        return texts.map(sh)
+    Scale shape: the explode never reaches an exchange — the 64 vote
+    sums partially aggregate map-side, so the only shuffled state is
+    one (doc_id, 64 longs) row per document (~0.5 KB/doc, independent
+    of document length). Empty tokens vote 0 rather than being
+    filtered so a whitespace-only document keeps its row (split always
+    yields ≥1 element) and signs to sig=0, matching the old UDF.
 
-    return simhash
+    Bit 63 reassembles via ``shiftleft(1L, 63)`` = Long.MIN_VALUE;
+    the terms are bit-disjoint so ``+`` is exact OR and the min-long
+    term cannot overflow against the lower 63 bits."""
+    import functools
+
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.col("tok") == "", 0).otherwise(
+                F.when(
+                    F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            )
+        ).alias(f"v{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    one = F.lit(1).cast("long")
+    sig = functools.reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(one, i)).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(_SIMHASH_BITS)
+        ],
+    )
+    return tok.groupBy("doc_id").agg(*votes).select(
+        "doc_id", sig.alias("sig")
+    )
 
 
 @query(
@@ -592,7 +614,7 @@ def simhash_pairs(d: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Core SimHash pipeline over any (doc_id, text) frame — split out
     so tests can feed constructed duplicates (the fixtures contain
     only near-dups, never byte-identical texts)."""
-    sigs = d.select("doc_id", _simhash_udf()("text").alias("sig"))
+    sigs = simhash_sigs(d)
 
     bands = sigs.select(
         "doc_id",

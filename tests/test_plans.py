@@ -235,6 +235,23 @@ def test_repetition_stats_shuffle_free(spark, sf_dir):
     assert "Window" not in plan and "Join" not in plan
 
 
+def test_simhash_signature_is_jvm_side(spark, sf_dir):
+    """r10 VERDICT ask #7: the SimHash signature pass is whole-stage
+    codegen — no Python evaluation node anywhere in the plan (the old
+    pandas_udf ran a per-token Python loop), and the exploded token
+    stream partially aggregates before its one doc-keyed exchange."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.dedup import simhash_sigs
+
+    df = simhash_sigs(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan, plan  # Batch- and Arrow- variants
+    assert "HashAggregate" in plan
+    assert shuffle_count(df) == 1  # the post-combine doc-keyed exchange
+
+
 def test_corpus_filter_report_single_row_agg_only(spark, sf_dir):
     """The quality gate's only exchange is the final single-row
     aggregate (flag sums); the repetition rule's token histogram is
