@@ -1404,3 +1404,169 @@ def sim_search_ivfpq_trained(
         .agg(F.sum("term_u").cast("bigint").alias("est_dist_u"))
     )
     return _pq_ranked(adc, unit=1e12)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 + vector cosine fused with reciprocal-rank
+# fusion (the standard RAG retrieval composition)
+# ---------------------------------------------------------------------------
+
+#: RRF constant from Cormack, Clarke & Buettcher 2009 ("Reciprocal
+#: rank fusion outperforms Condorcet..."): score = Σ 1/(K + rank).
+_RRF_K = 60
+#: Per-side candidate depth fed into the fusion; the fused list is
+#: cut to _TOP_K at the end.
+_RRF_DEPTH = 50
+
+
+def _rrf_sql() -> str:
+    from .text import _BM25_SQL
+
+    inv = f"CAST(1 AS DOUBLE) / ({_RRF_K} + "
+    return f"""
+    WITH lex AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                 AS lex_rank
+        FROM ({_BM25_SQL}) WHERE doc_id <> 0
+      ) WHERE lex_rank <= {_RRF_DEPTH}
+    ),
+    vec AS (
+      SELECT doc_id, vec_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY ROUND(list_cosine_similarity(
+                   q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) DESC,
+                 e.vec_id ASC) AS vec_rank
+        FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q,
+             embeddings e
+        WHERE e.vec_id <> 0
+      ) WHERE vec_rank <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             COALESCE({inv}l.lex_rank), 0)
+               + COALESCE({inv}v.vec_rank), 0) AS rrf
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, ROUND(rrf, 6) AS rrf_score, rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rnk
+      FROM fused
+    ) WHERE rnk <= {_TOP_K}
+    """
+
+
+@query("retrieval_hybrid_rrf", oracle=_rrf_sql())
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for one request — lexical BM25 (terms
+    ``hash merge window``, [[keyword_search_bm25]]) and vector cosine
+    (query = embedding 0, the exact [[sim_search]] scorer) fused with
+    reciprocal-rank fusion, RRF K=60 (Cormack et al. 2009). Fills the
+    r10 VERDICT gap #4: the two retrieval modalities existed but the
+    standard RAG composition over them did not. Document 0 is the
+    querying document, excluded from BOTH candidate sides so the
+    universes agree; at sf0.1 the embeddings cover only a prefix of
+    the doc ids — a partially-embedded corpus — which RRF absorbs by
+    construction (an id absent from one side simply contributes no
+    reciprocal term).
+
+    Scale shape, reusing each stage's proven plan verbatim: the BM25
+    side is scan → 1-row-stats broadcast → filter with ZERO
+    data-proportional shuffles; the vector side broadcasts the single
+    query vector onto the embedding scan; each side then collapses
+    through a distributed top-``_RRF_DEPTH`` (TakeOrdered — no global
+    sort, no single-partition window over corpus-sized data); the
+    fusion full-outer-join and final re-rank touch only the ≤2×depth
+    fused candidate rows. Corpus-proportional work is exactly two
+    scans, both shuffle-free.
+
+    Determinism / full value oracle: both per-side ranks come from
+    total orderings on values already exact cross-engine (BM25 score
+    ROUND 6 with exact-integer inputs; cosine ROUND 4; id
+    tie-breaks), and 1.0/(K+rank) on integer ranks is a single IEEE
+    division — identical doubles both engines, summed in fixed
+    two-term order, so the fused ordering needs no tolerance. The
+    oracle embeds the BM25 stage SQL verbatim as a CTE
+    ([[corpus_pipeline_trained]]'s composition-grading pattern)."""
+    from .text import keyword_search_bm25
+
+    lex_top = (
+        keyword_search_bm25(spark, sf_dir)
+        .filter(F.col("doc_id") != 0)
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("lex_rank"),
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb")
+    )
+    vec_top = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+    )
+    vec = vec_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc()))
+        .alias("vec_rank"),
+    )
+    return rrf_fuse(lex, vec)
+
+
+def rrf_fuse(lex: DataFrame, vec: DataFrame, top_k: int = _TOP_K) -> DataFrame:
+    """RRF fusion of two ranked lists ``(doc_id, lex_rank)`` /
+    ``(doc_id, vec_rank)`` — module-level so the hypothesis
+    differential runs the SAME fold the registered query runs.
+    1.0/(K+rank) on integer ranks is one IEEE division, identical in
+    any engine; absent sides contribute exactly 0; ties in the fused
+    double (possible only between equal rank multisets) break by
+    doc_id."""
+
+    def inv(c):
+        return F.lit(1.0) / (F.lit(_RRF_K) + c)
+
+    fused = lex.join(vec, ["doc_id"], "full").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(inv(F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(inv(F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+            "rnk",
+        )
+    )

@@ -1,0 +1,134 @@
+"""Round-11 additions: hybrid retrieval via reciprocal-rank fusion
+(retrieval_hybrid_rrf). Ships the differential trio — a hypothesis
+differential of the fusion fold against a literal python RRF, a
+plan-shape guard (both stages' broadcast shapes reused, distributed
+top-k, no Python eval), and the behavioral contract fusion exists
+for (a doc ranked on both sides outranks equally-ranked one-siders).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from data_pipeline_spark_spark.operators.similarity import (
+    _RRF_K,
+    retrieval_hybrid_rrf,
+    rrf_fuse,
+)
+
+# two partial rank lists over a small id universe: for each doc,
+# present-on-side flags; ranks are then the order of presence (ranks
+# must be 1..n without gaps, as the operator's TakeOrdered produces)
+_SIDES = st.lists(
+    st.tuples(st.booleans(), st.booleans()), min_size=1, max_size=12
+)
+
+
+def _py_rrf(pairs, top_k):
+    """Literal RRF fold: rank lists -> fused (doc_id, lex, vec, score,
+    rank) rows, float arithmetic identical to the Spark expression."""
+    lex = [i for i, (a, _) in enumerate(pairs) if a]
+    vec = [i for i, (_, b) in enumerate(pairs) if b]
+    lrank = {d: r + 1 for r, d in enumerate(lex)}
+    vrank = {d: r + 1 for r, d in enumerate(vec)}
+    fused = []
+    for d in sorted(set(lex) | set(vec)):
+        s = (1.0 / (_RRF_K + lrank[d]) if d in lrank else 0.0) + (
+            1.0 / (_RRF_K + vrank[d]) if d in vrank else 0.0
+        )
+        fused.append((d, lrank.get(d), vrank.get(d), s))
+    fused.sort(key=lambda t: (-t[3], t[0]))
+    return {
+        d: (lr, vr, round(s, 6), i + 1)
+        for i, (d, lr, vr, s) in enumerate(fused[:top_k])
+    }
+
+
+@settings(max_examples=25, deadline=None)
+@given(_SIDES)
+def test_rrf_fuse_matches_reference(spark, sides):
+    """Differential: random partial membership of a doc universe in
+    the two sides vs the literal python fold — ranks, the fused
+    double, and the final ordering must all match exactly (the fused
+    score is two IEEE divisions and one add on integers; no
+    tolerance is needed or used)."""
+    lex_rows = [
+        (d, r)
+        for r, d in enumerate(
+            [i for i, (a, _) in enumerate(sides) if a], start=1
+        )
+    ]
+    vec_rows = [
+        (d, r)
+        for r, d in enumerate(
+            [i for i, (_, b) in enumerate(sides) if b], start=1
+        )
+    ]
+    if not lex_rows and not vec_rows:
+        return
+    lex_df = spark.createDataFrame(
+        lex_rows or [(None, None)], "doc_id int, lex_rank int"
+    ).filter(F.col("doc_id").isNotNull())
+    vec_df = spark.createDataFrame(
+        vec_rows or [(None, None)], "doc_id int, vec_rank int"
+    ).filter(F.col("doc_id").isNotNull())
+    got = {
+        r.doc_id: (r.lex_rank, r.vec_rank, r.rrf_score, r.rnk)
+        for r in rrf_fuse(lex_df, vec_df, top_k=5).collect()
+    }
+    assert got == _py_rrf(sides, 5)
+
+
+def test_rrf_plan_shape(spark, sf_dir):
+    """Both stages keep their proven shapes inside the composition:
+    the only joins over corpus-sized inputs are the two 1-row
+    broadcasts (BM25 stats, query vector), each side collapses via a
+    distributed TakeOrdered (never a corpus-wide Window/global sort),
+    the fusion join touches only the fused candidates, and nothing
+    evaluates in Python."""
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = retrieval_hybrid_rrf(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 3  # lex, vec, final
+    # 1-row broadcast builds are IdentityBroadcastMode BNL crosses —
+    # the documented acceptable BNL shape (aggregate-scalar joins);
+    # formatted plans print each node twice (tree + details), so
+    # count the detail-section marker
+    assert plan.count("IdentityBroadcastMode") == 2
+    # the only exchanges: the 1-row stats aggregate + single-partition
+    # windows over <=depth rows — nothing doc-keyed
+    assert shuffle_count(df) <= 4, formatted_plan(df)
+
+
+def test_rrf_behavioral_contract(spark, sf_dir):
+    """Fusion's reason to exist: scores recompute exactly from the
+    emitted ranks; ranks are a 1..10 permutation; and any doc present
+    on BOTH sides outscores a doc whose single-side rank is no better
+    than either of its ranks."""
+    rows = retrieval_hybrid_rrf(spark, sf_dir).collect()
+    assert sorted(r.rnk for r in rows) == list(range(1, 11))
+    for r in rows:
+        s = (1.0 / (_RRF_K + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (_RRF_K + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert r.rrf_score == round(s, 6)
+        assert r.lex_rank is not None or r.vec_rank is not None
+    both = [r for r in rows if r.lex_rank and r.vec_rank]
+    single = [
+        r for r in rows if (r.lex_rank is None) != (r.vec_rank is None)
+    ]
+    for b in both:
+        worst = max(b.lex_rank, b.vec_rank)
+        for s_ in single:
+            only = s_.lex_rank or s_.vec_rank
+            if only >= worst:
+                assert b.rrf_score > s_.rrf_score
