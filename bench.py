@@ -72,6 +72,8 @@ HEADLINE = [
     "sim_search",
     "sim_search_pq",
     "sim_search_ivfpq",
+    "sim_search_ivfpq_trained",
+    "retrieval_hybrid_rrf",
     "corpus_duplication_profile",
     "corpus_duplication_profile_hashed",
     "text_stats",

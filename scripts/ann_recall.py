@@ -297,14 +297,128 @@ def coarse_training_matrix(sf_dir, iters=2):
     )
 
 
+def nprobe_sweep(sf_dir, iters=2):
+    """Recall@10 vs candidate fraction as nprobe sweeps 1→16 (=all
+    cells), for the seeded and the trained raw-code rungs — the
+    production tuning curve the r10 VERDICT asked for (ask #8). Same
+    exact-integer semantics as the rungs (micro-unit subvectors,
+    integer distances, HALF_UP updates, (dist, id) tie-breaks);
+    coarse is the shipped seeded quantizer in both rows, so the only
+    axis besides nprobe is whether the PQ codebook is Lloyd-trained."""
+    import numpy as np
+
+    from data_pipeline_spark_spark.operators.similarity import (
+        _IVFPQ_CELLS,
+        _N_QUERIES,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        _TOP_K,
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchnumpy()
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    n = len(X)
+    Xu = _rhu(X * 1e6)
+    S3 = Xu.reshape(n, _PQ_M, _PQ_SUB)
+    C = S3[:_IVFPQ_CELLS].copy()
+    cd = ((S3[:, None, :, :] - C[None, :, :, :]) ** 2).sum(axis=(2, 3))
+    assign = cd.argmin(axis=1)
+
+    def codebook(trained):
+        cents = np.stack(
+            [Xu[:_PQ_K, m * _PQ_SUB:(m + 1) * _PQ_SUB]
+             for m in range(_PQ_M)]
+        )
+        if trained:
+            for _ in range(iters):
+                for m in range(_PQ_M):
+                    Sm = Xu[:, m * _PQ_SUB:(m + 1) * _PQ_SUB]
+                    a = ((Sm[:, None, :] - cents[m][None, :, :]) ** 2
+                         ).sum(2).argmin(1)
+                    for c in range(_PQ_K):
+                        if (a == c).any():
+                            cents[m, c] = _rhu(
+                                Sm[a == c].sum(0) / (a == c).sum()
+                            )
+        codes = np.stack(
+            [
+                ((Xu[:, m * _PQ_SUB:(m + 1) * _PQ_SUB][:, None, :]
+                  - cents[m][None, :, :]) ** 2).sum(2).argmin(1)
+                for m in range(_PQ_M)
+            ],
+            axis=1,
+        )
+        return cents, codes
+
+    norms = np.linalg.norm(X, axis=1)
+    exact = {}
+    for q in range(_N_QUERIES):
+        cos = np.round((X @ X[q]) / (norms * norms[q]), 4)
+        idx = sorted(
+            (i for i in range(n) if i != q), key=lambda i: (-cos[i], i)
+        )
+        exact[q] = set(idx[:_TOP_K])
+
+    for label, (cents, codes) in (
+        ("seeded", codebook(False)),
+        ("trained", codebook(True)),
+    ):
+        row = []
+        for nprobe in (1, 2, 4, 8, 16):
+            hits = n_cand = 0
+            for q in range(_N_QUERIES):
+                cells = np.lexsort(
+                    (np.arange(_IVFPQ_CELLS), cd[q])
+                )[:nprobe]
+                cands = []
+                for cell in cells:
+                    terms = np.stack(
+                        [
+                            ((cents[m]
+                              - Xu[q, m * _PQ_SUB:(m + 1) * _PQ_SUB])
+                             ** 2).sum(1)
+                            for m in range(_PQ_M)
+                        ]
+                    )
+                    for v in np.where(assign == cell)[0]:
+                        if v != q:
+                            cands.append(
+                                (sum(terms[m, codes[v, m]]
+                                     for m in range(_PQ_M)), v)
+                            )
+                cands.sort()
+                n_cand += len(cands)
+                hits += len({v for _, v in cands[:_TOP_K]} & exact[q])
+            row.append(
+                f"nprobe={nprobe}: "
+                f"{hits / (_N_QUERIES * _TOP_K):.2f}"
+                f"@{n_cand / (_N_QUERIES * (n - 1)):.2f}"
+            )
+        print(f"{sf_dir} {label} recall@cand_frac  " + "  ".join(row))
+
+
 if __name__ == "__main__":
-    dirs = sys.argv[1:] or [
+    sweep_only = "--sweep" in sys.argv
+    dirs = [a for a in sys.argv[1:] if not a.startswith("--")] or [
         "/root/testdata/sf0.001",
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
     ]
+    if sweep_only:
+        for d in dirs:
+            nprobe_sweep(d)
+        sys.exit(0)
     spark_recalls(dirs)
     for d in dirs:
         residual_trained_recall(d)
     for d in dirs:
         coarse_training_matrix(d)
+    for d in dirs:
+        nprobe_sweep(d)

@@ -178,3 +178,32 @@ def test_cast_by_prefix_single_projection(spark):
     assert dict(out.dtypes) == {"S1": "double", "S2": "double", "note": "string"}
     row = out.first()
     assert row.S1 == 1.5 and row.note == "x"
+
+
+def test_ingest_at_reference_width(spark, tmp_path):
+    """Ingest at the reference's TRUE width — 6,039 columns
+    (sparkle-v8.py:90 hard-codes num_columns = 6039; n_signals=6037 +
+    ClockDateTime + Time reaches it). The narrow fixtures exercise
+    the logic; this pins that nothing in probe/read/write assumes a
+    plan-manageable column count (whole-stage codegen is fully
+    fallen back at this width — scripts/wide_probe.py measures the
+    consequences; this test pins correctness there). Row count is
+    tiny because width, not volume, is the variable under test."""
+    src = str(tmp_path / "wide_in")
+    out = str(tmp_path / "wide_out")
+    generate_corpus(
+        src, n_patients=1, max_sessions=1, rows_per_session=10,
+        n_signals=6037, seed=13,
+    )
+    paths = [os.path.join(src, p) for p in sorted(os.listdir(src))]
+    h = eeg_csv.probe_header(spark, paths[0])
+    assert len(h.columns) == 6039
+    n = eeg_csv.ingest(spark, src, out)
+    assert n == 1
+    back = spark.read.parquet(os.path.join(out, "data"))
+    # width survives the round-trip: all signals + metadata + decode
+    assert len([c for c in back.columns if c.startswith("S")]) == 6037
+    assert back.count() == 10
+    # a pruned narrow read off the wide store stays correct
+    row = back.select("S1_1", "S6037_1", "Time").orderBy("Time").first()
+    assert row.S1_1 is not None and row.S6037_1 is not None
