@@ -455,10 +455,19 @@ def _basket_affinity_from(
     # the item dictionary feeds TWO broadcasts (part_a and part_b
     # sides); their renamed Projects canonicalize differently, so
     # without a pin the explode+count aggregate runs once per
-    # broadcast. A lazy localCheckpoint shares one compute (r9: the
-    # grouping-sets fold of n_baskets into this same aggregate was
-    # measured SLOWER — 0.73 s vs 0.68 s at sf0.1 — the residual is
-    # per-job scheduling floor, quantified in docs/SCALE.md)
+    # broadcast. A lazy localCheckpoint shares one compute. Priced
+    # deliberately (r11 solo decomposition, docs/SCALE.md): sharing
+    # costs ~+0.1 s at sf0.1 versus the duplicated form because the
+    # pin SERIALIZES the dict materialization that previously hid
+    # inside the two concurrent broadcast-build threads — but the
+    # duplicated form runs the corpus-proportional exploded-stream
+    # aggregate twice, which is 2× that stage's cluster work at the
+    # 100 TB target, so the wall cost at fixture scale is the right
+    # trade. (Also measured and declined: aliasing one frame for
+    # both joins hoping ReuseExchange dedupes the broadcasts — the
+    # exchanges still canonicalize differently, 0 reuse; and r9's
+    # grouping-sets fold of n_baskets into this aggregate, 0.73 s
+    # vs 0.68 s.)
     item = (
         baskets.select(F.explode("items").alias("l_partkey"))
         .groupBy("l_partkey")
