@@ -107,6 +107,7 @@ _ROUND11_PRIORITY = [
     # (b) new round-11 keys — no graded row exists yet (appended as
     # they are registered during the round)
     "retrieval_hybrid_rrf",
+    "stream_dedup_bounded_state",
     # (c) rows-only ingest keys, driver rows r1-stale — re-stamp
     "eeg_ingest",
     "eeg_tidy_melt",

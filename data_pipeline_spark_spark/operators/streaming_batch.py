@@ -873,3 +873,135 @@ def stream_late_data_accounting(
             spark.catalog.dropTempView(sink)
         except Exception:
             pass
+
+
+_DEDUP_BOUNDED_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_unique_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dups_dropped,
+           TRUE AS state_bounded
+    FROM events
+"""
+
+
+@query("stream_dedup_bounded_state", oracle=_DEDUP_BOUNDED_SQL)
+def stream_dedup_bounded_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state —
+    ``dropDuplicatesWithinWatermark`` — the form that survives an
+    unbounded stream. [[stream_dedup]]'s plain ``dropDuplicates``
+    holds every key ever seen (state grows with the stream forever:
+    correct in a test, an OOM countdown on a 100 TB feed);
+    within-watermark dedup keeps a key only until the event-time
+    watermark passes ``ts + delay``, so state is bounded by the
+    key-arrival rate × the delay window, independent of stream
+    length. This key proves BOTH halves of that contract at once:
+
+    - **dedup correctness**: every event with ``event_id % 3 = 0``
+      is re-injected as an exact duplicate one micro-batch AFTER its
+      original (plus the second half's duplicates in a batch of
+      their own), with the delay sized to the full event span so
+      every duplicate is guaranteed to arrive while its key is still
+      in state — all are dropped, and the emitted stream equals the
+      batch-distinct events table row for row (count + id checksum,
+      full value oracle).
+    - **state boundedness**: two far-future sentinel batches advance
+      the watermark past ``max(ts) + delay`` and then trigger one
+      more eviction cycle (eviction lags one batch, the r10
+      late-data finding), after which the state store must hold only
+      the sentinels themselves: ``state_bounded`` asserts the final
+      ``numRowsTotal ≤ 2`` against ~10k keys streamed — the
+      observable difference from [[stream_dedup]], whose state would
+      still hold every key at this point.
+
+    Scale shape: dedup state is hash-partitioned by key across
+    executors (the standard stateful-operator layout); nothing here
+    is fixture-shaped except the deterministic duplicate injection
+    the oracle replays."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    src = tempfile.mkdtemp(prefix="dps_bdedup_src_")
+    sink = f"stream_bdedup_sink_{os.getpid()}"
+    try:
+        min_ts, max_ts = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        span = max_ts - min_ts
+        delay_hours = int(span.total_seconds() // 3600) + 2
+        delay = datetime.timedelta(hours=delay_hours)
+        mid = min_ts + span / 2
+        c1 = ev.filter(F.col("ts") <= F.lit(mid))
+        c2 = ev.filter(F.col("ts") > F.lit(mid))
+        dups1 = c1.filter(F.col("event_id") % 3 == 0)
+        dups2 = c2.filter(F.col("event_id") % 3 == 0)
+        n_fed_real = 0
+        seen: list[str] = []
+        order: list[str] = []
+
+        def append_chunk(df) -> int:
+            df.coalesce(1).write.mode("append").parquet(src)
+            new = [
+                f
+                for f in os.listdir(src)
+                if f.endswith(".parquet") and f not in seen
+            ]
+            seen.extend(new)
+            order.extend(new)
+            return df.count()
+
+        n_fed_real += append_chunk(c1)
+        n_fed_real += append_chunk(c2.unionByName(dups1))
+        n_fed_real += append_chunk(dups2)
+        s1 = max_ts + 2 * delay
+        append_chunk(
+            spark.createDataFrame([(-1, s1)], schema=ev.schema)
+        )
+        append_chunk(
+            spark.createDataFrame(
+                [(-2, s1 + datetime.timedelta(hours=1))],
+                schema=ev.schema,
+            )
+        )
+        _stamp_in_order(src, order)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", f"{delay_hours} hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        prog = q.lastProgress
+        state_rows = (
+            prog["stateOperators"][0]["numRowsTotal"]
+            if prog and prog.get("stateOperators")
+            else -1
+        )
+        emitted = spark.table(sink).filter(F.col("event_id") >= 0)
+        result = emitted.agg(
+            F.count("*").cast("bigint").alias("n_unique_events"),
+            F.sum("event_id").cast("bigint").alias("id_checksum"),
+            (F.lit(n_fed_real) - F.count("*"))
+            .cast("bigint")
+            .alias("n_dups_dropped"),
+            F.lit(0 <= state_rows <= 2).alias("state_bounded"),
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
