@@ -108,6 +108,7 @@ _ROUND11_PRIORITY = [
     # they are registered during the round)
     "retrieval_hybrid_rrf",
     "stream_dedup_bounded_state",
+    "layout_zorder_locality",
     # (c) rows-only ingest keys, driver rows r1-stale — re-stamp
     "eeg_ingest",
     "eeg_tidy_melt",

@@ -474,3 +474,196 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         restore_conf(spark, k_scan, old_scan)
         restore_conf(spark, k_bcast, old_bcast)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Z-order data layout (the Delta/Iceberg Z-ORDER capability)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 5        # 5 bits per dimension: day index 0..29, user bucket 0..31
+_Z_FILES = 64      # target file count for the layout comparison
+_Z_DAY_LO, _Z_DAY_HI = 7, 13    # the box query: a 7-day window ...
+_Z_USER_LO, _Z_USER_HI = 8, 11  # ... for 4 of the 32 user buckets
+
+def morton_z(d, u):
+    """Morton (Z-curve) interleave of two ``_Z_BITS``-bit non-negative
+    ints as a Column — d's bits land on odd positions, u's on even.
+    Plain shift/mask/multiply so the SQL twin is bit-identical;
+    module-level so the hypothesis differential runs the same fold."""
+    zval = None
+    for i in range(_Z_BITS):
+        term = F.shiftright(d, i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * i + 1)
+        ) + F.shiftright(u, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        zval = term if zval is None else zval + term
+    return zval
+
+
+_ZORDER_SQL = f"""
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS mind,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+    ),
+    dims AS (
+      SELECT event_id, ts,
+             date_diff('day', b.mind, CAST(ts AS DATE)) AS d,
+             user_id % 32 AS u,
+             b.n
+      FROM events, bounds b
+    ),
+    z AS (
+      SELECT event_id, ts, d, u, n,
+             {" + ".join(
+                 f"((d >> {i}) & 1) * {1 << (2 * i + 1)}"
+                 f" + ((u >> {i}) & 1) * {1 << (2 * i)}"
+                 for i in range(_Z_BITS)
+             )} AS zval
+      FROM dims
+    ),
+    ranked AS (
+      SELECT d, u, n,
+             (row_number() OVER (ORDER BY zval, event_id) - 1)
+               // ((n + {_Z_FILES - 1}) // {_Z_FILES}) AS file_z,
+             (row_number() OVER (ORDER BY ts, event_id) - 1)
+               // ((n + {_Z_FILES - 1}) // {_Z_FILES}) AS file_l
+      FROM z
+    ),
+    zfiles AS (
+      SELECT file_z, MIN(d) AS dlo, MAX(d) AS dhi,
+             MIN(u) AS ulo, MAX(u) AS uhi
+      FROM ranked GROUP BY file_z
+    ),
+    lfiles AS (
+      SELECT file_l, MIN(d) AS dlo, MAX(d) AS dhi,
+             MIN(u) AS ulo, MAX(u) AS uhi
+      FROM ranked GROUP BY file_l
+    ),
+    zs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_files_z,
+             CAST(SUM(CASE WHEN dlo <= {_Z_DAY_HI} AND dhi >= {_Z_DAY_LO}
+                            AND ulo <= {_Z_USER_HI} AND uhi >= {_Z_USER_LO}
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned_zorder
+      FROM zfiles
+    ),
+    ls AS (
+      SELECT CAST(SUM(CASE WHEN dlo <= {_Z_DAY_HI} AND dhi >= {_Z_DAY_LO}
+                            AND ulo <= {_Z_USER_HI} AND uhi >= {_Z_USER_LO}
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned_linear
+      FROM lfiles
+    )
+    SELECT (SELECT n FROM bounds) AS n_rows,
+           zs.n_files_z AS n_files,
+           zs.files_scanned_zorder,
+           ls.files_scanned_linear,
+           zs.files_scanned_zorder < ls.files_scanned_linear
+             AS zorder_wins
+    FROM zs, ls
+"""
+
+
+@query("layout_zorder_locality", oracle=_ZORDER_SQL)
+def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering — the Delta/Iceberg ``ZORDER BY`` layout
+    capability, measured rather than asserted: interleave the bits of
+    two query dimensions (event day index × user bucket) into a
+    Morton code, lay the table out in z-order versus the naive
+    arrival (time) order at 64 files, and count how many files a
+    two-dimensional box predicate (a 7-day window × 4 user
+    buckets) would touch under each layout given per-file min/max
+    statistics — exactly the row-group pruning a parquet/Iceberg
+    reader performs. Arrival order packs each day contiguously, so
+    EVERY file holding the window's days must be read regardless of
+    user bucket; the z-layout clusters both dimensions jointly, so
+    the box touches only the files covering its curve region. The
+    emitted ``zorder_wins`` boolean is the behavioral contract, and
+    the scanned-file counts are exact integers the oracle recomputes
+    bit for bit (the Morton interleave is plain shift/mask/multiply
+    arithmetic, identical in both engines; file boundaries are exact
+    integer division on the global rank).
+
+    Scale shape: at fixture scale the global z-rank rides one
+    single-partition window to make file assignment EXACTLY
+    reproducible for the oracle; the production writer gets the same
+    order with ``repartitionByRange(z).sortWithinPartitions(z)`` —
+    a range shuffle, no global window — and the min/max pruning
+    statistics come free from the parquet footers. State per file is
+    two (min, max) pairs; everything else is a narrow projection."""
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("mind"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    dims = e.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "ts",
+        F.datediff(F.to_date("ts"), F.col("mind")).alias("d"),
+        (F.col("user_id") % 32).alias("u"),
+        "n",
+    )
+    zval = morton_z(F.col("d"), F.col("u"))
+    from pyspark.sql import Window as W
+
+    rpf = (F.col("n") + F.lit(_Z_FILES - 1)) / F.lit(_Z_FILES)
+    ranked = dims.withColumn("zval", zval).select(
+        "d",
+        "u",
+        F.floor(
+            (
+                F.row_number().over(
+                    W.orderBy(F.col("zval"), F.col("event_id"))
+                )
+                - 1
+            )
+            / rpf.cast("bigint")
+        ).alias("file_z"),
+        F.floor(
+            (
+                F.row_number().over(
+                    W.orderBy(F.col("ts"), F.col("event_id"))
+                )
+                - 1
+            )
+            / rpf.cast("bigint")
+        ).alias("file_l"),
+        "n",
+    )
+
+    def scanned(file_col: str, out: str):
+        per_file = ranked.groupBy(file_col).agg(
+            F.min("d").alias("dlo"),
+            F.max("d").alias("dhi"),
+            F.min("u").alias("ulo"),
+            F.max("u").alias("uhi"),
+        )
+        hit = (
+            (F.col("dlo") <= _Z_DAY_HI)
+            & (F.col("dhi") >= _Z_DAY_LO)
+            & (F.col("ulo") <= _Z_USER_HI)
+            & (F.col("uhi") >= _Z_USER_LO)
+        )
+        return per_file.agg(
+            F.count("*").cast("bigint").alias(f"n_files_{out}"),
+            F.sum(hit.cast("int")).cast("bigint").alias(
+                f"files_scanned_{out}"
+            ),
+        )
+    zs = scanned("file_z", "zorder")
+    ls = scanned("file_l", "linear").drop("n_files_linear")
+    return (
+        bounds.select("n")
+        .crossJoin(F.broadcast(zs))
+        .crossJoin(F.broadcast(ls))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("n_files_zorder").alias("n_files"),
+            "files_scanned_zorder",
+            "files_scanned_linear",
+            (
+                F.col("files_scanned_zorder")
+                < F.col("files_scanned_linear")
+            ).alias("zorder_wins"),
+        )
+    )

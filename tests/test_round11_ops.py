@@ -132,3 +132,68 @@ def test_rrf_behavioral_contract(spark, sf_dir):
             only = s_.lex_rank or s_.vec_rank
             if only >= worst:
                 assert b.rrf_score > s_.rrf_score
+
+
+# ---------------------------------------------------------------------------
+# layout_zorder_locality
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=31),
+            st.integers(min_value=0, max_value=31),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_morton_interleave_matches_reference(spark, pts):
+    """Differential: the Spark Morton expression vs a literal python
+    bit interleave over random 5-bit dimension pairs."""
+    from data_pipeline_spark_spark.operators.scale_patterns import (
+        _Z_BITS,
+        morton_z,
+    )
+
+    def py_z(d, u):
+        z = 0
+        for i in range(_Z_BITS):
+            z += ((d >> i) & 1) << (2 * i + 1)
+            z += ((u >> i) & 1) << (2 * i)
+        return z
+
+    df = spark.createDataFrame(
+        [(i, d, u) for i, (d, u) in enumerate(pts)],
+        "idx int, d int, u int",
+    )
+    got = {
+        r.idx: r.z
+        for r in df.select(
+            "idx", morton_z(F.col("d"), F.col("u")).alias("z")
+        ).collect()
+    }
+    assert got == {i: py_z(d, u) for i, (d, u) in enumerate(pts)}
+
+
+def test_zorder_locality_contract(spark, sf_dir):
+    """The capability's reason to exist: the 2-D box query touches
+    strictly fewer files under the z-layout than under arrival
+    order, per-file min/max stats account for every file, and the
+    plan keeps the scan narrow (3 columns) with no Python eval."""
+    from data_pipeline_spark_spark.operators.scale_patterns import (
+        layout_zorder_locality,
+    )
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    df = layout_zorder_locality(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    [r] = df.collect()
+    assert r.zorder_wins
+    assert r.files_scanned_zorder < r.files_scanned_linear <= r.n_files
+    # the z-curve box region is a small fraction of the space; even
+    # with boundary effects it must beat arrival order by >=1.5x
+    assert r.files_scanned_linear / r.files_scanned_zorder >= 1.5
