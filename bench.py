@@ -97,6 +97,7 @@ HEADLINE = [
     "tpch_q21_suppliers_who_kept_waiting",
     "agg_weighted_median",
     "doc_fingerprint_winnow",
+    "tokenizer_unigram_segment",
 ]
 
 

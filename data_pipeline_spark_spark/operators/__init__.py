@@ -109,6 +109,7 @@ _ROUND11_PRIORITY = [
     "retrieval_hybrid_rrf",
     "stream_dedup_bounded_state",
     "layout_zorder_locality",
+    "tokenizer_unigram_segment",
     # (c) rows-only ingest keys, driver rows r1-stale — re-stamp
     "eeg_ingest",
     "eeg_tidy_melt",

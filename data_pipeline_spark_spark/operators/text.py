@@ -1382,3 +1382,237 @@ def tokenizer_fertility_report(
             ).alias("chars_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (SentencePiece-unigram inference; Kudo 2018)
+# ---------------------------------------------------------------------------
+
+_UNI_PMAX = 4    # max piece length considered by the seed vocabulary
+_UNI_MAXW = 12   # DP unroll depth; longer words are excluded (none in
+                 # the fixture, whose longest word is 8 chars)
+_UNI_TOPK = 16   # multi-char pieces kept beyond the single-char floor
+
+
+def _unigram_sql() -> str:
+    """DuckDB twin of [[unigram_segment_of]]: the Viterbi DP unrolled
+    as a chain of ``_UNI_MAXW`` CTEs (s1..s{n}), one per word
+    position — the [[_trained_cb_sql]] loop-unroll technique applied
+    to dynamic programming. Piece log-probs are micro-nat BIGINTs
+    quantized ONCE; DP state is the exact integer
+    ``32·score6 − n_pieces`` so max() realizes the (score, fewest
+    pieces) lexicographic objective in one comparison."""
+    steps = []
+    for i in range(1, _UNI_MAXW + 1):
+        cands = []
+        for l in range(1, min(_UNI_PMAX, i) + 1):
+            j = i - l
+            prev = "CAST(0 AS BIGINT)" if j == 0 else f"b{j}"
+            cands.append(
+                f"{prev} + (SELECT aw FROM voc v WHERE v.piece ="
+                f" substr(word, {j + 1}, {l}))"
+            )
+        core = (
+            f"greatest({', '.join(cands)})" if len(cands) > 1 else cands[0]
+        )
+        steps.append(
+            f"""s{i} AS (
+      SELECT *, CASE WHEN length(word) >= {i} THEN {core} END AS b{i}
+      FROM s{i - 1})"""
+        )
+    coalesce = ", ".join(f"b{i}" for i in range(_UNI_MAXW, 0, -1))
+    return f"""
+    WITH w0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word),
+    pieces AS (
+      SELECT substr(word, i, l) AS piece, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM w0,
+           UNNEST(generate_series(1, length(word))) AS a(i),
+           UNNEST(generate_series(1, {_UNI_PMAX})) AS b(l)
+      WHERE i + l - 1 <= length(word)
+      GROUP BY piece),
+    singles AS (SELECT piece, c FROM pieces WHERE length(piece) = 1),
+    multis AS (SELECT piece, c FROM pieces WHERE length(piece) >= 2
+               ORDER BY c DESC, piece ASC LIMIT {_UNI_TOPK}),
+    voc0 AS (SELECT * FROM singles UNION ALL SELECT * FROM multis),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM voc0),
+    voc AS (
+      SELECT piece,
+             32 * (CAST(round(ln(c) * 1000000) AS BIGINT)
+                   - CAST(round(ln(t) * 1000000) AS BIGINT)) - 1 AS aw
+      FROM voc0, tot),
+    s0 AS (SELECT word, cnt FROM w0),
+    {",".join(steps)},
+    seg AS (
+      SELECT word, cnt, COALESCE({coalesce}) AS best
+      FROM s{_UNI_MAXW} WHERE length(word) <= {_UNI_MAXW}),
+    rep AS (
+      SELECT word, cnt,
+             CAST((-best) % 32 AS BIGINT) AS np,
+             CAST((best + ((-best) % 32)) / 32 AS BIGINT) AS score6
+      FROM seg),
+    tok AS (
+      SELECT lang, word
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' AND length(word) <= {_UNI_MAXW})
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(np) AS BIGINT) AS n_unigram_tokens,
+           CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+           CAST(SUM(np) AS DOUBLE) / COUNT(*) AS fertility,
+           (CAST(SUM(score6) AS DOUBLE) / COUNT(*)) / 1000000.0
+             AS avg_word_logprob
+    FROM tok JOIN rep USING (word)
+    GROUP BY lang
+    """
+
+
+@query("tokenizer_unigram_segment", oracle=_unigram_sql())
+def tokenizer_unigram_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM tokenizer segmentation IN-ENGINE (Kudo 2018 — the
+    SentencePiece-unigram algorithm, the other major subword
+    tokenizer besides [[tokenizer_bpe_train]]'s BPE): seed a piece
+    vocabulary from exact substring frequencies (all single chars
+    for coverage + the top-{k} multi-char pieces, the frequent-
+    substring seeding SentencePiece uses), assign each piece its
+    maximum-likelihood log-probability, and Viterbi-segment every
+    word to its most probable piece sequence. Emitted per language:
+    word/subword/char counts, fertility (subwords per word), and the
+    mean per-word log-likelihood under the piece LM — directly
+    comparable with [[tokenizer_fertility_report]]'s BPE fertility
+    on the same corpus.
+
+    Exactness: piece probabilities are micro-nat BIGINTs
+    (``micro_ln`` — ln quantized ONCE per integer count); the
+    Viterbi objective (max score, then fewest pieces) is encoded as
+    the single integer ``32·score6 − n_pieces`` so the DP is pure
+    bigint add/greatest with no float until the two final report
+    divisions (fixed order both engines). The DP itself is unrolled
+    over word positions — a column per prefix length in Spark, a CTE
+    per position in DuckDB ([[_trained_cb_sql]]'s technique applied
+    to DP) — with each candidate guarded by ``i ≤ length(word)``
+    because ``substr`` TRUNCATES past the end rather than returning
+    empty (an unguarded b{{i}} would segment a phantom prefix).
+    Ties at the top-{k} vocabulary boundary break (count desc,
+    piece asc) — a total order.
+
+    Scale shape (the BPE scale trick again): everything trains on
+    the WORD-FREQUENCY DICT — the only corpus-proportional
+    operations are the word-count shuffle and the final scan that
+    broadcast-joins the segmented dictionary onto the token stream.
+    Piece counting, vocabulary selection, and the Viterbi DP all run
+    over vocabulary-sized frames; the model rides one broadcast map
+    row; the DP is a pure projection (no per-word Python, no
+    explode of segmentations — the unroll bounds work at
+    O(maxw·pmax) integer ops per dictionary word)."""
+    return unigram_segment_of(fan_out(load(spark, sf_dir, "documents")))
+
+
+def unigram_segment_of(d: DataFrame) -> DataFrame:
+    """The unigram-LM report over any ``(text, lang)`` frame —
+    module-level so the hypothesis differential runs the SAME fold
+    the registered query runs."""
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    pieces = (
+        words.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(word)), i ->"
+                    " transform(sequence(1, least("
+                    f"{_UNI_PMAX}, length(word) - i + 1)),"
+                    " l -> substring(word, i, l))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    singles = pieces.filter(F.length("piece") == 1)
+    multis = (
+        pieces.filter(F.length("piece") >= 2)
+        .orderBy(F.col("c").desc(), F.col("piece").asc())
+        .limit(_UNI_TOPK)
+    )
+    voc0 = singles.unionByName(multis)
+    tot = voc0.agg(F.sum("c").cast("bigint").alias("t"))
+    voc = voc0.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        (
+            F.lit(32) * (micro_ln(F.col("c")) - micro_ln(F.col("t")))
+            - F.lit(1)
+        ).alias("aw"),
+    )
+    vmap = voc.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "aw"))
+        ).alias("vmap")
+    )
+    seg = words.filter(F.length("word") <= _UNI_MAXW).crossJoin(
+        F.broadcast(vmap)
+    )
+    for i in range(1, _UNI_MAXW + 1):
+        cands = []
+        for l in range(1, min(_UNI_PMAX, i) + 1):
+            j = i - l
+            prev = (
+                F.lit(0).cast("bigint") if j == 0 else F.col(f"b{j}")
+            )
+            cands.append(
+                prev
+                + F.try_element_at(
+                    "vmap", F.substring("word", j + 1, l)
+                )
+            )
+        core = F.greatest(*cands) if len(cands) > 1 else cands[0]
+        seg = seg.withColumn(
+            f"b{i}", F.when(F.length("word") >= i, core)
+        )
+    best = F.coalesce(
+        *[F.col(f"b{i}") for i in range(_UNI_MAXW, 0, -1)]
+    )
+    np_ = (-best) % F.lit(32)
+    rep = seg.select(
+        "word",
+        "cnt",
+        np_.cast("bigint").alias("np"),
+        ((best + np_) / F.lit(32)).cast("bigint").alias("score6"),
+    ).localCheckpoint(eager=False)
+    tok = (
+        d.select(
+            "lang", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(
+            (F.col("word") != "")
+            & (F.length("word") <= _UNI_MAXW)
+        )
+    )
+    return (
+        tok.join(F.broadcast(rep), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("np").cast("bigint").alias("n_unigram_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            (F.sum("np").cast("double") / F.count("*")).alias(
+                "fertility"
+            ),
+            (
+                (F.sum("score6").cast("double") / F.count("*"))
+                / F.lit(1000000.0)
+            ).alias("avg_word_logprob"),
+        )
+    )

@@ -197,3 +197,151 @@ def test_zorder_locality_contract(spark, sf_dir):
     # the z-curve box region is a small fraction of the space; even
     # with boundary effects it must beat arrival order by >=1.5x
     assert r.files_scanned_linear / r.files_scanned_zorder >= 1.5
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_unigram_segment
+# ---------------------------------------------------------------------------
+
+_WORDS = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=10
+)
+
+
+def _ln6(k):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(math.log(k) * 1000000.0)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _uni_reference(docs):
+    """Literal unigram-LM fold: substring-seeded vocab (singles + top
+    16 multis by (count desc, piece asc)), micro-nat ML probs,
+    Viterbi DP on the 32*score-npieces encoding, per-lang rollup —
+    no DataFrame machinery."""
+    from collections import Counter
+
+    words = Counter()
+    for text, _ in docs:
+        for w in text.split(" "):
+            if w:
+                words[w] += 1
+    pieces = Counter()
+    for w, c in words.items():
+        for i in range(len(w)):
+            for l in range(1, min(4, len(w) - i) + 1):
+                pieces[w[i:i + l]] += c
+    voc = {p: c for p, c in pieces.items() if len(p) == 1}
+    voc.update(
+        dict(
+            sorted(
+                ((p, c) for p, c in pieces.items() if len(p) >= 2),
+                key=lambda pc: (-pc[1], pc[0]),
+            )[:16]
+        )
+    )
+    tot = sum(voc.values())
+    aw = {p: 32 * (_ln6(c) - _ln6(tot)) - 1 for p, c in voc.items()}
+    rep = {}
+    for w in words:
+        if len(w) > 12:
+            continue
+        best = {0: 0}
+        for i in range(1, len(w) + 1):
+            best[i] = max(
+                best[i - l] + aw[w[i - l:i]]
+                for l in range(1, min(4, i) + 1)
+                if w[i - l:i] in aw
+            )
+        b = best[len(w)]
+        np = (-b) % 32
+        rep[w] = (np, (b + np) // 32)
+    out = {}
+    for text, lang in docs:
+        for w in text.split(" "):
+            if w and len(w) <= 12:
+                n, s6, nc, cnt = out.get(lang, (0, 0, 0, 0))
+                out[lang] = (
+                    n + 1,
+                    s6 + rep[w][1],
+                    nc + len(w),
+                    cnt + rep[w][0],
+                )
+    return {
+        lang: (
+            n,
+            cnt,
+            nc,
+            float(cnt) / n,
+            (float(s6) / n) / 1000000.0,
+        )
+        for lang, (n, s6, nc, cnt) in out.items()
+    }
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(_WORDS, st.sampled_from(["en", "de"])),
+                min_size=1, max_size=6))
+def test_unigram_segment_matches_reference(spark, corp):
+    """Differential: random two-lang corpora over an 'ab' alphabet vs
+    the literal python fold — counts, the exact integer subword
+    totals, and both report doubles must match exactly."""
+    from data_pipeline_spark_spark.operators.text import (
+        unigram_segment_of,
+    )
+
+    docs = [(" ".join(ws), lang) for ws, lang in corp]
+    df = spark.createDataFrame(docs, "text string, lang string")
+    got = {
+        r.lang: (
+            r.n_words,
+            r.n_unigram_tokens,
+            r.n_chars,
+            r.fertility,
+            r.avg_word_logprob,
+        )
+        for r in unigram_segment_of(df).collect()
+    }
+    assert got == _uni_reference(docs)
+
+
+def test_unigram_plan_shape(spark, sf_dir):
+    """The model rides broadcasts onto the token stream: no
+    SortMergeJoin over corpus-sized data, no cartesian product, no
+    Python eval — the DP is a pure column projection."""
+    from data_pipeline_spark_spark.operators.text import (
+        tokenizer_unigram_segment,
+    )
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        has_broadcast_join,
+    )
+
+    df = tokenizer_unigram_segment(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert has_broadcast_join(df)
+
+
+def test_unigram_behavioral_contract(spark, sf_dir):
+    """The tokenizer's reason to exist: multi-char pieces compress —
+    strictly fewer subwords than characters, at least chars/PMAX of
+    them (a piece covers <=4 chars), and every log-likelihood is
+    negative."""
+    from data_pipeline_spark_spark.operators.text import (
+        tokenizer_unigram_segment,
+    )
+
+    rows = tokenizer_unigram_segment(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_chars / 4 <= r.n_unigram_tokens < r.n_chars
+        assert 1.0 < r.fertility <= 4.0
+        assert r.avg_word_logprob < 0
