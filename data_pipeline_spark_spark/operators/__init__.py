@@ -110,6 +110,8 @@ _ROUND11_PRIORITY = [
     "stream_dedup_bounded_state",
     "layout_zorder_locality",
     "tokenizer_unigram_segment",
+    "corpus_pack_sequences",
+    "drift_psi_report",
     # (c) rows-only ingest keys, driver rows r1-stale — re-stamp
     "eeg_ingest",
     "eeg_tidy_melt",

@@ -42,6 +42,55 @@ _SHARD_SQL = f"""
 """
 
 
+def _exclusive_token_offsets(spark, d: DataFrame):
+    """Distributed exclusive prefix sum of ``n_tok`` in ``doc_id``
+    order — the shared primitive under [[shard_pack]] and
+    [[corpus_pack_sequences]]. A global ``ORDER BY`` window would
+    serialize the whole corpus through one task; instead this is the
+    textbook scan-parallel form: range-partition by doc_id →
+    per-partition exclusive cumsum → fold the P per-partition
+    subtotals into global offsets on the driver (O(partitions) rows,
+    never O(docs)) → broadcast the offsets back onto the partitions.
+
+    ``d`` must have columns ``(doc_id, n_tok)``. Returns ``(cached,
+    offsets)`` where ``offsets`` has ``(doc_id, n_tok, off)`` and
+    ``cached`` is the pinned projection the CALLER must unpersist —
+    it is traversed twice (subtotals, then the joined output) and
+    repartitionByRange's sampled boundaries must not be recomputed
+    differently between the traversals.
+    """
+    from ..session import default_parallelism
+
+    p = default_parallelism()
+    t = (
+        d.repartitionByRange(p, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .cache()
+    )
+    w_local = (
+        W.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = t.withColumn(
+        "local_off", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0))
+    )
+    subtotals = (
+        t.groupBy("pid").agg(F.sum("n_tok").alias("tot")).orderBy("pid").collect()
+    )
+    offsets, acc = [], 0
+    for r in subtotals:
+        offsets.append((r["pid"], acc))
+        acc += r["tot"]
+    off_df = spark.createDataFrame(offsets, "pid int, glob_off long")
+    out = local.join(F.broadcast(off_df), "pid").select(
+        "doc_id",
+        "n_tok",
+        (F.col("local_off") + F.col("glob_off")).alias("off"),
+    )
+    return t, out
+
+
 @query("shard_pack", oracle=_SHARD_SQL)
 def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into fixed-token-budget training shards: docs
@@ -50,53 +99,22 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget) — the standard concatenate-and-chunk sharding for LLM
     pretraining data.
 
-    A global ORDER BY prefix sum would serialize into one window
-    task, so this computes the DISTRIBUTED two-phase prefix sum:
-    range-partition by doc_id → per-partition exclusive cumsum
-    (window within partition) → fold the P per-partition subtotals
-    into global offsets on the driver (O(partitions) rows, not
-    O(docs)) → broadcast the offsets back. This is the textbook
-    scan-parallel prefix sum; every data-sized step is partitioned.
-    The tiny (doc_id, n_tok) projection is cached because it is
-    traversed twice (subtotals, final groupBy) and
-    repartitionByRange's sampled boundaries must not be recomputed
-    differently between traversals. The result is pinned with an
-    eager localCheckpoint — materialized in executor storage with
-    lineage truncated — so the cache can be released without the
-    consumer ever re-running the ranged shuffle; the shard summary
-    itself (O(total tokens / budget) rows) never passes through the
+    The exclusive prefix sum is the distributed two-phase
+    ``_exclusive_token_offsets`` (see its docstring for the
+    scan-parallel shape; the only driver-side step is the
+    O(partitions) subtotal fold). The result is pinned with an eager
+    localCheckpoint — materialized in executor storage with lineage
+    truncated — so the cache can be released without the consumer
+    ever re-running the ranged shuffle; the shard summary itself
+    (O(total tokens / budget) rows) never passes through the
     driver."""
-    from ..session import default_parallelism
-
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tok")
     )
-    p = default_parallelism()
-    t = (
-        d.repartitionByRange(p, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .cache()
-    )
+    t, offs = _exclusive_token_offsets(spark, d)
     try:
-        w_local = (
-            W.partitionBy("pid")
-            .orderBy("doc_id")
-            .rowsBetween(W.unboundedPreceding, -1)
-        )
-        local = t.withColumn(
-            "local_off", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0))
-        )
-        subtotals = (
-            t.groupBy("pid").agg(F.sum("n_tok").alias("tot")).orderBy("pid").collect()
-        )
-        offsets, acc = [], 0
-        for r in subtotals:
-            offsets.append((r["pid"], acc))
-            acc += r["tot"]
-        off_df = spark.createDataFrame(offsets, "pid int, glob_off long")
-        packed = local.join(F.broadcast(off_df), "pid").withColumn(
-            "shard_id",
-            F.floor((F.col("local_off") + F.col("glob_off")) / _SHARD_TOKENS),
+        packed = offs.withColumn(
+            "shard_id", F.floor(F.col("off") / _SHARD_TOKENS)
         )
         out = (
             packed.groupBy("shard_id")
@@ -107,6 +125,115 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("doc_id").alias("last_doc"),
             )
         )
+        return out.localCheckpoint(eager=True)
+    finally:
+        t.unpersist()
+
+
+#: tokens per packed training sequence (corpus_pack_sequences) — the
+#: model context length; intentionally shorter than _SHARD_TOKENS so
+#: the two keys exercise different granularities.
+_SEQ_TOKENS = 512
+
+_PACK_SEQ_SQL = f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, n_tok, off,
+             unnest(range(CAST(floor(off / {_SEQ_TOKENS}) AS BIGINT),
+                          CAST(floor((off + n_tok - 1) / {_SEQ_TOKENS})
+                               AS BIGINT) + 1)) AS seq_id
+      FROM c
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEAST(off + n_tok, (seq_id + 1) * {_SEQ_TOKENS})
+                    - GREATEST(off, seq_id * {_SEQ_TOKENS})) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(CASE WHEN off < seq_id * {_SEQ_TOKENS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_continued,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM s GROUP BY seq_id
+"""
+
+
+def pack_manifest(offs: DataFrame, seq_tokens: int) -> DataFrame:
+    """The testable packing fold under [[corpus_pack_sequences]]:
+    given ``(doc_id, n_tok, off)`` global token offsets, explode each
+    doc into the sequence range it spans and aggregate the
+    per-sequence manifest. Pure interval arithmetic — no per-token
+    rows ever exist."""
+    L = F.lit(seq_tokens).cast("long")
+    spans = offs.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("off") / L),
+                F.floor((F.col("off") + F.col("n_tok") - 1) / L),
+            )
+        ),
+    )
+    seq_lo = F.col("seq_id") * L
+    seq_hi = (F.col("seq_id") + 1) * L
+    contrib = F.least(F.col("off") + F.col("n_tok"), seq_hi) - F.greatest(
+        F.col("off"), seq_lo
+    )
+    return spans.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(contrib).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("off") < seq_lo, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_continued"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query("corpus_pack_sequences", oracle=_PACK_SEQ_SQL)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing manifest: concatenate documents in
+    deterministic doc_id order and chunk the token stream into
+    fixed-length model sequences of ``_SEQ_TOKENS`` (GPT-style
+    concat-and-chunk packing). Unlike [[shard_pack]] — which assigns
+    each doc to the ONE shard its first token falls in — this key
+    answers the per-sequence question a trainer's attention masking
+    and boundary accounting needs: for every sequence, how many
+    documents contribute, how many tokens each boundary holds, and
+    whether the sequence OPENS mid-document (``n_continued`` = the
+    doc that straddles the left edge; at most one by construction).
+
+    Shape: the shared distributed prefix sum
+    (``_exclusive_token_offsets``, O(partitions) driver fold only),
+    then each doc explodes into the ``floor(off/L)..floor((off+n-1)/L)``
+    sequence range it spans — an explode factor of ``1 + n_tok/L`` per
+    doc (≈1 for typical docs far shorter than the context length),
+    never a cross product — and a single hash aggregation by seq_id.
+    Every data-sized step is partitioned; output is O(total tokens /
+    L) rows. Per-token materialization never happens: contributions
+    are computed arithmetically as interval overlaps
+    (``least/greatest`` on offsets), so the op moves doc-count rows,
+    not token-count rows.
+
+    Reference parity: models the packing step the reference's
+    training-export loop performs downstream of dedup (SURVEY §2C
+    EXT); no reference file implements it in-engine — this is the
+    Spark-native formulation."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    t, offs = _exclusive_token_offsets(spark, d)
+    try:
+        out = pack_manifest(offs, _SEQ_TOKENS)
         return out.localCheckpoint(eager=True)
     finally:
         t.unpersist()

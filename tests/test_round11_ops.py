@@ -345,3 +345,219 @@ def test_unigram_behavioral_contract(spark, sf_dir):
         assert r.n_chars / 4 <= r.n_unigram_tokens < r.n_chars
         assert 1.0 < r.fertility <= 4.0
         assert r.avg_word_logprob < 0
+
+
+# ---------------------------------------------------------------------------
+# corpus_pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def _py_pack(n_toks, L):
+    """Literal packing fold: simulate the concatenated token stream
+    and account every sequence's docs/tokens/continuation directly."""
+    out = {}
+    off = 0
+    for doc_id, n in enumerate(n_toks):
+        start, end = off, off + n
+        for s in range(start // L, (end - 1) // L + 1):
+            lo, hi = s * L, (s + 1) * L
+            d = out.setdefault(s, [0, 0, 0, doc_id, doc_id])
+            d[0] += 1
+            d[1] += min(end, hi) - max(start, lo)
+            d[2] += 1 if start < lo else 0
+            d[3] = min(d[3], doc_id)
+            d[4] = max(d[4], doc_id)
+        off = end
+    return {s: tuple(v) for s, v in out.items()}
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=30))
+def test_pack_manifest_matches_reference(spark, n_toks):
+    """Differential: random doc token counts vs the literal python
+    stream simulation — per-sequence doc counts, token contributions,
+    continuation flags, and doc-id bounds are pure integer arithmetic
+    and must match exactly."""
+    from data_pipeline_spark_spark.operators.training_data import pack_manifest
+
+    L = 16
+    rows, off = [], 0
+    for doc_id, n in enumerate(n_toks):
+        rows.append((doc_id, n, off))
+        off += n
+    offs = spark.createDataFrame(rows, "doc_id long, n_tok long, off long")
+    got = {
+        r.seq_id: (r.n_docs, r.n_tokens, r.n_continued, r.first_doc, r.last_doc)
+        for r in pack_manifest(offs, L).collect()
+    }
+    assert got == _py_pack(n_toks, L)
+
+
+def test_pack_sequences_plan_shape(spark, sf_dir):
+    """The packing fold is interval arithmetic + ONE hash aggregation:
+    no Python eval, no cartesian, exactly one exchange on the test
+    offsets frame; and the full operator returns a checkpointed result
+    (the manifest is O(tokens/L) rows and must not round-trip the
+    driver as a LocalTableScan)."""
+    from data_pipeline_spark_spark.operators.training_data import (
+        corpus_pack_sequences,
+        pack_manifest,
+    )
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    offs = spark.createDataFrame(
+        [(0, 5, 0), (1, 7, 5)], "doc_id long, n_tok long, off long"
+    )
+    fold = pack_manifest(offs, 16)
+    plan = formatted_plan(fold)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(fold) == 1
+    full = formatted_plan(corpus_pack_sequences(spark, sf_dir))
+    assert "LocalTableScan" not in full
+
+
+def test_pack_sequences_contract(spark, sf_dir):
+    """Packing's reason to exist: every sequence is exactly full
+    (n_tokens == L) except possibly the last; sequence ids are
+    contiguous from 0; at most ONE document can straddle a left
+    boundary; and the total packed token count equals shard_pack's
+    (same stream, different granularity)."""
+    from data_pipeline_spark_spark.operators.training_data import (
+        _SEQ_TOKENS,
+        corpus_pack_sequences,
+        shard_pack,
+    )
+
+    rows = sorted(
+        corpus_pack_sequences(spark, sf_dir).collect(), key=lambda r: r.seq_id
+    )
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r.n_tokens == _SEQ_TOKENS
+    assert 0 < rows[-1].n_tokens <= _SEQ_TOKENS
+    assert all(r.n_continued in (0, 1) for r in rows)
+    assert all(r.first_doc <= r.last_doc for r in rows)
+    total_seq = sum(r.n_tokens for r in rows)
+    total_shard = sum(r.n_tokens for r in shard_pack(spark, sf_dir).collect())
+    assert total_seq == total_shard
+
+
+# ---------------------------------------------------------------------------
+# drift_psi_report
+# ---------------------------------------------------------------------------
+
+
+def _py_psi(rows):
+    """Literal PSI fold over (dim, bucket, is_base) rows, float
+    arithmetic mirroring the Spark expression."""
+    import math
+
+    counts = {}
+    for dim, bucket, b in rows:
+        c = counts.setdefault((dim, bucket), [0, 0])
+        c[0 if b else 1] += 1
+    out = {}
+    for dim in {d for d, _ in counts}:
+        ks = [kb for kb in counts if kb[0] == dim]
+        t_base = sum(counts[kb][0] for kb in ks)
+        t_curr = sum(counts[kb][1] for kb in ks)
+        k = len(ks)
+        for kb in ks:
+            nb, nc = counts[kb]
+            pb = (nb + 1) / float(t_base + k)
+            pc = (nc + 1) / float(t_curr + k)
+            out[kb] = (nb, nc, pb, pc, (pb - pc) * math.log(pb / pc))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["event_type", "value_bucket"]),
+            st.integers(min_value=0, max_value=5),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_psi_from_long_matches_reference(spark, rows):
+    """Differential: random long-form (dim, bucket, is_base) rows vs
+    the literal python PSI fold. Counts and smoothed probabilities are
+    integer-derived IEEE divisions (exact match); the log term allows
+    1 ulp of libm divergence between CPython and the JVM."""
+    from data_pipeline_spark_spark.operators.analytics import psi_from_long
+
+    df = spark.createDataFrame(
+        [(d, str(bkt), 1 if b else 0) for d, bkt, b in rows],
+        "dim string, bucket string, is_base int",
+    )
+    got = {
+        (r.dim, r.bucket): (r.n_base, r.n_curr, r.p_base, r.p_curr, r.psi_term)
+        for r in psi_from_long(df).collect()
+    }
+    want = _py_psi([(d, str(bkt), b) for d, bkt, b in rows])
+    assert set(got) == set(want)
+    for kb, (nb, nc, pb, pc, term) in want.items():
+        g = got[kb]
+        assert g[0] == nb and g[1] == nc
+        assert g[2] == pb and g[3] == pc
+        assert abs(g[4] - term) <= 1e-15 + 1e-12 * abs(term)
+
+
+def test_psi_plan_shape(spark, sf_dir):
+    """Drift over two dimensions must cost ONE scan of events (inline
+    array explode, not a self-union), aggregate immediately, and keep
+    every window on post-aggregation O(buckets) rows: no Python eval,
+    at most two exchanges (the (dim,bucket) agg + the per-dim window)."""
+    from data_pipeline_spark_spark.operators.analytics import drift_psi_report
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = drift_psi_report(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 2  # one node: tree + details
+    assert shuffle_count(df) <= 2
+
+
+def test_psi_contract(spark, sf_dir):
+    """PSI's defining properties on real data: every per-bucket term
+    is non-negative ((p−q) and ln(p/q) always share sign); smoothed
+    probabilities are a distribution (sum to 1 per dim side); the
+    event_type dimension carries the fixture's full category set; and
+    each term recomputes exactly from the emitted counts."""
+    import math
+    from collections import defaultdict
+
+    from data_pipeline_spark_spark.operators.analytics import drift_psi_report
+
+    rows = drift_psi_report(spark, sf_dir).collect()
+    sums = defaultdict(lambda: [0.0, 0.0, 0])
+    per_dim_counts = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        assert r.psi_term >= 0.0
+        sums[r.dim][0] += r.p_base
+        sums[r.dim][1] += r.p_curr
+        sums[r.dim][2] += 1
+        per_dim_counts[r.dim][0] += r.n_base
+        per_dim_counts[r.dim][1] += r.n_curr
+    assert set(sums) == {"event_type", "value_bucket"}
+    assert sums["event_type"][2] == 5
+    for dim, (sb, sc, _k) in sums.items():
+        assert abs(sb - 1.0) < 1e-9 and abs(sc - 1.0) < 1e-9
+    for r in rows:
+        t_base, t_curr, _ = per_dim_counts[r.dim]
+        k = sums[r.dim][2]
+        pb = (r.n_base + 1) / float(t_base + k)
+        pc = (r.n_curr + 1) / float(t_curr + k)
+        assert r.p_base == pb and r.p_curr == pc
+        want = (pb - pc) * math.log(pb / pc)
+        assert abs(r.psi_term - want) <= 1e-15 + 1e-12 * abs(want)
