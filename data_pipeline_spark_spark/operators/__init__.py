@@ -112,6 +112,7 @@ _ROUND11_PRIORITY = [
     "tokenizer_unigram_segment",
     "corpus_pack_sequences",
     "drift_psi_report",
+    "quality_bigram_perplexity",
     # (c) rows-only ingest keys, driver rows r1-stale — re-stamp
     "eeg_ingest",
     "eeg_tidy_melt",

@@ -1616,3 +1616,120 @@ def unigram_segment_of(d: DataFrame) -> DataFrame:
             ).alias("avg_word_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity scoring (the CCNet/KenLM-style quality filter)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_PPL_SQL = """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT term) AS vsz
+      FROM (SELECT unnest(t) AS term FROM docs)
+    ),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM docs, UNNEST(range(1, len(t))) AS r(i)
+    ),
+    bc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+    ),
+    cc AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1
+    ),
+    lp AS (
+      SELECT bc.w1, bc.w2,
+             CAST(round(ln(c12 + 1) * 1000000) AS BIGINT)
+             - CAST(round(ln(c1 + vsz) * 1000000) AS BIGINT) AS lp6
+      FROM bc JOIN cc USING (w1), v
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(lp.lp6) AS BIGINT) AS sum_lp6,
+           CAST(SUM(lp.lp6) AS DOUBLE)
+             / (1000000.0 * COUNT(*)) AS mean_logprob
+    FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
+    GROUP BY b.doc_id
+"""
+
+
+def bigram_perplexity_of(docs: DataFrame) -> DataFrame:
+    """The testable scoring fold under [[quality_bigram_perplexity]]:
+    given ``(doc_id, text)`` rows, train the add-1-smoothed bigram LM
+    on the corpus and score every document (≥2 tokens) by mean bigram
+    log-probability in exact integer micro-nats."""
+    t = F.split("text", " ")
+    docs_arr = docs.select("doc_id", t.alias("t"))
+    n = F.size("t")
+    pairs = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice(F.col("t"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = docs_arr.select(
+        "doc_id", F.explode(pairs).alias("bg")
+    ).select("doc_id", "bg.w1", "bg.w2")
+    vsz = (
+        docs_arr.select(F.explode("t").alias("term"))
+        .agg(F.countDistinct("term").alias("vsz"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cc = bc.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    lp = (
+        bc.join(cc, "w1")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "w1",
+            "w2",
+            (
+                micro_ln(F.col("c12") + 1)
+                - micro_ln(F.col("c1") + F.col("vsz"))
+            ).alias("lp6"),
+        )
+    )
+    scored = big.join(F.broadcast(lp), ["w1", "w2"])
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("lp6").cast("bigint").alias("sum_lp6"),
+        (
+            F.sum("lp6").cast("double") / (F.lit(1000000.0) * F.count("*"))
+        ).alias("mean_logprob"),
+    )
+
+
+@query("quality_bigram_perplexity", oracle=_BIGRAM_PPL_SQL)
+def quality_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-1 LM quality filter: train an add-1-smoothed BIGRAM
+    language model on the corpus and score every document by its mean
+    bigram log-probability — the CCNet/KenLM perplexity-filtering
+    step (Wenzek et al. 2020) one structural rung above
+    [[quality_unigram_logprob]]'s bag-of-words proxy: token ORDER now
+    matters, so shuffled boilerplate and keyword-stuffed spam score
+    low even when their unigram mix looks natural. P(w2|w1) =
+    (c(w1,w2)+1)/(c(w1·)+V); docs with <2 tokens have no bigrams and
+    are out of scope (no output row).
+
+    Cross-engine exactness (same single-rounding discipline as the
+    unigram key): ln(c12+1) is quantized to integer micro-nats once
+    per DISTINCT bigram and ln(c1+V) once per distinct context, the
+    per-document accumulation is a pure BIGINT sum (associative —
+    partial aggregation order cannot matter), and the one double
+    division at the end is the same IEEE op in both engines.
+
+    Scale shape: bigram extraction is IN-ROW array algebra
+    (slice+zip_with on the token array — no window over doc-ordered
+    tokens, no doc-keyed sort, zero shuffle before counting). Model
+    training is one map-side-combined (w1,w2) count shuffle; context
+    totals derive from the bigram counts (vocabulary-sized, never a
+    second corpus pass); V is one exact distinct-count. Scoring joins
+    the lp6 table back on the bigram key — broadcast here (fixture
+    bigram table is small); at 100 TB the same plan becomes a hash
+    join partitioned by the bigram key, with the Zipf-head skew
+    bounded because the join side is bigram TYPES (the model), not
+    occurrences, and AQE skew-split handles the occurrence side. The
+    per-doc rollup collapses map-side like every micro-nat key."""
+    d = load(spark, sf_dir, "documents")
+    return bigram_perplexity_of(fan_out(d).select("doc_id", "text"))

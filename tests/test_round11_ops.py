@@ -561,3 +561,117 @@ def test_psi_contract(spark, sf_dir):
         assert r.p_base == pb and r.p_curr == pc
         want = (pb - pc) * math.log(pb / pc)
         assert abs(r.psi_term - want) <= 1e-15 + 1e-12 * abs(want)
+
+
+# ---------------------------------------------------------------------------
+# quality_bigram_perplexity
+# ---------------------------------------------------------------------------
+
+
+def _r6_ln(k):
+    """round(ln(k)·1e6) with Spark F.round double semantics (HALF_UP
+    on the shortest decimal repr) — mirrors functions.exact.micro_ln."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(math.log(k) * 1000000.0)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _py_bigram_ppl(texts):
+    """Literal add-1-smoothed bigram-LM scoring fold."""
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    vocab = {w for t in toks.values() for w in t}
+    bc, cc = {}, {}
+    for t in toks.values():
+        for a, b in zip(t, t[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+            cc[a] = cc.get(a, 0) + 1
+    lp6 = {
+        (a, b): _r6_ln(c + 1) - _r6_ln(cc[a] + len(vocab))
+        for (a, b), c in bc.items()
+    }
+    out = {}
+    for i, t in toks.items():
+        if len(t) < 2:
+            continue
+        terms = [lp6[(a, b)] for a, b in zip(t, t[1:])]
+        s = sum(terms)
+        out[i] = (len(terms), s, float(s) / (1000000.0 * len(terms)))
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd"]), min_size=1, max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bigram_perplexity_matches_reference(spark, texts):
+    """Differential: random tiny corpora vs the literal python
+    bigram-LM fold — counts, micro-nat sums, and the final division
+    must match exactly (integer arithmetic until one IEEE division)."""
+    from data_pipeline_spark_spark.operators.text import bigram_perplexity_of
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_lp6, r.mean_logprob)
+        for r in bigram_perplexity_of(docs).collect()
+    }
+    assert got == _py_bigram_ppl(texts)
+
+
+def test_bigram_perplexity_plan_shape(spark, sf_dir):
+    """Bigram extraction must be in-row array algebra: no Window over
+    doc-ordered tokens, no doc-keyed sort, nothing in Python; the
+    model joins back as broadcasts (no corpus-sized shuffle join at
+    fixture scale) and the only cartesian is the 1-row vocab-size
+    broadcast."""
+    from data_pipeline_spark_spark.operators.text import (
+        quality_bigram_perplexity,
+    )
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    plan = formatted_plan(quality_bigram_perplexity(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_perplexity_contract(spark, sf_dir):
+    """Scoring's defining properties on real data: every doc with ≥2
+    tokens gets exactly one row; n_bigrams == n_tokens − 1; all
+    smoothed log-probs are negative (c12+1 < c1+V always, since V >
+    each context total on this corpus); and mean recomputes from the
+    integer sum."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.text import (
+        quality_bigram_perplexity,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in quality_bigram_perplexity(spark, sf_dir).collect()
+    }
+    want_n = {
+        r.doc_id: r.n
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+        if r.n >= 2
+    }
+    assert set(rows) == set(want_n)
+    for doc_id, r in rows.items():
+        assert r.n_bigrams == want_n[doc_id] - 1
+        assert r.sum_lp6 < 0 and r.mean_logprob < 0
+        assert r.mean_logprob == float(r.sum_lp6) / (1000000.0 * r.n_bigrams)
