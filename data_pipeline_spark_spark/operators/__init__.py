@@ -113,6 +113,7 @@ _ROUND11_PRIORITY = [
     "corpus_pack_sequences",
     "drift_psi_report",
     "quality_bigram_perplexity",
+    "event_pattern_match",
     # (c) rows-only ingest keys, driver rows r1-stale — re-stamp
     "eeg_ingest",
     "eeg_tidy_melt",

@@ -1059,3 +1059,92 @@ def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(pair).alias("db"), is_base.alias("is_base")
     ).select("db.dim", "db.bucket", "is_base")
     return psi_from_long(long)
+
+
+_PATTERN_SQL = """
+    WITH j AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           md5(journey) AS journey_md5,
+           CAST(len(regexp_extract_all(journey, 's[^p]*p')) AS BIGINT)
+             AS n_conversions,
+           CAST(COALESCE(list_max(list_transform(
+                  regexp_extract_all(journey, 'e+'), x -> len(x))), 0)
+                AS BIGINT) AS longest_error_run,
+           CAST(len(regexp_extract_all(journey, 'vc')) AS BIGINT)
+             AS n_view_click
+    FROM j
+"""
+
+
+def journey_metrics(e: DataFrame) -> DataFrame:
+    """The testable CEP fold under [[event_pattern_match]]: given
+    events ``(user_id, ts, event_id, event_type)``, build each user's
+    ordered type-initial journey string and evaluate the regex
+    metrics. All pattern work is in-row codegen regex."""
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("i")
+            )
+        )
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["i"]), ""
+        ).alias("journey"),
+    )
+    err_runs = F.regexp_extract_all("journey", F.lit("(e+)"), 1)
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.md5("journey").alias("journey_md5"),
+        F.regexp_count("journey", F.lit("s[^p]*p"))
+        .cast("long")
+        .alias("n_conversions"),
+        F.coalesce(
+            F.array_max(F.transform(err_runs, F.length)), F.lit(0)
+        )
+        .cast("long")
+        .alias("longest_error_run"),
+        F.regexp_count("journey", F.lit("vc"))
+        .cast("long")
+        .alias("n_view_click"),
+    )
+
+
+@query("event_pattern_match", oracle=_PATTERN_SQL)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite complex-event-processing: reduce each
+    user's event history to an ordered type-initial string (the
+    "journey": s=signup c=click p=purchase e=error v=view) and detect
+    patterns with regular expressions — non-overlapping
+    signup→…→purchase conversions (``s[^p]*p``), the longest
+    consecutive error run (``e+``), and immediate view→click
+    adjacencies. The regex-over-sequence formulation is the classic
+    CEP/funnel-pattern engine trick (SQL MATCH_RECOGNIZE, Flink CEP)
+    re-expressed as DataFrame algebra; unlike [[funnel_steps]] (fixed
+    3-step order test) the pattern here is a true regular language
+    over the whole journey and counts REPEATED occurrences.
+
+    Determinism: the journey is built from a sorted struct array on
+    the total order (ts, event_id), so the string — and therefore
+    every regex metric and the md5 — is partition-order-independent.
+    Patterns stay in the Java∩RE2 dialect subset (character classes
+    and + only, the [[pii_redact]] discipline), and ``[^p]*`` is
+    deterministic-greedy so both engines' non-overlapping scans pick
+    identical matches.
+
+    Scale shape: ONE shuffle (the per-user collect_list groupBy);
+    state is one user's events, the natural CEP partition bound —
+    journey length is per-user event count, emitted only as an md5
+    digest so row width stays constant. All pattern evaluation is
+    in-row codegen regex; nothing touches Python."""
+    return journey_metrics(load(spark, sf_dir, "events"))

@@ -675,3 +675,134 @@ def test_bigram_perplexity_contract(spark, sf_dir):
         assert r.n_bigrams == want_n[doc_id] - 1
         assert r.sum_lp6 < 0 and r.mean_logprob < 0
         assert r.mean_logprob == float(r.sum_lp6) / (1000000.0 * r.n_bigrams)
+
+
+# ---------------------------------------------------------------------------
+# event_pattern_match
+# ---------------------------------------------------------------------------
+
+
+def _py_journeys(events):
+    """Literal CEP fold: ordered journey string + regex metrics."""
+    import hashlib
+    import re
+
+    by_user = {}
+    for uid, ts, eid, et in events:
+        by_user.setdefault(uid, []).append((ts, eid, et[0]))
+    out = {}
+    for uid, evs in by_user.items():
+        j = "".join(i for _, _, i in sorted(evs))
+        runs = [len(m) for m in re.findall(r"e+", j)]
+        out[uid] = (
+            len(evs),
+            hashlib.md5(j.encode()).hexdigest(),
+            len(re.findall(r"s[^p]*p", j)),
+            max(runs) if runs else 0,
+            len(re.findall(r"vc", j)),
+        )
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=50),
+            st.sampled_from(["signup", "click", "purchase", "error", "view"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_journey_metrics_matches_reference(spark, rows):
+    """Differential: random event histories vs python's re module —
+    the journey digest and every regex metric must agree (both
+    engines' scans are non-overlapping left-to-right; the pattern
+    subset has no dialect divergence)."""
+    import datetime as dt
+
+    from data_pipeline_spark_spark.operators.analytics import journey_metrics
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (uid, base + dt.timedelta(minutes=eid), eid, et)
+        for uid, eid, et in rows
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        r.user_id: (
+            r.n_events,
+            r.journey_md5,
+            r.n_conversions,
+            r.longest_error_run,
+            r.n_view_click,
+        )
+        for r in journey_metrics(df).collect()
+    }
+    assert got == _py_journeys(
+        [(uid, t, eid, et) for (uid, t, eid, et) in data]
+    )
+
+
+def test_event_pattern_plan_shape(spark, sf_dir):
+    """CEP over journeys costs exactly ONE exchange (the per-user
+    collect_list agg); regex evaluation is in-row codegen — no
+    Python, no second shuffle, no window sort of raw events."""
+    from data_pipeline_spark_spark.operators.analytics import (
+        event_pattern_match,
+    )
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = event_pattern_match(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert shuffle_count(df) == 1
+
+
+def test_event_pattern_contract(spark, sf_dir):
+    """Pattern semantics on real data: conversions require at least
+    as many signups and purchases as matches; the longest error run
+    never exceeds the user's event count; journeys cover every user
+    exactly once; and metrics are internally consistent
+    (longest_error_run == 0 iff the user has no error events —
+    checked via a recount)."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        event_pattern_match,
+    )
+
+    rows = {r.user_id: r for r in event_pattern_match(spark, sf_dir).collect()}
+    per_user = {
+        r.user_id: r
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("event_type") == "error").cast("int")
+            ).alias("n_err"),
+            F.sum(
+                (F.col("event_type") == "signup").cast("int")
+            ).alias("n_sign"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("n_purch"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(per_user)
+    for uid, r in rows.items():
+        u = per_user[uid]
+        assert r.n_events == u.n
+        assert r.n_conversions <= min(u.n_sign, u.n_purch)
+        assert r.longest_error_run <= u.n_err
+        assert (r.longest_error_run == 0) == (u.n_err == 0)
