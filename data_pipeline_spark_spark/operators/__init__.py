@@ -114,6 +114,7 @@ _ROUND11_PRIORITY = [
     "drift_psi_report",
     "quality_bigram_perplexity",
     "event_pattern_match",
+    "privacy_k_anonymity",
     # (c) rows-only ingest keys, driver rows r1-stale — re-stamp
     "eeg_ingest",
     "eeg_tidy_melt",

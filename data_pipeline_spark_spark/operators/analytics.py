@@ -1148,3 +1148,96 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest so row width stays constant. All pattern evaluation is
     in-row codegen regex; nothing touches Python."""
     return journey_metrics(load(spark, sf_dir, "events"))
+
+
+#: k-anonymity threshold (privacy_k_anonymity)
+_K_ANON = 5
+
+_KANON_SQL = f"""
+    WITH typed AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    fav AS (
+      SELECT user_id, event_type AS fav_type
+      FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, event_type) AS rn
+        FROM typed
+      ) WHERE rn = 1
+    ),
+    profile AS (
+      SELECT e.user_id,
+             CAST(date_trunc('week', MIN(e.ts)) AS DATE) AS cohort_week,
+             CAST(floor(COUNT(*) / 10) AS BIGINT) AS activity_bucket
+      FROM events e GROUP BY e.user_id
+    )
+    SELECT p.cohort_week, p.activity_bucket, f.fav_type,
+           COUNT(*) AS class_size,
+           CASE WHEN COUNT(*) >= {_K_ANON} THEN 1 ELSE 0 END AS meets_k
+    FROM profile p JOIN fav f ON p.user_id = f.user_id
+    GROUP BY p.cohort_week, p.activity_bucket, f.fav_type
+"""
+
+
+def k_anonymity_of(e: DataFrame) -> DataFrame:
+    """The testable audit fold under [[privacy_k_anonymity]]: given
+    events ``(user_id, ts, event_id, event_type)``, build per-user QI
+    profiles and report every equivalence class with size and
+    meets-k flag."""
+    from pyspark.sql import Window as W
+
+    typed = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+    )
+    fav = (
+        typed.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("fav_type"))
+    )
+    profile = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"),
+        F.floor(F.count("*") / 10).cast("long").alias("activity_bucket"),
+    )
+    return (
+        profile.join(fav, "user_id")
+        .groupBy("cohort_week", "activity_bucket", "fav_type")
+        .agg(
+            F.count("*").alias("class_size"),
+            F.when(F.count("*") >= _K_ANON, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("meets_k"),
+        )
+    )
+
+
+@query("privacy_k_anonymity", oracle=_KANON_SQL)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over behavioral quasi-identifiers: reduce
+    each user to a QI profile — cohort week (first-seen), activity
+    bucket (events ÷ 10), favorite event type (mode, alphabetical
+    tie-break) — then report every QI equivalence class with its
+    size and whether it meets k=``_K_ANON`` (Sweeney 2002, k=5
+    here). Classes below k
+    are re-identification risk: a released dataset keyed by these
+    attributes points to fewer than k real individuals. This is the
+    privacy-audit step a training-data pipeline runs before any
+    user-derived corpus leaves the boundary, complementing content
+    PII removal ([[pii_redact]]) with STRUCTURAL disclosure risk.
+
+    Determinism: the mode tie-breaks alphabetically via ROW_NUMBER
+    ordered (cnt DESC, event_type) in both engines; week/bucket math
+    follows [[cohort_retention]]'s portable day-arithmetic
+    discipline; everything is integer or date typed — no floats
+    anywhere.
+
+    Scale shape: two user-keyed aggregations — (user, type) counts
+    then per-user profile — each shuffling O(users × types) and
+    O(users) rows respectively (never raw events: both
+    partial-aggregate map-side), one user-keyed broadcast-or-hash
+    join to attach the favorite type, and a final class rollup whose
+    output is O(QI classes). Per-user state is constant; no window
+    over raw events."""
+    return k_anonymity_of(load(spark, sf_dir, "events"))
