@@ -1052,9 +1052,12 @@ def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         ),
     )
-    is_base = (
-        F.col("ts") < F.lit(_PSI_SPLIT_TS).cast("timestamp")
-    ).cast("int")
+    # when(...).otherwise(0), not a bare cast: a NULL ts must count
+    # as "current" exactly like the oracle's CASE ... ELSE 0, not
+    # null out of both sides
+    is_base = F.when(
+        F.col("ts") < F.lit(_PSI_SPLIT_TS).cast("timestamp"), F.lit(1)
+    ).otherwise(F.lit(0))
     long = e.select(
         F.explode(pair).alias("db"), is_base.alias("is_base")
     ).select("db.dim", "db.bucket", "is_base")
@@ -1190,7 +1193,13 @@ def k_anonymity_of(e: DataFrame) -> DataFrame:
 
     typed = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
     rn = F.row_number().over(
-        W.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+        W.partitionBy("user_id").orderBy(
+            F.col("cnt").desc(),
+            # DuckDB's ASC default is NULLS LAST; Spark's is NULLS
+            # FIRST — pin it so a NULL event_type group cannot win
+            # the tie in one engine only
+            F.col("event_type").asc_nulls_last(),
+        )
     )
     fav = (
         typed.withColumn("rn", rn)

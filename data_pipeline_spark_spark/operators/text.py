@@ -1676,7 +1676,16 @@ def bigram_perplexity_of(docs: DataFrame) -> DataFrame:
         docs_arr.select(F.explode("t").alias("term"))
         .agg(F.countDistinct("term").alias("vsz"))
     )
-    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # ONE corpus-proportional bigram-count shuffle builds the model;
+    # the lazy checkpoint lets both the context totals and the lp6
+    # table read it back at model size instead of re-running the
+    # corpus scan + count exchange (the unigram key's r8 review
+    # finding, same treatment)
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     cc = bc.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
     lp = (
         bc.join(cc, "w1")
@@ -1722,9 +1731,10 @@ def quality_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigram extraction is IN-ROW array algebra
     (slice+zip_with on the token array — no window over doc-ordered
     tokens, no doc-keyed sort, zero shuffle before counting). Model
-    training is one map-side-combined (w1,w2) count shuffle; context
-    totals derive from the bigram counts (vocabulary-sized, never a
-    second corpus pass); V is one exact distinct-count. Scoring joins
+    training is one map-side-combined (w1,w2) count shuffle, pinned
+    with a lazy checkpoint so the context totals and the lp6 table
+    read the counts back at MODEL size rather than re-running the
+    corpus scan + exchange; V is one exact distinct-count. Scoring joins
     the lp6 table back on the bigram key — broadcast here (fixture
     bigram table is small); at 100 TB the same plan becomes a hash
     join partitioned by the bigram key, with the Zipf-head skew

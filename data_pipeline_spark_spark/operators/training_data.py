@@ -67,28 +67,39 @@ def _exclusive_token_offsets(spark, d: DataFrame):
         .withColumn("pid", F.spark_partition_id())
         .cache()
     )
-    w_local = (
-        W.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    local = t.withColumn(
-        "local_off", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0))
-    )
-    subtotals = (
-        t.groupBy("pid").agg(F.sum("n_tok").alias("tot")).orderBy("pid").collect()
-    )
-    offsets, acc = [], 0
-    for r in subtotals:
-        offsets.append((r["pid"], acc))
-        acc += r["tot"]
-    off_df = spark.createDataFrame(offsets, "pid int, glob_off long")
-    out = local.join(F.broadcast(off_df), "pid").select(
-        "doc_id",
-        "n_tok",
-        (F.col("local_off") + F.col("glob_off")).alias("off"),
-    )
-    return t, out
+    try:
+        w_local = (
+            W.partitionBy("pid")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        local = t.withColumn(
+            "local_off", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0))
+        )
+        subtotals = (
+            t.groupBy("pid")
+            .agg(F.sum("n_tok").alias("tot"))
+            .orderBy("pid")
+            .collect()
+        )
+        offsets, acc = [], 0
+        for r in subtotals:
+            offsets.append((r["pid"], acc))
+            acc += r["tot"]
+        off_df = spark.createDataFrame(offsets, "pid int, glob_off long")
+        out = local.join(F.broadcast(off_df), "pid").select(
+            "doc_id",
+            "n_tok",
+            (F.col("local_off") + F.col("glob_off")).alias("off"),
+        )
+        return t, out
+    except BaseException:
+        # the subtotal job runs INSIDE this helper, before the caller
+        # gets `t` to unpersist in its finally — release the pinned
+        # ranged repartition on the error path or failed invocations
+        # accumulate leaked cache entries for the session
+        t.unpersist()
+        raise
 
 
 @query("shard_pack", oracle=_SHARD_SQL)

@@ -885,13 +885,20 @@ def test_k_anonymity_plan_shape(spark, sf_dir):
     )
     from data_pipeline_spark_spark.plans.analyze import formatted_plan
 
+    import re
+
     plan = formatted_plan(privacy_k_anonymity(spark, sf_dir))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
-    # the Window must consume the typed aggregate, not the scan:
-    # formatted plans list children by id — assert an aggregate on
-    # (user_id, event_type) exists (the count input to the mode pick)
-    assert "user_id" in plan and "event_type" in plan
+    # the Window must consume the typed aggregate, not raw events:
+    # its ordering key is `cnt` — a column that only EXISTS as the
+    # (user_id, event_type) aggregate's output — so a window spec
+    # ordered by cnt DESC proves the mode pick runs over counts
+    assert re.search(
+        r"windowspecdefinition\(user_id#\d+L?, cnt#\d+L? DESC", plan
+    ), plan
+    # and the typed aggregate itself is present with both grouping keys
+    assert re.search(r"Keys \[2\]: \[user_id#\d+L?, event_type#\d+\]", plan)
 
 
 def test_k_anonymity_contract(spark, sf_dir):
