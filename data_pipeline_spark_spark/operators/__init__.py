@@ -115,6 +115,7 @@ _ROUND11_PRIORITY = [
     "quality_bigram_perplexity",
     "event_pattern_match",
     "privacy_k_anonymity",
+    "stream_drift_psi",
     # (c) rows-only ingest keys, driver rows r1-stale — re-stamp
     "eeg_ingest",
     "eeg_tidy_melt",

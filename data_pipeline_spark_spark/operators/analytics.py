@@ -989,12 +989,20 @@ def psi_from_long(long: DataFrame) -> DataFrame:
     baseline/current counts and emit Laplace-smoothed probabilities
     plus the per-bucket PSI term. All post-aggregation work is
     O(buckets) rows."""
-    from pyspark.sql import Window as W
-
     counts = long.groupBy("dim", "bucket").agg(
         F.sum("is_base").alias("n_base"),
         F.sum(F.lit(1) - F.col("is_base")).alias("n_curr"),
     )
+    return psi_from_counts(counts)
+
+
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """PSI tail over pre-aggregated ``(dim, bucket, n_base, n_curr)``
+    counts — shared by the batch fold above and the streaming twin
+    [[stream_drift_psi]], whose micro-batch aggregation produces
+    exactly this shape. O(buckets) rows throughout."""
+    from pyspark.sql import Window as W
+
     wd = W.partitionBy("dim")
     t_base = F.sum("n_base").over(wd)
     t_curr = F.sum("n_curr").over(wd)
@@ -1039,7 +1047,14 @@ def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     / ingest_log families); drift monitoring is the canonical member
     of that class for a living corpus. Spark-native formulation; no
     reference file implements PSI."""
-    e = load(spark, sf_dir, "events")
+    return psi_from_long(psi_long_form(load(spark, sf_dir, "events")))
+
+
+def psi_long_form(e: DataFrame) -> DataFrame:
+    """The monitored-dimension definition under [[drift_psi_report]]
+    and its streaming twin [[stream_drift_psi]]: one scan of events
+    exploded into (dim, bucket, is_base) long rows via an inline
+    2-element struct array (never a self-union)."""
     pair = F.array(
         F.struct(
             F.lit("event_type").alias("dim"),
@@ -1058,10 +1073,9 @@ def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_base = F.when(
         F.col("ts") < F.lit(_PSI_SPLIT_TS).cast("timestamp"), F.lit(1)
     ).otherwise(F.lit(0))
-    long = e.select(
+    return e.select(
         F.explode(pair).alias("db"), is_base.alias("is_base")
     ).select("db.dim", "db.bucket", "is_base")
-    return psi_from_long(long)
 
 
 _PATTERN_SQL = """

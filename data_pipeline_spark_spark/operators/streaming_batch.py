@@ -1005,3 +1005,75 @@ def stream_dedup_bounded_state(
             spark.catalog.dropTempView(sink)
         except Exception:
             pass
+
+
+from .analytics import _PSI_SQL as _STREAM_PSI_SQL  # noqa: E402
+
+
+@query(
+    "stream_drift_psi",
+    # the streaming twin must converge to the BATCH drift report —
+    # the oracle is drift_psi_report's SQL verbatim
+    oracle=_STREAM_PSI_SQL,
+)
+def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: the [[drift_psi_report]] PSI
+    computation run as a Structured Streaming job — events arrive in
+    4 micro-batches (maxFilesPerTrigger=1), the (dim, bucket) counts
+    are a streaming aggregation in COMPLETE output mode, and the PSI
+    tail (``psi_from_counts``) is applied to the final converged
+    counts. The monitored-dimension definition (``psi_long_form``)
+    and the smoothing/ln tail are the SAME code the batch key runs,
+    so the streaming result must equal the batch report row-for-row
+    — which is exactly what the shared oracle asserts.
+
+    Why this shape survives production: the streaming STATE is the
+    count table — O(buckets) rows (|event types| + value-range/width,
+    independent of stream length), the smallest state any drift
+    monitor can carry. Complete-mode re-emission is bucket-count
+    rows per trigger. The final PSI frame is aggregate-sized, so the
+    memory-sink round-trip is the documented test-harness pattern
+    (production writes the per-trigger report to a file/metric
+    sink)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .analytics import psi_from_counts, psi_long_form
+
+    e = load(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="dps_sdrift_src_")
+    sink = f"stream_drift_sink_{os.getpid()}"
+    try:
+        e.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        counts = psi_long_form(stream).groupBy("dim", "bucket").agg(
+            F.sum("is_base").alias("n_base"),
+            F.sum(F.lit(1) - F.col("is_base")).alias("n_curr"),
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = psi_from_counts(spark.table(sink))
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        try:
+            # drop the memory sink's temp view: the MemorySink behind
+            # it retains every sink row in driver memory for the
+            # session lifetime otherwise (r8 review)
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass

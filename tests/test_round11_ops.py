@@ -919,3 +919,83 @@ def test_k_anonymity_contract(spark, sf_dir):
     for r in rows:
         assert r.class_size >= 1 and r.activity_bucket >= 0
         assert r.meets_k == (1 if r.class_size >= _K_ANON else 0)
+
+
+# ---------------------------------------------------------------------------
+# stream_drift_psi
+# ---------------------------------------------------------------------------
+
+
+def test_stream_drift_matches_batch(spark, sf_dir):
+    """The defining contract: the streaming drift monitor converges
+    to the batch report EXACTLY — same buckets, same counts, same
+    doubles — because both run the same psi_long_form +
+    psi_from_counts code; the stream merely accumulates the counts
+    across micro-batches."""
+    from data_pipeline_spark_spark.operators.analytics import drift_psi_report
+    from data_pipeline_spark_spark.operators.streaming_batch import (
+        stream_drift_psi,
+    )
+
+    key = lambda r: (r.dim, r.bucket)  # noqa: E731
+    got = {key(r): r for r in stream_drift_psi(spark, sf_dir).collect()}
+    want = {key(r): r for r in drift_psi_report(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert (g.n_base, g.n_curr) == (w.n_base, w.n_curr)
+        assert g.p_base == w.p_base and g.p_curr == w.p_curr
+        assert g.psi_term == w.psi_term
+
+
+def test_stream_drift_state_is_bucket_bounded(spark, sf_dir):
+    """The monitor's reason to scale: streaming state is the count
+    table — O(buckets), NOT O(events). Re-run the operator's exact
+    stream shape with progress capture and assert the state store
+    never holds more rows than the bucket union (vs ~thousands of
+    events streamed)."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import psi_long_form
+
+    e = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    n_events = e.count()
+    n_buckets = psi_long_form(e).select("dim", "bucket").distinct().count()
+    src = tempfile.mkdtemp(prefix="dps_sdrift_test_")
+    sink = f"stream_drift_state_test_{os.getpid()}"
+    try:
+        e.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        counts = psi_long_form(stream).groupBy("dim", "bucket").agg(
+            F.sum("is_base").alias("n_base"),
+            F.sum(F.lit(1) - F.col("is_base")).alias("n_curr"),
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_rows = max(
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+        assert state_rows <= n_buckets, (state_rows, n_buckets)
+        assert n_events > 10 * n_buckets  # the bound is meaningful
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
