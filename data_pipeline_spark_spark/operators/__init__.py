@@ -130,6 +130,9 @@ _ROUND11_PRIORITY = [
     "synth_gen",
     "catalog_sync",
     "ingest_log",
+    # (d) late-round-11 keys past the ~50-row grading budget — they
+    # hold SURVEY/pytest coverage now and are the first r12 regrades
+    "agg_linear_fit",
 ]
 
 

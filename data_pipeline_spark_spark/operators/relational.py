@@ -1288,3 +1288,115 @@ def weighted_median_by(
         F.min("tot_w").cast("bigint").alias("total_weight"),
         F.min("n_rows").cast("bigint").alias("n_rows"),
     )
+
+
+#: epoch-hours of 2024-01-01 00:00 UTC — the events fixture's origin;
+#: subtracting it keeps the regressor in [0, ~720] so every moment
+#: sum stays deep inside int64 (agg_linear_fit)
+_FIT_EPOCH_HOURS = 1704067200 // 3600
+
+_LINFIT_SQL = f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT)
+               - {_FIT_EPOCH_HOURS} AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM m GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov,
+             CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+             CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM s
+    )
+    SELECT event_type,
+           n,
+           (CASE WHEN vx <> 0 THEN cov / vx END) / 100.0 AS slope_per_hr,
+           ((syd - (CASE WHEN vx <> 0 THEN cov / vx END) * sxd)
+            / CAST(n AS DOUBLE)) / 100.0 AS intercept,
+           CASE WHEN vx <> 0 AND vy <> 0
+                THEN (cov * cov) / (vx * vy) END AS r2
+    FROM d
+"""
+
+
+@query("agg_linear_fit", oracle=_LINFIT_SQL)
+def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ordinary-least-squares trend fit: per event_type,
+    regress value on hours-since-origin and report slope (value
+    units/hour), intercept, and r² — the metric-trend primitive
+    behind every "is this KPI drifting" dashboard, and the
+    closed-form sibling of [[agg_corr_exact]] (same five exact
+    moments; OLS just combines them differently).
+
+    Exactness: the moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    exact int64 over centi-unit y and hour-grid x — associative, so
+    partial aggregation and AQE merge order cannot wobble the last
+    digits the way float regr_slope() accumulators do — then the
+    slope/intercept/r² formulas are fixed double expression trees
+    written operand-for-operand identically in both engines.
+    Headroom: x ≤ 2¹⁰ hours, y ≤ 2²⁷ centi ⇒ per-row Σxy terms ≤
+    2³⁷, leaving ~2²⁶ rows-per-group of int64 margin at fixture
+    units; at true 100 TB the moments move to decimal(38), same
+    plan.
+
+    Scale shape: ONE map-side-combined hash aggregate; the shuffle
+    carries six longs per group, never rows. The epoch math follows
+    the portable truncation discipline (Spark cast-to-long truncates,
+    DuckDB epoch() wrapped in floor — the [[scalar_datetime]]
+    gotcha)."""
+    e = load(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp_ltz").cast("long")
+    x = (F.floor(sec / 3600) - _FIT_EPOCH_HOURS).cast("bigint")
+    y = F.round(F.col("value") * 100).cast("bigint")
+    m = e.select(
+        F.col("event_type").alias("g"), x.alias("x"), y.alias("y")
+    )
+    return ols_fit(m).withColumnRenamed("g", "event_type")
+
+
+def ols_fit(m) -> DataFrame:
+    """The testable OLS fold under [[agg_linear_fit]]: per group ``g``
+    over integer-grid points ``(x, y)`` (y in centi-units), accumulate
+    the five exact int64 moments and evaluate the closed-form
+    slope/intercept/r² double expressions."""
+    s = m.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    # degenerate groups (constant x, or constant y for r²) get NULL in
+    # BOTH engines — under ANSI mode a bare division would otherwise
+    # throw DIVIDE_BY_ZERO and kill the whole job on one bad group
+    ok_x = vx != 0.0
+    slope_centi = F.when(ok_x, cov / vx)
+    return s.select(
+        "g",
+        "n",
+        (slope_centi / 100.0).alias("slope_per_hr"),
+        (
+            (
+                F.col("sy").cast("double") - slope_centi * F.col("sx").cast("double")
+            )
+            / nd
+            / 100.0
+        ).alias("intercept"),
+        F.when(ok_x & (vy != 0.0), (cov * cov) / (vx * vy)).alias("r2"),
+    )

@@ -999,3 +999,100 @@ def test_stream_drift_state_is_bucket_bounded(spark, sf_dir):
             spark.catalog.dropTempView(sink)
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# agg_linear_fit
+# ---------------------------------------------------------------------------
+
+
+def _py_ols(points):
+    """Literal OLS from exact integer moments, double formula mirrored
+    operand-for-operand."""
+    out = {}
+    by_g = {}
+    for g, x, y in points:
+        by_g.setdefault(g, []).append((x, y))
+    for g, pts in by_g.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        cov = float(n) * sxy - float(sx) * sy
+        vx = float(n) * sxx - float(sx) * sx
+        vy = float(n) * syy - float(sy) * sy
+        if vx == 0.0 or vy == 0.0:
+            continue  # degenerate: single x or constant y
+        slope_centi = cov / vx
+        out[g] = (
+            n,
+            slope_centi / 100.0,
+            (float(sy) - slope_centi * float(sx)) / float(n) / 100.0,
+            (cov * cov) / (vx * vy),
+        )
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=720),
+            st.integers(min_value=-(10**6), max_value=10**6),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_ols_fit_matches_reference(spark, points):
+    """Differential: random integer-grid points vs the literal python
+    moment fold — the moments are exact int64 so every double in the
+    closed form is bit-identical."""
+    from data_pipeline_spark_spark.operators.relational import ols_fit
+
+    df = spark.createDataFrame(points, "g string, x long, y long")
+    got = {
+        r.g: (r.n, r.slope_per_hr, r.intercept, r.r2)
+        for r in ols_fit(df).collect()
+        if r.r2 is not None and not (r.r2 != r.r2)  # drop degenerate NaN
+    }
+    want = _py_ols(points)
+    for g, w in want.items():
+        assert g in got
+        assert got[g] == w
+
+
+def test_linear_fit_plan_shape(spark, sf_dir):
+    """ONE map-side-combined hash aggregate: a single exchange, no
+    Window, no Python; the shuffle carries six longs per group."""
+    from data_pipeline_spark_spark.operators.relational import agg_linear_fit
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = agg_linear_fit(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert shuffle_count(df) == 1
+
+
+def test_linear_fit_recovers_exact_line(spark):
+    """Behavioral contract: on exactly linear centi-grid data
+    (y = 3x + 7 in value units), the fit returns slope 3.0,
+    intercept 7.0, r² = 1.0 — EXACTLY, because every moment is an
+    exact integer below 2^53 and the closed form is deterministic
+    double arithmetic."""
+    from data_pipeline_spark_spark.operators.relational import ols_fit
+
+    pts = [("t", x, 300 * x + 700) for x in range(0, 50)]
+    df = spark.createDataFrame(pts, "g string, x long, y long")
+    [r] = ols_fit(df).collect()
+    assert r.n == 50
+    assert r.slope_per_hr == 3.0
+    assert r.intercept == 7.0
+    assert r.r2 == 1.0
