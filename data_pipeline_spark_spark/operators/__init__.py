@@ -133,6 +133,7 @@ _ROUND11_PRIORITY = [
     # (d) late-round-11 keys past the ~50-row grading budget — they
     # hold SURVEY/pytest coverage now and are the first r12 regrades
     "agg_linear_fit",
+    "ts_seasonal_profile",
 ]
 
 

@@ -1264,3 +1264,88 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is O(QI classes). Per-user state is constant; no window
     over raw events."""
     return k_anonymity_of(load(spark, sf_dir, "events"))
+
+
+_SEASONAL_SQL = """
+    WITH m AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS hour_of_day,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, hour_of_day,
+             COUNT(*) AS n, SUM(y) AS sy, SUM(y * y) AS syy
+      FROM m GROUP BY event_type, hour_of_day
+    ),
+    t AS (
+      SELECT event_type, hour_of_day, n, sy, syy,
+             SUM(n)  OVER (PARTITION BY event_type) AS nt,
+             SUM(sy) OVER (PARTITION BY event_type) AS syt
+      FROM b
+    )
+    SELECT event_type, hour_of_day,
+           CAST(n AS BIGINT) AS n,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS seasonal_mean,
+           sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             / CAST(n AS DOUBLE) / 100.0 AS within_sd,
+           (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)) AS seasonal_index
+    FROM t
+"""
+
+
+@query("ts_seasonal_profile", oracle=_SEASONAL_SQL)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition diagnostics per event_type:
+    each (type, hour) bucket's mean, within-bucket standard
+    deviation, and seasonal index (bucket mean ÷ type mean — the
+    classical multiplicative-decomposition seasonal factor). This is
+    the profile a capacity planner or anomaly detector conditions on
+    before flagging residuals ([[ts_anomaly_mad]] scores raw values;
+    conditioning on this profile is what separates "3am is always
+    quiet" from a real drop).
+
+    Exactness: the only aggregations are integer moments (n, Σy,
+    Σy²) over centi-unit values — associative, partial-aggregation-
+    safe — and the type-level totals are WINDOW SUMS OF INTEGERS
+    (also associative), so no double ever accumulates in an
+    engine-specific order; every emitted double is a fixed expression
+    tree over exact ints (the [[agg_linear_fit]] / agg_corr_exact
+    discipline applied to grouped + windowed stats).
+
+    Scale shape: one map-side-combined hash agg to (type, hour) —
+    the shuffle carries three longs per bucket — then window totals
+    over the O(types × 24) bucket table. Nothing downstream of the
+    agg is data-proportional."""
+    e = load(spark, sf_dir, "events")
+    y = F.round(F.col("value") * 100).cast("bigint")
+    m = e.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+        y.alias("y"),
+    )
+    b = m.groupBy("event_type", "hour_of_day").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    from pyspark.sql import Window as W
+
+    wt = W.partitionBy("event_type")
+    nt = F.sum("n").over(wt)
+    syt = F.sum("sy").over(wt)
+    nd = F.col("n").cast("double")
+    syd = F.col("sy").cast("double")
+    return b.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        (syd / nd / 100.0).alias("seasonal_mean"),
+        (
+            F.sqrt(nd * F.col("syy") - syd * F.col("sy")) / nd / 100.0
+        ).alias("within_sd"),
+        ((syd / nd) / (syt.cast("double") / nt.cast("double"))).alias(
+            "seasonal_index"
+        ),
+    )

@@ -1096,3 +1096,128 @@ def test_linear_fit_recovers_exact_line(spark):
     assert r.slope_per_hr == 3.0
     assert r.intercept == 7.0
     assert r.r2 == 1.0
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonal_profile
+# ---------------------------------------------------------------------------
+
+
+def _py_seasonal(rows):
+    """Literal seasonal-profile fold from exact integer moments."""
+    import math
+
+    b = {}
+    for g, h, y in rows:
+        d = b.setdefault((g, h), [0, 0, 0])
+        d[0] += 1
+        d[1] += y
+        d[2] += y * y
+    tot = {}
+    for (g, _h), (n, sy, _) in b.items():
+        t = tot.setdefault(g, [0, 0])
+        t[0] += n
+        t[1] += sy
+    out = {}
+    for (g, h), (n, sy, syy) in b.items():
+        nt, syt = tot[g]
+        out[(g, h)] = (
+            n,
+            float(sy) / float(n) / 100.0,
+            math.sqrt(float(n) * syy - float(sy) * sy) / float(n) / 100.0,
+            (float(sy) / float(n)) / (float(syt) / float(nt)),
+        )
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=23),
+            st.integers(min_value=1, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_seasonal_profile_matches_reference(spark, rows):
+    """Differential: random (type, hour, centi-value) rows vs the
+    literal python moment fold — integer moments then identical
+    double trees, so equality is exact."""
+    import datetime as dt
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        ts_seasonal_profile,
+    )
+    from data_pipeline_spark_spark.operators import analytics as A
+
+    data = [
+        (g, dt.datetime(2024, 1, 5, h, 30), float(y) / 100.0)
+        for g, h, y in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_type string, ts timestamp, value double"
+    )
+    orig = A.load
+    A.load = lambda s, sf, name: df
+    try:
+        got = {
+            (r.event_type, r.hour_of_day): (
+                r.n,
+                r.seasonal_mean,
+                r.within_sd,
+                r.seasonal_index,
+            )
+            for r in ts_seasonal_profile(spark, "unused").collect()
+        }
+    finally:
+        A.load = orig
+    assert got == _py_seasonal(rows)
+
+
+def test_seasonal_profile_plan_shape(spark, sf_dir):
+    """One bucket aggregation + one window over the O(types×24)
+    bucket table: ≤2 exchanges, no Python, and the window's
+    aggregates are INTEGER sums (no order-dependent double
+    accumulation anywhere)."""
+    from data_pipeline_spark_spark.operators.analytics import (
+        ts_seasonal_profile,
+    )
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = ts_seasonal_profile(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert shuffle_count(df) <= 2
+    assert df.count() <= 5 * 24
+
+
+def test_seasonal_profile_contract(spark, sf_dir):
+    """Decomposition identities on real data: the n-weighted mean of
+    each type's seasonal indices is 1 (multiplicative factors are
+    normalized by construction); within_sd is non-negative; every
+    (type, hour) pair present in events appears exactly once."""
+    from collections import defaultdict
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        ts_seasonal_profile,
+    )
+
+    rows = ts_seasonal_profile(spark, sf_dir).collect()
+    acc = defaultdict(lambda: [0.0, 0])
+    seen = set()
+    for r in rows:
+        key = (r.event_type, r.hour_of_day)
+        assert key not in seen
+        seen.add(key)
+        assert r.within_sd >= 0.0
+        assert r.seasonal_index > 0.0
+        acc[r.event_type][0] += r.n * r.seasonal_index
+        acc[r.event_type][1] += r.n
+    for g, (wsum, n) in acc.items():
+        assert abs(wsum / n - 1.0) < 1e-9, g
