@@ -134,6 +134,7 @@ _ROUND11_PRIORITY = [
     # hold SURVEY/pytest coverage now and are the first r12 regrades
     "agg_linear_fit",
     "ts_seasonal_profile",
+    "sim_search_filtered",
 ]
 
 

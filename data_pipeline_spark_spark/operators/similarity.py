@@ -1570,3 +1570,74 @@ def rrf_fuse(lex: DataFrame, vec: DataFrame, top_k: int = _TOP_K) -> DataFrame:
             "rnk",
         )
     )
+
+
+_FILTERED_TOPK_SQL = f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id < {_N_QUERIES}),
+         scored AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                  e.label AS label,
+                  ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[]), 4)
+                    AS cos_sim
+           FROM q JOIN embeddings e
+             ON e.vec_id <> q.vec_id AND e.label = q.label
+         ),
+         ranked AS (
+           SELECT query_id, neighbor_id, label, cos_sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC,
+                                              neighbor_id ASC) AS rnk
+           FROM scored
+         )
+    SELECT query_id, neighbor_id, label, cos_sim, rnk
+    FROM ranked WHERE rnk <= {_TOP_K}
+"""
+
+
+@query("sim_search_filtered", oracle=_FILTERED_TOPK_SQL)
+def sim_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the metadata-constrained top-k every
+    vector store ships (Qdrant/Milvus/pgvector "filtered ANN"): each
+    query retrieves its cosine top-k among ONLY the candidates
+    sharing its ``label``. This is PRE-filtering: the label equality
+    sits in the join condition, so the distance arithmetic runs
+    exclusively on surviving candidates — never the compute-then-
+    discard post-filter that wastes ~90 % of the scoring work at this
+    selectivity (10 labels ⇒ ~10× candidate cut), and never the
+    recall loss post-filtering a fixed-k ANN result suffers when the
+    filter is selective.
+
+    Scale shape: identical to [[sim_search]]'s broadcast-queries
+    pattern with the filter fused into the same stage — zero extra
+    exchanges. On a label-partitioned corpus the predicate prunes
+    partitions before the scan (the [[partition_prune_filter]]
+    lever); in the bucketed rungs the same condition composes with
+    the IVF bucket join ([[sim_search_ivf]]) so filters and coarse
+    quantization multiply rather than compete."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+    )
+    scored = e.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") == F.col("q_label")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.round(cosine(F.col("q_emb"), F.col("emb")), 4).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+    )

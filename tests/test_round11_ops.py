@@ -1221,3 +1221,60 @@ def test_seasonal_profile_contract(spark, sf_dir):
         acc[r.event_type][1] += r.n
     for g, (wsum, n) in acc.items():
         assert abs(wsum / n - 1.0) < 1e-9, g
+
+
+# ---------------------------------------------------------------------------
+# sim_search_filtered
+# ---------------------------------------------------------------------------
+
+
+def test_filtered_search_is_prefilter_not_postfilter(spark, sf_dir):
+    """The capability's defining property: every returned neighbor
+    shares its query's label (the filter is a hard constraint, not a
+    re-rank), AND the result is NOT merely the unfiltered top-k
+    with off-label rows dropped — at least one query must surface a
+    same-label neighbor that brute-force top-k missed (which is
+    exactly the recall a post-filter on fixed k forfeits)."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.similarity import (
+        sim_search,
+        sim_search_filtered,
+    )
+
+    labels = {
+        r.vec_id: r.label
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    filt = sim_search_filtered(spark, sf_dir).collect()
+    for r in filt:
+        assert labels[r.neighbor_id] == labels[r.query_id]
+        assert r.label == labels[r.neighbor_id]
+    plain = {
+        (r.query_id, r.neighbor_id) for r in sim_search(spark, sf_dir).collect()
+    }
+    extra = [
+        r for r in filt if (r.query_id, r.neighbor_id) not in plain
+    ]
+    assert extra, "filtered search found nothing beyond post-filtering"
+
+
+def test_filtered_search_plan_shape(spark, sf_dir):
+    """Pre-filtering must fuse into the scoring stage: the same
+    single broadcast join as sim_search (no extra exchange for the
+    filter), no Python eval; per-query ranking windows over ≤
+    corpus/labels candidates."""
+    from data_pipeline_spark_spark.operators.similarity import (
+        sim_search,
+        sim_search_filtered,
+    )
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = sim_search_filtered(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert shuffle_count(df) == shuffle_count(sim_search(spark, sf_dir))
