@@ -135,6 +135,7 @@ _ROUND11_PRIORITY = [
     "agg_linear_fit",
     "ts_seasonal_profile",
     "sim_search_filtered",
+    "scalar_bitwise",
 ]
 
 

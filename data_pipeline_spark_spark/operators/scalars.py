@@ -409,3 +409,42 @@ def view_predefined(spark: SparkSession, sf_dir: str) -> DataFrame:
             segment="BUILDING", start="1996-01-01", end="1996-12-31"
         )
     )
+
+
+_BITWISE_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey & l_partkey AS BIGINT)  AS k_and,
+           CAST(l_orderkey | l_suppkey AS BIGINT)  AS k_or,
+           CAST(xor(l_partkey, l_suppkey) AS BIGINT) AS k_xor,
+           CAST(l_suppkey << 4 AS BIGINT)          AS k_shl,
+           CAST(l_orderkey >> 3 AS BIGINT)         AS k_shr,
+           CAST(bit_count(l_orderkey) AS BIGINT)   AS k_popcount,
+           CAST(l_orderkey & -l_orderkey AS BIGINT) AS k_lowest_set
+    FROM lineitem
+"""
+
+
+@query("scalar_bitwise", oracle=_BITWISE_SQL)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: AND/OR/XOR, shifts, population count,
+    lowest-set-bit isolation (``k & -k``) over the integer keys — the
+    primitive layer under the engine's own SimHash banding
+    ([[dedup_simhash]]), Morton interleaving
+    ([[layout_zorder_locality]]), and hash bucketing, exposed as a
+    graded key so the cross-engine semantics (arithmetic shift,
+    two's-complement negation, 64-bit popcount) are pinned by the
+    oracle rather than assumed. All expressions are single codegen
+    projections — shuffle-free, scan-bound at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    k, p, s = F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(p).cast("bigint").alias("k_and"),
+        k.bitwiseOR(s).cast("bigint").alias("k_or"),
+        p.bitwiseXOR(s).cast("bigint").alias("k_xor"),
+        F.shiftleft(s, 4).cast("bigint").alias("k_shl"),
+        F.shiftright(k, 3).cast("bigint").alias("k_shr"),
+        F.bit_count(k).cast("bigint").alias("k_popcount"),
+        k.bitwiseAND(-k).cast("bigint").alias("k_lowest_set"),
+    )

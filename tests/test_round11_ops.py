@@ -1278,3 +1278,63 @@ def test_filtered_search_plan_shape(spark, sf_dir):
     plan = formatted_plan(df)
     assert "EvalPython" not in plan
     assert shuffle_count(df) == shuffle_count(sim_search(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# scalar_bitwise
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.integers(min_value=0, max_value=2**20),
+            st.integers(min_value=0, max_value=2**20),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bitwise_matches_python(spark, rows):
+    """Differential: the bitwise surface vs python's arbitrary-
+    precision operators on non-negative int64 inputs — AND/OR/XOR,
+    shifts, popcount, and two's-complement lowest-set-bit must agree
+    exactly."""
+    df = spark.createDataFrame(
+        [(i, k, p, s) for i, (k, p, s) in enumerate(rows)],
+        "idx long, k long, p long, s long",
+    )
+    got = {
+        r.idx: (r.a, r.o, r.x, r.shl, r.shr, r.pc, r.low)
+        for r in df.select(
+            "idx",
+            F.col("k").bitwiseAND(F.col("p")).alias("a"),
+            F.col("k").bitwiseOR(F.col("s")).alias("o"),
+            F.col("p").bitwiseXOR(F.col("s")).alias("x"),
+            F.shiftleft("s", 4).alias("shl"),
+            F.shiftright("k", 3).alias("shr"),
+            F.bit_count("k").cast("long").alias("pc"),
+            F.col("k").bitwiseAND(-F.col("k")).alias("low"),
+        ).collect()
+    }
+    want = {
+        i: (k & p, k | s, p ^ s, s << 4, k >> 3, bin(k).count("1"), k & -k)
+        for i, (k, p, s) in enumerate(rows)
+    }
+    assert got == want
+
+
+def test_bitwise_plan_shape(spark, sf_dir):
+    """Pure projection: shuffle-free, no Python, single scan."""
+    from data_pipeline_spark_spark.operators.scalars import scalar_bitwise
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = scalar_bitwise(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert shuffle_count(df) == 0
