@@ -55,7 +55,14 @@ def test_timezone_hostile_session_still_matches(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         for name in ["rollup_reaggregate", "partition_overwrite_dynamic",
                      "ts_gap_fill", "scalar_datetime",
-                     "ts_downsample_lttb"]:
+                     "ts_downsample_lttb",
+                     # r11: the PSI split compares ts against a
+                     # literal timestamp — a mis-zoned session must
+                     # not move events across the baseline boundary;
+                     # k-anonymity's cohort week and the seasonal
+                     # profile's hour() have the same exposure
+                     "drift_psi_report", "privacy_k_anonymity",
+                     "ts_seasonal_profile"]:
             from .oracle import assert_matches_oracle
 
             assert_matches_oracle(
@@ -89,7 +96,13 @@ def test_partitioning_hostile_session_still_matches(spark, sf_dir):
                      # r10 argmax/top-k additions: DSIR's global
                      # top-25% row_number and BPE's per-iteration
                      # argmax merge must not depend on partitioning
-                     "corpus_dsir_select", "tokenizer_bpe_train"]:
+                     "corpus_dsir_select", "tokenizer_bpe_train",
+                     # r11: the pack manifest's distributed prefix
+                     # sum must give identical global offsets at any
+                     # partition count; the CEP journey and the
+                     # k-anonymity mode pick are ordered folds
+                     "corpus_pack_sequences", "event_pattern_match",
+                     "privacy_k_anonymity"]:
             from .oracle import assert_matches_oracle
 
             assert_matches_oracle(
