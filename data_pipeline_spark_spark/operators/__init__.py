@@ -136,6 +136,7 @@ _ROUND11_PRIORITY = [
     "ts_seasonal_profile",
     "sim_search_filtered",
     "scalar_bitwise",
+    "sim_search_ivf_stats",
 ]
 
 

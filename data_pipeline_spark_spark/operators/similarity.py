@@ -1641,3 +1641,57 @@ def sim_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
     )
+
+
+_IVF_STATS_SQL = f"""
+    WITH {_PQ_CORE_SQL},
+    {_ivf_coarse_sql("cent")},
+    b AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell),
+    t AS (SELECT cell, n,
+                 SUM(n)   OVER () AS nt,
+                 COUNT(*) OVER () AS k,
+                 MAX(n)   OVER () AS mx
+          FROM b)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(n AS BIGINT) AS n_vectors,
+           CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS frac,
+           CAST(k AS DOUBLE) * CAST(mx AS DOUBLE) / CAST(nt AS DOUBLE)
+             AS imbalance_factor
+    FROM t
+"""
+
+
+@query("sim_search_ivf_stats", oracle=_IVF_STATS_SQL)
+def sim_search_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report: per-cell inverted-list sizes for the
+    IVF+PQ coarse quantizer, each cell's corpus fraction, and the
+    imbalance factor k·max/N (1.0 = perfectly balanced lists; the
+    FAISS operational metric for \"will my probes do even work\").
+    Unbalanced lists are THE production failure mode of IVF serving —
+    a hot cell turns nprobe pruning back into a near-full scan and
+    skews the partition that holds it — so the index build step ships
+    with its audit, the same way [[profile_join_skew]] audits join
+    keys.
+
+    Reuses the EXACT assignment machinery of [[sim_search_ivfpq]]
+    (``_ivfpq_coarse`` in Spark, the shared ``_ivf_coarse_sql`` CTE
+    in the oracle), so the report can never drift from what the
+    serving rung actually does. All post-assignment work is a
+    k-row aggregate; the global window runs over the k cell counts,
+    never over vectors."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    sub, _cb, _codes = _pq_frames(e)
+    assign, _probes = _ivfpq_coarse(sub)
+    b = assign.groupBy("cell").agg(F.count("*").alias("n"))
+    wg = W.partitionBy()
+    nt = F.sum("n").over(wg).cast("double")
+    k = F.count("*").over(wg).cast("double")
+    mx = F.max("n").over(wg).cast("double")
+    return b.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("n").cast("bigint").alias("n_vectors"),
+        (F.col("n").cast("double") / nt).alias("frac"),
+        (k * mx / nt).alias("imbalance_factor"),
+    )

