@@ -983,17 +983,24 @@ _PSI_SQL = f"""
 """
 
 
+def psi_counts(long: DataFrame) -> DataFrame:
+    """The (dim, bucket) count aggregation — ONE construction site
+    shared by the batch fold, the streaming twin (where it is the
+    stateful streaming aggregation), and the state-bound test, so
+    none of the three can drift (the ``_ivf_coarse_sql`` lesson)."""
+    return long.groupBy("dim", "bucket").agg(
+        F.sum("is_base").alias("n_base"),
+        F.sum(F.lit(1) - F.col("is_base")).alias("n_curr"),
+    )
+
+
 def psi_from_long(long: DataFrame) -> DataFrame:
     """The testable PSI fold under [[drift_psi_report]]: given long
     rows ``(dim, bucket, is_base∈{0,1})``, aggregate per-bucket
     baseline/current counts and emit Laplace-smoothed probabilities
     plus the per-bucket PSI term. All post-aggregation work is
     O(buckets) rows."""
-    counts = long.groupBy("dim", "bucket").agg(
-        F.sum("is_base").alias("n_base"),
-        F.sum(F.lit(1) - F.col("is_base")).alias("n_curr"),
-    )
-    return psi_from_counts(counts)
+    return psi_from_counts(psi_counts(long))
 
 
 def psi_from_counts(counts: DataFrame) -> DataFrame:
@@ -1287,7 +1294,8 @@ _SEASONAL_SQL = """
     SELECT event_type, hour_of_day,
            CAST(n AS BIGINT) AS n,
            CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS seasonal_mean,
-           sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           sqrt(GREATEST(CAST(n AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy, 0.0))
              / CAST(n AS DOUBLE) / 100.0 AS within_sd,
            (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
              / (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)) AS seasonal_index
@@ -1343,7 +1351,15 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (syd / nd / 100.0).alias("seasonal_mean"),
         (
-            F.sqrt(nd * F.col("syy") - syd * F.col("sy")) / nd / 100.0
+            # GREATEST(.., 0): past the 2^53 moment envelope the
+            # true-zero variance of a constant bucket can round to
+            # -epsilon — Spark would emit NaN while DuckDB ABORTS on
+            # sqrt(negative); clamping keeps both engines at sd=0.
+            # At true 100 TB the moments move to decimal(38), like
+            # agg_linear_fit.
+            F.sqrt(F.greatest(nd * F.col("syy") - syd * F.col("sy"),
+                              F.lit(0.0)))
+            / nd / 100.0
         ).alias("within_sd"),
         ((syd / nd) / (syt.cast("double") / nt.cast("double"))).alias(
             "seasonal_index"

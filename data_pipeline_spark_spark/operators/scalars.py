@@ -419,7 +419,9 @@ _BITWISE_SQL = """
            CAST(l_suppkey << 4 AS BIGINT)          AS k_shl,
            CAST(l_orderkey >> 3 AS BIGINT)         AS k_shr,
            CAST(bit_count(l_orderkey) AS BIGINT)   AS k_popcount,
-           CAST(l_orderkey & -l_orderkey AS BIGINT) AS k_lowest_set
+           CAST(l_orderkey & -l_orderkey AS BIGINT) AS k_lowest_set,
+           CAST((-l_orderkey) >> 3 AS BIGINT)       AS k_neg_shr,
+           CAST(bit_count(-l_orderkey) AS BIGINT)   AS k_neg_popcount
     FROM lineitem
 """
 
@@ -447,4 +449,11 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).cast("bigint").alias("k_shr"),
         F.bit_count(k).cast("bigint").alias("k_popcount"),
         k.bitwiseAND(-k).cast("bigint").alias("k_lowest_set"),
+        # negative operands: arithmetic >> (sign-extending) and
+        # 64-bit two's-complement popcount agree across engines and
+        # are pinned here; negative LEFT shift deliberately is NOT in
+        # the surface — DuckDB raises Out of Range while Spark wraps
+        # silently, so portable code must never left-shift negatives
+        F.shiftright(-k, 3).cast("bigint").alias("k_neg_shr"),
+        F.bit_count(-k).cast("bigint").alias("k_neg_popcount"),
     )

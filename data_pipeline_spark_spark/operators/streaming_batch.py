@@ -1039,7 +1039,7 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from .analytics import psi_from_counts, psi_long_form
+    from .analytics import psi_counts, psi_from_counts, psi_long_form
 
     e = load(spark, sf_dir, "events").select(
         "ts", "event_type", "value"
@@ -1054,10 +1054,7 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        counts = psi_long_form(stream).groupBy("dim", "bucket").agg(
-            F.sum("is_base").alias("n_base"),
-            F.sum(F.lit(1) - F.col("is_base")).alias("n_curr"),
-        )
+        counts = psi_counts(psi_long_form(stream))
         q = (
             counts.writeStream.format("memory")
             .queryName(sink)

@@ -62,7 +62,9 @@ def test_timezone_hostile_session_still_matches(spark, sf_dir):
                      # k-anonymity's cohort week and the seasonal
                      # profile's hour() have the same exposure
                      "drift_psi_report", "privacy_k_anonymity",
-                     "ts_seasonal_profile"]:
+                     "ts_seasonal_profile",
+                     # epoch-hour regressor — the most exposed key
+                     "agg_linear_fit"]:
             from .oracle import assert_matches_oracle
 
             assert_matches_oracle(

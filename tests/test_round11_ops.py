@@ -959,7 +959,10 @@ def test_stream_drift_state_is_bucket_bounded(spark, sf_dir):
     import tempfile
 
     from data_pipeline_spark_spark.catalog import load
-    from data_pipeline_spark_spark.operators.analytics import psi_long_form
+    from data_pipeline_spark_spark.operators.analytics import (
+        psi_counts,
+        psi_long_form,
+    )
 
     e = load(spark, sf_dir, "events").select("ts", "event_type", "value")
     n_events = e.count()
@@ -974,10 +977,7 @@ def test_stream_drift_state_is_bucket_bounded(spark, sf_dir):
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        counts = psi_long_form(stream).groupBy("dim", "bucket").agg(
-            F.sum("is_base").alias("n_base"),
-            F.sum(F.lit(1) - F.col("is_base")).alias("n_curr"),
-        )
+        counts = psi_counts(psi_long_form(stream))
         q = (
             counts.writeStream.format("memory")
             .queryName(sink)
@@ -1289,9 +1289,11 @@ def test_filtered_search_plan_shape(spark, sf_dir):
 @given(
     st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=2**40),
-            st.integers(min_value=0, max_value=2**20),
-            st.integers(min_value=0, max_value=2**20),
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.integers(min_value=-(2**20), max_value=2**20),
+            st.integers(min_value=0, max_value=2**20),  # shifted LEFT:
+            # negative << diverges (DuckDB raises, Spark wraps) and is
+            # deliberately outside the pinned surface
         ),
         min_size=1,
         max_size=30,
@@ -1319,8 +1321,11 @@ def test_bitwise_matches_python(spark, rows):
             F.col("k").bitwiseAND(-F.col("k")).alias("low"),
         ).collect()
     }
+    def pc(v):  # 64-bit two's-complement popcount
+        return bin(v & 0xFFFFFFFFFFFFFFFF).count("1")
+
     want = {
-        i: (k & p, k | s, p ^ s, s << 4, k >> 3, bin(k).count("1"), k & -k)
+        i: (k & p, k | s, p ^ s, s << 4, k >> 3, pc(k), k & -k)
         for i, (k, p, s) in enumerate(rows)
     }
     assert got == want
