@@ -137,6 +137,7 @@ _ROUND11_PRIORITY = [
     "sim_search_filtered",
     "scalar_bitwise",
     "sim_search_ivf_stats",
+    "corpus_pack_apply",
 ]
 
 

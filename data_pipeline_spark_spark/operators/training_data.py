@@ -443,3 +443,85 @@ def doc_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n > _TRUNCATE_BUDGET, 1).otherwise(0).alias("truncated"),
         F.md5(kept).alias("kept_hash"),
     )
+
+
+_PACK_APPLY_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             CAST(COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM t
+    ),
+    g AS (
+      SELECT c.off + r.i - 1 AS gpos, c.toks[r.i] AS tok
+      FROM c, UNNEST(range(1, len(c.toks) + 1)) AS r(i)
+    )
+    SELECT CAST(floor(gpos / {_SEQ_TOKENS}) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY gpos)) AS seq_md5
+    FROM g GROUP BY seq_id
+"""
+
+
+@query("corpus_pack_apply", oracle=_PACK_APPLY_SQL)
+def corpus_pack_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sequence packing: assemble every fixed-length
+    training sequence's ACTUAL token stream (across document
+    boundaries, in global concatenation order) and emit its md5 — the
+    byte-level proof that the packing [[corpus_pack_sequences]]
+    manifests is the packing a trainer would read, the same
+    digest-proved-rebuild discipline as [[dedup_substring_apply]].
+    The manifest key proves counts; this key proves content.
+
+    Shape: the shared distributed prefix sum assigns each doc its
+    global offset; a posexplode attaches global positions to tokens
+    (in-row arithmetic, no window over tokens); the ONE
+    token-proportional exchange is the groupBy(seq_id) — key-
+    partitioned, each group exactly the model context length, state
+    bounded at L tokens per group. The per-sequence sort runs inside
+    a group of ≤{_SEQ_TOKENS} elements (sort_array on the collected
+    struct array), never a global sort. At 100 TB this is the
+    export job's natural shape: sequences partition by seq_id and
+    write directly to training shards."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks_arr = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+    )
+    counted = toks_arr.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tok")
+    )
+    t, offs = _exclusive_token_offsets(spark, counted)
+    try:
+        pos = toks_arr.select(
+            "doc_id", F.posexplode("toks").alias("pos", "tok")
+        )
+        g = pos.join(offs.select("doc_id", "off"), "doc_id").select(
+            (F.col("off") + F.col("pos")).alias("gpos"), "tok"
+        )
+        L = F.lit(_SEQ_TOKENS).cast("long")
+        out = (
+            g.withColumn("seq_id", F.floor(F.col("gpos") / L))
+            .groupBy("seq_id")
+            .agg(
+                F.count("*").alias("n_tokens"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(F.struct("gpos", "tok"))
+                            ),
+                            lambda s: s["tok"],
+                        ),
+                        " ",
+                    )
+                ).alias("seq_md5"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        t.unpersist()

@@ -1388,3 +1388,50 @@ def test_ivf_stats_plan_shape(spark, sf_dir):
     plan = formatted_plan(df)
     assert "EvalPython" not in plan
     assert df.count() <= 16
+
+
+# ---------------------------------------------------------------------------
+# corpus_pack_apply
+# ---------------------------------------------------------------------------
+
+
+def test_pack_apply_agrees_with_manifest(spark, sf_dir):
+    """Content proves counts: the materialized sequences' token
+    counts must equal the interval-arithmetic manifest's, sequence by
+    sequence — two independent derivations (explicit token explode vs
+    least/greatest overlap math) of the same packing."""
+    from data_pipeline_spark_spark.operators.training_data import (
+        corpus_pack_apply,
+        corpus_pack_sequences,
+    )
+
+    applied = {
+        r.seq_id: r.n_tokens for r in corpus_pack_apply(spark, sf_dir).collect()
+    }
+    manifest = {
+        r.seq_id: r.n_tokens
+        for r in corpus_pack_sequences(spark, sf_dir).collect()
+    }
+    assert applied == manifest
+
+
+def test_pack_apply_digests_are_real(spark, sf_dir):
+    """Every sequence digest is a distinct md5 over exactly the
+    context-length token stream (duplicate digests would mean the
+    assembly collapsed sequences); no Python in the plan; the result
+    is checkpointed (no LocalTableScan round-trip)."""
+    from data_pipeline_spark_spark.operators.training_data import (
+        _SEQ_TOKENS,
+        corpus_pack_apply,
+    )
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    df = corpus_pack_apply(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LocalTableScan" not in plan
+    rows = sorted(df.collect(), key=lambda r: r.seq_id)
+    digests = [r.seq_md5 for r in rows]
+    assert len(set(digests)) == len(digests)
+    for r in rows[:-1]:
+        assert r.n_tokens == _SEQ_TOKENS
+    assert all(len(d) == 32 for d in digests)
