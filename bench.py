@@ -98,6 +98,8 @@ HEADLINE = [
     "agg_weighted_median",
     "doc_fingerprint_winnow",
     "tokenizer_unigram_segment",
+    "quality_bigram_perplexity",
+    "corpus_pack_apply",
 ]
 
 
