@@ -68,9 +68,15 @@ def _promote_staged(stage: str, target: str) -> None:
     # building a large fixture is legitimately minutes, r10 ADVICE);
     # on timeout the COMPLETE stage is left on disk and named in the
     # error so a retry can re-promote it instead of rebuilding.
-    deadline = time.monotonic() + float(
-        os.environ.get("DPS_FIXTURE_LOCK_TIMEOUT_SEC", "240")
-    )
+    raw_timeout = os.environ.get("DPS_FIXTURE_LOCK_TIMEOUT_SEC", "240")
+    try:
+        timeout_sec = float(raw_timeout)
+    except ValueError:
+        raise ValueError(
+            f"DPS_FIXTURE_LOCK_TIMEOUT_SEC={raw_timeout!r} is not a "
+            "number — set it to a timeout in seconds (default 240)"
+        ) from None
+    deadline = time.monotonic() + timeout_sec
     fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
     try:
         while True:

@@ -938,6 +938,7 @@ def stream_dedup_bounded_state(
         c2 = ev.filter(F.col("ts") > F.lit(mid))
         dups1 = c1.filter(F.col("event_id") % 3 == 0)
         dups2 = c2.filter(F.col("event_id") % 3 == 0)
+        n_dups_fed = dups1.count() + dups2.count()
         n_fed_real = 0
         seen: list[str] = []
         order: list[str] = []
@@ -990,12 +991,22 @@ def stream_dedup_bounded_state(
             else -1
         )
         emitted = spark.table(sink).filter(F.col("event_id") >= 0)
+        n_emitted = emitted.count()
+        # account for every dropped row DIRECTLY (r11 ADVICE): the
+        # rows missing from the output must be exactly the duplicates
+        # we injected — a row lost for any other reason (a watermark/
+        # late-data regression) fails HERE as its own error instead
+        # of being silently booked as a "dropped duplicate"
+        if n_fed_real - n_emitted != n_dups_fed:
+            raise AssertionError(
+                f"stream dropped {n_fed_real - n_emitted} rows but "
+                f"only {n_dups_fed} duplicates were injected — "
+                "non-duplicate rows were lost (or dups survived)"
+            )
         result = emitted.agg(
             F.count("*").cast("bigint").alias("n_unique_events"),
             F.sum("event_id").cast("bigint").alias("id_checksum"),
-            (F.lit(n_fed_real) - F.count("*"))
-            .cast("bigint")
-            .alias("n_dups_dropped"),
+            F.lit(n_dups_fed).cast("bigint").alias("n_dups_dropped"),
             F.lit(0 <= state_rows <= 2).alias("state_bounded"),
         )
         return spark.createDataFrame(result.collect(), result.schema)

