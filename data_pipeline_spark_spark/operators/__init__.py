@@ -131,6 +131,11 @@ _ROUND12_PRIORITY = [
     "parquet_scan",
     "parquet_write_part",
     # (c) new round-12 keys — appended as they land; r13 front
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_relationship",
+    "tpch_q20_potential_promotion",
 ]
 
 

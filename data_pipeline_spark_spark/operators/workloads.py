@@ -1084,3 +1084,439 @@ def sole_late_supplier_counts(item: DataFrame) -> DataFrame:
         .groupBy("lsk")
         .agg(F.sum("n_late").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# partsupp — derived, and the five queries it unblocks (q2/q9/q11/q16/q20)
+# ---------------------------------------------------------------------------
+
+# The official fixture layer ships no partsupp table, which blocked
+# TPC-H q2/q9/q11/q16/q20 through round 11 (README §workloads). The
+# r11 VERDICT asked the repo to self-unblock: partsupp is now DERIVED
+# deterministically from part × supplier with pure integer arithmetic
+# (dbgen's "4 suppliers per part, spread by a quarter-of-S stride"
+# shape, adapted to the fixture's 0-based keys), expressed IDENTICALLY
+# in the Spark plan and the DuckDB oracle — so the five queries are
+# fully oracle-backed at ANY sf_dir, with no waiting on a fixture
+# file and no parquet side-channel the oracle can't see. The stride
+# floor(S/4) guarantees the four suppkeys per part are distinct for
+# any S ≥ 4 (3·floor(S/4) < S), and floor(p/S) drifts the supplier
+# set so part p and part p+S don't repeat it. ps_supplycost lives as
+# exact integer CENTS (ps_cost_c) until the final projection, the
+# module's standing exact-unit discipline. If an official partsupp
+# parquet ever ships, `_partsupp` swaps for `load(..., "partsupp")`
+# and `_PARTSUPP_CTE` for the pre-registered view — nothing else
+# changes.
+_PARTSUPP_CTE = """
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey
+              + CAST(FLOOR(CAST(p_partkey AS DOUBLE) / s_cnt) AS BIGINT)
+              + i * CAST(FLOOR(s_cnt / 4.0) AS BIGINT)) % s_cnt
+               AS ps_suppkey,
+             CAST((p_partkey * 7 + i * 13) % 9999 + 1 AS BIGINT)
+               AS ps_availqty,
+             CAST((p_partkey * 31 + i * 101) % 99901 + 100 AS BIGINT)
+               AS ps_cost_c
+      FROM part,
+           (SELECT CAST(COUNT(*) AS BIGINT) AS s_cnt FROM supplier),
+           (VALUES (0), (1), (2), (3)) AS gen(i)
+    )
+"""
+
+
+def derive_partsupp(part_keys: DataFrame, s_cnt: DataFrame) -> DataFrame:
+    """The partsupp derivation over any (p_partkey) frame and 1-row
+    (s_cnt) frame — module-level so the hypothesis differential test
+    runs the SAME plan against a literal python loop at arbitrary
+    (P, S) shapes."""
+    four = F.array(*[F.lit(i).cast("long") for i in range(4)])
+    return (
+        part_keys.crossJoin(F.broadcast(s_cnt))
+        .select("p_partkey", "s_cnt", F.explode(four).alias("i"))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                (
+                    F.col("p_partkey")
+                    + F.floor(F.col("p_partkey") / F.col("s_cnt")).cast(
+                        "long"
+                    )
+                    + F.col("i")
+                    * F.floor(F.col("s_cnt") / F.lit(4.0)).cast("long")
+                )
+                % F.col("s_cnt")
+            ).alias("ps_suppkey"),
+            ((F.col("p_partkey") * 7 + F.col("i") * 13) % 9999 + 1)
+            .cast("long")
+            .alias("ps_availqty"),
+            ((F.col("p_partkey") * 31 + F.col("i") * 101) % 99901 + 100)
+            .cast("long")
+            .alias("ps_cost_c"),
+        )
+    )
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp frame: (ps_partkey, ps_suppkey,
+    ps_availqty, ps_cost_c[int cents]). 4·|part| rows — at 100 TB
+    this is a normal dimension-times-4 table that flows through the
+    same joins an official scan would; the 1-row supplier count rides
+    a broadcast."""
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = (
+        load(spark, sf_dir, "supplier")
+        .agg(F.count("*").cast("long").alias("s_cnt"))
+    )
+    return derive_partsupp(part, s_cnt)
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE.strip()},
+    eligible AS (
+      SELECT ps_partkey, ps_suppkey, ps_cost_c, s_name, s_acctbal,
+             n_name
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    mn AS (
+      SELECT ps_partkey, MIN(ps_cost_c) AS min_c
+      FROM eligible GROUP BY ps_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           CAST(e.ps_cost_c AS DOUBLE) / 100 AS ps_supplycost
+    FROM eligible e
+    JOIN mn ON e.ps_partkey = mn.ps_partkey AND e.ps_cost_c = mn.min_c
+    JOIN part ON p_partkey = e.ps_partkey
+    WHERE p_size <= 15 AND p_type = 'ECONOMY'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q2, minimum-cost supplier — the classic correlated-MIN
+    subquery DECORRELATED into a per-part aggregate + integer-cents
+    equality join (the [[tpch_q15_top_supplier]] pattern: an exact
+    integer comparison cannot drop a last-ulp-equal winner on one
+    engine only). Region/nation/supplier are dimension-sized →
+    broadcast; the per-part MIN is a partial-aggregating shuffle on
+    ps_partkey over the 4·|part| derived rows. Within a part the 4
+    derived costs are distinct (i·101 is injective mod 99901), so
+    the winner is unique and the (acctbal DESC, n_name, s_name,
+    p_partkey) order is total."""
+    ps = _partsupp(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(
+            F.broadcast(
+                s.join(n, s.s_nationkey == n.n_nationkey).join(
+                    r, F.col("n_regionkey") == r.r_regionkey
+                )
+            ),
+            ps.ps_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "ps_partkey", "ps_suppkey", "ps_cost_c", "s_name",
+            "s_acctbal", "n_name",
+        )
+    )
+    mn = (
+        eligible.groupBy("ps_partkey")
+        .agg(F.min("ps_cost_c").alias("min_c"))
+        .withColumnRenamed("ps_partkey", "mn_partkey")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY")
+    )
+    return (
+        eligible.join(
+            mn,
+            (F.col("ps_partkey") == F.col("mn_partkey"))
+            & (F.col("ps_cost_c") == F.col("min_c")),
+        )
+        .drop("mn_partkey")
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            (F.col("ps_cost_c").cast("double") / 100).alias(
+                "ps_supplycost"
+            ),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE.strip()}
+    SELECT n_name AS nation,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    - ps_cost_c * CAST(l_quantity AS BIGINT) * 100)
+                AS DOUBLE) / 1e4 AS sum_profit
+    FROM lineitem
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, CAST(YEAR(o_orderdate) AS BIGINT)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_type_profit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q9, profit by nation and order-year: revenue minus supply
+    cost over every lineitem of '%gear%' parts. Six-table shape —
+    the fact table joins partsupp on the COMPOSITE (partkey,
+    suppkey) key while part/supplier/nation are selective or
+    dimension-sized broadcasts; profit is summed in exact 1e-4 units
+    (cents×percent for revenue, cents×qty×100 for cost) so the
+    cross-engine digest is bit-stable with no ROUND anywhere."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_u = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    cost_u = (
+        F.col("ps_cost_c") * F.col("l_quantity").cast("bigint") * 100
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey)
+            & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            (F.sum(rev_u - cost_u).cast("double") / 1e4).alias(
+                "sum_profit"
+            )
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE.strip()},
+    de AS (
+      SELECT ps_partkey, ps_cost_c * ps_availqty AS v_c
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    ),
+    tot AS (SELECT SUM(v_c) AS tot_c FROM de)
+    SELECT ps_partkey, CAST(SUM(v_c) AS DOUBLE) / 100 AS value
+    FROM de, tot
+    GROUP BY ps_partkey, tot_c
+    HAVING SUM(v_c) > tot_c * 0.0008
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def tpch_q11_important_stock(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q11, important stock: per-part inventory value in one
+    nation's supplier base, kept only above a fraction of the
+    nation's total. The global total is a 1-row aggregate attached
+    as a broadcast (the decorrelated HAVING-scalar-subquery shape);
+    both the per-part value and the total are exact integer cents,
+    so the threshold comparison (bigint > bigint·0.0008) evaluates
+    the same double on both engines."""
+    ps = _partsupp(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    de = ps.join(
+        F.broadcast(
+            s.join(n, s.s_nationkey == F.col("n_nationkey"))
+        ),
+        ps.ps_suppkey == F.col("s_suppkey"),
+    ).select(
+        "ps_partkey",
+        (F.col("ps_cost_c") * F.col("ps_availqty")).alias("v_c"),
+    )
+    tot = de.agg(F.sum("v_c").alias("tot_c"))
+    return (
+        de.groupBy("ps_partkey")
+        .agg(F.sum("v_c").alias("sum_c"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("sum_c") > F.col("tot_c") * 0.0008)
+        .select(
+            "ps_partkey",
+            (F.col("sum_c").cast("double") / 100).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q16_supplier_relationship",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE.strip()}
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_relationship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q16, parts/supplier relationship: how many distinct
+    suppliers can provide each surviving (brand, type, size) bucket,
+    excluding suppliers in bad standing (the fixture has no
+    s_comment, so the spec's 'Customer Complaints' LIKE becomes the
+    s_acctbal < 0 analog). The NOT IN is a broadcast LEFT ANTI join
+    (s_suppkey is non-null, so anti-join and NOT IN agree); the
+    distinct count shuffles once on the group key."""
+    ps = _partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(
+            F.broadcast(bad),
+            ps.ps_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "tpch_q20_potential_promotion",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE.strip()},
+    qty AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    cand AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+      JOIN (SELECT p_partkey FROM part
+            WHERE p_name LIKE 'small%') sp
+        ON sp.p_partkey = ps_partkey
+      JOIN qty ON qty.l_partkey = ps_partkey
+              AND qty.l_suppkey = ps_suppkey
+      WHERE ps_availqty * 2 > q
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN cand  ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_potential_promotion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q20, potential part promotion: suppliers in one nation whose
+    stock of 'small%' parts exceeds half of what they actually
+    shipped in 1996. The spec's correlated scalar subquery (0.5 ×
+    SUM per (part, supplier)) is decorrelated into a grouped
+    aggregate joined on the composite key, and the half-comparison
+    is integer (availqty·2 > q — l_quantity is integral in the
+    fixture) so no double ever crosses engines; pairs with no 1996
+    shipments drop via inner join, matching the spec's NULL >
+    semantics. The IN chain collapses to semi-join → distinct →
+    broadcast."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("q")
+    )
+    sp = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    ps = _partsupp(spark, sf_dir)
+    cand = (
+        ps.join(F.broadcast(sp), ps.ps_partkey == sp.p_partkey)
+        .join(
+            qty,
+            (ps.ps_partkey == qty.l_partkey)
+            & (ps.ps_suppkey == qty.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("q"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    return (
+        s.join(F.broadcast(cand), s.s_suppkey == F.col("ps_suppkey"))
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
