@@ -419,7 +419,10 @@ _MIN_SUPPORT = 2
 
 
 def _basket_affinity_from(
-    fact: DataFrame, width: int, tot: DataFrame | None = None
+    fact: DataFrame,
+    width: int,
+    tot: DataFrame | None = None,
+    item_cap: int | None = _BASKET_ITEM_CAP,
 ) -> DataFrame:
     """Shared pair/lift tail: build per-order sorted item-set baskets
     from ``fact`` (one data-proportional shuffle), expand pairs
@@ -432,7 +435,12 @@ def _basket_affinity_from(
     lazy 1-row (n_baskets) frame; when None it is derived as a cheap
     O(P) count of the checkpointed basket rows — correct ONLY for an
     unpruned fact stream (the Apriori variant must count unpruned
-    orders and supplies its own)."""
+    orders and supplies its own). ``item_cap`` bounds a mega-basket's
+    k²/2 pair fan-out by keeping the sorted-first cap items (``None``
+    disables — the skew stress measures the blowup both ways); when
+    it binds, pairs among the truncated tail are UNDER-counted (the
+    documented lower-bound accounting, asserted by
+    tests/test_round12_ops.py::test_basket_item_cap_accounting)."""
     min_support = _MIN_SUPPORT
     baskets = (
         fact
@@ -443,7 +451,13 @@ def _basket_affinity_from(
         .repartition(width, "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
-        .select(F.slice("items", 1, _BASKET_ITEM_CAP).alias("items"))
+        .select(
+            (
+                F.slice("items", 1, item_cap)
+                if item_cap is not None
+                else F.col("items")
+            ).alias("items")
+        )
         # baskets feed the pair expansion and the item counts — a lazy
         # localCheckpoint materializes the post-shuffle arrays once
         # instead of re-scans of the fact table (same pattern as

@@ -380,12 +380,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def containment_pairs(
-    d: DataFrame, p: int = 9, q: int = 10
+    d: DataFrame,
+    p: int = 9,
+    q: int = 10,
+    df_cap: int | None = _SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Directed containment pipeline over any (doc_id, text) frame at
     threshold p/q — factored from [[dedup_containment]] (see its
     docstring for the design) so tests can drive synthetic corpora
-    (e.g. the short-inside-long pair Jaccard misses)."""
+    (e.g. the short-inside-long pair Jaccard misses). ``df_cap``
+    drops stop-shingles from BOTH join sides; ``None`` disables it
+    (the skew stress measures the candidate blowup both ways)."""
     shingled = _shingle_sets(d).localCheckpoint(eager=False)
     n = F.size("sh")
     ceil_tn = F.floor((n * p + (q - 1)) / q).cast("int")
@@ -397,14 +402,15 @@ def containment_pairs(
     post = shingled.select(
         "doc_id", n.alias("n_sh"), F.explode("sh").alias("shingle")
     )
-    hot = (
-        post.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > _SHINGLE_DF_CAP)
-        .select("shingle")
-    )
-    pref = pref.join(F.broadcast(hot), "shingle", "left_anti")
-    post = post.join(F.broadcast(hot), "shingle", "left_anti")
+    if df_cap is not None:
+        hot = (
+            post.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        pref = pref.join(F.broadcast(hot), "shingle", "left_anti")
+        post = post.join(F.broadcast(hot), "shingle", "left_anti")
     a = pref.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
     )

@@ -155,11 +155,74 @@ def dense_main(probe_keys: list[str] | None = None) -> None:
         print(f"{name:22s} {cells}  {tg:5.1f}x {og:6.1f}x  {verdict}")
 
 
+#: the third-decade probe set (r11 VERDICT ask #5): the families
+#: whose growth factors decide 100 TB credibility, plus relational
+#: representatives — run with --sf1 after scripts/make_sf1.py
+SF1_PROBES = [
+    "filter_pred",
+    "agg_basic",
+    "join_inner_equi",
+    "window_analytic",
+    "tpch_q1_pricing_summary",
+    "tpch_q18_large_orders",
+    "dedup_exact",
+    "dedup_minhash_df",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_span_exact",
+    "sim_search",
+    "sim_search_pq",
+    "sim_search_ivfpq",
+    "keyword_search_bm25",
+    "quality_unigram_logprob",
+    "quality_bigram_perplexity",
+    "tokenizer_unigram_segment",
+    "corpus_duplication_profile",
+    "shard_pack",
+    "corpus_pack_sequences",
+    "corpus_pack_apply",
+]
+
+
+def sf1_main(probe_keys: list[str] | None) -> None:
+    """Probe sf0.01 → sf0.1 → sf1(/tmp replica decade): two decade
+    ratios per key. A key whose 0.1→1 factor stays ≤ its 0.01→0.1
+    factor is floor-dominated or linear; a factor that JUMPS decade
+    over decade is super-linear growth emerging from under the floor
+    and needs a plan fix or an explanation."""
+    from make_sf1 import build
+
+    registry.load_all()
+    spark = get_spark("scaling-probe-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf1_dir = build(spark)
+    dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1_dir]
+
+    def run(name, d):
+        df = registry.QUERIES[name](spark, d)
+        df.write.format("noop").mode("overwrite").save()
+
+    print(
+        f"{'query':28s} {'sf0.01':>7s} {'sf0.1':>7s} {'sf1':>7s}"
+        "   x(0.01→0.1) x(0.1→1)"
+    )
+    for name in probe_keys or SF1_PROBES:
+        times = [best_of(lambda: run(name, d)) for d in dirs]
+        r1 = times[1] / times[0] if times[0] > 0 else float("inf")
+        r2 = times[2] / times[1] if times[1] > 0 else float("inf")
+        cells = " ".join(f"{t:7.3f}" for t in times)
+        print(f"{name:28s} {cells}   {r1:8.2f}x {r2:7.2f}x", flush=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     if "--dense" in args:
         keys = [a for a in args if a != "--dense"]
         dense_main(keys or None)
+        return
+    if "--sf1" in args:
+        keys = [a for a in args if a != "--sf1"]
+        sf1_main(keys or None)
         return
     probes = args or DEFAULT_PROBES
     registry.load_all()

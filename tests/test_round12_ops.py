@@ -244,3 +244,91 @@ def test_q20_candidates_qualify(spark, sf_dir):
         if nk in nat3 and sk in qualifying
     )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# skew caps: drop/sample accounting (r11 VERDICT ask #6)
+# ---------------------------------------------------------------------------
+
+
+def test_basket_item_cap_accounting(spark):
+    """The mega-basket cap keeps the SORTED-FIRST cap items and
+    under-counts only pairs touching the truncated tail — exact,
+    deterministic accounting, not a vague sample. Two identical
+    50-item baskets (so pairs clear the support floor) plus two
+    2-item baskets: capped at 10, the mega pairs are exactly
+    C(10,2) over items 0..9; uncapped, exactly C(50,2); the small
+    basket's pair survives either way."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        _basket_affinity_from,
+    )
+
+    rows = [(1, p) for p in range(50)] + [(2, p) for p in range(50)]
+    rows += [(3, 900), (3, 901), (4, 900), (4, 901)]
+    fact = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    )
+    capped = _basket_affinity_from(fact, 4, item_cap=10).collect()
+    mega_pairs = {
+        (r.part_a, r.part_b) for r in capped if r.part_a < 900
+    }
+    assert mega_pairs == {
+        (a, b) for a in range(10) for b in range(a + 1, 10)
+    }
+    assert {(r.part_a, r.part_b) for r in capped if r.part_a >= 900} == {
+        (900, 901)
+    }
+    # support/lift accounting on the surviving pairs is UNALTERED by
+    # the cap: both mega baskets kept items 0..9, so n_pair == 2
+    for r in capped:
+        assert r.n_pair == 2
+    uncapped = _basket_affinity_from(fact, 4, item_cap=None).collect()
+    assert (
+        len([r for r in uncapped if r.part_a < 900]) == 50 * 49 // 2
+    )
+
+
+def test_containment_df_cap_accounting(spark):
+    """Containment's df-cap mirrors jaccard's: a shingle in every
+    doc pairs everything uncapped and nothing capped, while a true
+    containment pair sharing low-df shingles survives the cap with
+    its EXACT containment (verification reads untruncated sets)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    k = 40
+    docs = spark.range(k).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("common"),
+            F.lit("hot"),
+            F.lit("shingle"),
+            *[
+                F.concat(F.lit(f"u{j}x"), F.col("id").cast("string"))
+                for j in range(20)
+            ],
+        ).alias("text"),
+    )
+    uncapped = containment_pairs(docs, p=0, q=10, df_cap=None).count()
+    assert uncapped == k * (k - 1), "setup: hot shingle must pair all"
+    assert containment_pairs(docs, p=0, q=10, df_cap=10).count() == 0
+    # a doc fully contained in doc 0 (its first 12 tokens) — shared
+    # shingles are low-df, so the pair survives the cap, exactly
+    sub = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 500).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split("text", " "), 1, 12), " "
+        ).alias("text"),
+    )
+    found = containment_pairs(
+        docs.unionByName(sub), p=9, q=10, df_cap=10
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in found} == {(500, 0)}
+    [r] = found
+    assert r.containment == 1.0
