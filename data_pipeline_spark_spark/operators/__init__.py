@@ -136,6 +136,9 @@ _ROUND12_PRIORITY = [
     "tpch_q11_important_stock",
     "tpch_q16_supplier_relationship",
     "tpch_q20_potential_promotion",
+    "ts_cusum_changepoint",
+    "ts_ewma_smooth",
+    "privacy_l_diversity",
 ]
 
 

@@ -1191,8 +1191,12 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: k-anonymity threshold (privacy_k_anonymity)
 _K_ANON = 5
 
-_KANON_SQL = f"""
-    WITH typed AS (
+# the per-user QI profile CTEs, shared verbatim by the k-anonymity
+# and l-diversity oracles (the two audits must agree on what a
+# quasi-identifier class IS, or their reports describe different
+# releases)
+_QI_CTES = """
+    typed AS (
       SELECT user_id, event_type, COUNT(*) AS cnt
       FROM events GROUP BY user_id, event_type
     ),
@@ -1211,6 +1215,10 @@ _KANON_SQL = f"""
              CAST(floor(COUNT(*) / 10) AS BIGINT) AS activity_bucket
       FROM events e GROUP BY e.user_id
     )
+"""
+
+_KANON_SQL = f"""
+    WITH {_QI_CTES.strip()}
     SELECT p.cohort_week, p.activity_bucket, f.fav_type,
            COUNT(*) AS class_size,
            CASE WHEN COUNT(*) >= {_K_ANON} THEN 1 ELSE 0 END AS meets_k
@@ -1219,11 +1227,11 @@ _KANON_SQL = f"""
 """
 
 
-def k_anonymity_of(e: DataFrame) -> DataFrame:
-    """The testable audit fold under [[privacy_k_anonymity]]: given
-    events ``(user_id, ts, event_id, event_type)``, build per-user QI
-    profiles and report every equivalence class with size and
-    meets-k flag."""
+def qi_profiles(e: DataFrame) -> DataFrame:
+    """Per-user quasi-identifier profile (user_id, cohort_week,
+    activity_bucket, fav_type) — the shared front half of
+    [[privacy_k_anonymity]] and [[privacy_l_diversity]], the exact
+    DataFrame twin of the ``_QI_CTES`` oracle fragment."""
     from pyspark.sql import Window as W
 
     typed = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
@@ -1245,8 +1253,16 @@ def k_anonymity_of(e: DataFrame) -> DataFrame:
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"),
         F.floor(F.count("*") / 10).cast("long").alias("activity_bucket"),
     )
+    return profile.join(fav, "user_id")
+
+
+def k_anonymity_of(e: DataFrame) -> DataFrame:
+    """The testable audit fold under [[privacy_k_anonymity]]: given
+    events ``(user_id, ts, event_id, event_type)``, build per-user QI
+    profiles and report every equivalence class with size and
+    meets-k flag."""
     return (
-        profile.join(fav, "user_id")
+        qi_profiles(e)
         .groupBy("cohort_week", "activity_bucket", "fav_type")
         .agg(
             F.count("*").alias("class_size"),
@@ -1378,4 +1394,303 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((syd / nd) / (syt.cast("double") / nt.cast("double"))).alias(
             "seasonal_index"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (exact integer prefix-min closed form)
+# ---------------------------------------------------------------------------
+
+#: CUSUM reference level (centi-units, ~ the corpus mean of 49.63)
+#: and alarm threshold — a cumulated positive excess of 500.00 over
+#: the reference fires the detector.
+_CUSUM_K_C = 5_000
+_CUSUM_H_C = 50_000
+
+_CUSUM_SQL = f"""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) - {_CUSUM_K_C} AS x_c
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, ts, event_id,
+             SUM(x_c) OVER w AS p_c
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT user_id,
+             p_c - LEAST(MIN(p_c) OVER w, 0) AS s_c
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CASE WHEN s_c > {_CUSUM_H_C} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms,
+           CAST(MAX(s_c) AS DOUBLE) / 100 AS max_cusum,
+           MAX(s_c) > {_CUSUM_H_C} AS alarmed
+    FROM s GROUP BY user_id
+"""
+
+
+def cusum_stats(e: DataFrame, k_c: int = _CUSUM_K_C, h_c: int = _CUSUM_H_C):
+    """The CUSUM fold over any (user_id, ts, event_id, value) frame —
+    module-level so the hypothesis differential drives it with the
+    literal max(0, S+x) recurrence."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    x = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("bigint") - k_c).alias("x_c"),
+    )
+    p = x.withColumn("p_c", F.sum("x_c").over(w))
+    s = p.withColumn(
+        "s_c", F.col("p_c") - F.least(F.min("p_c").over(w), F.lit(0))
+    )
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum(F.when(F.col("s_c") > h_c, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alarms"),
+        (F.max("s_c").cast("double") / 100).alias("max_cusum"),
+        (F.max("s_c") > h_c).alias("alarmed"),
+    )
+
+
+@query("ts_cusum_changepoint", oracle=_CUSUM_SQL)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM changepoint detector (Page 1954): the classic
+    sequential drift alarm S_n = max(0, S_{n-1} + (v_n − K)),
+    re-expressed in its CLOSED FORM S_n = P_n − min(0, min_{k≤n} P_k)
+    over exclusive prefix sums — a recurrence becomes two stacked
+    windows over ONE user-keyed exchange, instead of a sequential
+    per-row loop no engine can parallelize. All arithmetic is exact
+    integer centi-units (value is ≤2-decimal in the fixture; the
+    subtraction, prefix sums, mins and the threshold comparison never
+    touch a float), so both engines agree bit-for-bit; the single
+    double appears in the final max_cusum/100 projection.
+
+    Scale shape: one hash exchange on user_id, two window passes over
+    sorted partitions (Spark evaluates both frames in one Window
+    operator chain), then a map-side-combined per-user aggregate.
+    State per partition is O(1) per running frame. At 100 TB this is
+    the monitoring pass over a sharded metric stream — the same shape
+    as [[window_analytic]], with the detector math in closed form."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return cusum_stats(e)
+
+
+# ---------------------------------------------------------------------------
+# Truncated EWMA (alpha = 1/2, exact dyadic weights)
+# ---------------------------------------------------------------------------
+
+#: EWMA window length: 16 lags at alpha=1/2 truncate <0.002% of the
+#: untruncated weight mass — and keep the weighted numerator an
+#: EXACT int64 (centi-value × 2^15 max).
+_EWMA_L = 16
+
+_EWMA_NUM = " + ".join(
+    f"CASE WHEN lag_{j} IS NOT NULL THEN lag_{j} * {1 << (_EWMA_L - 1 - j)} "
+    "ELSE 0 END"
+    for j in range(_EWMA_L)
+)
+_EWMA_DEN = " + ".join(
+    f"CASE WHEN lag_{j} IS NOT NULL THEN {1 << (_EWMA_L - 1 - j)} ELSE 0 END"
+    for j in range(_EWMA_L)
+)
+_EWMA_LAGS = ",\n             ".join(
+    f"LAG(v_c, {j}) OVER w AS lag_{j}" for j in range(_EWMA_L)
+)
+
+_EWMA_SQL = f"""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, ts, event_id, v_c,
+             {_EWMA_LAGS}
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts,
+           CAST(v_c AS DOUBLE) / 100 AS value,
+           CAST({_EWMA_NUM} AS DOUBLE)
+             / (CAST(({_EWMA_DEN}) AS DOUBLE) * 100) AS ewma
+    FROM lagged
+"""
+
+
+@query("ts_ewma_smooth", oracle=_EWMA_SQL)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average, alpha = 1/2,
+    truncated at {_EWMA_L} lags — the smoothing pass of a metrics
+    pipeline, built so the cross-engine result is EXACT: with dyadic
+    alpha the weights are powers of two, the centi-unit values are
+    integers, so the weighted numerator and the weight total are
+    exact int64 sums and the single double division at the end is
+    the same IEEE operation in both engines — no rounding tolerance
+    anywhere, on a quantity that is textbook-recursively defined.
+    (The untruncated recurrence s_n = a·v + (1−a)·s_{{n−1}} would
+    chain n data-dependent float ops; 16 dyadic lags carry ≥99.998 %
+    of the weight mass and restore bit-determinism. A lag ladder is
+    ONE window pass — Spark evaluates all 16 LAGs in a single Window
+    operator over a single user-keyed exchange.)
+
+    At the series head the available-lag weights renormalize (the
+    CASE/den pair), matching the standard adjusted-EWMA definition
+    (pandas ``adjust=True``) rather than seeding with v_1."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("v_c", j).over(w).alias(f"lag_{j}") for j in range(_EWMA_L)]
+    lagged = e.select("user_id", "ts", "event_id", "v_c", *lags)
+    num = sum(
+        (
+            F.when(
+                F.col(f"lag_{j}").isNotNull(),
+                F.col(f"lag_{j}") * (1 << (_EWMA_L - 1 - j)),
+            ).otherwise(F.lit(0))
+            for j in range(_EWMA_L)
+        ),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(
+                F.col(f"lag_{j}").isNotNull(),
+                F.lit(1 << (_EWMA_L - 1 - j)),
+            ).otherwise(F.lit(0))
+            for j in range(_EWMA_L)
+        ),
+        start=F.lit(0),
+    )
+    return lagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("v_c").cast("double") / 100).alias("value"),
+        (num.cast("double") / (den.cast("double") * 100)).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity (the k-anonymity audit's sensitive-attribute twin)
+# ---------------------------------------------------------------------------
+
+_L_DIVERSITY = 3
+
+_LDIV_SQL = f"""
+    WITH {{qi}},
+    spend AS (
+      SELECT user_id,
+             NTILE(5) OVER (ORDER BY SUM(CAST(ROUND(value * 100)
+                            AS BIGINT)), user_id) AS spend_quintile
+      FROM events GROUP BY user_id
+    ),
+    cls AS (
+      SELECT p.cohort_week, p.activity_bucket, f.fav_type,
+             s.spend_quintile, COUNT(*) AS cnt
+      FROM profile p
+      JOIN fav f ON p.user_id = f.user_id
+      JOIN spend s ON p.user_id = s.user_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT cohort_week, activity_bucket, fav_type,
+           CAST(SUM(cnt) AS BIGINT) AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS distinct_l,
+           CAST(ROUND((LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt))
+                      * 1e6) AS BIGINT) AS entropy_micronats,
+           COUNT(*) >= {_L_DIVERSITY} AS diverse
+    FROM cls
+    GROUP BY cohort_week, activity_bucket, fav_type
+"""
+
+
+@query("privacy_l_diversity", oracle=_LDIV_SQL.format(qi=_QI_CTES.strip()))
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007) — the sensitive-
+    attribute twin of [[privacy_k_anonymity]]: a QI class can meet k
+    yet still leak if everyone in it shares the same sensitive value.
+    The QI classes are the SAME profile (shared ``qi_profiles`` /
+    ``_QI_CTES`` — the two audits must describe the same release);
+    the sensitive attribute is the user's spend quintile (NTILE(5)
+    over exact centi-unit totals with user_id tie-break — total
+    order, so quintile assignment is engine-identical). Per class:
+    distinct-l (distinct sensitive values), entropy l-diversity in
+    micro-nats (H = ln k − Σ c·ln c / k, computed operand-identically
+    from integer counts and rounded ONCE — the [[drift_psi_report]] /
+    bigram-perplexity micro-unit discipline), and the ≥ {_L_DIVERSITY}
+    verdict.
+
+    Scale shape: three user-keyed aggregations (type counts, spend
+    totals, profile) feeding one class-keyed aggregate — every
+    exchange is user- or class-cardinality, never event-proportional
+    beyond the first map-side combine. The global NTILE runs over
+    users (not events); at true 100 TB user counts the quintile
+    boundary becomes a 5-quantile broadcast instead ([[...]] pattern
+    in corpus_mix_temperature), swapping a total sort for four
+    comparisons."""
+    return l_diversity_of(load(spark, sf_dir, "events"))
+
+
+def l_diversity_of(e: DataFrame) -> DataFrame:
+    """The testable audit fold under [[privacy_l_diversity]]: given
+    events ``(user_id, ts, event_id, event_type, value)``, build QI
+    classes + spend quintiles and report distinct-l / entropy-l per
+    class."""
+    from pyspark.sql import Window as W
+
+    qi = qi_profiles(
+        e.select("user_id", "ts", "event_id", "event_type")
+    )
+    spend = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "tot_c"
+            )
+        )
+        .select(
+            "user_id",
+            F.ntile(5)
+            .over(W.orderBy("tot_c", "user_id"))
+            .alias("spend_quintile"),
+        )
+    )
+    cls = (
+        qi.join(spend, "user_id")
+        .groupBy(
+            "cohort_week", "activity_bucket", "fav_type", "spend_quintile"
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    h = F.log(F.sum("cnt")) - F.sum(
+        F.col("cnt") * F.log("cnt")
+    ) / F.sum("cnt")
+    return cls.groupBy("cohort_week", "activity_bucket", "fav_type").agg(
+        F.sum("cnt").cast("bigint").alias("class_size"),
+        F.count("*").cast("bigint").alias("distinct_l"),
+        F.round(h * 1e6).cast("bigint").alias("entropy_micronats"),
+        (F.count("*") >= _L_DIVERSITY).alias("diverse"),
     )

@@ -332,3 +332,329 @@ def test_containment_df_cap_accounting(spark):
     assert {(r.doc_a, r.doc_b) for r in found} == {(500, 0)}
     [r] = found
     assert r.containment == 1.0
+
+
+# ---------------------------------------------------------------------------
+# ts_cusum_changepoint — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def _py_cusum(series, k_c, h_c):
+    """Literal Page recurrence S = max(0, S + x) — the definition the
+    closed form must reproduce."""
+    out = {}
+    for uid, vals in series.items():
+        s = 0
+        mx = 0
+        alarms = 0
+        for v_c in vals:
+            s = max(0, s + (v_c - k_c))
+            mx = max(mx, s)
+            if s > h_c:
+                alarms += 1
+        out[uid] = (len(vals), alarms, mx / 100.0, mx > h_c)
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=12000),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cusum_matches_recurrence(spark, data):
+    """Differential: the prefix-min closed form equals the literal
+    max(0, S+x) recurrence on arbitrary integer series — exactly,
+    because every intermediate is an int64."""
+    import datetime
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        _CUSUM_H_C,
+        _CUSUM_K_C,
+        cusum_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, series = [], {}
+    for i, (uid, v_c) in enumerate(data):
+        rows.append(
+            (uid, t0 + datetime.timedelta(minutes=i), i, v_c / 100.0)
+        )
+        series.setdefault(uid, []).append(v_c)
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {
+        r.user_id: (r.n_points, r.n_alarms, r.max_cusum, r.alarmed)
+        for r in cusum_stats(df).collect()
+    }
+    assert got == _py_cusum(series, _CUSUM_K_C, _CUSUM_H_C)
+
+
+def test_cusum_plan_shape(spark, sf_dir):
+    """One user-keyed exchange serves both window passes AND the
+    final per-user aggregate; everything JVM-side."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = registry.QUERIES["ts_cusum_changepoint"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert shuffle_count(df) == 1, plan
+
+
+def test_cusum_detects_step_change(spark):
+    """Contract: a series sitting AT the reference level never
+    alarms; after a level shift of +10.00 the cumulated excess
+    crosses H within ceil(H / shift) points and stays alarmed."""
+    import datetime
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        _CUSUM_H_C,
+        _CUSUM_K_C,
+        cusum_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    level = _CUSUM_K_C / 100.0
+    flat = [
+        (1, t0 + datetime.timedelta(minutes=i), i, level)
+        for i in range(100)
+    ]
+    shift = [
+        (2, t0 + datetime.timedelta(minutes=i), i, level + 10.0)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        flat + shift,
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    got = {r.user_id: r for r in cusum_stats(df).collect()}
+    assert got[1].n_alarms == 0 and not got[1].alarmed
+    assert got[2].alarmed
+    # first alarm after ceil(H / 1000) + 1-indexed excess steps
+    expect_first = _CUSUM_H_C // 1000 + 1
+    assert got[2].n_alarms == 100 - expect_first + 1
+
+
+# ---------------------------------------------------------------------------
+# ts_ewma_smooth — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def _py_ewma(vals_c, L=16):
+    """Adjusted truncated EWMA with dyadic weights — float math
+    operand-identical to both engines' single final division."""
+    out = []
+    for n in range(len(vals_c)):
+        num = 0
+        den = 0
+        for j in range(min(L, n + 1)):
+            w = 1 << (L - 1 - j)
+            num += vals_c[n - j] * w
+            den += w
+        out.append(float(num) / (float(den) * 100))
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=49002), min_size=1, max_size=50
+    )
+)
+def test_ewma_matches_reference(spark, vals):
+    """Differential vs the literal python fold — EXACT equality (the
+    numerator/denominator are int64 both sides; the one division is
+    the same IEEE op)."""
+    import datetime
+
+    from data_pipeline_spark_spark.operators.analytics import _EWMA_L
+
+    assert _EWMA_L == 16
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (7, t0 + datetime.timedelta(minutes=i), i, c / 100.0)
+        for i, c in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    import os
+    import shutil
+    import tempfile
+
+    import data_pipeline_spark_spark.operators.analytics as A
+
+    d = tempfile.mkdtemp(prefix="dps_ewma_t_")
+    try:
+        df.write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        got = [
+            r.ewma
+            for r in A.ts_ewma_smooth(spark, d)
+            .orderBy("event_id")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == _py_ewma(vals)
+
+
+def test_ewma_plan_shape(spark, sf_dir):
+    """All 16 lags evaluate in ONE Window operator over one
+    user-keyed exchange; no Python."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = registry.QUERIES["ts_ewma_smooth"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert shuffle_count(df) == 1, plan
+    # one Window node in the details section, not sixteen
+    assert plan.count(") Window") == 1, plan
+
+
+def test_ewma_constant_series_is_exact(spark):
+    """Contract: EWMA of a constant series is that constant EXACTLY
+    at every position (head renormalization included), and the first
+    row equals its own value."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + datetime.timedelta(minutes=i), i, 123.45)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    import os
+    import shutil
+    import tempfile
+
+    import data_pipeline_spark_spark.operators.analytics as A
+
+    d = tempfile.mkdtemp(prefix="dps_ewma_c_")
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = A.ts_ewma_smooth(spark, d).orderBy("event_id").collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert all(r.ewma == 123.45 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# privacy_l_diversity — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_contract(spark, sf_dir):
+    """Contract: class sizes sum to the user count; 1 ≤ distinct_l ≤
+    min(class_size, 5); entropy is 0 exactly when distinct_l is 1 and
+    ≤ ln(distinct_l) always; diverse ⇔ distinct_l ≥ 3; and the QI
+    classes are EXACTLY k-anonymity's (same release, same classes)."""
+    import math
+
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        k_anonymity_of,
+        privacy_l_diversity,
+    )
+
+    out = privacy_l_diversity(spark, sf_dir).collect()
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.class_size for r in out) == n_users
+    for r in out:
+        assert 1 <= r.distinct_l <= min(r.class_size, 5)
+        if r.distinct_l == 1:
+            assert r.entropy_micronats == 0
+        assert r.entropy_micronats <= round(math.log(r.distinct_l) * 1e6)
+        assert r.diverse == (r.distinct_l >= 3)
+    kan = {
+        (r.cohort_week, r.activity_bucket, r.fav_type): r.class_size
+        for r in k_anonymity_of(
+            load(spark, sf_dir, "events").select(
+                "user_id", "ts", "event_id", "event_type"
+            )
+        ).collect()
+    }
+    got = {
+        (r.cohort_week, r.activity_bucket, r.fav_type): r.class_size
+        for r in out
+    }
+    assert got == kan
+
+
+def test_l_diversity_plan_shape(spark, sf_dir):
+    """No Python eval; the global quintile window runs over USERS
+    (one single-partition window over user-count rows), and no
+    event-proportional exchange happens after the first map-side
+    combines."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    plan = formatted_plan(
+        registry.QUERIES["privacy_l_diversity"](spark, sf_dir)
+    )
+    assert "EvalPython" not in plan
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    assign=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=1, max_size=40
+    )
+)
+def test_l_diversity_entropy_matches_python(spark, assign):
+    """Differential on the entropy tail: users with identical QI
+    (same single event each, same week) split by spend quintile;
+    distinct/entropy must equal the python computation over the same
+    quintile partition (ntile semantics included)."""
+    import datetime
+    import math
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        l_diversity_of,
+    )
+
+    # user i: one event, value chosen so spend ORDER is user order —
+    # ntile(5) over (total, user_id) then assigns quintiles by user
+    # index; 'assign' only shapes which users share a class via
+    # activity bucket (all same here => one class)
+    t0 = datetime.datetime(2024, 1, 3)
+    rows = [
+        (i, t0, i, "click", float(i + 1))
+        for i in range(len(assign))
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, "
+        "event_type string, value double",
+    )
+    out = l_diversity_of(df).collect()
+    assert len(out) == 1
+    [r] = out
+    n = len(assign)
+    # python ntile(5): first (n % 5) buckets get ceil(n/5)
+    sizes = [n // 5 + (1 if b < n % 5 else 0) for b in range(5)]
+    counts = [s for s in sizes if s > 0]
+    k = sum(counts)
+    h = math.log(k) - sum(c * math.log(c) for c in counts) / k
+    assert r.class_size == n
+    assert r.distinct_l == len(counts)
+    assert r.entropy_micronats == round(h * 1e6)
