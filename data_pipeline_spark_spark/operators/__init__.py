@@ -139,6 +139,7 @@ _ROUND12_PRIORITY = [
     "ts_cusum_changepoint",
     "ts_ewma_smooth",
     "privacy_l_diversity",
+    "retrieval_prf_expand",
 ]
 
 

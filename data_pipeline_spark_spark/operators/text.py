@@ -609,6 +609,194 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pseudo-relevance feedback (two-pass query expansion)
+# ---------------------------------------------------------------------------
+
+#: PRF depth (pseudo-relevant docs mined for expansion) and width
+#: (expansion terms added to the query).
+_PRF_R = 10
+_PRF_E = 2
+
+#: The per-(doc, term) BM25 contribution in ROW form — the same
+#: operand tree as ``_bm25_term_sql`` but over (tf, df, dl) columns,
+#: because the second pass scores DYNAMIC terms that cannot be
+#: unrolled into per-term columns at plan time.
+_PRF_CONTRIB = (
+    "ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))"
+    " * ((tf * 2.25) / (tf + 1.25 * (0.25 + 0.75"
+    " * ((dl * CAST(n_docs AS DOUBLE)) / CAST(sum_dl AS DOUBLE)))))"
+)
+
+_PRF_SQL = f"""
+    WITH base AS ({_BM25_SQL}),
+    top_docs AS (
+      SELECT doc_id FROM base ORDER BY score DESC, doc_id LIMIT {_PRF_R}
+    ),
+    rel_toks AS (
+      SELECT t.term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split(d.text, ' ')) AS term
+        FROM documents d JOIN top_docs td ON d.doc_id = td.doc_id
+      ) t
+      WHERE t.term NOT IN ({", ".join(f"'{w}'" for w in _BM25_TERMS)})
+      GROUP BY t.term
+    ),
+    exp2 AS (
+      SELECT term FROM rel_toks ORDER BY cnt DESC, term LIMIT {_PRF_E}
+    ),
+    qterms AS (
+      SELECT term FROM exp2
+      UNION ALL
+      SELECT unnest([{", ".join(f"'{w}'" for w in _BM25_TERMS)}]) AS term
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    dls AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+      FROM documents
+    ),
+    tf AS (
+      SELECT c.doc_id, c.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM corpus c JOIN qterms q ON c.term = q.term
+      GROUP BY c.doc_id, c.term
+    ),
+    dfs AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, SUM({_PRF_CONTRIB}) AS s
+      FROM tf
+      JOIN dfs USING (term)
+      JOIN dls USING (doc_id), stats
+      GROUP BY tf.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id,
+           ROUND(s, 6) AS score,
+           COALESCE((SELECT string_agg(term, ',' ORDER BY term)
+                     FROM exp2), '') AS exp_terms
+    FROM scored
+    ORDER BY ROUND(s, 6) DESC, doc_id
+    LIMIT {_PRF_R}
+"""
+
+
+@query("retrieval_prf_expand", oracle=_PRF_SQL)
+def retrieval_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio/RM1-lite): run
+    the fixed BM25 query ([[keyword_search_bm25]] verbatim as pass
+    one — the oracle embeds its SQL as a CTE, the composition-graded
+    pattern from [[retrieval_hybrid_rrf]]), mine the top-{_PRF_R}
+    pseudo-relevant docs for the {_PRF_E} heaviest non-query terms,
+    and re-score the corpus against the EXPANDED query. The classic
+    recall-repair move in lexical retrieval, and a deliberately
+    two-pass plan: retrieval quality work that cannot be expressed
+    as one scan.
+
+    Determinism by construction: expansion-term selection is pure
+    integer (summed tf in the relevant set, term-string tie-break),
+    pass-one ranking compares ROUND(score,6) then doc_id, and the
+    second pass scores dynamic (doc, term) ROWS with the same
+    operand tree as the static pass — ints in, one ln() wobble
+    absorbed by the final ROUND(,6).
+
+    Scale shape: pass one is scan → 1-row broadcast stats → filter
+    (zero data-proportional shuffles); the relevant-set mining
+    touches {_PRF_R} docs via a broadcast semi-join; the second pass
+    is explode → broadcast term join → (doc, term) partial-agg —
+    the exploded stream is filtered to ≤5 query terms BEFORE any
+    exchange, so the shuffled volume is matching-postings-sized,
+    not corpus-sized (the inverted-index shape, same as BM25 at
+    100 TB)."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    base = keyword_search_bm25(spark, sf_dir)
+    top = (
+        base.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_PRF_R)
+        .select("doc_id")
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    rel = (
+        toks.join(F.broadcast(top), "doc_id")
+        .filter(~F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    exp2 = (
+        rel.orderBy(F.col("cnt").desc(), "term")
+        .limit(_PRF_E)
+        .select("term")
+    )
+    statics = F.explode(
+        F.array(*[F.lit(w) for w in _BM25_TERMS])
+    ).alias("term")
+    qterms = exp2.unionByName(d.sparkSession.range(1).select(statics))
+    dls = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("dl"),
+    )
+    stats = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("sum_dl"),
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    j = (
+        tf.join(F.broadcast(dfs), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    n = F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1) + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    dl_norm = (F.col("dl") * n) / F.col("sum_dl").cast("double")
+    body = (F.col("tf") * F.lit(2.25)) / (
+        F.col("tf")
+        + F.lit(1.25) * (F.lit(0.25) + F.lit(0.75) * dl_norm)
+    )
+    scored = (
+        j.select("doc_id", (idf * body).alias("contrib"))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    expcol = exp2.agg(
+        F.array_join(F.sort_array(F.collect_list("term")), ",").alias(
+            "exp_terms"
+        )
+    )
+    top10 = (
+        scored.orderBy(F.round("s", 6).desc(), "doc_id")
+        .limit(_PRF_R)
+        .crossJoin(F.broadcast(expcol))
+    )
+    w = W.orderBy(F.round("s", 6).desc(), "doc_id")
+    return top10.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("s", 6).alias("score"),
+        "exp_terms",
+    )
+
+
+# ---------------------------------------------------------------------------
 # tokenizer vocabulary coverage
 # ---------------------------------------------------------------------------
 

@@ -658,3 +658,209 @@ def test_l_diversity_entropy_matches_python(spark, assign):
     assert r.class_size == n
     assert r.distinct_l == len(counts)
     assert r.entropy_micronats == round(h * 1e6)
+
+
+# ---------------------------------------------------------------------------
+# retrieval_prf_expand — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def _py_prf(docs, R=10, E=2):
+    """Literal python PRF: pass-1 BM25 (fixed terms), integer
+    expansion pick, pass-2 BM25 over the expanded query. Returns
+    (exp_terms, {doc: round6 score})."""
+    import math
+
+    from data_pipeline_spark_spark.operators.text import _BM25_TERMS
+
+    def bm25(qterms):
+        N = len(docs)
+        sumdl = sum(len(t) for t in docs.values())
+        tf = {(d, w): docs[d].count(w) for d in docs for w in qterms}
+        df = {w: sum(1 for d in docs if tf[(d, w)] > 0) for w in qterms}
+        out = {}
+        for d, t in docs.items():
+            dl = float(len(t))
+            s = 0.0
+            hit = False
+            for w in qterms:
+                f = tf[(d, w)]
+                if f > 0:
+                    hit = True
+                    idf = math.log(
+                        1 + (N - df[w] + 0.5) / (df[w] + 0.5)
+                    )
+                    s += idf * (
+                        (f * 2.25)
+                        / (f + 1.25 * (0.25 + 0.75 * ((dl * N) / sumdl)))
+                    )
+            if hit:
+                out[d] = s
+        return out
+
+    p1 = bm25(list(_BM25_TERMS))
+    top = sorted(p1, key=lambda d: (-round(p1[d], 6), d))[:R]
+    cnt = {}
+    for d in top:
+        for w in docs[d]:
+            if w not in _BM25_TERMS:
+                cnt[w] = cnt.get(w, 0) + 1
+    exp = sorted(cnt, key=lambda w: (-cnt[w], w))[:E]
+    p2 = bm25(list(exp) + list(_BM25_TERMS))
+    return sorted(exp), p2
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    corp=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["hash", "merge", "window", "scan", "sort", "join", "key"]
+            ),
+            min_size=2,
+            max_size=8,
+        ),
+        min_size=3,
+        max_size=15,
+    )
+)
+def test_prf_matches_reference(spark, corp):
+    """Differential vs the literal python two-pass PRF: the
+    expansion pick is integer-exact; scores agree to the shared
+    round-6 grid (each engine's only wobble is ln() ulps)."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_pipeline_spark_spark.operators.text import (
+        retrieval_prf_expand,
+    )
+
+    docs = {i: toks for i, toks in enumerate(corp)}
+    rows = [(i, " ".join(t), "en", "s", len(" ".join(t))) for i, t in docs.items()]
+    d = tempfile.mkdtemp(prefix="dps_prf_t_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = retrieval_prf_expand(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    exp, p2 = _py_prf(docs)
+    want_rank = sorted(p2, key=lambda x: (-round(p2[x], 6), x))[:10]
+    if got or p2:
+        assert got[0].exp_terms == ",".join(exp)
+    got_ids = [r.doc_id for r in got]
+    # ordering is compared only where the rounded grid separates
+    # neighbours; scores themselves must agree within 2 ulp-rounds
+    assert set(got_ids) <= set(p2)
+    for r in got:
+        assert abs(r.score - round(p2[r.doc_id], 6)) <= 2e-6
+    safe = all(
+        abs(p2[a] - p2[b]) > 1e-5
+        for a, b in zip(want_rank, want_rank[1:])
+    )
+    if safe and len(got_ids) == len(want_rank):
+        assert got_ids == want_rank
+
+
+def test_prf_plan_shape(spark, sf_dir):
+    """No Python eval; the dynamic-term joins (expansion terms, df,
+    stats) are all broadcasts — the exploded token stream meets the
+    ≤5-term filter via BroadcastHashJoin BEFORE any exchange; the
+    only cross products are 1-row broadcast attachments."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    plan = formatted_plan(
+        registry.QUERIES["retrieval_prf_expand"](spark, sf_dir)
+    )
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_prf_contract(spark, sf_dir):
+    """Contract: ranks are dense from 1 with non-increasing scores;
+    the expansion terms are non-query corpus terms; every returned
+    doc contains at least one expanded-query term; and the expansion
+    genuinely moves the ranking (the fixture corpus is dense enough
+    that the top-10 SET stays within pass-1 matches, so the signal
+    is order, and the recall-repair property itself is pinned on a
+    sparse synthetic corpus in test_prf_recall_repair)."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.operators.text import (
+        _BM25_TERMS,
+        keyword_search_bm25,
+    )
+
+    out = registry.QUERIES["retrieval_prf_expand"](spark, sf_dir).collect()
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    exp = out[0].exp_terms.split(",")
+    assert len(exp) == 2 and not set(exp) & set(_BM25_TERMS)
+    from data_pipeline_spark_spark.catalog import load
+    from pyspark.sql import functions as F  # noqa: F811
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin([r.doc_id for r in out]))
+        .collect()
+    }
+    qset = set(exp) | set(_BM25_TERMS)
+    for r in out:
+        assert qset & set(docs[r.doc_id]), r
+    # the expansion must MOVE the ranking relative to pass-1 order
+    pass1_order = [
+        r.doc_id
+        for r in sorted(
+            keyword_search_bm25(spark, sf_dir).collect(),
+            key=lambda r: (-r.score, r.doc_id),
+        )[: len(out)]
+    ]
+    assert [r.doc_id for r in out] != pass1_order
+
+
+def test_prf_recall_repair(spark):
+    """The property PRF exists for, on a corpus sparse enough to
+    show it: a doc containing ONLY expansion terms (no query term)
+    scores zero in pass 1 — invisible to the original query — and
+    enters the final top-10 after expansion."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_pipeline_spark_spark.operators.text import (
+        keyword_search_bm25,
+        retrieval_prf_expand,
+    )
+
+    rows = []
+    # 5 relevant docs: query terms + the co-occurring topic words
+    for i in range(5):
+        rows.append((i, "hash merge window topic alpha filler%d x" % i))
+    # the hidden doc: topic vocabulary only, zero query terms
+    rows.append((100, "topic alpha topic alpha topic alpha"))
+    # noise docs sharing nothing
+    for i in range(6, 12):
+        rows.append((i, "noise%d only here nothing shared %d" % (i, i)))
+    d = tempfile.mkdtemp(prefix="dps_prf_rr_")
+    try:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        pass1 = {r.doc_id for r in keyword_search_bm25(spark, d).collect()}
+        out = retrieval_prf_expand(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert 100 not in pass1
+    assert out[0].exp_terms == "alpha,topic"
+    assert 100 in {r.doc_id for r in out}
