@@ -140,6 +140,7 @@ _ROUND12_PRIORITY = [
     "ts_ewma_smooth",
     "privacy_l_diversity",
     "retrieval_prf_expand",
+    "agg_countmin_sketch",
 ]
 
 

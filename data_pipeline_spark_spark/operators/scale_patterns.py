@@ -667,3 +667,150 @@ def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zorder_wins"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (mergeable frequency sketch)
+# ---------------------------------------------------------------------------
+
+#: Count-min geometry: 4 hash rows × 64 buckets. 64 < |users| at
+#: every fixture SF, so bucket collisions are REAL and the
+#: overestimate property is exercised, not vacuous.
+_CMS_D = 4
+_CMS_W = 64
+
+
+def _hex6_int_sql(expr: str) -> str:
+    """Engine-neutral int of the first 6 hex chars of md5(expr) —
+    unrolled positional strpos arithmetic, because the two engines
+    share md5/instr/substr but NOT a hex-parse builtin (Spark conv
+    has no DuckDB twin). Identical text runs on both."""
+    terms = [
+        f"(instr('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _cms_bucket_sql(seed: int, key: str) -> str:
+    """Bucket of ``key`` under hash row ``seed`` — md5 of the
+    seed-tagged key, 24 bits, mod width."""
+    tagged = "'s" + str(seed) + "|' || CAST(" + key + " AS STRING)"
+    return f"({_hex6_int_sql(tagged)}) % {_CMS_W}"
+
+
+_CMS_CASE = (
+    "CASE r "
+    + " ".join(
+        f"WHEN {s} THEN {_cms_bucket_sql(s, 'user_id')}" for s in range(_CMS_D)
+    )
+    + " END"
+)
+
+_CMS_SQL = f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    seeds AS (SELECT unnest(range({_CMS_D})) AS r),
+    cells AS (
+      SELECT r, {_CMS_CASE} AS b, CAST(SUM(cnt) AS BIGINT) AS cell
+      FROM per_user, seeds
+      GROUP BY r, {_CMS_CASE}
+    ),
+    probes AS (
+      SELECT user_id, cnt, r, {_CMS_CASE} AS b
+      FROM per_user, seeds
+    )
+    SELECT p.user_id,
+           p.cnt AS true_cnt,
+           CAST(MIN(c.cell) AS BIGINT) AS cms_est,
+           MIN(c.cell) >= p.cnt AS never_under
+    FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+    GROUP BY p.user_id, p.cnt
+"""
+
+
+def cms_cells(per_key: DataFrame) -> DataFrame:
+    """Count-min cell grid (r, b, cell) from a (user_id, cnt)
+    frame — module-level so the mergeability test can sketch two
+    disjoint halves and assert cell-wise addition equals the
+    whole-corpus sketch (THE property that makes a sketch a
+    sketch)."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("r"),
+                    F.expr(_cms_bucket_sql(s, "user_id")).alias("b"),
+                )
+                for s in range(_CMS_D)
+            ]
+        )
+    ).alias("rb")
+    return (
+        per_key.select("cnt", rows)
+        .select("rb.r", "rb.b", "cnt")
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").cast("bigint").alias("cell"))
+    )
+
+
+@query("agg_countmin_sketch", oracle=_CMS_SQL)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode–Muthukrishnan 2005) over per-user
+    event frequencies — the MERGEABLE frequency sketch completing
+    the sketch family next to [[agg_hll_mergeable]] (distinct) and
+    [[agg_approx_topk]] (heavy hitters): a {_CMS_D}×{_CMS_W} grid of
+    counters any shard can build independently and any rollup can
+    merge by cell-wise addition, answering point frequency queries
+    with a one-sided (never-under) error. The key emits every user's
+    true count next to its sketch estimate and the CMS guarantee as
+    a checked column.
+
+    Cross-engine hashing: both engines share md5 but no hex-parse
+    builtin, so the bucket is the first 24 md5 bits via unrolled
+    ``instr`` arithmetic (``_hex6_int_sql``) — the SAME expression
+    text evaluated by both, exact integers end to end.
+
+    Scale shape: the sketch is built from the per-user aggregate
+    (ONE map-side-combined user-keyed exchange over events — the
+    grid never sees event-proportional rows), the grid itself is
+    {_CMS_D}·{_CMS_W} rows broadcast back onto the probe side, and
+    the per-user MIN over {_CMS_D} cells is in-row after a
+    broadcast join. At 100 TB the grid is the per-shard partial any
+    executor emits; merging is a {_CMS_D}×{_CMS_W}-row SUM — the
+    mergeability [[rollup_reaggregate]] needs, proven by cell-wise
+    test against two disjoint halves."""
+    e = load(spark, sf_dir, "events").select("user_id")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    cells = cms_cells(per_user)
+    probes = per_user.select(
+        "user_id",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("r"),
+                        F.expr(_cms_bucket_sql(s, "user_id")).alias("b"),
+                    )
+                    for s in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("user_id", "cnt", "rb.r", "rb.b")
+    return (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("user_id", "cnt")
+        .agg(F.min("cell").cast("bigint").alias("cms_est"))
+        .select(
+            "user_id",
+            F.col("cnt").alias("true_cnt"),
+            "cms_est",
+            (F.col("cms_est") >= F.col("cnt")).alias("never_under"),
+        )
+    )

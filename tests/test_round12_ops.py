@@ -929,3 +929,109 @@ def test_trained_codebook_cache_contract(spark, sf_dir):
     )
     assert cached3.count() > 0
     assert len(set(glob.glob("/tmp/dps_pq_codebook_*.parquet"))) >= 2
+
+
+# ---------------------------------------------------------------------------
+# agg_countmin_sketch — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def _py_cms(counts, D=4, W=64):
+    """Literal python count-min: same md5 bucket derivation (first
+    6 hex chars), same cell sums, same min estimate."""
+    import hashlib
+
+    def bucket(s, uid):
+        h = hashlib.md5(f"s{s}|{uid}".encode()).hexdigest()[:6]
+        return int(h, 16) % W
+
+    cells = {}
+    for uid, c in counts.items():
+        for s in range(D):
+            k = (s, bucket(s, uid))
+            cells[k] = cells.get(k, 0) + c
+    est = {
+        uid: min(cells[(s, bucket(s, uid))] for s in range(D))
+        for uid in counts
+    }
+    return cells, est
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.integers(min_value=0, max_value=5000),
+        st.integers(min_value=1, max_value=200),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cms_matches_reference(spark, counts):
+    """Differential: cells and estimates equal the literal python
+    sketch exactly (shared md5, exact integer sums)."""
+    from data_pipeline_spark_spark.operators.scale_patterns import (
+        cms_cells,
+    )
+
+    df = spark.createDataFrame(
+        list(counts.items()), "user_id long, cnt long"
+    )
+    got_cells = {
+        (r.r, r.b): r.cell for r in cms_cells(df).collect()
+    }
+    want_cells, want_est = _py_cms(counts)
+    assert got_cells == want_cells
+
+
+def test_cms_plan_shape(spark, sf_dir):
+    """The grid is built from the per-user aggregate (events shuffle
+    once, map-side combined), attaches to probes as a BROADCAST, and
+    nothing runs in Python."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    plan = formatted_plan(
+        registry.QUERIES["agg_countmin_sketch"](spark, sf_dir)
+    )
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cms_merge_and_guarantee(spark, sf_dir):
+    """THE sketch contracts: (1) mergeability — sketching two
+    disjoint halves and adding cell-wise equals sketching the whole
+    corpus; (2) the estimate never undershoots the true count, and
+    at fixture scale (|users| > buckets) strict overestimates
+    actually occur, so the guarantee is exercised, not vacuous."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.scale_patterns import (
+        cms_cells,
+    )
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id")
+    whole = {
+        (r.r, r.b): r.cell
+        for r in cms_cells(
+            e.groupBy("user_id").agg(
+                F.count("*").cast("bigint").alias("cnt")
+            )
+        ).collect()
+    }
+    merged = {}
+    for par in (0, 1):
+        half = (
+            e.filter(F.col("event_id") % 2 == par)
+            .groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        for r in cms_cells(half).collect():
+            merged[(r.r, r.b)] = merged.get((r.r, r.b), 0) + r.cell
+    assert merged == whole
+    out = registry.QUERIES["agg_countmin_sketch"](spark, sf_dir).collect()
+    assert all(r.never_under for r in out)
+    n_users = len(out)
+    if n_users > 64:  # collisions guaranteed past the bucket count
+        assert any(r.cms_est > r.true_cnt for r in out)
