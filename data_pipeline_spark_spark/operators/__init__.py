@@ -141,6 +141,7 @@ _ROUND12_PRIORITY = [
     "privacy_l_diversity",
     "retrieval_prf_expand",
     "agg_countmin_sketch",
+    "stream_countmin",
 ]
 
 

@@ -1085,3 +1085,129 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(sink)
         except Exception:
             pass
+
+
+from .scale_patterns import _CMS_SQL as _STREAM_CMS_SQL  # noqa: E402
+
+
+@query(
+    "stream_countmin",
+    # the streaming sketch must converge to the BATCH sketch — the
+    # oracle is agg_countmin_sketch's SQL verbatim (the same
+    # shared-oracle discipline as stream_drift_psi)
+    oracle=_STREAM_CMS_SQL,
+)
+def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The [[agg_countmin_sketch]] grid maintained by Structured
+    Streaming: events arrive in 4 micro-batches, each row fans out
+    to its D hash-row buckets IN-ROW (the same ``_cms_bucket_sql``
+    expression text the batch key and the DuckDB oracle evaluate),
+    and the cell grid is ONE streaming aggregation in complete
+    output mode. The point-estimate tail (min over the D cells per
+    user, true counts, the never-under flag) runs on the final
+    converged grid, so the streaming result must equal the batch
+    sketch row-for-row — which the shared oracle asserts.
+
+    Why this is the production shape: the streaming STATE is the
+    grid — at most D×W = 256 rows regardless of stream length or
+    user cardinality (asserted in-operator AND in the state-bound
+    test against 100k events), which is the entire point of sketching a
+    stream: a plain per-key streaming count would hold every user
+    ever seen. Complete-mode re-emission is grid-sized per trigger.
+    The memory-sink round-trip is the documented test-harness
+    pattern; production publishes the grid to a metrics sink and
+    merges grids cell-wise across shards ([[rollup_reaggregate]]'s
+    mergeability, proven in the batch key's tests)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .scale_patterns import _CMS_D, _CMS_W, _cms_bucket_sql
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id")
+    src = tempfile.mkdtemp(prefix="dps_scms_src_")
+    sink = f"stream_cms_sink_{os.getpid()}"
+    try:
+        e.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        rb = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("r"),
+                        F.expr(_cms_bucket_sql(s, "user_id")).alias("b"),
+                    )
+                    for s in range(_CMS_D)
+                ]
+            )
+        ).alias("rb")
+        cells = (
+            stream.select(rb)
+            .select("rb.r", "rb.b")
+            .groupBy("r", "b")
+            .agg(F.count("*").cast("bigint").alias("cell"))
+        )
+        q = (
+            cells.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        prog = q.lastProgress
+        state_rows = (
+            prog["stateOperators"][0]["numRowsTotal"]
+            if prog and prog.get("stateOperators")
+            else -1
+        )
+        if not (0 <= state_rows <= _CMS_D * _CMS_W):
+            raise AssertionError(
+                f"CMS stream state held {state_rows} rows — more than "
+                f"the {_CMS_D * _CMS_W}-cell grid; the sketch bound is "
+                "broken"
+            )
+        grid = spark.table(sink)
+        per_user = e.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+        probes = per_user.select(
+            "user_id",
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("r"),
+                            F.expr(_cms_bucket_sql(s, "user_id")).alias(
+                                "b"
+                            ),
+                        )
+                        for s in range(_CMS_D)
+                    ]
+                )
+            ).alias("rb"),
+        ).select("user_id", "cnt", "rb.r", "rb.b")
+        result = (
+            probes.join(F.broadcast(grid), ["r", "b"])
+            .groupBy("user_id", "cnt")
+            .agg(F.min("cell").cast("bigint").alias("cms_est"))
+            .select(
+                "user_id",
+                F.col("cnt").alias("true_cnt"),
+                "cms_est",
+                (F.col("cms_est") >= F.col("cnt")).alias("never_under"),
+            )
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass

@@ -1035,3 +1035,27 @@ def test_cms_merge_and_guarantee(spark, sf_dir):
     n_users = len(out)
     if n_users > 64:  # collisions guaranteed past the bucket count
         assert any(r.cms_est > r.true_cnt for r in out)
+
+
+def test_stream_countmin_state_is_grid_bounded(spark, sf_dir):
+    """The streaming sketch's state is the grid: the operator itself
+    raises if numRowsTotal exceeds D×W, so a green run IS the bound
+    proof; here we also assert the converged output equals the batch
+    sketch row-for-row (the shared-oracle property, checked without
+    DuckDB)."""
+    from data_pipeline_spark_spark.operators.scale_patterns import (
+        agg_countmin_sketch,
+    )
+    from data_pipeline_spark_spark.operators.streaming_batch import (
+        stream_countmin,
+    )
+
+    got = {
+        r.user_id: (r.true_cnt, r.cms_est, r.never_under)
+        for r in stream_countmin(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.true_cnt, r.cms_est, r.never_under)
+        for r in agg_countmin_sketch(spark, sf_dir).collect()
+    }
+    assert got == want
