@@ -53,84 +53,23 @@ ALL_MODULES = (
     inventory,
 )
 
-# Round-12 check order. The driver walks queries() in dict order
+# Round-13 check order. The driver walks queries() in dict order
 # under a ~50-key time budget (exactly 50 keys earned rows in each of
-# r8-r11; positions 51+ were cut). This rotation front-loads (a) the
-# SIX keys that have never earned a driver CORRECTNESS row —
-# corpus_pack_apply at the very front because it is already in the
-# bench headline (VERDICT r11: a headline key must not be un-graded)
-# — then (b) the FIFTY oracle keys whose last green row dates to r08
-# (the complete r8-stale backlog from scripts/staleness_report.py),
-# ordered with the scale-load-bearing families (dedup ladder, ANN
-# rungs, corpus samplers) first and the simple Sec-2A ETL re-stamps
-# last, so if the ~50 budget cuts anything the cheapest loss is a
-# trivial ETL key that pytest re-greens every round anyway. New
-# round-12 keys are appended BEHIND the stale block (section c):
-# they hold pytest+SURVEY coverage immediately and become the r13
-# rotation front, the same section-(d) pattern r11 used. Everything
-# r9/r10/r11-green keeps its registration order behind the priority
-# block and retains its row.
-_ROUND12_PRIORITY = [
-    # (a) never driver-graded (registered late in r11, past budget)
-    "corpus_pack_apply",
-    "agg_linear_fit",
-    "ts_seasonal_profile",
-    "sim_search_filtered",
-    "scalar_bitwise",
-    "sim_search_ivf_stats",
-    # (b) last green row r08 — scale-load-bearing families first
-    "dedup_fuzzy",
-    "dedup_minhash_df",
-    "dedup_simhash",
-    "dedup_containment",
-    "dedup_semantic",
-    "dedup_span_exact",
-    "dedup_keep_canonical",
-    "sim_search",
-    "sim_search_pq",
-    "sim_search_rerank",
-    "embedding_quantize",
-    "corpus_pipeline",
-    "corpus_sample_hash",
-    "corpus_stratified_sample",
-    "corpus_mix_weighted",
-    "corpus_decontaminate",
-    "shard_pack",
-    "basket_pair_affinity",
-    "basket_pair_affinity_apriori",
-    "doc_fingerprint",
-    "doc_fingerprint_rolling",
-    "tfidf_top_terms",
-    "quality_score",
-    "quality_unigram_logprob",
-    "lang_id",
-    "pii_redact",
-    "text_normalize",
-    "text_stats",
-    "token_count",
-    "tidy_supercat_hourly",
-    "catalog_repair",
-    "compact_small_files",
-    "multimodal_cols",
-    "multimodal_decode",
-    "scalar_string",
-    "scalar_math",
-    "scalar_cond",
-    "scalar_json",
-    "scalar_array_map",
-    "scalar_array_explode",
-    "udf_surface",
-    "view_predefined",
-    # (b, tail) simple Sec-2A ETL re-stamps — cheapest budget cuts
-    "rename_all",
-    "add_literal_cols",
-    "ts_decode",
-    "date_parts",
-    "type_rules",
-    "union_append",
-    "parquet_scan",
-    "parquet_write_part",
-    # (c) new round-12 keys — appended as they land; r13 front
+# r8-r12; positions 51+ were cut). This rotation front-loads, per the
+# r12 verdict ask, (a) the ELEVEN keys that have never earned a
+# driver CORRECTNESS row (the r12 section-(c) block, cut at the
+# budget), then (b) the SIX oracle keys whose last green row dates to
+# r08 (the r12 rotation's predicted cut tail), then (c) the FOURTEEN
+# rows-only keys still carrying r1 stamps (pytest re-executes them
+# every round but the driver artifact is 12 rounds old), then (d) new
+# round-13 keys as they land — the front block is only ~31 keys so
+# new keys fit INSIDE the budget this round, unlike r11/r12 where
+# they had to wait a round — and finally (e) the oldest r9-stale
+# oracle keys to fill the remaining budget so grading freshness keeps
+# rotating. Everything else keeps its registration order behind the
+# priority block and retains its latest row.
+_ROUND13_PRIORITY = [
+    # (a) never driver-graded (r12 section (c), past the r12 budget)
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
@@ -142,16 +81,56 @@ _ROUND12_PRIORITY = [
     "retrieval_prf_expand",
     "agg_countmin_sketch",
     "stream_countmin",
+    # (b) last green oracle row r08 — the r12 cut tail
+    "ts_decode",
+    "date_parts",
+    "type_rules",
+    "union_append",
+    "parquet_scan",
+    "parquet_write_part",
+    # (c) rows-only keys with r1 stamps
+    "cast_by_prefix",
+    "catalog_sync",
+    "csv_malformed_handling",
+    "csv_meta_extract",
+    "distinct_files",
+    "empty_input_guard",
+    "event_trigger",
+    "file_move_processed",
+    "header_extract",
+    "ingest_log",
+    "row_offset_filter",
+    "schema_export",
+    "supercat_map",
+    "synth_gen",
+    # (d) new round-13 keys — uncommented here as each lands
+    # "dedup_bloom_incremental",
+    # "corpus_pack_bins",
+    # (e) oldest r9-stale oracle keys — freshness rotation filler
+    "tpch_q1_pricing_summary",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "agg_basic",
+    "agg_distinct",
+    "agg_stats",
+    "agg_grouping_sets",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_outer",
+    "join_semi_anti",
+    "join_skew_salted",
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "agg_approx_topk",
 ]
 
 
 def _apply_priority_order() -> None:
     from .. import registry
 
-    missing = [k for k in _ROUND12_PRIORITY if k not in registry.QUERIES]
+    missing = [k for k in _ROUND13_PRIORITY if k not in registry.QUERIES]
     if missing:  # fail loudly: a typo here silently wastes a round
-        raise KeyError(f"_ROUND12_PRIORITY names unknown keys: {missing}")
-    ordered = {k: registry.QUERIES[k] for k in _ROUND12_PRIORITY}
+        raise KeyError(f"_ROUND13_PRIORITY names unknown keys: {missing}")
+    ordered = {k: registry.QUERIES[k] for k in _ROUND13_PRIORITY}
     ordered.update(
         (k, v) for k, v in registry.QUERIES.items() if k not in ordered
     )
