@@ -1594,6 +1594,15 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# plain-string docstring: expand the constant placeholders (the
+# corpus.py __doc__.replace pattern) so rendered help shows values,
+# not literal braces
+ts_ewma_smooth.__doc__ = (
+    ts_ewma_smooth.__doc__.replace("{_EWMA_L}", str(_EWMA_L))
+    .replace("{{n−1}}", "{n−1}")
+)
+
+
 # ---------------------------------------------------------------------------
 # l-diversity (the k-anonymity audit's sensitive-attribute twin)
 # ---------------------------------------------------------------------------
@@ -1652,6 +1661,11 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     in corpus_mix_temperature), swapping a total sort for four
     comparisons."""
     return l_diversity_of(load(spark, sf_dir, "events"))
+
+
+privacy_l_diversity.__doc__ = privacy_l_diversity.__doc__.replace(
+    "{_L_DIVERSITY}", str(_L_DIVERSITY)
+)
 
 
 def l_diversity_of(e: DataFrame) -> DataFrame:

@@ -814,3 +814,9 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") >= F.col("cnt")).alias("never_under"),
         )
     )
+
+
+agg_countmin_sketch.__doc__ = (
+    agg_countmin_sketch.__doc__.replace("{_CMS_D}", str(_CMS_D))
+    .replace("{_CMS_W}", str(_CMS_W))
+)

@@ -1228,6 +1228,21 @@ def trained_pq_codebook(
     return cb
 
 
+def _codebook_cache_dir() -> str:
+    """User-owned 0700 artifact-cache dir ($XDG_CACHE_HOME or
+    ~/.cache) — a world-writable tempdir would let another local
+    user pre-seed a poisoned artifact at a predictable name."""
+    import os
+
+    cache_root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    cache_dir = os.path.join(cache_root, "dps_spark_graft")
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    os.chmod(cache_dir, 0o700)
+    return cache_dir
+
+
 def _trained_codebook_cached(
     spark: SparkSession, sf_dir: str, squ: DataFrame
 ) -> DataFrame:
@@ -1243,13 +1258,17 @@ def _trained_codebook_cached(
     byte-identical and the value oracle (which always re-trains in
     SQL) cannot tell the difference. Writes are atomic
     (stage + rename); a concurrent loser just deletes its stage —
-    both trained the same bytes. ~64 tiny rows; at 100 TB this file
-    is the FAISS ``index.train()`` artifact checked into the feature
-    store next to the code stream."""
+    both trained the same bytes — and re-verifies the winner's
+    ``_SUCCESS`` before reading. The artifact lives under a
+    USER-OWNED mode-0700 cache dir ($XDG_CACHE_HOME or ~/.cache),
+    never a world-shared tempdir, so no other local user can
+    pre-seed a poisoned codebook at a predictable path. ~64 tiny
+    rows; at 100 TB this file is the FAISS ``index.train()``
+    artifact checked into the feature store next to the code
+    stream."""
     import hashlib
     import os
     import shutil
-    import tempfile
 
     src = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
     if os.path.isdir(src):
@@ -1270,7 +1289,7 @@ def _trained_codebook_cached(
     )
     key = hashlib.md5(raw.encode()).hexdigest()[:16]
     path = os.path.join(
-        tempfile.gettempdir(), f"dps_pq_codebook_{key}.parquet"
+        _codebook_cache_dir(), f"pq_codebook_{key}.parquet"
     )
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return spark.read.parquet(path)
@@ -1280,8 +1299,15 @@ def _trained_codebook_cached(
     try:
         os.rename(stage, path)
     except OSError:
-        # another session promoted the same deterministic artifact
+        # another session promoted the same deterministic artifact;
+        # drop our stage, then re-verify the winner actually
+        # completed before serving from its path
         shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise RuntimeError(
+                f"codebook artifact at {path} lost the promotion "
+                "race but the winner left no _SUCCESS marker"
+            )
     return spark.read.parquet(path)
 
 

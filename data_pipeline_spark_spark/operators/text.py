@@ -796,6 +796,12 @@ def retrieval_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+retrieval_prf_expand.__doc__ = (
+    retrieval_prf_expand.__doc__.replace("{_PRF_R}", str(_PRF_R))
+    .replace("{_PRF_E}", str(_PRF_E))
+)
+
+
 # ---------------------------------------------------------------------------
 # tokenizer vocabulary coverage
 # ---------------------------------------------------------------------------

@@ -551,3 +551,8 @@ def corpus_pack_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         t.unpersist()
+
+
+corpus_pack_apply.__doc__ = corpus_pack_apply.__doc__.replace(
+    "{_SEQ_TOKENS}", str(_SEQ_TOKENS)
+)

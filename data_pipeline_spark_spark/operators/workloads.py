@@ -1129,11 +1129,27 @@ def derive_partsupp(part_keys: DataFrame, s_cnt: DataFrame) -> DataFrame:
     """The partsupp derivation over any (p_partkey) frame and 1-row
     (s_cnt) frame — module-level so the hypothesis differential test
     runs the SAME plan against a literal python loop at arbitrary
-    (P, S) shapes."""
+    (P, S) shapes.
+
+    The (ps_partkey, ps_suppkey) PK invariant holds only for
+    s_cnt ≥ 4 (3·floor(S/4) < S needs the stride to be nonzero);
+    below that the four generated suppkeys collapse and q2's
+    unique-winner / q16's distinct-count logic would silently see
+    duplicate keys. The projection raises in-plan on s_cnt < 4 so a
+    tiny or synthetic fixture fails LOUDLY instead."""
     four = F.array(*[F.lit(i).cast("long") for i in range(4)])
+    guarded_s_cnt = F.when(
+        F.col("s_cnt") < 4,
+        F.expr(
+            "raise_error('derive_partsupp requires at least 4 "
+            "suppliers: floor(s_cnt/4)=0 collapses the generated "
+            "(ps_partkey, ps_suppkey) primary key')"
+        ).cast("long"),
+    ).otherwise(F.col("s_cnt"))
     return (
         part_keys.crossJoin(F.broadcast(s_cnt))
-        .select("p_partkey", "s_cnt", F.explode(four).alias("i"))
+        .select("p_partkey", guarded_s_cnt.alias("s_cnt"),
+                F.explode(four).alias("i"))
         .select(
             F.col("p_partkey").alias("ps_partkey"),
             (

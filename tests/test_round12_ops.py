@@ -899,13 +899,21 @@ def test_trained_codebook_cache_contract(spark, sf_dir):
         (r.cm, r.c): tuple(r.cent)
         for r in trained_pq_codebook(squ).collect()
     }
-    before = set(glob.glob("/tmp/dps_pq_codebook_*.parquet"))
+    from data_pipeline_spark_spark.operators.similarity import (
+        _codebook_cache_dir,
+    )
+
+    cache_glob = os.path.join(
+        _codebook_cache_dir(), "pq_codebook_*.parquet"
+    )
+    assert (os.stat(_codebook_cache_dir()).st_mode & 0o777) == 0o700
+    before = set(glob.glob(cache_glob))
     cached1 = {
         (r.cm, r.c): tuple(r.cent)
         for r in _trained_codebook_cached(spark, sf_dir, squ).collect()
     }
     assert cached1 == fresh
-    arts = set(glob.glob("/tmp/dps_pq_codebook_*.parquet")) - before
+    arts = set(glob.glob(cache_glob)) - before
     # second call: artifact set unchanged, same values
     cached2 = {
         (r.cm, r.c): tuple(r.cent)
@@ -913,22 +921,29 @@ def test_trained_codebook_cache_contract(spark, sf_dir):
     }
     assert cached2 == fresh
     assert (
-        set(glob.glob("/tmp/dps_pq_codebook_*.parquet")) - before == arts
+        set(glob.glob(cache_glob)) - before == arts
     )
     # the artifact name embeds the source fingerprint: exactly one
     # new artifact for this corpus, and its key is not reused by a
-    # DIFFERENT corpus (sf0.001 trains its own)
+    # DIFFERENT corpus (a genuinely different SF trains its own —
+    # must not equal the sf_dir fixture, or both calls share a key)
     assert len(arts) <= 1  # 0 if an earlier test already trained it
+    other_sf = (
+        "/root/testdata/sf0.01"
+        if os.path.realpath(sf_dir)
+        != os.path.realpath("/root/testdata/sf0.01")
+        else "/root/testdata/sf0.001"
+    )
     cached3 = _trained_codebook_cached(
-        spark, "/root/testdata/sf0.001", 
+        spark, other_sf,
         _squ_frame(_pq_frames(
-            load(spark, "/root/testdata/sf0.001", "embeddings").select(
+            load(spark, other_sf, "embeddings").select(
                 "vec_id", as_double_array(F.col("embedding")).alias("emb")
             )
         )[0]),
     )
     assert cached3.count() > 0
-    assert len(set(glob.glob("/tmp/dps_pq_codebook_*.parquet"))) >= 2
+    assert len(set(glob.glob(cache_glob))) >= 2
 
 
 # ---------------------------------------------------------------------------
