@@ -1655,11 +1655,11 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: three user-keyed aggregations (type counts, spend
     totals, profile) feeding one class-keyed aggregate — every
     exchange is user- or class-cardinality, never event-proportional
-    beyond the first map-side combine. The global NTILE runs over
-    users (not events); at true 100 TB user counts the quintile
-    boundary becomes a 5-quantile broadcast instead ([[...]] pattern
-    in corpus_mix_temperature), swapping a total sort for four
-    comparisons."""
+    beyond the first map-side combine. The quintile rank itself is
+    DISTRIBUTED (r12 verdict ask closed): range-repartitioned local
+    ranks + broadcast prefix offsets reproduce NTILE(5) exactly with
+    no single-partition window anywhere in the plan — see
+    [[l_diversity_of]]."""
     return l_diversity_of(load(spark, sf_dir, "events"))
 
 
@@ -1672,25 +1672,70 @@ def l_diversity_of(e: DataFrame) -> DataFrame:
     """The testable audit fold under [[privacy_l_diversity]]: given
     events ``(user_id, ts, event_id, event_type, value)``, build QI
     classes + spend quintiles and report distinct-l / entropy-l per
-    class."""
+    class.
+
+    The quintile is NTILE(5) in VALUE but not in plan: a global
+    ordered window would funnel every user through one task, so the
+    rank is computed distributed — range-repartition users on the
+    unique (tot_c, user_id) sort key, local rank per partition (each
+    task sorts only its slice), then one aggregate-sized collect of
+    per-partition counts becomes broadcast prefix offsets, and
+    global_rank = offset[pid] + local_rank feeds the closed-form
+    NTILE bucket formula (first n%5 buckets get ceil(n/5) rows).
+    The result is partition-boundary-independent, so range-sampling
+    nondeterminism cannot change a bucket; the intermediate is
+    localCheckpoint-pinned so the offset collect and the downstream
+    join see the same partitioning."""
     from pyspark.sql import Window as W
 
     qi = qi_profiles(
         e.select("user_id", "ts", "event_id", "event_type")
     )
-    spend = (
-        e.groupBy("user_id")
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
-                "tot_c"
-            )
+    totals = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+            "tot_c"
         )
-        .select(
-            "user_id",
-            F.ntile(5)
-            .over(W.orderBy("tot_c", "user_id"))
-            .alias("spend_quintile"),
+    )
+    ranked = (
+        totals.repartitionByRange(32, "tot_c", "user_id")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_rank",
+            F.row_number().over(
+                W.partitionBy("pid").orderBy("tot_c", "user_id")
+            ),
         )
+        .localCheckpoint(eager=True)
+    )
+    parts = sorted(
+        (r.pid, r.cnt)
+        for r in ranked.groupBy("pid")
+        .agg(F.max("local_rank").alias("cnt"))
+        .collect()
+    )
+    offsets, n = {}, 0
+    for pid, cnt in parts:
+        offsets[pid] = n
+        n += cnt
+    off_map = (
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        if offsets
+        else F.create_map()
+    )
+    rn = F.element_at(off_map, F.col("pid")) + F.col("local_rank")
+    q, m = divmod(n, 5)
+    if q == 0:  # fewer users than buckets: NTILE gives one per row
+        bucket = rn
+    else:
+        head = m * (q + 1)  # first m buckets carry q+1 rows each
+        bucket = F.when(
+            rn <= head, (rn - 1) / (q + 1)
+        ).otherwise(m + (rn - head - 1) / q)
+        bucket = F.floor(bucket).cast("int") + 1
+    spend = ranked.select(
+        "user_id", bucket.alias("spend_quintile")
     )
     cls = (
         qi.join(spend, "user_id")

@@ -601,10 +601,11 @@ def test_l_diversity_contract(spark, sf_dir):
 
 
 def test_l_diversity_plan_shape(spark, sf_dir):
-    """No Python eval; the global quintile window runs over USERS
-    (one single-partition window over user-count rows), and no
-    event-proportional exchange happens after the first map-side
-    combines."""
+    """No Python eval, and — the r12 verdict ask — NO single-
+    partition window anywhere: the quintile rank is a pid-
+    partitioned local rank + broadcast prefix offsets, so the plan
+    must contain no SinglePartition exchange and every Window must
+    carry a partition spec."""
     from data_pipeline_spark_spark import registry
     from data_pipeline_spark_spark.plans.analyze import formatted_plan
 
@@ -612,6 +613,7 @@ def test_l_diversity_plan_shape(spark, sf_dir):
         registry.QUERIES["privacy_l_diversity"](spark, sf_dir)
     )
     assert "EvalPython" not in plan
+    assert "SinglePartition" not in plan
 
 
 @settings(max_examples=15, deadline=None)
