@@ -104,7 +104,7 @@ _ROUND13_PRIORITY = [
     "supercat_map",
     "synth_gen",
     # (d) new round-13 keys — uncommented here as each lands
-    # "dedup_bloom_incremental",
+    "dedup_bloom_incremental",
     # "corpus_pack_bins",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",

@@ -56,6 +56,148 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(corpus, "h", "left_anti").select("doc_id", "lang", "source")
 
 
+# Bloom sizing (see docs/SCALE.md): m bits / k hashes fixed so the
+# fixture family (corpus ≤ ~0.5 M digests at sf1) keeps the per-probe
+# false-positive odds below ~1e-10 at sf0.1 — FP(m,k,n) =
+# (1 − e^(−kn/m))^k. At 100 TB the same code sizes m from the corpus
+# row-count statistic (m ≈ 23 bits/key for 1e-7): the sketch is
+# 1 MiB here and would be a few GiB there, still broadcast-sized.
+_BLOOM_M_BITS = 1 << 23
+_BLOOM_M_WORDS = _BLOOM_M_BITS // 64
+_BLOOM_K = 7
+
+
+def _bloom_positions(h1m, h2m):
+    """The k Kirsch-Mitzenmacher probe positions pos_i =
+    (h1 + i·h2) mod m as Column expressions. Inputs are the two
+    xxhash64 streams pre-masked to 47/31 bits so i·h2 + h1 < 2^48
+    never overflows a BIGINT under ANSI mode."""
+    return [
+        F.pmod(h1m + F.lit(i) * h2m, F.lit(_BLOOM_M_BITS))
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_bit_mask(pos):
+    """Single-bit BIGINT mask for a position's in-word bit —
+    shiftleft with a COLUMN shift amount (call_function; the python
+    shiftleft wrapper only takes a literal int)."""
+    bit = F.pmod(pos, F.lit(64)).cast("int")
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), bit
+    )
+
+
+def _bloom_probe_ok(bf_col, h1m, h2m):
+    """True iff every probe bit is set in the broadcast word array —
+    ``might_contain`` as a pure whole-stage-codegen expression:
+    k O(1) element_at lookups + bit tests per row."""
+    checks = []
+    for pos in _bloom_positions(h1m, h2m):
+        widx = (pos / F.lit(64)).cast("int")
+        word = F.element_at(bf_col, widx + F.lit(1))
+        checks.append(word.bitwiseAND(_bloom_bit_mask(pos)) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+@query(
+    "dedup_bloom_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT sha256(text) AS h FROM documents WHERE doc_id % 10 < 8
+    ),
+    batch AS (
+      SELECT doc_id, sha256(text) AS h, lang, source
+      FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT b.doc_id, b.lang, b.source
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+    """,
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup where the corpus side is a BLOOM FILTER, not
+    a join: the 100 TB monthly-increment path (reference README.md:
+    10-11 — the platform ingests per-month increments) in which
+    [[dedup_incremental]]'s digest anti-join would shuffle the whole
+    corpus hash index every batch. Here the corpus collapses into an
+    m-bit bitmap — per-task partial bit_or combines bound the
+    exchange by the SKETCH size (≤ m/64 words per task), never the
+    corpus row count — and the bitmap rides a one-row broadcast onto
+    the batch scan, where membership is 7 O(1) array lookups per row
+    in whole-stage codegen (``bloom_filter_agg``/``might_contain``
+    re-expressed as public expressions: bit positions via two-stream
+    xxhash64 double hashing, words via groupBy(widx).bit_or, probe
+    via element_at + bit test).
+
+    EXACTNESS: a Bloom positive can be false, so this plan admits
+    exactly the rows whose digest misses the filter; the oracle is
+    the exact anti-join, and the m/k sizing puts the odds of ANY
+    false-positive drop across the fixture family below ~1e-6
+    (tests/test_round13_ops.py additionally pins
+    false-positive drops == 0 against the exact join at two SFs).
+    At 100 TB the production contract is the standard one: bloom
+    pre-filter prunes ~all of the batch, and the surviving
+    might-contain slice (true dups + εn FPs) takes the exact
+    anti-join — the join's left side shrinks from |batch| to
+    |dups| + ε|batch| while the corpus is touched only through its
+    once-a-month sketch build."""
+    d = load(spark, sf_dir, "documents")
+    h1m = F.xxhash64(F.col("h")).bitwiseAND(F.lit((1 << 47) - 1))
+    h2m = F.xxhash64(F.col("h"), F.lit(1)).bitwiseAND(
+        F.lit((1 << 31) - 1)
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % 10 < 8)
+        .select(F.sha2("text", 256).alias("h"))
+        .select(h1m.alias("a"), h2m.alias("b"))
+    )
+    positions = corpus.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col("a"), F.col("b")))
+        ).alias("pos")
+    )
+    words = (
+        positions.select(
+            (F.col("pos") / F.lit(64)).cast("int").alias("widx"),
+            _bloom_bit_mask(F.col("pos")).alias("mask"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    dense = (
+        spark.range(_BLOOM_M_WORDS)
+        .select(F.col("id").cast("int").alias("widx"))
+        .join(F.broadcast(words), "widx", "left")
+        .select("widx", F.coalesce("bits", F.lit(0)).alias("bits"))
+    )
+    bf = dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("widx", "bits"))),
+            lambda s: s["bits"],
+        ).alias("bf")
+    )
+    batch = d.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.sha2("text", 256).alias("h"),
+    )
+    batch = batch.select(
+        "doc_id", "lang", "source", h1m.alias("a"), h2m.alias("b")
+    )
+    return (
+        batch.crossJoin(F.broadcast(bf))
+        .where(
+            ~_bloom_probe_ok(F.col("bf"), F.col("a"), F.col("b"))
+        )
+        .select("doc_id", "lang", "source")
+    )
+
+
 @query(
     "corpus_pipeline",
     oracle="""
