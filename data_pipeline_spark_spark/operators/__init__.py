@@ -105,7 +105,7 @@ _ROUND13_PRIORITY = [
     "synth_gen",
     # (d) new round-13 keys — uncommented here as each lands
     "dedup_bloom_incremental",
-    # "corpus_pack_bins",
+    "corpus_pack_bins",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",
     "tpch_q21_suppliers_who_kept_waiting",

@@ -556,3 +556,181 @@ def corpus_pack_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_pack_apply.__doc__ = corpus_pack_apply.__doc__.replace(
     "{_SEQ_TOKENS}", str(_SEQ_TOKENS)
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_pack_bins — first-fit-decreasing bin packing (no doc splits)
+# ---------------------------------------------------------------------------
+
+# FFD shard count: docs are dealt into _BIN_GROUPS independent
+# packing shards (grp = doc_id % G) and FFD runs EXACTLY within each
+# shard. G is the parallelism knob: at 100 TB, G scales with the
+# corpus so every shard's collect_list stays bounded (~n/G docs ×
+# 16 B), the same per-group-bounded-state argument shard_pack and
+# corpus_pack_sequences make. The packing quality loss vs a single
+# global FFD is the classic multi-way-FFD bound (each shard wastes
+# at most one partial bin per open load level); the padding report
+# makes the loss measurable instead of assumed.
+_BIN_GROUPS = 8
+
+_PACK_BINS_SQL = f"""
+    WITH RECURSIVE d0 AS (
+      SELECT doc_id, CAST(doc_id % {_BIN_GROUPS} AS INT) AS grp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS sz
+      FROM documents
+    ),
+    rk AS (
+      SELECT grp, sz,
+             row_number() OVER (PARTITION BY grp ORDER BY sz DESC, doc_id)
+               AS rk
+      FROM d0
+    ),
+    cnt AS (SELECT grp, COUNT(*) AS n FROM rk GROUP BY grp),
+    pack AS (
+      SELECT grp, 0 AS step, CAST([] AS BIGINT[]) AS loads,
+             CAST([] AS INT[]) AS nd
+      FROM cnt
+      UNION ALL
+      SELECT grp, step + 1,
+             CASE WHEN fit = 0 THEN list_append(loads, sz)
+                  ELSE list_transform(loads, (x, i) ->
+                       CASE WHEN i = fit THEN x + sz ELSE x END) END,
+             CASE WHEN fit = 0 THEN list_append(nd, 1)
+                  ELSE list_transform(nd, (x, i) ->
+                       CASE WHEN i = fit THEN x + 1 ELSE x END) END
+      FROM (
+        SELECT p.grp, p.step, p.loads, p.nd, d.sz,
+               coalesce(list_position(
+                 list_transform(p.loads, x -> x + d.sz <= {_SEQ_TOKENS}),
+                 true), 0) AS fit
+        FROM pack p JOIN rk d ON d.grp = p.grp AND d.rk = p.step + 1
+      )
+    ),
+    term AS (
+      SELECT p.grp, p.loads, p.nd
+      FROM pack p JOIN cnt c ON p.grp = c.grp AND p.step = c.n
+    ),
+    bins AS (
+      SELECT grp,
+             unnest(list_transform(loads, (x, i) ->
+               {{'b': i - 1, 'u': x, 'n': nd[i]}})) AS e
+      FROM term
+    )
+    SELECT grp, CAST(e.b AS INT) AS bin_id, CAST(e.n AS INT) AS n_docs,
+           CAST(e.u AS BIGINT) AS used_tokens,
+           CAST({_SEQ_TOKENS} - e.u AS BIGINT) AS padding_tokens,
+           CAST(e.u * 1000000 // {_SEQ_TOKENS} AS BIGINT) AS fill_ppm
+    FROM bins
+"""
+
+
+def _ffd_fold(ds_col):
+    """The first-fit-decreasing fold as ONE Catalyst ``aggregate``
+    over the shard's size-sorted doc array — zero Python in the
+    loop. Accumulator = (loads, nd): per-open-bin token loads and
+    doc counts. Each step probes the first bin whose load still
+    admits the doc (filter over bin indices → first hit; bins are
+    ≤ capacity/min_doc ≈ tens, so the linear probe is in-register
+    work) and either updates it positionally or opens a new bin.
+    try_element_at + the size() guard keep ANSI mode happy on the
+    empty accumulator (sequence(0,-1) would DESCEND, not empty)."""
+    init = F.struct(
+        F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("loads"),
+        F.expr("CAST(array() AS ARRAY<INT>)").alias("nd"),
+    )
+
+    def merge(acc, x):
+        sz = -x["negsz"]
+        idxs = F.when(
+            F.size(acc["loads"]) > 0,
+            F.sequence(F.lit(0), F.size(acc["loads"]) - 1),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+        fits = F.filter(
+            idxs,
+            lambda i: F.try_element_at(acc["loads"], i + 1) + sz
+            <= F.lit(_SEQ_TOKENS),
+        )
+        j = F.try_element_at(fits, F.lit(1))
+        has = j.isNotNull()
+        new_loads = F.when(
+            has,
+            F.transform(
+                acc["loads"],
+                lambda v, i: F.when(i == j, v + sz).otherwise(v),
+            ),
+        ).otherwise(F.concat(acc["loads"], F.array(sz)))
+        new_nd = F.when(
+            has,
+            F.transform(
+                acc["nd"],
+                lambda v, i: F.when(i == j, v + 1).otherwise(v),
+            ),
+        ).otherwise(
+            F.concat(acc["nd"], F.array(F.lit(1).cast("int")))
+        )
+        return F.struct(
+            new_loads.alias("loads"), new_nd.alias("nd")
+        )
+
+    return F.aggregate(ds_col, init, merge)
+
+
+@query("corpus_pack_bins", oracle=_PACK_BINS_SQL)
+def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing with a padding-loss report —
+    the OTHER trainer packing discipline next to concat-and-chunk
+    ([[corpus_pack_sequences]]): docs are NEVER split across
+    sequences (so no attention-mask surgery at train time), sorted
+    by token count descending, and greedily placed in the first
+    ≤L bin that still fits; the cost is the padding the report
+    quantifies per bin (concat-and-chunk is the zero-padding lower
+    bound precisely because it splits).
+
+    Plan: one scan → shard by grp = doc_id % G → per-shard
+    collect_list + array_sort (size-desc, doc_id tie-break) → the
+    [[_ffd_fold]] Catalyst aggregate → posexplode to the per-bin
+    manifest (grp, bin_id, n_docs, used_tokens, padding_tokens,
+    fill_ppm). ONE exchange (grp), state bounded by shard size,
+    no Python anywhere. Oversize docs (sz > L) open their own
+    overflow bin under the same first-fit rule (fits is empty →
+    new bin), surfacing as negative padding rather than a silent
+    truncation. The DuckDB oracle replays the identical greedy
+    recurrence as a recursive CTE over per-shard doc ranks
+    (list_position/list_transform carry the same loads/nd state;
+    coalesce(...,0) absorbs the list_position NULL-vs-0 no-match
+    difference across DuckDB versions), so both engines compute the
+    same bins doc-for-doc — pinned by the hypothesis differential
+    in tests/test_round13_ops.py against a literal python FFD."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_BIN_GROUPS))
+        .cast("int")
+        .alias("grp"),
+        F.size(F.split("text", " ")).cast("bigint").alias("sz"),
+    )
+    arr = d.groupBy("grp").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("sz")).alias("negsz"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            )
+        ).alias("ds")
+    )
+    packed = arr.select("grp", _ffd_fold(F.col("ds")).alias("p"))
+    return packed.select(
+        "grp",
+        F.posexplode(F.arrays_zip(F.col("p.loads"), F.col("p.nd"))),
+    ).select(
+        "grp",
+        F.col("pos").cast("int").alias("bin_id"),
+        F.col("col.nd").cast("int").alias("n_docs"),
+        F.col("col.loads").cast("bigint").alias("used_tokens"),
+        (F.lit(_SEQ_TOKENS) - F.col("col.loads"))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        F.expr(f"col.loads * 1000000 DIV {_SEQ_TOKENS}")
+        .cast("bigint")
+        .alias("fill_ppm"),
+    )

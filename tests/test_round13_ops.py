@@ -128,3 +128,141 @@ def test_bloom_no_false_negatives_synthetic(spark):
         .count()
     )
     assert contained == 300  # zero false negatives, by construction
+
+
+# ---------------------------------------------------------------------------
+# corpus_pack_bins — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def _py_ffd(items, L=512):
+    """Literal python first-fit-decreasing: items = [(sz, doc_id)];
+    returns (loads, n_docs) per bin in creation order."""
+    loads, nd = [], []
+    for sz, _ in sorted(items, key=lambda t: (-t[0], t[1])):
+        for i, l in enumerate(loads):
+            if l + sz <= L:
+                loads[i] += sz
+                nd[i] += 1
+                break
+        else:
+            loads.append(sz)
+            nd.append(1)
+    return loads, nd
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=700),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pack_bins_fold_matches_python_ffd(spark, sizes):
+    """Differential: the Catalyst aggregate fold reproduces the
+    python FFD bin-for-bin at arbitrary doc-size shapes — including
+    oversize docs (> L) which must open singleton overflow bins."""
+    from data_pipeline_spark_spark.operators.training_data import (
+        _ffd_fold,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "doc_id long, sz long"
+    )
+    arr = df.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("sz")).alias("negsz"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            )
+        ).alias("ds")
+    )
+    [row] = arr.select(_ffd_fold(F.col("ds")).alias("p")).collect()
+    exp_loads, exp_nd = _py_ffd([(s, i) for i, s in enumerate(sizes)])
+    assert list(row.p.loads) == exp_loads
+    assert list(row.p.nd) == exp_nd
+    for sz in sizes:
+        if sz > 512:  # oversize → its own bin, honest accounting
+            assert sz in exp_loads
+
+
+def test_pack_bins_plan_shape(spark, sf_dir):
+    """ONE exchange (the grp shard), no Python eval, no join — the
+    fold is a single whole-stage expression over per-shard arrays."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    registry.load_all()
+    plan = formatted_plan(
+        registry.QUERIES["corpus_pack_bins"](spark, sf_dir)
+    )
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Arguments: hashpartitioning" in ln
+        or "Arguments: SinglePartition" in ln
+    ]
+    assert len(ex) == 1 and "grp" in ex[0], ex
+
+
+def test_pack_bins_contract(spark, sf_dir):
+    """Contracts on the fixture: every doc packed exactly once
+    (Σ n_docs = |docs|, Σ used = Σ tokens); no bin over capacity
+    (doc sizes ≤ L here, so no overflow bins); used + padding = L;
+    FFD total bins ≤ unsorted first-fit total bins (the sort is
+    what pays); and FFD padding ≥ concat-and-chunk's padding lower
+    bound (concat splits docs; FFD buys split-freeness with
+    padding — the report makes that price visible)."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.training_data import (
+        _BIN_GROUPS,
+        _SEQ_TOKENS,
+    )
+
+    registry.load_all()
+    out = registry.QUERIES["corpus_pack_bins"](spark, sf_dir).collect()
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.size(F.split("text", " ")).alias("sz")
+        )
+        .collect()
+    )
+    assert sum(r.n_docs for r in out) == len(docs)
+    assert sum(r.used_tokens for r in out) == sum(d.sz for d in docs)
+    for r in out:
+        assert r.used_tokens <= _SEQ_TOKENS  # fixture docs ≤ L
+        assert r.used_tokens + r.padding_tokens == _SEQ_TOKENS
+        assert r.fill_ppm == r.used_tokens * 1_000_000 // _SEQ_TOKENS
+    # FFD vs unsorted first-fit: the decreasing sort never loses on
+    # this fixture (deterministic measurement, not a theorem)
+    import collections
+
+    byg = collections.defaultdict(list)
+    for d in docs:
+        byg[d.doc_id % _BIN_GROUPS].append((d.sz, d.doc_id))
+    ff_bins = 0
+    for gkey in byg:
+        loads = []
+        for sz, _ in sorted(byg[gkey], key=lambda t: t[1]):  # id order
+            for i, l in enumerate(loads):
+                if l + sz <= _SEQ_TOKENS:
+                    loads[i] += sz
+                    break
+            else:
+                loads.append(sz)
+        ff_bins += len(loads)
+    assert len(out) <= ff_bins
+    # concat-and-chunk lower bound: ceil(total/L) bins, padding only
+    # in the last chunk of each shard
+    total_pad = sum(r.padding_tokens for r in out)
+    concat_pad = sum(
+        -sum(s for s, _ in byg[g]) % _SEQ_TOKENS for g in byg
+    )
+    assert total_pad >= concat_pad
