@@ -100,6 +100,13 @@ HEADLINE = [
     "tokenizer_unigram_segment",
     "quality_bigram_perplexity",
     "corpus_pack_apply",
+    # r13 promotions (r12 VERDICT ask 5) — graded green in the r13
+    # rotation front, so the r11 "no ungraded headline keys" policy
+    # holds for the artifact this list ships in
+    "tpch_q9_product_type_profit",
+    "retrieval_prf_expand",
+    "ts_cusum_changepoint",
+    "agg_countmin_sketch",
 ]
 
 

@@ -2,11 +2,12 @@
 query into data_pipeline_spark_spark.registry.
 
 The driver's correctness harness walks queries() in dict order under a
-time budget (~50 keys/round), so the explicit ``_ROUND12_PRIORITY``
+time budget (~50 keys/round), so the explicit ``_ROUND13_PRIORITY``
 list below decides which keys earn a CORRECTNESS row this round: the
-six never-graded late-r11 keys first (corpus_pack_apply leads — it is
-bench-headlined), then the complete r8-stale oracle backlog. Keys past
-the budget keep their most recent row from earlier rounds.
+eleven never-graded r12 keys first, then the r8-stale oracle tail, the
+r1-stale rows-only block, the new r13 keys, and an r9-stale freshness
+filler. Keys past the budget keep their most recent row from earlier
+rounds.
 """
 
 from . import (  # noqa: F401
@@ -105,6 +106,7 @@ _ROUND13_PRIORITY = [
     "synth_gen",
     # (d) new round-13 keys — uncommented here as each lands
     "dedup_bloom_incremental",
+    "dedup_bloom_incremental_verified",
     "corpus_pack_bins",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",

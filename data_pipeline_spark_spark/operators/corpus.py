@@ -67,13 +67,13 @@ _BLOOM_M_WORDS = _BLOOM_M_BITS // 64
 _BLOOM_K = 7
 
 
-def _bloom_positions(h1m, h2m):
+def _bloom_positions(h1m, h2m, m_bits: int = _BLOOM_M_BITS):
     """The k Kirsch-Mitzenmacher probe positions pos_i =
     (h1 + i·h2) mod m as Column expressions. Inputs are the two
     xxhash64 streams pre-masked to 47/31 bits so i·h2 + h1 < 2^48
     never overflows a BIGINT under ANSI mode."""
     return [
-        F.pmod(h1m + F.lit(i) * h2m, F.lit(_BLOOM_M_BITS))
+        F.pmod(h1m + F.lit(i) * h2m, F.lit(m_bits))
         for i in range(_BLOOM_K)
     ]
 
@@ -88,12 +88,12 @@ def _bloom_bit_mask(pos):
     )
 
 
-def _bloom_probe_ok(bf_col, h1m, h2m):
+def _bloom_probe_ok(bf_col, h1m, h2m, m_bits: int = _BLOOM_M_BITS):
     """True iff every probe bit is set in the broadcast word array —
     ``might_contain`` as a pure whole-stage-codegen expression:
     k O(1) element_at lookups + bit tests per row."""
     checks = []
-    for pos in _bloom_positions(h1m, h2m):
+    for pos in _bloom_positions(h1m, h2m, m_bits):
         widx = (pos / F.lit(64)).cast("int")
         word = F.element_at(bf_col, widx + F.lit(1))
         checks.append(word.bitwiseAND(_bloom_bit_mask(pos)) != 0)
@@ -101,6 +101,54 @@ def _bloom_probe_ok(bf_col, h1m, h2m):
     for c in checks[1:]:
         out = out & c
     return out
+
+
+def _bloom_hash_cols():
+    """The two pre-masked xxhash64 streams over a digest column
+    ``h`` (47/31 bits — see [[_bloom_positions]])."""
+    h1m = F.xxhash64(F.col("h")).bitwiseAND(F.lit((1 << 47) - 1))
+    h2m = F.xxhash64(F.col("h"), F.lit(1)).bitwiseAND(
+        F.lit((1 << 31) - 1)
+    )
+    return h1m, h2m
+
+
+def _bloom_frame(
+    spark: SparkSession, hashed: DataFrame, m_bits: int = _BLOOM_M_BITS
+) -> DataFrame:
+    """Build the one-row dense word-array Bloom bitmap from a frame
+    of (a, b) hash-stream pairs — ``bloom_filter_agg`` re-expressed:
+    positions → groupBy(widx).bit_or (exchange bounded by m/64 words
+    per task) → dense zero-fill against a range frame → single
+    sorted array row, ready to broadcast."""
+    m_words = m_bits // 64
+    positions = hashed.select(
+        F.explode(
+            F.array(
+                *_bloom_positions(F.col("a"), F.col("b"), m_bits)
+            )
+        ).alias("pos")
+    )
+    words = (
+        positions.select(
+            (F.col("pos") / F.lit(64)).cast("int").alias("widx"),
+            _bloom_bit_mask(F.col("pos")).alias("mask"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    dense = (
+        spark.range(m_words)
+        .select(F.col("id").cast("int").alias("widx"))
+        .join(F.broadcast(words), "widx", "left")
+        .select("widx", F.coalesce("bits", F.lit(0)).alias("bits"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("widx", "bits"))),
+            lambda s: s["bits"],
+        ).alias("bf")
+    )
 
 
 @query(
@@ -146,40 +194,13 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     |dups| + ε|batch| while the corpus is touched only through its
     once-a-month sketch build."""
     d = load(spark, sf_dir, "documents")
-    h1m = F.xxhash64(F.col("h")).bitwiseAND(F.lit((1 << 47) - 1))
-    h2m = F.xxhash64(F.col("h"), F.lit(1)).bitwiseAND(
-        F.lit((1 << 31) - 1)
-    )
+    h1m, h2m = _bloom_hash_cols()
     corpus = (
         d.filter(F.col("doc_id") % 10 < 8)
         .select(F.sha2("text", 256).alias("h"))
         .select(h1m.alias("a"), h2m.alias("b"))
     )
-    positions = corpus.select(
-        F.explode(
-            F.array(*_bloom_positions(F.col("a"), F.col("b")))
-        ).alias("pos")
-    )
-    words = (
-        positions.select(
-            (F.col("pos") / F.lit(64)).cast("int").alias("widx"),
-            _bloom_bit_mask(F.col("pos")).alias("mask"),
-        )
-        .groupBy("widx")
-        .agg(F.bit_or("mask").alias("bits"))
-    )
-    dense = (
-        spark.range(_BLOOM_M_WORDS)
-        .select(F.col("id").cast("int").alias("widx"))
-        .join(F.broadcast(words), "widx", "left")
-        .select("widx", F.coalesce("bits", F.lit(0)).alias("bits"))
-    )
-    bf = dense.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("widx", "bits"))),
-            lambda s: s["bits"],
-        ).alias("bf")
-    )
+    bf = _bloom_frame(spark, corpus)
     batch = d.filter(F.col("doc_id") % 10 >= 8).select(
         "doc_id",
         "lang",
@@ -196,6 +217,87 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "dedup_bloom_incremental_verified",
+    oracle="""
+    WITH corpus AS (
+      SELECT sha256(text) AS h FROM documents WHERE doc_id % 10 < 8
+    ),
+    batch AS (
+      SELECT doc_id, sha256(text) AS h, lang, source
+      FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT b.doc_id, b.lang, b.source
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+    """,
+)
+def dedup_bloom_incremental_verified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production two-phase form of [[dedup_bloom_incremental]]:
+    Bloom pre-filter + EXACT verification of the might-contain
+    slice — structurally exact at ANY false-positive rate, not just
+    on a fixture the sizing happens to cover. Batch rows whose
+    digest misses the filter are admitted with zero corpus contact
+    (a Bloom negative is definitive); rows the filter flags take
+    the digest anti-join, which rescues the ε|batch| false
+    positives and drops the true duplicates. The anti-join's left
+    side is |dups| + ε|batch| instead of |batch| — at 100 TB that
+    is the difference between verifying a few thousand suspects and
+    re-shuffling the whole month's crawl; the corpus index is still
+    read for verification, but only joined against the suspect
+    sliver (broadcast when the sliver is small, which is the
+    steady-state). Implemented as one bitmap build reused by both
+    branches of a partitioned union; exactness needs no sizing
+    assumption, so this key's oracle-equality holds even under the
+    deliberately undersized bloom the contract test runs."""
+    return _bloom_incremental_verified_of(
+        load(spark, sf_dir, "documents"), spark, _BLOOM_M_BITS
+    )
+
+
+def _bloom_incremental_verified_of(
+    d: DataFrame, spark: SparkSession, m_bits: int
+) -> DataFrame:
+    """The testable fold under [[dedup_bloom_incremental_verified]]
+    with an injectable m — the contract test shrinks m until the
+    bloom false-positives by construction and asserts the verified
+    output STILL equals the exact anti-join."""
+    h1m, h2m = _bloom_hash_cols()
+    corpus_h = d.filter(F.col("doc_id") % 10 < 8).select(
+        F.sha2("text", 256).alias("h")
+    )
+    bf = _bloom_frame(
+        spark, corpus_h.select(h1m.alias("a"), h2m.alias("b")), m_bits
+    )
+    batch = (
+        d.filter(F.col("doc_id") % 10 >= 8)
+        .select(
+            "doc_id", "lang", "source", F.sha2("text", 256).alias("h")
+        )
+        .select(
+            "doc_id", "lang", "source", "h",
+            h1m.alias("a"), h2m.alias("b"),
+        )
+        .crossJoin(F.broadcast(bf))
+        .withColumn(
+            "might",
+            _bloom_probe_ok(F.col("bf"), F.col("a"), F.col("b"), m_bits),
+        )
+        .select("doc_id", "lang", "source", "h", "might")
+    )
+    clean = batch.where(~F.col("might")).select(
+        "doc_id", "lang", "source"
+    )
+    rescued = (
+        batch.where(F.col("might"))
+        .join(corpus_h, "h", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+    return clean.unionByName(rescued)
 
 
 @query(

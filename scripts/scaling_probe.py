@@ -59,7 +59,9 @@ DEFAULT_PROBES = [
 ]
 
 
-def best_of(fn, runs: int = 3) -> float:
+def best_of(fn, runs: int | None = None) -> float:
+    if runs is None:
+        runs = int(os.environ.get("PROBE_RUNS", "3"))
     fn()  # warm-up: Janino compile + C2 JIT
     best = float("inf")
     for _ in range(runs):
@@ -221,7 +223,13 @@ def main() -> None:
         dense_main(keys or None)
         return
     if "--sf1" in args:
-        keys = [a for a in args if a != "--sf1"]
+        keys = [a for a in args if a != "--sf1" and a != "--full"]
+        if "--full" in args and not keys:
+            # the FULL bench headline (r12 VERDICT ask 2): every
+            # graded headline key gets its two decade slopes
+            import bench
+
+            keys = list(bench.HEADLINE)
         sf1_main(keys or None)
         return
     probes = args or DEFAULT_PROBES

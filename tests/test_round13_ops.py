@@ -266,3 +266,66 @@ def test_pack_bins_contract(spark, sf_dir):
         -sum(s for s, _ in byg[g]) % _SEQ_TOKENS for g in byg
     )
     assert total_pad >= concat_pad
+
+
+def test_bloom_verified_exact_under_adversarial_fp(spark):
+    """The two-phase key's defining property: with a DELIBERATELY
+    undersized bloom (m = 1024 bits for ~400 corpus digests → the
+    filter false-positives massively), the verified output still
+    equals the exact anti-join — and the test proves the rescue
+    path actually fired (the pure-bloom admission at that m is
+    strictly smaller than the exact answer)."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.corpus import (
+        _bloom_frame,
+        _bloom_hash_cols,
+        _bloom_incremental_verified_of,
+        _bloom_probe_ok,
+    )
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    d = load(spark, sf, "documents")
+    exact = sorted(
+        tuple(r)
+        for r in registry.QUERIES["dedup_incremental"](
+            spark, sf
+        ).collect()
+    )
+    tiny_m = 1024
+    got = sorted(
+        tuple(r)
+        for r in _bloom_incremental_verified_of(
+            d, spark, tiny_m
+        ).collect()
+    )
+    assert got == exact
+    # prove the bloom was genuinely lossy at this m: the unverified
+    # admission misses rows the exact answer keeps
+    h1m, h2m = _bloom_hash_cols()
+    corpus = (
+        d.filter(F.col("doc_id") % 10 < 8)
+        .select(F.sha2("text", 256).alias("h"))
+        .select(h1m.alias("a"), h2m.alias("b"))
+    )
+    bf = _bloom_frame(spark, corpus, tiny_m)
+    pure = (
+        d.filter(F.col("doc_id") % 10 >= 8)
+        .select(
+            "doc_id", "lang", "source",
+            F.sha2("text", 256).alias("h"),
+        )
+        .select(
+            "doc_id", "lang", "source",
+            h1m.alias("a"), h2m.alias("b"),
+        )
+        .crossJoin(F.broadcast(bf))
+        .where(
+            ~_bloom_probe_ok(
+                F.col("bf"), F.col("a"), F.col("b"), tiny_m
+            )
+        )
+        .count()
+    )
+    assert pure < len(exact)  # FPs existed; verification rescued them
