@@ -11,6 +11,7 @@ rounds.
 """
 
 from . import (  # noqa: F401
+    graph,
     relational,
     windows,
     workloads,
@@ -33,6 +34,7 @@ from . import (  # noqa: F401
 )
 
 ALL_MODULES = (
+    graph,
     relational,
     windows,
     workloads,
@@ -108,6 +110,7 @@ _ROUND13_PRIORITY = [
     "dedup_bloom_incremental",
     "dedup_bloom_incremental_verified",
     "corpus_pack_bins",
+    "graph_pagerank",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",
     "tpch_q21_suppliers_who_kept_waiting",

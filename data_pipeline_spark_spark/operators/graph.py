@@ -1,0 +1,220 @@
+"""Graph analytics over relationship structure latent in the fact
+tables — the iterative-algorithm family (fixed-point computations
+whose output feeds back as next-round input) that complements the
+engine's one-shot relational and window surface.
+
+The engine already runs one iterative graph job — `dedup_cluster`'s
+min-label connected components (dedup.py) — because transitive
+closure is what turns near-dup PAIRS into keep/drop decisions.
+PageRank is the other canonical member of that family: importance
+scoring over a co-occurrence graph, the shape behind crawl
+prioritization, seed-document selection, and catalog curation in a
+training-data pipeline. The reference platform's query layer is
+one-shot SQL (reference README.md:16 — predefined queries behind an
+API); iterative jobs are exactly the class a Spark-native engine adds
+on top, since Catalyst has no WITH RECURSIVE and the idiomatic form
+is a driver-side loop over cached DataFrames (each round a narrow
+join + agg, state never accumulating).
+
+Exactness discipline (the repo-wide integer pattern): ranks live in
+integer MICRO-units (SCALE = 1e12) and every division is integer
+``div`` with identical nesting in the Spark plan and the DuckDB
+oracle's unrolled-iteration CTEs, so five rounds of feedback stay
+bit-identical across engines — no float drifts compounding per
+iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+#: Rank mass is carried in integer micro-units: 1.0 == 1e12. Five
+#: decimal-digit headroom above the ~1e5-node fixture graphs keeps
+#: per-node ranks ≥ 1e6 units, so the floor divisions lose < 1e-6 of
+#: relative mass per round.
+_PR_SCALE = 1_000_000_000_000
+
+#: Damping factor as an integer percentage (classic 0.85), applied as
+#: ``85 * x div 100`` in both engines.
+_PR_DAMP_PCT = 85
+
+#: Fixed iteration count. Power iteration converges geometrically at
+#: rate d (0.85^5 ≈ 0.44 of the residual left) — enough to produce a
+#: stable top-k on the dense co-order graph; production runs would
+#: iterate to an L1 tolerance with the same loop body.
+_PR_ITERS = 5
+
+#: Top-k rows returned (rank desc, part key asc — a total order).
+_PR_TOPK = 20
+
+
+def _pr_iteration_ctes() -> str:
+    """The oracle's unrolled power-iteration CTEs r1..r{n}: each one
+    joins the previous round's ranks onto the edge list and folds
+    edge contributions with the SAME integer expression the Spark
+    loop uses — ``base + (85 * Σ (r·w div ow)) div 100``."""
+    ctes = []
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT e.dst AS id,
+             (15 * ({_PR_SCALE} // n.c)) // 100
+               + ({_PR_DAMP_PCT} * SUM((p.r * e.w) // e.ow)) // 100 AS r
+      FROM edges e
+      JOIN r{i - 1} p ON p.id = e.src
+      CROSS JOIN n
+      GROUP BY e.dst, n.c
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    sym AS (
+      SELECT pa AS src, pb AS dst, w FROM pair
+      UNION ALL
+      SELECT pb AS src, pa AS dst, w FROM pair
+    ),
+    outw AS (
+      SELECT src, SUM(w) AS ow FROM sym GROUP BY src
+    ),
+    edges AS (
+      SELECT s.src, s.dst, s.w, o.ow FROM sym s JOIN outw o USING (src)
+    ),
+    n AS (
+      SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS c FROM sym
+    ),
+    r0 AS (
+      SELECT src AS id, ({_PR_SCALE} // n.c) AS r
+      FROM (SELECT DISTINCT src FROM sym) CROSS JOIN n
+    ),
+    {{iters}}
+    SELECT id AS part_key, CAST(r AS BIGINT) AS rank_micro
+    FROM r{_PR_ITERS}
+    ORDER BY r DESC, id ASC
+    LIMIT {_PR_TOPK}
+    """.replace("{iters}", _pr_iteration_ctes()),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the part co-order graph: nodes are
+    parts, an edge (a, b) with weight w means a and b appeared
+    together in w distinct orders — the co-occurrence structure
+    `basket_pair_affinity` mines for pairs, here closed over the
+    whole graph so a part's score reflects its neighbors' importance
+    recursively, not just its own co-order counts.
+
+    Plan shape, per the Pregel decomposition:
+
+    - **Edge build** (once): the per-order self-join fans out at most
+      C(k, 2) pairs for a k-item order — k is bounded by order size
+      (≤ a dozen in TPC-H-shaped data), so the join is one shuffle on
+      l_orderkey with bounded per-row amplification, never an
+      all-pairs product over parts. Out-degree weights are folded in
+      (`ow`), and the finished edge list is localCheckpoint-ed: the
+      five iterations reuse the materialized partitions instead of
+      re-running pair generation per round.
+    - **Power iteration** (×{iters}): each round is ONE hash join
+      (ranks onto edges by src — edges stay put; only the ~16-byte
+      (id, rank) rows move) plus ONE groupBy(dst) fold. State per
+      round is exactly |V| rows; previous rounds are unreferenced and
+      GC-able. At 100 TB the identical loop runs with edges bucketed
+      by src so every round's join is exchange-free on the big side —
+      the same co-location argument as `dedup_cluster`'s component
+      loop (dedup.py), which this module extends from min-fold to
+      weighted-sum-fold.
+    - **Integer exactness**: rank mass is BIGINT micro-units; each
+      edge contribution is `(r * w) div ow` and each round's fold is
+      `base + (85 * Σ) div 100`, with the division nesting IDENTICAL
+      in the DuckDB oracle's unrolled r1..r{iters} CTEs — the
+      fixed-point feedback stays bit-identical across engines, which
+      float ranks cannot do (per-round rounding would compound).
+    - Teleport base uses the co-order node count (isolated parts that
+      never share an order have no edges and are excluded — a rank
+      over them is the uniform base, noise for the top-k this query
+      serves). The symmetric edge build means no dangling nodes: every
+      node has out-edges, so no separate dangling-mass redistribution
+      term is needed (the classic PageRank complication, dodged
+      structurally).
+
+    Returns the top {topk} parts by rank (rank desc, part key asc — a
+    total order for stable grading).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    half = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    sym = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    return (
+        pagerank_of(sym)
+        .select(
+            F.col("id").alias("part_key"),
+            F.col("r").cast("bigint").alias("rank_micro"),
+        )
+        .orderBy(F.col("rank_micro").desc(), F.col("part_key").asc())
+        .limit(_PR_TOPK)
+    )
+
+
+def pagerank_of(sym: DataFrame) -> DataFrame:
+    """The power-iteration fold over any symmetric weighted edge
+    frame ``(src, dst, w)`` — module-level so the hypothesis
+    differential drives the SAME loop the registered query runs.
+    Returns the full ``(id, r)`` rank frame (callers top-k it)."""
+    outw = sym.groupBy("src").agg(F.sum("w").alias("ow"))
+    edges = sym.join(outw, "src").localCheckpoint(eager=False)
+
+    n_nodes = edges.select("src").distinct().count()
+    base = (15 * (_PR_SCALE // n_nodes)) // 100
+    ranks = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("r", F.lit(_PR_SCALE // n_nodes).cast("bigint"))
+    )
+    for _ in range(_PR_ITERS):
+        ranks = (
+            edges.join(ranks, edges.src == ranks.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(
+                        f"{_PR_DAMP_PCT} * sum((r * w) div ow) div 100"
+                    )
+                ).alias("r")
+            )
+        )
+    return ranks
+
+
+graph_pagerank.__doc__ = graph_pagerank.__doc__.replace(
+    "{iters}", str(_PR_ITERS)
+).replace("{topk}", str(_PR_TOPK))
