@@ -111,6 +111,7 @@ _ROUND13_PRIORITY = [
     "dedup_bloom_incremental_verified",
     "corpus_pack_bins",
     "graph_pagerank",
+    "dq_constraints",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",
     "tpch_q21_suppliers_who_kept_waiting",

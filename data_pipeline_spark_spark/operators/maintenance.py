@@ -343,3 +343,122 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return profile("l_orderkey").unionAll(profile("l_partkey"))
+
+
+_DQ_SQL = """
+WITH m AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS c_null_qty,
+    CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS c_uniq,
+    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_range,
+    CAST(SUM(CASE WHEN l_returnflag NOT IN ('R', 'A', 'N')
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_flag,
+    CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS c_price,
+    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                    OR l_shipdate >= TIMESTAMP '2000-01-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_window
+  FROM lineitem
+),
+r AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c_ref
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL
+),
+report AS (
+          SELECT 'not_null_l_quantity' AS check_name,
+                 c_null_qty AS violations FROM m
+UNION ALL SELECT 'unique_orderkey_linenumber', n_rows - c_uniq FROM m
+UNION ALL SELECT 'range_quantity_1_50', c_range FROM m
+UNION ALL SELECT 'accepted_values_returnflag', c_flag FROM m
+UNION ALL SELECT 'non_negative_extendedprice', c_price FROM m
+UNION ALL SELECT 'shipdate_in_window', c_window FROM m
+UNION ALL SELECT 'ref_orderkey_in_orders', c_ref FROM r
+)
+SELECT check_name, violations, violations = 0 AS passed
+FROM report
+ORDER BY check_name
+"""
+
+
+@query("dq_constraints", oracle=_DQ_SQL)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ /
+    Great-Expectations shape): one report row per constraint with its
+    violation count and pass/fail verdict — the admission gate a
+    monthly batch runs before `merge_upsert` publishes it. The
+    reference's only quality control is schema-shape handling
+    (reference sparkle-v9.py:92-102 derives per-file schemas; nothing
+    validates VALUES); this operator is that missing gate.
+
+    Constraint classes covered (one representative each):
+    completeness (NOT NULL), key uniqueness, numeric range,
+    accepted-values set, non-negativity, event-time window, and
+    referential integrity. On the fixture the suite deliberately
+    reports real failures (duplicate (orderkey, linenumber) pairs and
+    post-2000 ship dates) so both verdict branches are exercised —
+    a report that can only say "passed" tests nothing.
+
+    Plan shape: the six value constraints fold into ONE scan — a
+    single aggregate of conditional sums whose shuffle is one partial
+    row per task (the exact PK-uniqueness count adds Catalyst's
+    Expand for the distinct, i.e. one PK-keyed exchange; the
+    approximate alternative at 100 TB is `agg_approx_distinct`'s HLL
+    at zero extra exchanges). Referential integrity is a LEFT ANTI
+    count against the orders key column — broadcast-sized here,
+    bloom-prefiltered at scale (`join_bloom_runtime` is the same
+    machinery). The constant-width report then comes off a 7-entry
+    `stack` over the two 1-row aggregates: no row-level data ever
+    reaches the driver."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    def count_if(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    lo = F.to_timestamp(F.lit("1992-01-01"))
+    hi = F.to_timestamp(F.lit("2000-01-01"))
+    m = li.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        count_if(F.col("l_quantity").isNull()).alias("c_null_qty"),
+        F.count_distinct(
+            F.struct("l_orderkey", "l_linenumber")
+        ).cast("bigint").alias("c_uniq"),
+        count_if(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("c_range"),
+        count_if(
+            ~F.col("l_returnflag").isin("R", "A", "N")
+        ).alias("c_flag"),
+        count_if(F.col("l_extendedprice") < 0).alias("c_price"),
+        count_if(
+            (F.col("l_shipdate") < lo) | (F.col("l_shipdate") >= hi)
+        ).alias("c_window"),
+    )
+    ref = (
+        li.join(
+            o.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("bigint").alias("c_ref"))
+    )
+    report = m.crossJoin(ref).selectExpr(
+        """stack(7,
+             'not_null_l_quantity',        c_null_qty,
+             'unique_orderkey_linenumber', n_rows - c_uniq,
+             'range_quantity_1_50',        c_range,
+             'accepted_values_returnflag', c_flag,
+             'non_negative_extendedprice', c_price,
+             'shipdate_in_window',         c_window,
+             'ref_orderkey_in_orders',     c_ref
+           ) AS (check_name, violations)"""
+    )
+    return report.select(
+        "check_name",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    ).orderBy("check_name")
