@@ -112,6 +112,7 @@ _ROUND13_PRIORITY = [
     "corpus_pack_bins",
     "graph_pagerank",
     "dq_constraints",
+    "agg_ddsketch_quantile",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",
     "tpch_q21_suppliers_who_kept_waiting",

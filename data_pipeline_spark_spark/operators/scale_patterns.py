@@ -820,3 +820,124 @@ agg_countmin_sketch.__doc__ = (
     agg_countmin_sketch.__doc__.replace("{_CMS_D}", str(_CMS_D))
     .replace("{_CMS_W}", str(_CMS_W))
 )
+
+
+_DDS_LNG = 19803  # round(1e6 * ln(gamma)) for gamma = 1.02
+_DDS_QS = (50, 95, 99)  # percentiles served
+
+_DDS_SQL = f"""
+WITH mv AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS mv
+  FROM events
+),
+cells AS (
+  SELECT event_type,
+         CAST(round(ln(mv) * 1000000) AS BIGINT) // {_DDS_LNG} AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM mv
+  GROUP BY event_type, CAST(round(ln(mv) * 1000000) AS BIGINT) // {_DDS_LNG}
+),
+cum AS (
+  SELECT event_type, b, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM cells
+),
+qs AS (SELECT UNNEST([{", ".join(str(q) for q in _DDS_QS)}]) AS q),
+hit AS (
+  SELECT event_type, q, MIN(b) AS bucket
+  FROM cum CROSS JOIN qs
+  WHERE cum >= (q * n + 99) // 100
+  GROUP BY event_type, q
+)
+SELECT event_type, CAST(q AS BIGINT) AS q, CAST(bucket AS BIGINT) AS bucket,
+       exp(((2 * bucket + 1) * {_DDS_LNG}) / 2000000.0) / 1000.0
+         AS est_value
+FROM hit
+ORDER BY event_type, q
+"""
+
+
+@query("agg_ddsketch_quantile", oracle=_DDS_SQL)
+def agg_ddsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantile estimation (Masson-Rim-Lee, VLDB 2019) over
+    per-type event values — the MERGEABLE quantile sketch completing
+    the sketch triad next to [[agg_hll_mergeable]] (distincts) and
+    [[agg_countmin_sketch]] (frequencies): log-spaced buckets
+    b = floor(ln(x)/ln(gamma)) give a RELATIVE-accuracy guarantee
+    (est/true within [gamma^-1/2, gamma^1/2], here gamma = 1.02 →
+    ±1%), and two shards' sketches merge by cell-wise addition —
+    the property exact percentiles ([[agg_median_exact]],
+    [[agg_percentile_disc]]) fundamentally lack, since a median of
+    medians is not the median. At 100 TB this is the ONLY way to
+    serve p95/p99 dashboards without a global sort: every executor
+    folds its partition into a few-hundred-row grid, the rollup sums
+    grids.
+
+    Cross-engine exactness (the [[micro_ln]] discipline): values go
+    to integer milli-units once, the bucket index is the micro-nat
+    ln integer-divided by the micro-nat of ln(gamma) — one rounding
+    per distinct integer value, everything after is bigint
+    arithmetic. Rank targets are ceil(q·n/100) as
+    ``(q*n + 99) div 100``; the single float expression is the final
+    bucket-midpoint exponential, the identical IEEE op in both
+    engines.
+
+    Plan shape: one map-side-combined groupBy(event_type, bucket)
+    over events — the ONLY event-proportional exchange; the window
+    cumsum and the quantile probe run on the cells frame (≤ a few
+    hundred rows per type: ln spans the value range, not the row
+    count). The sketch is the aggregate; the events table is read
+    once."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("bigint").alias("mv"),
+    )
+    cells = ddsketch_cells_of(e)
+    cum = cells.select(
+        "event_type",
+        "b",
+        "c",
+        F.sum("c")
+        .over(W.partitionBy("event_type").orderBy("b"))
+        .alias("cum"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in _DDS_QS])).alias("q")
+    hit = (
+        cum.select("event_type", "b", "cum", "n", qs)
+        .filter(F.expr("cum >= (q * n + 99) div 100"))
+        .groupBy("event_type", "q")
+        .agg(F.min("b").alias("bucket"))
+    )
+    return hit.select(
+        "event_type",
+        F.col("q").cast("bigint").alias("q"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        (
+            F.exp(
+                (F.lit(2) * F.col("bucket") + 1)
+                * F.lit(_DDS_LNG)
+                / F.lit(2000000.0)
+            )
+            / F.lit(1000.0)
+        ).alias("est_value"),
+    ).orderBy("event_type", "q")
+
+
+def ddsketch_cells_of(e: DataFrame) -> DataFrame:
+    """The sketch-build fold alone over any ``(event_type, mv)``
+    frame — module-level so the mergeability test sums disjoint
+    halves' grids and compares cell-wise with the full build."""
+    return (
+        e.withColumn(
+            "b",
+            F.expr(
+                f"CAST(round(ln(mv) * 1000000) AS BIGINT) div {_DDS_LNG}"
+            ),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )

@@ -553,3 +553,91 @@ def test_dq_constraints_contract(spark, sf_dir):
     assert all(r["violations"] >= 0 for r in rows)
     verdicts = {r["passed"] for r in rows}
     assert verdicts == {True, False}
+
+
+# ---------------------------------------------------------------------------
+# agg_ddsketch_quantile — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def test_ddsketch_relative_error_bound(spark, sf_dir):
+    """The DDSketch guarantee, checked against exact order
+    statistics computed independently in pandas: every estimate is
+    within gamma^1/2 - 1 (±1% at gamma = 1.02) of the true
+    ceil(q·n/100)-th value, plus a micro-ln rounding epsilon."""
+    import math
+
+    import pandas as pd
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = registry.QUERIES["agg_ddsketch_quantile"](
+        spark, sf_dir
+    ).collect()
+    assert got, "empty sketch output"
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["mv"] = (ev["value"] * 1000).round().astype("int64")
+    tol = math.sqrt(1.02) - 1 + 1e-4
+    for r in got:
+        vals = sorted(
+            ev.loc[ev["event_type"] == r["event_type"], "mv"]
+        )
+        n = len(vals)
+        true_mv = vals[-(-r["q"] * n // 100) - 1]  # ceil rank, 1-based
+        rel = abs(r["est_value"] * 1000 - true_mv) / true_mv
+        assert rel <= tol, (
+            f"{r['event_type']} p{r['q']}: est {r['est_value']*1000:.1f}"
+            f" vs true {true_mv} (rel {rel:.4f})"
+        )
+
+
+def test_ddsketch_mergeable_cellwise(spark, sf_dir):
+    """Two disjoint halves' grids, summed cell-wise, equal the full
+    build exactly — the property that lets every executor fold its
+    partition independently and rollups merge by addition."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.scale_patterns import (
+        ddsketch_cells_of,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("bigint").alias("mv"),
+        "event_id",
+    )
+    full = {
+        (r["event_type"], r["b"]): r["c"]
+        for r in ddsketch_cells_of(e.drop("event_id")).collect()
+    }
+    lo = ddsketch_cells_of(
+        e.filter(F.col("event_id") % 2 == 0).drop("event_id")
+    ).collect()
+    hi = ddsketch_cells_of(
+        e.filter(F.col("event_id") % 2 == 1).drop("event_id")
+    ).collect()
+    merged: dict = {}
+    for r in [*lo, *hi]:
+        k = (r["event_type"], r["b"])
+        merged[k] = merged.get(k, 0) + r["c"]
+    assert merged == full
+
+
+def test_ddsketch_plan_shape(spark, sf_dir):
+    """One event-proportional exchange only: the cells groupBy is
+    partially aggregated map-side BEFORE its exchange; the window
+    and quantile probe run over the cells frame; events is scanned
+    once; nothing drops to Python."""
+    import re
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    registry.load_all()
+    plan = formatted_plan(
+        registry.QUERIES["agg_ddsketch_quantile"](spark, sf_dir)
+    )
+    assert "EvalPython" not in plan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scans) == 1, f"{len(scans)} scans"
+    assert "partial_count" in plan  # map-side combine under the fold
