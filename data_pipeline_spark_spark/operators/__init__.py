@@ -113,6 +113,7 @@ _ROUND13_PRIORITY = [
     "graph_pagerank",
     "dq_constraints",
     "agg_ddsketch_quantile",
+    "graph_triangle_count",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",
     "tpch_q21_suppliers_who_kept_waiting",

@@ -156,18 +156,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the top {topk} parts by rank (rank desc, part key asc — a
     total order for stable grading).
     """
-    li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    half = (
-        items.alias("a")
-        .join(items.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count("*").cast("bigint").alias("w"))
-    )
+    half = _co_order_edges(load(spark, sf_dir, "lineitem"))
     sym = half.unionByName(
         half.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
@@ -181,6 +170,25 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rank_micro").desc(), F.col("part_key").asc())
         .limit(_PR_TOPK)
+    )
+
+
+def _co_order_edges(li: DataFrame) -> DataFrame:
+    """The undirected co-order part graph as HALF edges (src < dst,
+    one row per unordered pair, w = co-order count) — shared by
+    `graph_pagerank` and `graph_triangle_count` so both keys rank
+    the same structure. One shuffle on l_orderkey; per-order fan-out
+    bounded by C(order size, 2)."""
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    return (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
     )
 
 
@@ -218,3 +226,156 @@ def pagerank_of(sym: DataFrame) -> DataFrame:
 graph_pagerank.__doc__ = graph_pagerank.__doc__.replace(
     "{iters}", str(_PR_ITERS)
 ).replace("{topk}", str(_PR_TOPK))
+
+
+#: Total-order packing for the degree orientation: ord = deg * _TRI_C
+#: + id. Part keys are far below 1e9, so the pack is collision-free
+#: and (deg, id) lexicographic order becomes ONE bigint comparison.
+_TRI_C = 1_000_000_000
+
+#: Top-k rows returned by graph_triangle_count.
+_TRI_TOPK = 20
+
+_TRI_SQL = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    half AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT src AS id FROM half
+        UNION ALL
+        SELECT dst AS id FROM half
+      ) GROUP BY id
+    ),
+    dir AS (
+      SELECT CASE WHEN ds.d * {_TRI_C} + h.src < dd.d * {_TRI_C} + h.dst
+                  THEN ds.d * {_TRI_C} + h.src
+                  ELSE dd.d * {_TRI_C} + h.dst END AS ou,
+             CASE WHEN ds.d * {_TRI_C} + h.src < dd.d * {_TRI_C} + h.dst
+                  THEN dd.d * {_TRI_C} + h.dst
+                  ELSE ds.d * {_TRI_C} + h.src END AS ov
+      FROM half h
+      JOIN deg ds ON ds.id = h.src
+      JOIN deg dd ON dd.id = h.dst
+    ),
+    tri AS (
+      SELECT e1.ou AS o1, e1.ov AS o2, e2.ov AS o3
+      FROM dir e1
+      JOIN dir e2 ON e2.ou = e1.ou AND e1.ov < e2.ov
+      JOIN dir e3 ON e3.ou = e1.ov AND e3.ov = e2.ov
+    ),
+    pernode AS (
+      SELECT o % {_TRI_C} AS part_key,
+             CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (
+        SELECT o1 AS o FROM tri
+        UNION ALL SELECT o2 FROM tri
+        UNION ALL SELECT o3 FROM tri
+      )
+      GROUP BY o % {_TRI_C}
+    )
+    SELECT part_key, triangles FROM pernode
+    ORDER BY triangles DESC, part_key ASC
+    LIMIT {_TRI_TOPK}
+"""
+
+
+@query("graph_triangle_count", oracle=_TRI_SQL)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-order graph — the
+    clustering-structure primitive (local density, community
+    seeding, spam/anomaly signals) next to `graph_pagerank`'s
+    importance and `dedup_cluster`'s connectivity; all three read
+    the SAME `_co_order_edges` structure.
+
+    The scale-defining trick is DEGREE ORIENTATION (the classic
+    O(m^3/2) triangle bound): every undirected edge is directed from
+    its lower-(degree, id) endpoint to the higher, packed into ONE
+    bigint comparison via ord = deg·C + id. Under that orientation
+    the graph is acyclic, every triangle is counted EXACTLY once
+    (apexed at its min-ord vertex), and — the load-bearing part —
+    out-degree is bounded by O(√m) even for hub nodes, so the wedge
+    self-join's fan-out is Σ C(outdeg(v), 2) minimized over all
+    orientations: a mega-hub that would explode an id-ordered wedge
+    join into C(hub, 2) candidates instead contributes only wedges
+    apexed at its (low-degree) neighbors. This is the same
+    in-row-fan-out discipline as `basket_pair_affinity`'s item_cap,
+    achieved structurally instead of by truncation.
+
+    Plan: three joins — wedge (dir ⋈ dir on the apex) and closure
+    (wedge ⋈ dir on the oriented far pair), both equi-joins on ord
+    keys that AQE sizes; then a 3-way explode and a count. No
+    iteration, no Python, cardinalities bounded by the orientation
+    argument. Top {topk} parts by (triangles desc, part key asc).
+    """
+    half = _co_order_edges(
+        load(spark, sf_dir, "lineitem")
+    ).select("src", "dst")
+    pernode = triangle_counts_of(half)
+    return pernode.orderBy(
+        F.col("triangles").desc(), F.col("part_key").asc()
+    ).limit(_TRI_TOPK)
+
+
+def triangle_counts_of(half: DataFrame) -> DataFrame:
+    """Degree-oriented triangle counting over any half-edge frame
+    ``(src, dst)`` with src < dst, one row per undirected edge —
+    module-level so the hypothesis differential and the synthetic
+    K4/pendant contracts drive the SAME joins the registered query
+    runs. Returns the full per-node ``(part_key, triangles)`` frame
+    (callers top-k it)."""
+    deg = (
+        half.select(F.col("src").alias("id"))
+        .unionAll(half.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    j = (
+        half.join(deg.withColumnRenamed("id", "src"), "src")
+        .withColumnRenamed("d", "ds")
+        .join(deg.withColumnRenamed("id", "dst"), "dst")
+        .withColumnRenamed("d", "dd")
+        .select(
+            (F.col("ds") * _TRI_C + F.col("src")).alias("os"),
+            (F.col("dd") * _TRI_C + F.col("dst")).alias("od"),
+        )
+    )
+    direct = j.select(
+        F.least("os", "od").alias("ou"),
+        F.greatest("os", "od").alias("ov"),
+    ).localCheckpoint(eager=False)
+    e1, e2, e3 = direct.alias("e1"), direct.alias("e2"), direct.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.ou") == F.col("e2.ou"))
+            & (F.col("e1.ov") < F.col("e2.ov")),
+        )
+        .join(
+            e3,
+            (F.col("e3.ou") == F.col("e1.ov"))
+            & (F.col("e3.ov") == F.col("e2.ov")),
+        )
+        .select(
+            F.col("e1.ou").alias("o1"),
+            F.col("e1.ov").alias("o2"),
+            F.col("e2.ov").alias("o3"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("o1", "o2", "o3")).alias("o"))
+        .groupBy((F.col("o") % _TRI_C).alias("part_key"))
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+
+
+graph_triangle_count.__doc__ = graph_triangle_count.__doc__.replace(
+    "{topk}", str(_TRI_TOPK)
+)

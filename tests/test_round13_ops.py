@@ -641,3 +641,98 @@ def test_ddsketch_plan_shape(spark, sf_dir):
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
     assert len(scans) == 1, f"{len(scans)} scans"
     assert "partial_count" in plan  # map-side combine under the fold
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_count — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def _py_triangles(edges):
+    """Brute-force per-node triangle counts from an undirected edge
+    set (frozenset pairs) — independent of any orientation trick."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    nbr = defaultdict(set)
+    for a, b in edges:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    cnt = defaultdict(int)
+    for v in nbr:
+        for a, b in combinations(sorted(nbr[v]), 2):
+            if v < a and b in nbr[a]:
+                for x in (v, a, b):
+                    cnt[x] += 1
+    return dict(cnt)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_triangle_fold_matches_python(spark, raw):
+    """Hypothesis differential: the degree-oriented 3-join count
+    equals a brute-force neighbor-set intersection on arbitrary
+    graphs — exactly, per node."""
+    from data_pipeline_spark_spark.operators.graph import (
+        triangle_counts_of,
+    )
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        r["part_key"]: r["triangles"]
+        for r in triangle_counts_of(df).collect()
+    }
+    assert got == _py_triangles(edges)
+
+
+def test_triangle_known_shapes(spark):
+    """Closed-form contracts: K4 has 4 triangles with every vertex
+    in exactly 3; adding a pendant vertex changes nothing; a
+    4-cycle (no chord) has none."""
+    from data_pipeline_spark_spark.operators.graph import (
+        triangle_counts_of,
+    )
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 9)]
+    got = {
+        r["part_key"]: r["triangles"]
+        for r in triangle_counts_of(
+            spark.createDataFrame(k4, "src long, dst long")
+        ).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    c4 = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    assert (
+        triangle_counts_of(
+            spark.createDataFrame(c4, "src long, dst long")
+        ).count()
+        == 0
+    )
+
+
+def test_triangle_plan_shape(spark, sf_dir):
+    """Equi-joins only (the orientation makes the closure a plain
+    two-column equality), no Python, no cartesian product, top-k as
+    TakeOrdered."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    registry.load_all()
+    plan = formatted_plan(
+        registry.QUERIES["graph_triangle_count"](spark, sf_dir)
+    )
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
