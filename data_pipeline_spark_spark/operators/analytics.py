@@ -1753,3 +1753,113 @@ def l_diversity_of(e: DataFrame) -> DataFrame:
         F.round(h * 1e6).cast("bigint").alias("entropy_micronats"),
         (F.count("*") >= _L_DIVERSITY).alias("diverse"),
     )
+
+
+_ABTEST_SQL = """
+    WITH m AS (
+      SELECT event_type,
+             user_id % 2 AS arm,
+             CAST(round(value * 1000) AS BIGINT) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS BIGINT)
+               AS ss0,
+             CAST(SUM(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS BIGINT)
+               AS ss1
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type,
+           n0 AS n_control,
+           n1 AS n_treatment,
+           CAST(s0 AS DOUBLE) / (1000.0 * n0) AS mean_control,
+           CAST(s1 AS DOUBLE) / (1000.0 * n1) AS mean_treatment,
+           (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+             / sqrt(
+                 (CAST(n1 AS DOUBLE) * ss1 - CAST(s1 AS DOUBLE) * s1)
+                   / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1
+                 + (CAST(n0 AS DOUBLE) * ss0 - CAST(s0 AS DOUBLE) * s0)
+                   / (CAST(n0 AS DOUBLE) * (n0 - 1)) / n0
+               ) AS t_welch
+    FROM s
+    WHERE n0 > 1 AND n1 > 1
+    ORDER BY event_type
+"""
+
+
+@query("abtest_welch_ttest", oracle=_ABTEST_SQL)
+def abtest_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout per event type: Welch's unequal-variance
+    t-statistic between two deterministically assigned arms — the
+    analysis every product-analytics stack runs on its events table
+    next to [[funnel_steps]] and [[cohort_retention]] (the
+    reference's predefined-query class, reference README.md:16).
+    Arm assignment here is ``user_id % 2`` so the oracle replays it
+    exactly; production swaps in a salted-hash bucketing
+    (`corpus_sample_hash`'s md5 machinery) with the identical
+    downstream plan.
+
+    Exactness (the [[agg_corr_exact]] moment discipline): values go
+    to integer milli-units once, each arm's (n, Σx, Σx²) moments are
+    exact BIGINTs folded in ONE conditional aggregate — shuffle
+    carries six longs per event type, never row data — and the
+    t-statistic is a single final double expression with identical
+    operation order in both engines: variance via the
+    (n·Σx² − (Σx)²)/(n(n−1)) form, standard error as var/n summed
+    across arms, one sqrt. Arms with n ≤ 1 are excluded (variance
+    undefined) rather than emitted as NULL/Inf.
+
+    Scale: one map-side-combined groupBy(event_type) over events is
+    the entire data-proportional cost; the t computation happens on
+    the handful of report rows. The same six-moment fold serves
+    sequential testing or CUPED adjustment without replanning."""
+    e = load(spark, sf_dir, "events")
+    m = e.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    )
+
+    def arm_sum(a: int, expr):
+        return F.sum(F.when(F.col("arm") == a, expr).otherwise(0)).cast(
+            "bigint"
+        )
+
+    s = m.groupBy("event_type").agg(
+        arm_sum(0, F.lit(1)).alias("n0"),
+        arm_sum(1, F.lit(1)).alias("n1"),
+        arm_sum(0, F.col("x")).alias("s0"),
+        arm_sum(1, F.col("x")).alias("s1"),
+        arm_sum(0, F.col("x") * F.col("x")).alias("ss0"),
+        arm_sum(1, F.col("x") * F.col("x")).alias("ss1"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    s0d, s1d = F.col("s0").cast("double"), F.col("s1").cast("double")
+    var0 = (n0d * F.col("ss0") - s0d * F.col("s0")) / (
+        n0d * (F.col("n0") - 1)
+    )
+    var1 = (n1d * F.col("ss1") - s1d * F.col("s1")) / (
+        n1d * (F.col("n1") - 1)
+    )
+    t = (s1d / F.col("n1") - s0d / F.col("n0")) / F.sqrt(
+        var1 / F.col("n1") + var0 / F.col("n0")
+    )
+    return (
+        s.filter((F.col("n0") > 1) & (F.col("n1") > 1))
+        .select(
+            "event_type",
+            F.col("n0").alias("n_control"),
+            F.col("n1").alias("n_treatment"),
+            (s0d / (F.lit(1000.0) * F.col("n0"))).alias("mean_control"),
+            (s1d / (F.lit(1000.0) * F.col("n1"))).alias(
+                "mean_treatment"
+            ),
+            t.alias("t_welch"),
+        )
+        .orderBy("event_type")
+    )

@@ -736,3 +736,114 @@ def test_triangle_plan_shape(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# abtest_welch_ttest — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def test_abtest_matches_python_welch(spark, sf_dir):
+    """Differential against an independent pandas/python Welch
+    computation over the same milli-unit integers."""
+    import math
+
+    import pandas as pd
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["abtest_welch_ttest"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["x"] = (ev["value"] * 1000).round().astype("int64")
+    ev["arm"] = ev["user_id"] % 2
+    for et, g in ev.groupby("event_type"):
+        a0 = g.loc[g["arm"] == 0, "x"]
+        a1 = g.loc[g["arm"] == 1, "x"]
+        if len(a0) <= 1 or len(a1) <= 1:
+            assert et not in got
+            continue
+        n0, n1 = len(a0), len(a1)
+        s0, s1 = int(a0.sum()), int(a1.sum())
+        ss0, ss1 = int((a0**2).sum()), int((a1**2).sum())
+        v0 = (n0 * ss0 - s0 * s0) / (n0 * (n0 - 1))
+        v1 = (n1 * ss1 - s1 * s1) / (n1 * (n1 - 1))
+        t = (s1 / n1 - s0 / n0) / math.sqrt(v1 / n1 + v0 / n0)
+        r = got[et]
+        assert (r["n_control"], r["n_treatment"]) == (n0, n1)
+        assert abs(r["mean_control"] - s0 / (1000.0 * n0)) < 1e-9
+        assert abs(r["t_welch"] - t) < 1e-9 * max(1.0, abs(t))
+
+
+def test_abtest_plan_shape(spark, sf_dir):
+    """One scan, one map-side-combined aggregate exchange (shuffle
+    carries six longs per event type), no Python."""
+    import re
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    registry.load_all()
+    plan = formatted_plan(
+        registry.QUERIES["abtest_welch_ttest"](spark, sf_dir)
+    )
+    assert "EvalPython" not in plan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scans) == 1
+    assert "partial" in plan.lower()
+    ex = re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)
+    assert len(ex) <= 2, ex  # agg exchange (+ the final orderBy range)
+
+
+def test_abtest_arm_swap_negates_t(spark, sf_dir):
+    """Contract: relabeling the arms (user_id % 2 -> 1 - arm) exactly
+    negates the t-statistic and swaps the arm columns — the readout
+    is symmetric, with no hidden directional bias."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        abtest_welch_ttest,
+    )
+
+    registry.load_all()
+    base = {
+        r["event_type"]: r
+        for r in abtest_welch_ttest(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events").withColumn(
+        "user_id", F.col("user_id") + 1
+    )
+    # +1 flips the parity of every user_id, i.e. swaps the arms
+    import data_pipeline_spark_spark.catalog as cat
+
+    orig = cat.load
+    try:
+        cat.load = lambda sp, sf, name, _e=e, _o=orig: (
+            _e if name == "events" else _o(sp, sf, name)
+        )
+        import data_pipeline_spark_spark.operators.analytics as an
+
+        orig_an = an.load
+        an.load = cat.load
+        try:
+            swapped = {
+                r["event_type"]: r
+                for r in abtest_welch_ttest(spark, sf_dir).collect()
+            }
+        finally:
+            an.load = orig_an
+    finally:
+        cat.load = orig
+    assert set(base) == set(swapped)
+    for et in base:
+        b, s = base[et], swapped[et]
+        assert (s["n_control"], s["n_treatment"]) == (
+            b["n_treatment"],
+            b["n_control"],
+        )
+        assert abs(s["t_welch"] + b["t_welch"]) < 1e-12
