@@ -115,6 +115,7 @@ _ROUND13_PRIORITY = [
     "agg_ddsketch_quantile",
     "graph_triangle_count",
     "abtest_welch_ttest",
+    "stream_ddsketch",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",
     "tpch_q21_suppliers_who_kept_waiting",

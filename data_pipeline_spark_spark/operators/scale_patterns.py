@@ -895,7 +895,17 @@ def agg_ddsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 1000).cast("bigint").alias("mv"),
     )
-    cells = ddsketch_cells_of(e)
+    return ddsketch_serve(ddsketch_cells_of(e))
+
+
+def ddsketch_serve(cells: DataFrame) -> DataFrame:
+    """The quantile probe over a built (event_type, b, c) grid —
+    shared verbatim by the batch key and [[stream_countmin]]'s
+    streaming twin `stream_ddsketch` (streaming converges to the
+    same grid, so both serve through ONE code path and grade
+    against ONE oracle)."""
+    from pyspark.sql import Window as W
+
     cum = cells.select(
         "event_type",
         "b",

@@ -1211,3 +1211,106 @@ def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(sink)
         except Exception:
             pass
+
+
+from .scale_patterns import _DDS_SQL as _STREAM_DDS_SQL  # noqa: E402
+
+#: Streaming-state ceiling for the DDSketch grid: buckets span the
+#: DECLARED value domain, not the row count — milli-units in
+#: [1, 1e9] give at most ln(1e9)·1e6 div 19803 ≈ 1047 log-buckets,
+#: times a bounded event-type vocabulary.
+_DDS_MAX_TYPES = 16
+_DDS_MAX_BUCKETS = 1047
+
+
+@query(
+    "stream_ddsketch",
+    oracle=_STREAM_DDS_SQL,
+)
+def stream_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The [[agg_ddsketch_quantile]] grid maintained by Structured
+    Streaming — the quantile member of the streaming-sketch pair
+    next to [[stream_countmin]]: events arrive in 4 micro-batches,
+    each row maps to its log-bucket IN-ROW (the identical micro-nat
+    integer expression the batch key and the DuckDB oracle
+    evaluate), and the (event_type, bucket) grid is ONE streaming
+    aggregation in complete output mode. The quantile probe then
+    runs over the converged grid through the SAME
+    `ddsketch_serve` code path the batch key uses, so the
+    streaming result must equal the batch sketch row-for-row —
+    which the shared oracle asserts.
+
+    Why this is the production shape: streaming STATE is the grid,
+    and the grid is bounded by the VALUE DOMAIN, not the stream —
+    at most ln(max/min)/ln(gamma) buckets per type
+    ({_DDS_MAX_BUCKETS} for the declared milli-unit domain) however
+    long the stream runs, which is the entire point of sketching
+    percentiles on a feed: a plain per-value streaming state would
+    grow without bound, and exact streaming percentiles are
+    impossible in bounded memory. p95/p99 latency dashboards ARE
+    this query. The memory-sink round-trip is the documented
+    test-harness pattern; production publishes the grid and merges
+    shards cell-wise (mergeability proven in the batch key's
+    tests)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .scale_patterns import _DDS_LNG, ddsketch_serve
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="dps_sdds_src_")
+    sink = f"stream_dds_sink_{os.getpid()}"
+    try:
+        e.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        bucket = F.expr(
+            "CAST(round(ln(CAST(round(value * 1000) AS BIGINT))"
+            f" * 1000000) AS BIGINT) div {_DDS_LNG}"
+        )
+        cells = (
+            stream.select("event_type", bucket.alias("b"))
+            .groupBy("event_type", "b")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        q = (
+            cells.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        prog = q.lastProgress
+        state_rows = (
+            prog["stateOperators"][0]["numRowsTotal"]
+            if prog and prog.get("stateOperators")
+            else -1
+        )
+        bound = _DDS_MAX_TYPES * _DDS_MAX_BUCKETS
+        if not (0 <= state_rows <= bound):
+            raise AssertionError(
+                f"DDSketch stream state held {state_rows} rows — more "
+                f"than the {bound}-cell domain bound; the sketch "
+                "bound is broken"
+            )
+        result = ddsketch_serve(spark.table(sink))
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+
+
+stream_ddsketch.__doc__ = stream_ddsketch.__doc__.replace(
+    "{_DDS_MAX_BUCKETS}", str(_DDS_MAX_BUCKETS)
+)

@@ -847,3 +847,31 @@ def test_abtest_arm_swap_negates_t(spark, sf_dir):
             b["n_control"],
         )
         assert abs(s["t_welch"] + b["t_welch"]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# stream_ddsketch — convergence / state bound
+# ---------------------------------------------------------------------------
+
+
+def test_stream_ddsketch_converges_to_batch(spark, sf_dir):
+    """The streaming grid served through the shared ddsketch_serve
+    path equals the batch sketch row-for-row; the operator itself
+    raises if streaming state exceeds the value-domain bound, so a
+    green run IS the bound proof."""
+    from data_pipeline_spark_spark.operators.scale_patterns import (
+        agg_ddsketch_quantile,
+    )
+    from data_pipeline_spark_spark.operators.streaming_batch import (
+        stream_ddsketch,
+    )
+
+    got = {
+        (r.event_type, r.q): (r.bucket, r.est_value)
+        for r in stream_ddsketch(spark, sf_dir).collect()
+    }
+    want = {
+        (r.event_type, r.q): (r.bucket, r.est_value)
+        for r in agg_ddsketch_quantile(spark, sf_dir).collect()
+    }
+    assert got == want
