@@ -116,6 +116,7 @@ _ROUND13_PRIORITY = [
     "graph_triangle_count",
     "abtest_welch_ttest",
     "stream_ddsketch",
+    "mv_join_delta_refresh",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",
     "tpch_q21_suppliers_who_kept_waiting",

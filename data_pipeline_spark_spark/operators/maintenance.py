@@ -462,3 +462,87 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violations",
         (F.col("violations") == 0).alias("passed"),
     ).orderBy("check_name")
+
+
+_MV_JOIN_SQL = """
+    SELECT o.o_orderpriority,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_c
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority, year(l.l_shipdate)
+"""
+
+
+@query("mv_join_delta_refresh", oracle=_MV_JOIN_SQL)
+def mv_join_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta-join
+    algebra step up from [[mv_incremental_refresh]]'s single-table
+    MV: the view aggregates revenue per (order priority, ship year)
+    over orders ⋈ lineitem, and the refresh absorbs a month's
+    arrivals without rejoining history. The delta model is the
+    reference platform's own ingest unit (reference README.md:10-11
+    — monthly batches): an order arrives WITH its line items, so the
+    delta view is delta-orders ⋈ their-lineitems and the general
+    ΔQ = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB collapses to the one term the batch
+    actually ships — no history-side join at all.
+
+    Refresh = base view ⊕ delta view by full-outer merge of the
+    mergeable state (COUNT + exact integer-cent SUM, associative →
+    merge == recompute bit-for-bit). The ORACLE IS THE FULL
+    RECOMPUTE over all data: the driver-checked equality is the
+    incremental-view-maintenance invariant itself.
+
+    Scale shape: the base branch is the one-time backfill; the
+    recurring cost is the delta branch, where the month's orders are
+    a date-partition scan (predicate pushed to the orders scan,
+    pinned) joined — broadcast-sized — onto the batch's lineitems,
+    plus an O(|MV|) merge shuffle. A full recompute at 100 TB
+    rejoins the entire fact pair every month; this path touches
+    only the arrivals."""
+    cutoff = "2000-01-01"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.year("l_shipdate").alias("ship_year"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    keys = ["o_orderpriority", "ship_year"]
+
+    def view_of(orders_slice: DataFrame) -> DataFrame:
+        return (
+            orders_slice.join(
+                li, orders_slice.o_orderkey == li.l_orderkey
+            )
+            .groupBy(*keys)
+            .agg(
+                F.count("*").cast("bigint").alias("n_items"),
+                F.sum("cents").cast("bigint").alias("revenue_c"),
+            )
+        )
+
+    base = view_of(o.filter(F.col("o_orderdate") < F.lit(cutoff)))
+    delta = view_of(
+        F.broadcast(o.filter(F.col("o_orderdate") >= F.lit(cutoff)))
+    )
+    b = base.toDF(*keys, "n_b", "rev_b")
+    d = delta.toDF(*keys, "n_d", "rev_d")
+    zero = F.lit(0).cast("bigint")
+    return (
+        b.join(d, keys, "full_outer")
+        .select(
+            "o_orderpriority",
+            F.col("ship_year").cast("bigint").alias("ship_year"),
+            (F.coalesce("n_b", zero) + F.coalesce("n_d", zero)).alias(
+                "n_items"
+            ),
+            (
+                F.coalesce("rev_b", zero) + F.coalesce("rev_d", zero)
+            ).alias("revenue_c"),
+        )
+    )

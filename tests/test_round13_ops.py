@@ -875,3 +875,71 @@ def test_stream_ddsketch_converges_to_batch(spark, sf_dir):
         for r in agg_ddsketch_quantile(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mv_join_delta_refresh — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def test_mv_join_delta_equals_full_recompute(spark, sf_dir):
+    """The IVM invariant checked without DuckDB: base ⊕ delta equals
+    a from-scratch recompute of the join view, bit-for-bit (exact
+    integer cents make merge == recompute associative)."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+
+    registry.load_all()
+    got = {
+        (r["o_orderpriority"], r["ship_year"]): (
+            r["n_items"],
+            r["revenue_c"],
+        )
+        for r in registry.QUERIES["mv_join_delta_refresh"](
+            spark, sf_dir
+        ).collect()
+    }
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    full = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderpriority",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev"),
+        )
+        .collect()
+    )
+    want = {
+        (r["o_orderpriority"], r["ship_year"]): (r["n"], r["rev"])
+        for r in full
+    }
+    assert got == want
+
+
+def test_mv_join_delta_plan_shape(spark, sf_dir):
+    """The recurring branch is cheap by construction: the cutoff
+    predicate is PUSHED into the orders scans (both slices), the
+    delta join is a broadcast, and nothing drops to Python."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    registry.load_all()
+    plan = formatted_plan(
+        registry.QUERIES["mv_join_delta_refresh"](spark, sf_dir)
+    )
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "o_orderdate" in ln
+    ]
+    assert len(pushed) >= 2, pushed
