@@ -629,11 +629,22 @@ def _ffd_fold(ds_col):
     over the shard's size-sorted doc array — zero Python in the
     loop. Accumulator = (loads, nd): per-open-bin token loads and
     doc counts. Each step probes the first bin whose load still
-    admits the doc (filter over bin indices → first hit; bins are
-    ≤ capacity/min_doc ≈ tens, so the linear probe is in-register
-    work) and either updates it positionally or opens a new bin.
+    admits the doc (filter over bin indices → first hit) and either
+    updates it positionally or opens a new bin.
     try_element_at + the size() guard keep ANSI mode happy on the
-    empty accumulator (sequence(0,-1) would DESCEND, not empty)."""
+    empty accumulator (sequence(0,-1) would DESCEND, not empty).
+
+    The first-fit index ``j`` is LET-BOUND once per step through a
+    1-element ``transform`` (``transform(array(j), jj -> body)[1]``)
+    before the positional updates use it. Higher-order functions are
+    interpreted (no whole-stage codegen) and Catalyst does NO common-
+    subexpression elimination across lambda boundaries, so referencing
+    ``j`` — itself a filter over all open bins — inside the per-element
+    update lambdas re-evaluates that filter PER BIN, turning each step
+    into O(bins²). The r13 sf1 probe caught exactly that cliff: 50k
+    docs → ~165 open bins/shard made the un-bound form ~940× the
+    sf0.1 cost (minutes per run); with the binding each step is
+    O(bins) and the whole fold is Σbins ≈ total_tokens/L per shard."""
     init = F.struct(
         F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("loads"),
         F.expr("CAST(array() AS ARRAY<INT>)").alias("nd"),
@@ -651,26 +662,30 @@ def _ffd_fold(ds_col):
             <= F.lit(_SEQ_TOKENS),
         )
         j = F.try_element_at(fits, F.lit(1))
-        has = j.isNotNull()
-        new_loads = F.when(
-            has,
-            F.transform(
-                acc["loads"],
-                lambda v, i: F.when(i == j, v + sz).otherwise(v),
-            ),
-        ).otherwise(F.concat(acc["loads"], F.array(sz)))
-        new_nd = F.when(
-            has,
-            F.transform(
-                acc["nd"],
-                lambda v, i: F.when(i == j, v + 1).otherwise(v),
-            ),
-        ).otherwise(
-            F.concat(acc["nd"], F.array(F.lit(1).cast("int")))
-        )
-        return F.struct(
-            new_loads.alias("loads"), new_nd.alias("nd")
-        )
+
+        def body(jj):
+            has = jj.isNotNull()
+            new_loads = F.when(
+                has,
+                F.transform(
+                    acc["loads"],
+                    lambda v, i: F.when(i == jj, v + sz).otherwise(v),
+                ),
+            ).otherwise(F.concat(acc["loads"], F.array(sz)))
+            new_nd = F.when(
+                has,
+                F.transform(
+                    acc["nd"],
+                    lambda v, i: F.when(i == jj, v + 1).otherwise(v),
+                ),
+            ).otherwise(
+                F.concat(acc["nd"], F.array(F.lit(1).cast("int")))
+            )
+            return F.struct(
+                new_loads.alias("loads"), new_nd.alias("nd")
+            )
+
+        return F.try_element_at(F.transform(F.array(j), body), F.lit(1))
 
     return F.aggregate(ds_col, init, merge)
 
