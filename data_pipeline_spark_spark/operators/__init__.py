@@ -117,6 +117,7 @@ _ROUND13_PRIORITY = [
     "abtest_welch_ttest",
     "stream_ddsketch",
     "mv_join_delta_refresh",
+    "skyline_pareto",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",
     "tpch_q21_suppliers_who_kept_waiting",

@@ -1863,3 +1863,91 @@ def abtest_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# skyline_pareto — Pareto-dominance skyline as ONE window sweep
+# ---------------------------------------------------------------------------
+
+_SKYLINE_SQL = """
+    WITH p AS (
+      SELECT p_partkey, p_brand,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS INT) AS size
+      FROM part
+    )
+    SELECT b.p_brand AS brand, b.p_partkey AS part_key,
+           b.price_cents, b.size
+    FROM p b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p a
+      WHERE a.p_brand = b.p_brand
+        AND a.price_cents <= b.price_cents
+        AND a.size >= b.size
+        AND (a.price_cents < b.price_cents OR a.size > b.size)
+    )
+"""
+
+
+def skyline_2d(pts: DataFrame, group: str, cost: str, gain: str) -> DataFrame:
+    """2-D Pareto skyline (minimize ``cost``, maximize ``gain``) per
+    ``group`` as ONE window sweep — the classic plane-sweep made
+    distributed: sort each group by cost, then a point survives iff
+    no strictly-cheaper point has gain ≥ its own (running max over
+    ``rangeBetween(-inf, -1)``) and no equal-cost point has gain
+    strictly greater (``rangeBetween(0, 0)`` frame max). Equal-cost
+    equal-gain duplicates dominate nothing and are all kept —
+    standard skyline tie semantics. Module-level so the hypothesis
+    differential can drive it with arbitrary point sets against a
+    literal O(n²) dominance check."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(F.col(cost).asc())
+    cheaper_max = F.max(gain).over(
+        w.rangeBetween(Window.unboundedPreceding, -1)
+    )
+    equal_max = F.max(gain).over(w.rangeBetween(0, 0))
+    return pts.withColumn(
+        "_keep",
+        (cheaper_max.isNull() | (cheaper_max < F.col(gain)))
+        & (equal_max <= F.col(gain)),
+    ).filter(F.col("_keep")).drop("_keep")
+
+
+@query("skyline_pareto", oracle=_SKYLINE_SQL)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-dominance skyline (Börzsönyi 2001's SKYLINE OF) per
+    brand over the part catalog: the parts for which no same-brand
+    part is both cheaper-or-equal and larger-or-equal with at least
+    one strict — the multi-criteria shortlist operator (cheapest-vs-
+    largest here; price-vs-quality, cost-vs-freshness in a curation
+    pipeline) the reference's predefined-query class would bolt on
+    as a view (reference README.md:16).
+
+    The textbook formulation is the O(n²) NOT EXISTS self-join the
+    DuckDB oracle runs verbatim. The Spark plan is the 2-D
+    plane-sweep instead ([[skyline_2d]]): ONE exchange
+    (hashpartitioning on brand), ONE sort (cost asc), and two frame
+    maxima over the same window ordering — running gain-max over
+    strictly-cheaper rows and frame gain-max over equal-cost rows —
+    so dominance collapses to two scalar comparisons per row. No
+    self-join, no candidate blow-up: cost is sort + linear scan,
+    EXACTLY the plan you want at 100 TB where the quadratic oracle
+    is unrunnable. A single mega-group range-partitions on the sort
+    key instead (the sweep only needs each partition's prefix-max,
+    one boundary exchange); d>2 dimensions grid-partition + local
+    skyline + closure-verify — both noted here, neither needed for
+    the 2-D catalog shape. Prices go to exact integer cents once
+    (the repo-wide [[tpch_q1_pricing_summary]] discipline), so the
+    sweep's comparisons and the oracle's are the same integers."""
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_key"),
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    return skyline_2d(p, "brand", "price_cents", "size").select(
+        "brand", "part_key", "price_cents", "size"
+    )

@@ -943,3 +943,126 @@ def test_mv_join_delta_plan_shape(spark, sf_dir):
         if "PushedFilters" in ln and "o_orderdate" in ln
     ]
     assert len(pushed) >= 2, pushed
+
+
+# ---------------------------------------------------------------------------
+# skyline_pareto — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def _py_skyline(pts):
+    """Literal O(n²) dominance check. pts = [(grp, cost, gain, id)]."""
+    out = []
+    for b in pts:
+        dominated = any(
+            a[0] == b[0]
+            and a[1] <= b[1]
+            and a[2] >= b[2]
+            and (a[1] < b[1] or a[2] > b[2])
+            for a in pts
+        )
+        if not dominated:
+            out.append(b)
+    return sorted(out)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),   # group
+            st.integers(0, 8),   # cost — small domain forces ties
+            st.integers(0, 4),   # gain — ditto, incl. exact duplicates
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_skyline_sweep_matches_python(spark, raw):
+    """Differential: the one-window plane-sweep equals the literal
+    O(n²) dominance filter on arbitrary point sets — equal-cost
+    ties, equal-gain ties, and exact duplicates included (duplicates
+    dominate nothing: all copies stay)."""
+    from data_pipeline_spark_spark.operators.analytics import skyline_2d
+
+    pts = [(g, c, gn, i) for i, (g, c, gn) in enumerate(raw)]
+    df = spark.createDataFrame(
+        pts, "grp int, cost long, gain int, id long"
+    )
+    got = sorted(
+        (r.grp, r.cost, r.gain, r.id)
+        for r in skyline_2d(df, "grp", "cost", "gain").collect()
+    )
+    assert got == _py_skyline(pts)
+
+
+def test_skyline_plan_shape(spark, sf_dir):
+    """The scale claim: NO self-join, ONE exchange (hashpartitioning
+    on brand) feeding one sort + window — dominance as two frame
+    maxima, linear after the sort, vs the oracle's quadratic
+    NOT EXISTS."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    registry.load_all()
+    plan = formatted_plan(registry.QUERIES["skyline_pareto"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "Window" in plan
+    ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Arguments: hashpartitioning" in ln
+        or "Arguments: SinglePartition" in ln
+    ]
+    assert len(ex) == 1 and "brand" in ex[0], ex
+
+
+def test_skyline_contract(spark, sf_dir):
+    """Skyline closure on the fixture: (a) skyline rows are mutually
+    non-dominated; (b) EVERY excluded part is dominated by some
+    skyline part of its brand (dominance is transitive, so a
+    skyline-side witness always exists); (c) per brand the skyline
+    is a strict staircase — prices strictly increase with strictly
+    increasing sizes once duplicates collapse."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    sky = registry.QUERIES["skyline_pareto"](spark, sf_dir).collect()
+    from data_pipeline_spark_spark.catalog import load as _load
+
+    allp = [
+        (r.brand, r.price_cents, r.size, r.part_key)
+        for r in _load(spark, sf_dir, "part")
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(F.col("p_retailprice") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+            F.col("p_size").cast("int").alias("size"),
+            F.col("p_partkey").alias("part_key"),
+        )
+        .collect()
+    ]
+    skyset = {(r.brand, r.price_cents, r.size, r.part_key) for r in sky}
+
+    def dominates(a, b):
+        return (
+            a[0] == b[0]
+            and a[1] <= b[1]
+            and a[2] >= b[2]
+            and (a[1] < b[1] or a[2] > b[2])
+        )
+
+    for b in skyset:  # (a) mutually non-dominated
+        assert not any(dominates(a, b) for a in skyset if a != b)
+    by_brand = {}
+    for a in skyset:
+        by_brand.setdefault(a[0], []).append(a)
+    for b in allp:  # (b) closure: a skyline witness dominates every reject
+        if b not in skyset:
+            assert any(dominates(a, b) for a in by_brand[b[0]]), b
+    for brand, rows in by_brand.items():  # (c) staircase
+        stair = sorted({(p, s) for _, p, s, _ in rows})
+        for (p1, s1), (p2, s2) in zip(stair, stair[1:]):
+            assert p2 > p1 and s2 > s1, (brand, (p1, s1), (p2, s2))
