@@ -118,6 +118,7 @@ _ROUND13_PRIORITY = [
     "stream_ddsketch",
     "mv_join_delta_refresh",
     "skyline_pareto",
+    "graph_label_propagation",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",
     "tpch_q21_suppliers_who_kept_waiting",

@@ -379,3 +379,161 @@ def triangle_counts_of(half: DataFrame) -> DataFrame:
 graph_triangle_count.__doc__ = graph_triangle_count.__doc__.replace(
     "{topk}", str(_TRI_TOPK)
 )
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation — deterministic synchronous weighted LPA
+# ---------------------------------------------------------------------------
+
+#: Fixed synchronous rounds. LPA reaches near-final communities in a
+#: handful of sweeps (Raghavan 2007 report ~95% after 5 on social
+#: graphs); three keeps the oracle's unrolled CTE stack readable while
+#: already merging the fixture graph into stable cores. Production
+#: would loop to a label-change tolerance with the same round body.
+_LPA_ITERS = 3
+
+#: Top-k communities returned (members desc, community label asc).
+_LPA_TOPK = 20
+
+
+def _lpa_round_ctes() -> str:
+    """Unrolled synchronous rounds l1..l{n}: every node adopts the
+    neighbor label with the largest incident edge-weight total,
+    smallest label winning ties — the same vote the Spark loop
+    computes, deterministic by construction."""
+    ctes = []
+    for i in range(1, _LPA_ITERS + 1):
+        ctes.append(
+            f"""l{i} AS (
+      SELECT id, label FROM (
+        SELECT e.dst AS id, p.label,
+               row_number() OVER (
+                 PARTITION BY e.dst
+                 ORDER BY SUM(e.w) DESC, p.label ASC) AS rn
+        FROM sym e JOIN l{i - 1} p ON p.id = e.src
+        GROUP BY e.dst, p.label
+      ) WHERE rn = 1
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+def lpa_of(sym: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
+    """The synchronous weighted label-propagation loop over any
+    symmetric edge frame ``(src, dst, w)`` — module-level so the
+    hypothesis differential drives the SAME loop the registered
+    query runs. Returns the final ``(id, label)`` assignment."""
+    from pyspark.sql import Window
+
+    edges = sym.localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    pick = Window.partitionBy("id").orderBy(
+        F.col("v").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        votes = (
+            edges.alias("e")
+            .join(labels.alias("p"), F.col("e.src") == F.col("p.id"))
+            .groupBy(
+                F.col("e.dst").alias("id"), F.col("p.label").alias("label")
+            )
+            .agg(F.sum("e.w").alias("v"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("id", "label")
+        )
+    return labels
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    sym AS (
+      SELECT pa AS src, pb AS dst, w FROM pair
+      UNION ALL
+      SELECT pb AS src, pa AS dst, w FROM pair
+    ),
+    l0 AS (
+      SELECT DISTINCT src AS id, src AS label FROM sym
+    ),
+    {{iters}}
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(id) AS BIGINT) AS min_member
+    FROM l{_LPA_ITERS}
+    GROUP BY label
+    ORDER BY n_members DESC, community ASC
+    LIMIT {_LPA_TOPK}
+    """.replace("{iters}", _lpa_round_ctes()),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-order graph by synchronous
+    weighted label propagation (Raghavan 2007) — the third member of
+    the iterative family: [[dedup_cluster]] finds CONNECTIVITY,
+    [[graph_pagerank]] finds IMPORTANCE, LPA finds COMMUNITIES
+    (densely co-ordered product groups: assortment planning, corpus
+    domain discovery when the nodes are documents). Same
+    `_co_order_edges` structure as its two siblings.
+
+    Classic LPA breaks ties randomly and updates asynchronously —
+    useless for a graded oracle. This is the DETERMINISTIC variant:
+    synchronous rounds (every node votes from the PREVIOUS round's
+    labels), vote strength = incident co-order weight, ties to the
+    smallest label. Both engines replay it exactly: the oracle
+    unrolls l1..l{_LPA_ITERS} CTEs with the identical
+    row_number(ORDER BY SUM(w) DESC, label ASC) pick.
+
+    Plan, per round: ONE hash join (the ≤16-byte (id, label) frame
+    onto checkpointed edges by src — edges stay put) + ONE
+    map-side-combined groupBy(dst, label) vote fold + the rn=1
+    window over dst. Vote rows are bounded by the DISTINCT
+    (dst, neighbor-label) pairs ≤ 2m edges, shrinking every round as
+    labels coalesce; state between rounds is exactly |V| rows. At
+    100 TB: edges bucketed by src make the per-round join
+    exchange-free on the big side — identical co-location argument
+    to pagerank's loop, with the window's dst partitioning reusing
+    the vote fold's shuffle target sizes under AQE.
+
+    Returns the top {_LPA_TOPK} communities (members desc, label
+    asc) with their canonical min member — community labels are
+    node ids, so the output is integer-exact by construction."""
+    half = _co_order_edges(load(spark, sf_dir, "lineitem"))
+    sym = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "w",
+        )
+    )
+    final = lpa_of(sym)
+    return (
+        final.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min("id").cast("bigint").alias("min_member"),
+        )
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(_LPA_TOPK)
+    )
+
+
+graph_label_propagation.__doc__ = graph_label_propagation.__doc__.replace(
+    "{_LPA_ITERS}", str(_LPA_ITERS)
+).replace("{_LPA_TOPK}", str(_LPA_TOPK))

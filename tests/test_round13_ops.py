@@ -1066,3 +1066,116 @@ def test_skyline_contract(spark, sf_dir):
         stair = sorted({(p, s) for _, p, s, _ in rows})
         for (p1, s1), (p2, s2) in zip(stair, stair[1:]):
             assert p2 > p1 and s2 > s1, (brand, (p1, s1), (p2, s2))
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def _py_lpa(sym, iters=3):
+    """Literal synchronous weighted LPA. sym = [(src, dst, w)] with
+    both directions present. Returns {node: label}."""
+    nodes = sorted({s for s, _, _ in sym})
+    lab = {v: v for v in nodes}
+    for _ in range(iters):
+        votes = {}
+        for s, d, w in sym:
+            votes.setdefault(d, {}).setdefault(lab[s], 0)
+            votes[d][lab[s]] += w
+        lab = {
+            d: min(
+                (l for l, v in vs.items() if v == max(vs.values())),
+            )
+            for d, vs in votes.items()
+        }
+    return lab
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9), st.integers(1, 3)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_lpa_loop_matches_python(spark, raw):
+    """Differential: the DataFrame LPA loop equals the literal
+    synchronous weighted vote at arbitrary multigraph shapes
+    (parallel edges collapse by summed weight, self-loops allowed —
+    the vote sum treats both exactly like the python fold)."""
+    from data_pipeline_spark_spark.operators.graph import lpa_of
+
+    half = [(min(a, b), max(a, b), w) for a, b, w in raw if a != b]
+    if not half:
+        return
+    agg = {}
+    for s, d, w in half:
+        agg[(s, d)] = agg.get((s, d), 0) + w
+    sym = [(s, d, w) for (s, d), w in agg.items()]
+    sym += [(d, s, w) for (s, d), w in agg.items()]
+    df = spark.createDataFrame(sym, "src long, dst long, w long")
+    got = {r.id: r.label for r in lpa_of(df).collect()}
+    assert got == _py_lpa(sym)
+
+
+def test_lpa_known_shapes(spark):
+    """Two triangles joined by one weak bridge: each triangle's
+    members converge to that triangle's min label; the bridge does
+    not bleed labels across (in-triangle weight 2 beats bridge 1)."""
+    from data_pipeline_spark_spark.operators.graph import lpa_of
+
+    tri1 = [(0, 1), (0, 2), (1, 2)]
+    tri2 = [(10, 11), (10, 12), (11, 12)]
+    half = [(s, d, 2) for s, d in tri1 + tri2] + [(2, 10, 1)]
+    sym = half + [(d, s, w) for s, d, w in half]
+    df = spark.createDataFrame(sym, "src long, dst long, w long")
+    got = {r.id: r.label for r in lpa_of(df).collect()}
+    assert {got[0], got[1], got[2]} == {0}
+    assert {got[10], got[11], got[12]} == {10}
+
+
+def test_lpa_plan_and_contract(spark, sf_dir):
+    """Plan: no Python eval, no cartesian; per-round joins are hash
+    joins on integer keys. Contract on the fixture: communities
+    partition the co-order node set (Σ n_members over ALL
+    communities = |V|), every community label IS a member node id,
+    and the returned top-k is consistent under re-aggregation."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load as _load
+    from data_pipeline_spark_spark.operators.graph import (
+        _co_order_edges,
+        lpa_of,
+    )
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    registry.load_all()
+    df = registry.QUERIES["graph_label_propagation"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert "Cartesian" not in plan
+
+    half = _co_order_edges(_load(spark, sf_dir, "lineitem")).select(
+        "src", "dst", "w"
+    )
+    sym = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    final = lpa_of(sym).collect()
+    n_nodes = sym.select("src").distinct().count()
+    assert len(final) == n_nodes  # every node labeled exactly once
+    members = {r.id for r in final}
+    for r in final:
+        assert r.label in members  # labels are node ids
+    top = df.collect()
+    sizes = {}
+    for r in final:
+        sizes[r.label] = sizes.get(r.label, 0) + 1
+    want = sorted(
+        ((n, c) for c, n in sizes.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[: len(top)]
+    assert [(r.n_members, r.community) for r in top] == want
