@@ -500,8 +500,14 @@ def mv_join_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned) joined — broadcast-sized — onto the batch's lineitems,
     plus an O(|MV|) merge shuffle. A full recompute at 100 TB
     rejoins the entire fact pair every month; this path touches
-    only the arrivals."""
-    cutoff = "2000-01-01"
+    only the arrivals. The cutoff is pinned to the fixture family's
+    FINAL month (orders end 2001-08-01), so the delta slice is a
+    real monthly batch — 1.3% of orders, 32 rows at sf0.001 — and
+    the broadcast hint states a true size class; a deployment whose
+    batch outgrows the broadcast threshold drops the hint and
+    shuffle-joins the delta pair alone, still never touching
+    history."""
+    cutoff = "2001-07-01"
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )

@@ -832,10 +832,13 @@ WITH mv AS (
 ),
 cells AS (
   SELECT event_type,
-         CAST(round(ln(mv) * 1000000) AS BIGINT) // {_DDS_LNG} AS b,
+         CAST(round(ln(greatest(mv, 1)) * 1000000) AS BIGINT)
+           // {_DDS_LNG} AS b,
          CAST(COUNT(*) AS BIGINT) AS c
   FROM mv
-  GROUP BY event_type, CAST(round(ln(mv) * 1000000) AS BIGINT) // {_DDS_LNG}
+  GROUP BY event_type,
+           CAST(round(ln(greatest(mv, 1)) * 1000000) AS BIGINT)
+             // {_DDS_LNG}
 ),
 cum AS (
   SELECT event_type, b, c,
@@ -878,7 +881,12 @@ def agg_ddsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     to integer milli-units once, the bucket index is the micro-nat
     ln integer-divided by the micro-nat of ln(gamma) — one rounding
     per distinct integer value, everything after is bigint
-    arithmetic. Rank targets are ceil(q·n/100) as
+    arithmetic. Exact zeros (ln undefined — the paper keeps a
+    separate zero store) fold into bucket 0 via ln(greatest(mv, 1)):
+    the sketch domain is [0, ∞) milli-units with the relative
+    guarantee for mv ≥ 1 and absolute 0.001 resolution at the
+    bottom, and the shared expression text keeps both engines
+    total on the fixture family (sf0.1 carries exact-0 values). Rank targets are ceil(q·n/100) as
     ``(q*n + 99) div 100``; the single float expression is the final
     bucket-midpoint exponential, the identical IEEE op in both
     engines.
@@ -945,7 +953,8 @@ def ddsketch_cells_of(e: DataFrame) -> DataFrame:
         e.withColumn(
             "b",
             F.expr(
-                f"CAST(round(ln(mv) * 1000000) AS BIGINT) div {_DDS_LNG}"
+                "CAST(round(ln(greatest(mv, 1)) * 1000000) AS BIGINT)"
+                f" div {_DDS_LNG}"
             ),
         )
         .groupBy("event_type", "b")

@@ -1219,7 +1219,6 @@ from .scale_patterns import _DDS_SQL as _STREAM_DDS_SQL  # noqa: E402
 #: DECLARED value domain, not the row count — milli-units in
 #: [1, 1e9] give at most ln(1e9)·1e6 div 19803 ≈ 1047 log-buckets,
 #: times a bounded event-type vocabulary.
-_DDS_MAX_TYPES = 16
 _DDS_MAX_BUCKETS = 1047
 
 
@@ -1272,8 +1271,8 @@ def stream_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
         )
         bucket = F.expr(
-            "CAST(round(ln(CAST(round(value * 1000) AS BIGINT))"
-            f" * 1000000) AS BIGINT) div {_DDS_LNG}"
+            "CAST(round(ln(greatest(CAST(round(value * 1000) AS BIGINT)"
+            f", 1)) * 1000000) AS BIGINT) div {_DDS_LNG}"
         )
         cells = (
             stream.select("event_type", bucket.alias("b"))
@@ -1289,17 +1288,26 @@ def stream_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         prog = q.lastProgress
-        state_rows = (
-            prog["stateOperators"][0]["numRowsTotal"]
-            if prog and prog.get("stateOperators")
-            else -1
+        if not (prog and prog.get("stateOperators")):
+            raise AssertionError(
+                "streaming progress unavailable — cannot prove the "
+                "DDSketch state bound (no stateOperators in "
+                "lastProgress); this is a harness problem, not a "
+                "sketch-bound violation"
+            )
+        state_rows = prog["stateOperators"][0]["numRowsTotal"]
+        # Structural bound: the state IS the (type, bucket) grid, so
+        # cap it by the OBSERVED type count times the per-type bucket
+        # domain — no guess about fixture cardinality can go stale.
+        types_seen = (
+            spark.table(sink).select("event_type").distinct().count()
         )
-        bound = _DDS_MAX_TYPES * _DDS_MAX_BUCKETS
+        bound = max(types_seen, 1) * _DDS_MAX_BUCKETS
         if not (0 <= state_rows <= bound):
             raise AssertionError(
                 f"DDSketch stream state held {state_rows} rows — more "
-                f"than the {bound}-cell domain bound; the sketch "
-                "bound is broken"
+                f"than {types_seen} types x {_DDS_MAX_BUCKETS} buckets "
+                "= the grid domain; the sketch bound is broken"
             )
         result = ddsketch_serve(spark.table(sink))
         return spark.createDataFrame(result.collect(), result.schema)
