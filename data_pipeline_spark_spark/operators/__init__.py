@@ -119,6 +119,7 @@ _ROUND13_PRIORITY = [
     "mv_join_delta_refresh",
     "skyline_pareto",
     "graph_label_propagation",
+    "dedup_minhash_incremental",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",
     "tpch_q21_suppliers_who_kept_waiting",

@@ -704,6 +704,72 @@ _MH_PERMS = 32   # minhash signature length
 _MH_BAND = 4     # rows per band → 8 bands
 
 
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, sig) — the 32-permutation MinHash signature as 32
+    MIN aggregates over the shared [[span_stream]] shingle stream
+    (seeded xxhash64, whole-stage codegen, map-side partial mins).
+    THE single signature definition: `minhash_df_pairs` and
+    `dedup_minhash_incremental` both build from it, so the batch
+    side of an incremental run can never hash differently from the
+    corpus index it probes."""
+    spans = span_stream(d, n=3, hashed=False)
+    return spans.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("s")))
+                for i in range(_MH_PERMS)
+            ]
+        ).alias("sig")
+    )
+
+
+def minhash_band_keys(d: DataFrame) -> DataFrame:
+    """(doc_id, sig, band, key) — the banded LSH keys (4 rows × 8
+    bands, each band one xxhash64 of its 4 signature slots) over
+    [[minhash_signatures]]. One explode × 8 per doc."""
+    n_bands = _MH_PERMS // _MH_BAND
+    return (
+        minhash_signatures(d)
+        .select(
+            "doc_id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col("sig")[b * _MH_BAND + r]
+                                    for r in range(_MH_BAND)
+                                ]
+                            ).alias("key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "sig", "bk.band", "bk.key")
+    )
+
+
+def _mh_est_jaccard():
+    """Signature-estimated Jaccard between two aliased band frames
+    ``a``/``b`` — matching-slot fraction of the 32-wide signatures."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y
+                ),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / _MH_PERMS
+    )
+
+
 @query("dedup_minhash_df", oracle=_RECALL_SQL)
 def dedup_minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-DataFrame MinHash-LSH, driver-checked by RECALL against
@@ -733,44 +799,10 @@ def minhash_df_pairs(d: DataFrame) -> DataFrame:
     stream change nothing. Then one explode × 8 (bands), one groupBy
     band key. The spark.ml twin is minhash_lsh_pairs; tests
     cross-check both recall every exact Jaccard-0.8 pair."""
-    spans = span_stream(d, n=3, hashed=False)
-    sig = spans.groupBy("doc_id").agg(
-        F.array(
-            *[
-                F.min(F.xxhash64(F.lit(i), F.col("s")))
-                for i in range(_MH_PERMS)
-            ]
-        ).alias("sig")
-    )
-    n_bands = _MH_PERMS // _MH_BAND
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * _MH_BAND + r] for r in range(_MH_BAND)]
-                        ).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "sig", "bk.band", "bk.key")
+    bands = minhash_band_keys(d)
     a = bands.alias("a")
     b = bands.alias("b")
-    est_jaccard = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / _MH_PERMS
-    )
+    est_jaccard = _mh_est_jaccard()
     return (
         a.join(
             b,
@@ -782,6 +814,120 @@ def minhash_df_pairs(d: DataFrame) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.round(est_jaccard, 4).alias("est_jaccard"),
+        )
+        .distinct()
+        .filter(F.col("est_jaccard") >= 0.7)
+    )
+
+
+_MH_INCR_SQL = """
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+    pairs AS (
+      SELECT a.doc_id AS doc_corpus, b.doc_id AS doc_batch,
+             COUNT(*) AS inter
+      FROM exploded a JOIN exploded b ON a.shingle = b.shingle
+      WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+      SELECT p.doc_corpus, p.doc_batch
+      FROM pairs p
+      JOIN sizes sa ON p.doc_corpus = sa.doc_id
+      JOIN sizes sb ON p.doc_batch = sb.doc_id
+      WHERE CAST(p.inter AS DOUBLE)
+            / (sa.n_sh + sb.n_sh - p.inter) >= 0.8
+    )
+    SELECT COUNT(*) AS n_exact_pairs_total,
+           COUNT(*) AS n_exact_pairs_recalled
+    FROM exact
+"""
+
+
+@query("dedup_minhash_incremental", oracle=_MH_INCR_SQL)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission — the fuzzy sibling of the
+    exact [[dedup_bloom_incremental]] path, completing the
+    monthly-batch dedup pair (reference README.md:10-11, the
+    platform\'s increment-not-recompute ingest model): a new batch
+    (deterministic 20% split, the [[dedup_incremental]] convention)
+    is screened against the existing corpus for Jaccard-0.8
+    near-dups WITHOUT ever joining corpus x corpus. The corpus side
+    contributes only its banded MinHash keys — in production a
+    PERSISTED index maintained at ingest (the
+    [[sim_search_ivfpq_trained]] artifact discipline: signatures are
+    content-keyed and append-only, a new batch both probes and
+    extends them) — and the batch side computes signatures for its
+    own rows only, through the SAME [[minhash_signatures]] /
+    [[minhash_band_keys]] code path, so index and probe can never
+    hash differently.
+
+    Plan: batch band keys (8 per doc) hash-join corpus band keys on
+    (band, key) — the shuffle carries band keys and 32-long
+    signatures, never text, and its size is candidate-bounded
+    exactly like [[minhash_df_pairs]] (measured FLAT at the sf1
+    decade, SCALE.md r12); collisions verify in-row via the
+    signature-estimated Jaccard >= 0.7. The DRIVER row is the recall
+    contract (the [[dedup_fuzzy]]/[[dedup_minhash_df]] precedent for
+    sketch rungs): the exact cross-split Jaccard pairs — computed by
+    the shared [[jaccard_pairs]] harness here and by the oracle\'s
+    shingle SQL — must ALL appear among the candidates. Production
+    runs `minhash_incremental_pairs` alone; the exact side is the
+    verification cost, not the serving cost."""
+    d = load(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 >= 8
+    exact = jaccard_pairs(d)
+    ea, eb = F.col("doc_a") % 10 >= 8, F.col("doc_b") % 10 >= 8
+    cross = exact.filter(ea != eb).select(
+        F.when(eb, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "doc_corpus"
+        ),
+        F.when(eb, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "doc_batch"
+        ),
+    )
+    cand = minhash_incremental_pairs(
+        d.filter(~is_batch), d.filter(is_batch)
+    )
+    marked = cross.join(
+        cand.select(
+            "doc_corpus", "doc_batch", F.lit(1).alias("hit")
+        ).distinct(),
+        ["doc_corpus", "doc_batch"],
+        "left",
+    )
+    return marked.agg(
+        F.count("*").alias("n_exact_pairs_total"),
+        F.count("hit").alias("n_exact_pairs_recalled"),
+    )
+
+
+def minhash_incremental_pairs(
+    corpus: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """(doc_corpus, doc_batch, est_jaccard) candidates of a
+    batch-vs-corpus LSH probe over any two (doc_id, text) frames —
+    the production path of [[dedup_minhash_incremental]]. Both
+    sides band through the shared [[minhash_band_keys]]."""
+    a = minhash_band_keys(corpus).alias("a")
+    b = minhash_band_keys(batch).alias("b")
+    est = _mh_est_jaccard()
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_corpus"),
+            F.col("b.doc_id").alias("doc_batch"),
+            F.round(est, 4).alias("est_jaccard"),
         )
         .distinct()
         .filter(F.col("est_jaccard") >= 0.7)

@@ -1179,3 +1179,88 @@ def test_lpa_plan_and_contract(spark, sf_dir):
         key=lambda t: (-t[0], t[1]),
     )[: len(top)]
     assert [(r.n_members, r.community) for r in top] == want
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_incremental — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_incremental_candidates_are_cross_only(spark, sf_dir):
+    """Structure: every candidate pair is (corpus, batch) — the key
+    never proposes corpus x corpus or batch x batch work — and the
+    candidate set is a superset of the exact cross near-dups
+    (recall == total, the driver contract, asserted here without
+    DuckDB via the shared jaccard_pairs harness)."""
+    from data_pipeline_spark_spark.catalog import load as _load
+    from data_pipeline_spark_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_incremental_pairs,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 < 8)
+    batch = d.filter(F.col("doc_id") % 10 >= 8)
+    cand = minhash_incremental_pairs(corpus, batch).collect()
+    for r in cand:
+        assert r.doc_corpus % 10 < 8 and r.doc_batch % 10 >= 8
+    cand_set = {(r.doc_corpus, r.doc_batch) for r in cand}
+    exact = jaccard_pairs(d).collect()
+    for r in exact:
+        a_batch, b_batch = r.doc_a % 10 >= 8, r.doc_b % 10 >= 8
+        if a_batch != b_batch:
+            pair = (
+                (r.doc_b, r.doc_a) if a_batch else (r.doc_a, r.doc_b)
+            )
+            assert pair in cand_set, pair
+
+
+def test_minhash_incremental_plan_shape(spark, sf_dir):
+    """The probe join moves band keys + 32-long signatures, never
+    text: no text column survives into the join inputs, and no
+    Python eval anywhere. The shared-signature claim is structural:
+    both sides route through minhash_band_keys (asserted by the
+    module graph, not the plan)."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load as _load
+    from data_pipeline_spark_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    registry.load_all()
+    d = _load(spark, sf_dir, "documents")
+    pairs = minhash_incremental_pairs(
+        d.filter(F.col("doc_id") % 10 < 8),
+        d.filter(F.col("doc_id") % 10 >= 8),
+    )
+    plan = formatted_plan(pairs)
+    assert "EvalPython" not in plan
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines and all("text" not in ln for ln in join_lines)
+
+
+def test_minhash_incremental_batch_signature_parity(spark, sf_dir):
+    """The index-probe invariant: signatures computed for the batch
+    slice ALONE equal the same docs' signatures computed over the
+    full corpus — subsetting cannot change a doc's MinHash (it only
+    depends on the doc's own shingles), so an append-only corpus
+    index stays valid as batches arrive."""
+    from data_pipeline_spark_spark.catalog import load as _load
+    from data_pipeline_spark_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    whole = {
+        r.doc_id: tuple(r.sig)
+        for r in minhash_signatures(d).collect()
+        if r.doc_id % 10 >= 8
+    }
+    alone = {
+        r.doc_id: tuple(r.sig)
+        for r in minhash_signatures(
+            d.filter(F.col("doc_id") % 10 >= 8)
+        ).collect()
+    }
+    assert whole == alone
