@@ -243,7 +243,10 @@ def span_stream(
 
 
 def jaccard_pairs(
-    d: DataFrame, threshold: float = 0.8, df_cap: int | None = _SHINGLE_DF_CAP
+    d: DataFrame,
+    threshold: float = 0.8,
+    df_cap: int | None = _SHINGLE_DF_CAP,
+    pair_pred=None,
 ) -> DataFrame:
     """Exact shingle-Jaccard pair pipeline over any (doc_id, text)
     frame — prefix-filter candidate generation + array_intersect
@@ -251,7 +254,12 @@ def jaccard_pairs(
     ``df_cap`` drops stop-shingles (document frequency > cap) from
     candidate generation; ``None`` disables the cap (the skew test
     measures the pair blowup both ways). ``threshold=0.0``
-    degenerates to the full self-join (prefix = whole set)."""
+    degenerates to the full self-join (prefix = whole set).
+    ``pair_pred`` (a Column over ``doc_a``/``doc_b``) restricts the
+    pair population INSIDE candidate generation — same output as
+    post-filtering, without paying verification for pairs the caller
+    will discard (`dedup_minhash_incremental` prunes the ~64%
+    corpus×corpus mass this way)."""
     # the sorted sets feed prefix explosion AND both verification
     # sides — lazy-checkpoint once instead of re-shingling three times
     shingled = _shingle_sets(d).localCheckpoint(eager=False)
@@ -284,13 +292,16 @@ def jaccard_pairs(
     b = pref.toDF("doc_b", "nb", "shingle")
     # size band: J ≥ t ⇒ min/max ≥ t; exact integer cross-multiply
     # against p/q ≤ t so no float rounding can prune a true pair
+    keep = (
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("na") * q >= F.col("nb") * p)
+        & (F.col("nb") * q >= F.col("na") * p)
+    )
+    if pair_pred is not None:
+        keep = keep & pair_pred
     cand = (
         a.join(b, "shingle")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("na") * q >= F.col("nb") * p)
-            & (F.col("nb") * q >= F.col("na") * p)
-        )
+        .filter(keep)
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -770,6 +781,43 @@ def _mh_est_jaccard():
     )
 
 
+#: Signature-estimated-Jaccard admission threshold for band-collision
+#: candidates — ONE constant for every MinHash rung, so the all-pairs
+#: and incremental paths cannot be tuned apart.
+_MH_EST_T = 0.7
+
+
+def _mh_candidate_pairs(
+    a_bands: DataFrame,
+    b_bands: DataFrame,
+    out_a: str,
+    out_b: str,
+    pair_pred=None,
+) -> DataFrame:
+    """Band-collision candidate pairs between two
+    [[minhash_band_keys]] frames, verified in-row at the shared
+    ``_MH_EST_T`` estimate threshold — the ONE candidate join both
+    `minhash_df_pairs` (self, ``a.doc_id < b.doc_id``) and
+    `minhash_incremental_pairs` (corpus × batch) run, so a threshold
+    or join-shape change can never diverge the rungs."""
+    cond = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.key") == F.col("b.key")
+    )
+    if pair_pred is not None:
+        cond = cond & pair_pred
+    return (
+        a_bands.alias("a")
+        .join(b_bands.alias("b"), cond)
+        .select(
+            F.col("a.doc_id").alias(out_a),
+            F.col("b.doc_id").alias(out_b),
+            F.round(_mh_est_jaccard(), 4).alias("est_jaccard"),
+        )
+        .distinct()
+        .filter(F.col("est_jaccard") >= _MH_EST_T)
+    )
+
+
 @query("dedup_minhash_df", oracle=_RECALL_SQL)
 def dedup_minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-DataFrame MinHash-LSH, driver-checked by RECALL against
@@ -800,53 +848,24 @@ def minhash_df_pairs(d: DataFrame) -> DataFrame:
     band key. The spark.ml twin is minhash_lsh_pairs; tests
     cross-check both recall every exact Jaccard-0.8 pair."""
     bands = minhash_band_keys(d)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    est_jaccard = _mh_est_jaccard()
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(est_jaccard, 4).alias("est_jaccard"),
-        )
-        .distinct()
-        .filter(F.col("est_jaccard") >= 0.7)
+    return _mh_candidate_pairs(
+        bands,
+        bands,
+        "doc_a",
+        "doc_b",
+        pair_pred=F.col("a.doc_id") < F.col("b.doc_id"),
     )
 
 
-_MH_INCR_SQL = """
-    WITH shingled AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
-                           i -> array_to_string(toks[i:i+2], ' '))) AS sh
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-    ),
-    exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
-    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
-    pairs AS (
-      SELECT a.doc_id AS doc_corpus, b.doc_id AS doc_batch,
-             COUNT(*) AS inter
-      FROM exploded a JOIN exploded b ON a.shingle = b.shingle
-      WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    exact AS (
-      SELECT p.doc_corpus, p.doc_batch
-      FROM pairs p
-      JOIN sizes sa ON p.doc_corpus = sa.doc_id
-      JOIN sizes sb ON p.doc_batch = sb.doc_id
-      WHERE CAST(p.inter AS DOUBLE)
-            / (sa.n_sh + sb.n_sh - p.inter) >= 0.8
-    )
+# Composed over _JACCARD_SQL (the _RECALL_SQL pattern), restricted to
+# the pairs that straddle the corpus/batch split — ONE exact-pair
+# definition in the module, so a shingle or threshold change cannot
+# desync this oracle from the others.
+_MH_INCR_SQL = f"""
     SELECT COUNT(*) AS n_exact_pairs_total,
            COUNT(*) AS n_exact_pairs_recalled
-    FROM exact
+    FROM ({_JACCARD_SQL})
+    WHERE (doc_a % 10 >= 8) <> (doc_b % 10 >= 8)
 """
 
 
@@ -882,30 +901,26 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification cost, not the serving cost."""
     d = load(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 10 >= 8
-    exact = jaccard_pairs(d)
     ea, eb = F.col("doc_a") % 10 >= 8, F.col("doc_b") % 10 >= 8
-    cross = exact.filter(ea != eb).select(
+    # exact side: the split predicate rides INSIDE candidate
+    # generation (pair_pred), so the harness never verifies the
+    # corpus×corpus pair mass it would discard; orient (corpus,
+    # batch) but keep _recall_summary's doc_a/doc_b naming.
+    cross = jaccard_pairs(d, pair_pred=(ea != eb)).select(
         F.when(eb, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
-            "doc_corpus"
+            "doc_a"
         ),
         F.when(eb, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
-            "doc_batch"
+            "doc_b"
         ),
     )
     cand = minhash_incremental_pairs(
         d.filter(~is_batch), d.filter(is_batch)
+    ).select(
+        F.col("doc_corpus").alias("doc_a"),
+        F.col("doc_batch").alias("doc_b"),
     )
-    marked = cross.join(
-        cand.select(
-            "doc_corpus", "doc_batch", F.lit(1).alias("hit")
-        ).distinct(),
-        ["doc_corpus", "doc_batch"],
-        "left",
-    )
-    return marked.agg(
-        F.count("*").alias("n_exact_pairs_total"),
-        F.count("hit").alias("n_exact_pairs_recalled"),
-    )
+    return _recall_summary(cross, cand)
 
 
 def minhash_incremental_pairs(
@@ -914,23 +929,13 @@ def minhash_incremental_pairs(
     """(doc_corpus, doc_batch, est_jaccard) candidates of a
     batch-vs-corpus LSH probe over any two (doc_id, text) frames —
     the production path of [[dedup_minhash_incremental]]. Both
-    sides band through the shared [[minhash_band_keys]]."""
-    a = minhash_band_keys(corpus).alias("a")
-    b = minhash_band_keys(batch).alias("b")
-    est = _mh_est_jaccard()
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_corpus"),
-            F.col("b.doc_id").alias("doc_batch"),
-            F.round(est, 4).alias("est_jaccard"),
-        )
-        .distinct()
-        .filter(F.col("est_jaccard") >= 0.7)
+    sides band through the shared [[minhash_band_keys]] and meet in
+    the shared [[_mh_candidate_pairs]] join."""
+    return _mh_candidate_pairs(
+        minhash_band_keys(corpus),
+        minhash_band_keys(batch),
+        "doc_corpus",
+        "doc_batch",
     )
 
 
