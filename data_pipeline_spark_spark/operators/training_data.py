@@ -573,14 +573,18 @@ corpus_pack_apply.__doc__ = corpus_pack_apply.__doc__.replace(
 # makes the loss measurable instead of assumed.
 _BIN_GROUPS = 8
 
-_PACK_BINS_SQL = f"""
-    WITH RECURSIVE d0 AS (
+# The shared FFD recurrence CTEs (d0/rk/cnt/pack/term) — ONE greedy
+# definition for both the per-bin manifest (corpus_pack_bins) and the
+# doc→bin assignment export (corpus_pack_bins_apply): the pack CTE
+# carries loads + nd + asg (0-based bin id per doc rank), each key's
+# final SELECT projects what it serves.
+_PACK_FOLD_CTES = f"""d0 AS (
       SELECT doc_id, CAST(doc_id % {_BIN_GROUPS} AS INT) AS grp,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS sz
       FROM documents
     ),
     rk AS (
-      SELECT grp, sz,
+      SELECT grp, doc_id, sz,
              row_number() OVER (PARTITION BY grp ORDER BY sz DESC, doc_id)
                AS rk
       FROM d0
@@ -588,7 +592,7 @@ _PACK_BINS_SQL = f"""
     cnt AS (SELECT grp, COUNT(*) AS n FROM rk GROUP BY grp),
     pack AS (
       SELECT grp, 0 AS step, CAST([] AS BIGINT[]) AS loads,
-             CAST([] AS INT[]) AS nd
+             CAST([] AS INT[]) AS nd, CAST([] AS INT[]) AS asg
       FROM cnt
       UNION ALL
       SELECT grp, step + 1,
@@ -597,9 +601,11 @@ _PACK_BINS_SQL = f"""
                        CASE WHEN i = fit THEN x + sz ELSE x END) END,
              CASE WHEN fit = 0 THEN list_append(nd, 1)
                   ELSE list_transform(nd, (x, i) ->
-                       CASE WHEN i = fit THEN x + 1 ELSE x END) END
+                       CASE WHEN i = fit THEN x + 1 ELSE x END) END,
+             CASE WHEN fit = 0 THEN list_append(asg, len(loads))
+                  ELSE list_append(asg, fit - 1) END
       FROM (
-        SELECT p.grp, p.step, p.loads, p.nd, d.sz,
+        SELECT p.grp, p.step, p.loads, p.nd, p.asg, d.sz,
                coalesce(list_position(
                  list_transform(p.loads, x -> x + d.sz <= {_SEQ_TOKENS}),
                  true), 0) AS fit
@@ -607,9 +613,12 @@ _PACK_BINS_SQL = f"""
       )
     ),
     term AS (
-      SELECT p.grp, p.loads, p.nd
+      SELECT p.grp, p.loads, p.nd, p.asg
       FROM pack p JOIN cnt c ON p.grp = c.grp AND p.step = c.n
-    ),
+    )"""
+
+_PACK_BINS_SQL = f"""
+    WITH RECURSIVE {_PACK_FOLD_CTES},
     bins AS (
       SELECT grp,
              unnest(list_transform(loads, (x, i) ->
@@ -621,6 +630,13 @@ _PACK_BINS_SQL = f"""
            CAST({_SEQ_TOKENS} - e.u AS BIGINT) AS padding_tokens,
            CAST(e.u * 1000000 // {_SEQ_TOKENS} AS BIGINT) AS fill_ppm
     FROM bins
+"""
+
+_PACK_BINS_APPLY_SQL = f"""
+    WITH RECURSIVE {_PACK_FOLD_CTES}
+    SELECT r.grp, r.doc_id, CAST(r.sz AS BIGINT) AS sz_tokens,
+           CAST(t.asg[r.rk] AS INT) AS bin_id
+    FROM rk r JOIN term t ON r.grp = t.grp
 """
 
 
@@ -648,6 +664,7 @@ def _ffd_fold(ds_col):
     init = F.struct(
         F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("loads"),
         F.expr("CAST(array() AS ARRAY<INT>)").alias("nd"),
+        F.expr("CAST(array() AS ARRAY<INT>)").alias("asg"),
     )
 
     def merge(acc, x):
@@ -681,8 +698,18 @@ def _ffd_fold(ds_col):
             ).otherwise(
                 F.concat(acc["nd"], F.array(F.lit(1).cast("int")))
             )
+            # 0-based bin this doc landed in: the fit index, or the
+            # freshly opened bin (= open-bin count before the append)
+            new_asg = F.concat(
+                acc["asg"],
+                F.array(
+                    F.coalesce(jj, F.size(acc["loads"])).cast("int")
+                ),
+            )
             return F.struct(
-                new_loads.alias("loads"), new_nd.alias("nd")
+                new_loads.alias("loads"),
+                new_nd.alias("nd"),
+                new_asg.alias("asg"),
             )
 
         return F.try_element_at(F.transform(F.array(j), body), F.lit(1))
@@ -716,6 +743,28 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference across DuckDB versions), so both engines compute the
     same bins doc-for-doc — pinned by the hypothesis differential
     in tests/test_round13_ops.py against a literal python FFD."""
+    packed = _ffd_packed(spark, sf_dir)
+    return packed.select(
+        "grp",
+        F.posexplode(F.arrays_zip(F.col("p.loads"), F.col("p.nd"))),
+    ).select(
+        "grp",
+        F.col("pos").cast("int").alias("bin_id"),
+        F.col("col.nd").cast("int").alias("n_docs"),
+        F.col("col.loads").cast("bigint").alias("used_tokens"),
+        (F.lit(_SEQ_TOKENS) - F.col("col.loads"))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        F.expr(f"col.loads * 1000000 DIV {_SEQ_TOKENS}")
+        .cast("bigint")
+        .alias("fill_ppm"),
+    )
+
+
+def _ffd_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(grp, ds, p) — the sharded size-sorted doc arrays plus the
+    finished [[_ffd_fold]] accumulator, shared by the manifest and
+    apply keys so both serve the SAME packing."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(_BIN_GROUPS))
@@ -733,19 +782,36 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ds")
     )
-    packed = arr.select("grp", _ffd_fold(F.col("ds")).alias("p"))
+    return arr.select("grp", "ds", _ffd_fold(F.col("ds")).alias("p"))
+
+
+@query("corpus_pack_bins_apply", oracle=_PACK_BINS_APPLY_SQL)
+def corpus_pack_bins_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc→bin ASSIGNMENT of [[corpus_pack_bins]]'s first-fit-
+    decreasing packing — the exporter the trainer actually consumes
+    (which sequence slot each document rides in), completing the
+    packing pair the same way [[corpus_pack_apply]] completes
+    [[corpus_pack_sequences]]: manifest = the report, apply = the
+    materialized layout.
+
+    Same plan as the manifest up through the fold ([[_ffd_packed]]:
+    ONE grp exchange, the Catalyst FFD aggregate), then each shard's
+    size-sorted doc array zips positionally with the fold's ``asg``
+    assignment array (doc rank i landed in bin asg[i] — recorded by
+    the fold itself, so the export can never disagree with the
+    manifest) and posexplodes to (grp, doc_id, sz_tokens, bin_id).
+    The DuckDB oracle shares the recurrence verbatim
+    (``_PACK_FOLD_CTES``) and reads the same asg list by rank.
+    Integer-exact by construction; a bin's members re-aggregate to
+    exactly the manifest row (pinned in tests)."""
+    packed = _ffd_packed(spark, sf_dir)
     return packed.select(
-        "grp",
-        F.posexplode(F.arrays_zip(F.col("p.loads"), F.col("p.nd"))),
+        "grp", "p", F.posexplode("ds").alias("pos", "d")
     ).select(
         "grp",
-        F.col("pos").cast("int").alias("bin_id"),
-        F.col("col.nd").cast("int").alias("n_docs"),
-        F.col("col.loads").cast("bigint").alias("used_tokens"),
-        (F.lit(_SEQ_TOKENS) - F.col("col.loads"))
-        .cast("bigint")
-        .alias("padding_tokens"),
-        F.expr(f"col.loads * 1000000 DIV {_SEQ_TOKENS}")
-        .cast("bigint")
-        .alias("fill_ppm"),
+        F.col("d.doc_id").alias("doc_id"),
+        (-F.col("d.negsz")).cast("bigint").alias("sz_tokens"),
+        F.element_at(F.col("p.asg"), F.col("pos") + 1)
+        .cast("int")
+        .alias("bin_id"),
     )

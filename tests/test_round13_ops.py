@@ -137,18 +137,21 @@ def test_bloom_no_false_negatives_synthetic(spark):
 
 def _py_ffd(items, L=512):
     """Literal python first-fit-decreasing: items = [(sz, doc_id)];
-    returns (loads, n_docs) per bin in creation order."""
-    loads, nd = [], []
+    returns (loads, n_docs, assignment) — loads/doc-counts per bin in
+    creation order plus the 0-based bin id per doc in sorted order."""
+    loads, nd, asg = [], [], []
     for sz, _ in sorted(items, key=lambda t: (-t[0], t[1])):
         for i, l in enumerate(loads):
             if l + sz <= L:
                 loads[i] += sz
                 nd[i] += 1
+                asg.append(i)
                 break
         else:
             loads.append(sz)
             nd.append(1)
-    return loads, nd
+            asg.append(len(loads) - 1)
+    return loads, nd, asg
 
 
 @settings(max_examples=10, deadline=None)
@@ -181,9 +184,12 @@ def test_pack_bins_fold_matches_python_ffd(spark, sizes):
         ).alias("ds")
     )
     [row] = arr.select(_ffd_fold(F.col("ds")).alias("p")).collect()
-    exp_loads, exp_nd = _py_ffd([(s, i) for i, s in enumerate(sizes)])
+    exp_loads, exp_nd, exp_asg = _py_ffd(
+        [(s, i) for i, s in enumerate(sizes)]
+    )
     assert list(row.p.loads) == exp_loads
     assert list(row.p.nd) == exp_nd
+    assert list(row.p.asg) == exp_asg  # doc→bin assignment, in order
     for sz in sizes:
         if sz > 512:  # oversize → its own bin, honest accounting
             assert sz in exp_loads
@@ -1264,3 +1270,33 @@ def test_minhash_incremental_batch_signature_parity(spark, sf_dir):
         ).collect()
     }
     assert whole == alone
+
+
+def test_pack_bins_apply_consistent_with_manifest(spark, sf_dir):
+    """The apply/manifest invariant: re-aggregating the doc→bin
+    assignment reproduces the manifest EXACTLY (per (grp, bin):
+    same doc count, same used tokens), every doc appears exactly
+    once, and no assigned bin id falls outside the manifest."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load as _load
+
+    registry.load_all()
+    manifest = {
+        (r.grp, r.bin_id): (r.n_docs, r.used_tokens)
+        for r in registry.QUERIES["corpus_pack_bins"](
+            spark, sf_dir
+        ).collect()
+    }
+    apply_rows = registry.QUERIES["corpus_pack_bins_apply"](
+        spark, sf_dir
+    ).collect()
+    n_docs = _load(spark, sf_dir, "documents").count()
+    assert len(apply_rows) == n_docs
+    assert len({r.doc_id for r in apply_rows}) == n_docs
+    agg = {}
+    for r in apply_rows:
+        k = (r.grp, r.bin_id)
+        assert k in manifest, k
+        n, u = agg.get(k, (0, 0))
+        agg[k] = (n + 1, u + r.sz_tokens)
+    assert agg == manifest
