@@ -792,19 +792,22 @@ def _mh_candidate_pairs(
     b_bands: DataFrame,
     out_a: str,
     out_b: str,
-    pair_pred=None,
+    self_pairs: bool = False,
 ) -> DataFrame:
     """Band-collision candidate pairs between two
     [[minhash_band_keys]] frames, verified in-row at the shared
     ``_MH_EST_T`` estimate threshold — the ONE candidate join both
-    `minhash_df_pairs` (self, ``a.doc_id < b.doc_id``) and
-    `minhash_incremental_pairs` (corpus × batch) run, so a threshold
-    or join-shape change can never diverge the rungs."""
+    `minhash_df_pairs` (``self_pairs=True``: unordered pairs of one
+    frame, ``a.doc_id < b.doc_id``) and `minhash_incremental_pairs`
+    (corpus × batch) run, so a threshold or join-shape change can
+    never diverge the rungs. The self-join guard is a flag, not a
+    caller-supplied Column — the join aliases are internal here and
+    callers must not depend on them."""
     cond = (F.col("a.band") == F.col("b.band")) & (
         F.col("a.key") == F.col("b.key")
     )
-    if pair_pred is not None:
-        cond = cond & pair_pred
+    if self_pairs:
+        cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
     return (
         a_bands.alias("a")
         .join(b_bands.alias("b"), cond)
@@ -849,11 +852,7 @@ def minhash_df_pairs(d: DataFrame) -> DataFrame:
     cross-check both recall every exact Jaccard-0.8 pair."""
     bands = minhash_band_keys(d)
     return _mh_candidate_pairs(
-        bands,
-        bands,
-        "doc_a",
-        "doc_b",
-        pair_pred=F.col("a.doc_id") < F.col("b.doc_id"),
+        bands, bands, "doc_a", "doc_b", self_pairs=True
     )
 
 

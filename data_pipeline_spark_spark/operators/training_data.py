@@ -640,7 +640,7 @@ _PACK_BINS_APPLY_SQL = f"""
 """
 
 
-def _ffd_fold(ds_col):
+def _ffd_fold(ds_col, with_asg: bool = False):
     """The first-fit-decreasing fold as ONE Catalyst ``aggregate``
     over the shard's size-sorted doc array — zero Python in the
     loop. Accumulator = (loads, nd): per-open-bin token loads and
@@ -660,12 +660,21 @@ def _ffd_fold(ds_col):
     into O(bins²). The r13 sf1 probe caught exactly that cliff: 50k
     docs → ~165 open bins/shard made the un-bound form ~940× the
     sf0.1 cost (minutes per run); with the binding each step is
-    O(bins) and the whole fold is Σbins ≈ total_tokens/L per shard."""
-    init = F.struct(
+    O(bins) and the whole fold is Σbins ≈ total_tokens/L per shard.
+
+    ``with_asg`` additionally records the 0-based bin id per doc
+    (the [[corpus_pack_bins_apply]] export). It is a FLAG because
+    the asg concat copies the whole O(n)-long assignment array per
+    step — O(n²/G) work the manifest key, which discards asg, must
+    not pay; packing identity between the two keys is guaranteed by
+    the shared merge logic, not by computing asg everywhere."""
+    fields = [
         F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("loads"),
         F.expr("CAST(array() AS ARRAY<INT>)").alias("nd"),
-        F.expr("CAST(array() AS ARRAY<INT>)").alias("asg"),
-    )
+    ]
+    if with_asg:
+        fields.append(F.expr("CAST(array() AS ARRAY<INT>)").alias("asg"))
+    init = F.struct(*fields)
 
     def merge(acc, x):
         sz = -x["negsz"]
@@ -698,19 +707,21 @@ def _ffd_fold(ds_col):
             ).otherwise(
                 F.concat(acc["nd"], F.array(F.lit(1).cast("int")))
             )
-            # 0-based bin this doc landed in: the fit index, or the
-            # freshly opened bin (= open-bin count before the append)
-            new_asg = F.concat(
-                acc["asg"],
-                F.array(
-                    F.coalesce(jj, F.size(acc["loads"])).cast("int")
-                ),
-            )
-            return F.struct(
-                new_loads.alias("loads"),
-                new_nd.alias("nd"),
-                new_asg.alias("asg"),
-            )
+            out = [new_loads.alias("loads"), new_nd.alias("nd")]
+            if with_asg:
+                # 0-based bin this doc landed in: the fit index, or
+                # the freshly opened bin (= count before the append)
+                out.append(
+                    F.concat(
+                        acc["asg"],
+                        F.array(
+                            F.coalesce(jj, F.size(acc["loads"])).cast(
+                                "int"
+                            )
+                        ),
+                    ).alias("asg")
+                )
+            return F.struct(*out)
 
         return F.try_element_at(F.transform(F.array(j), body), F.lit(1))
 
@@ -761,7 +772,9 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ffd_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ffd_packed(
+    spark: SparkSession, sf_dir: str, with_asg: bool = False
+) -> DataFrame:
     """(grp, ds, p) — the sharded size-sorted doc arrays plus the
     finished [[_ffd_fold]] accumulator, shared by the manifest and
     apply keys so both serve the SAME packing."""
@@ -782,7 +795,9 @@ def _ffd_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ds")
     )
-    return arr.select("grp", "ds", _ffd_fold(F.col("ds")).alias("p"))
+    return arr.select(
+        "grp", "ds", _ffd_fold(F.col("ds"), with_asg=with_asg).alias("p")
+    )
 
 
 @query("corpus_pack_bins_apply", oracle=_PACK_BINS_APPLY_SQL)
@@ -804,7 +819,7 @@ def corpus_pack_bins_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_PACK_FOLD_CTES``) and reads the same asg list by rank.
     Integer-exact by construction; a bin's members re-aggregate to
     exactly the manifest row (pinned in tests)."""
-    packed = _ffd_packed(spark, sf_dir)
+    packed = _ffd_packed(spark, sf_dir, with_asg=True)
     return packed.select(
         "grp", "p", F.posexplode("ds").alias("pos", "d")
     ).select(

@@ -183,7 +183,9 @@ def test_pack_bins_fold_matches_python_ffd(spark, sizes):
             )
         ).alias("ds")
     )
-    [row] = arr.select(_ffd_fold(F.col("ds")).alias("p")).collect()
+    [row] = arr.select(
+        _ffd_fold(F.col("ds"), with_asg=True).alias("p")
+    ).collect()
     exp_loads, exp_nd, exp_asg = _py_ffd(
         [(s, i) for i, s in enumerate(sizes)]
     )
