@@ -121,6 +121,7 @@ _ROUND13_PRIORITY = [
     "graph_label_propagation",
     "dedup_minhash_incremental",
     "corpus_pack_bins_apply",
+    "privacy_t_closeness",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",
     "tpch_q21_suppliers_who_kept_waiting",

@@ -1609,14 +1609,19 @@ ts_ewma_smooth.__doc__ = (
 
 _L_DIVERSITY = 3
 
-_LDIV_SQL = f"""
-    WITH {{qi}},
-    spend AS (
+#: The sensitive-attribute bucketing shared VERBATIM by the
+#: l-diversity and t-closeness oracles — both audits must bucket the
+#: same attribute of the same release.
+_SPEND_QUINTILE_CTE = """spend AS (
       SELECT user_id,
              NTILE(5) OVER (ORDER BY SUM(CAST(ROUND(value * 100)
                             AS BIGINT)), user_id) AS spend_quintile
       FROM events GROUP BY user_id
-    ),
+    )"""
+
+_LDIV_SQL = f"""
+    WITH {{qi}},
+    {_SPEND_QUINTILE_CTE},
     cls AS (
       SELECT p.cohort_week, p.activity_bucket, f.fav_type,
              s.spend_quintile, COUNT(*) AS cnt
@@ -1668,29 +1673,20 @@ privacy_l_diversity.__doc__ = privacy_l_diversity.__doc__.replace(
 )
 
 
-def l_diversity_of(e: DataFrame) -> DataFrame:
-    """The testable audit fold under [[privacy_l_diversity]]: given
-    events ``(user_id, ts, event_id, event_type, value)``, build QI
-    classes + spend quintiles and report distinct-l / entropy-l per
-    class.
-
-    The quintile is NTILE(5) in VALUE but not in plan: a global
-    ordered window would funnel every user through one task, so the
-    rank is computed distributed — range-repartition users on the
-    unique (tot_c, user_id) sort key, local rank per partition (each
-    task sorts only its slice), then one aggregate-sized collect of
-    per-partition counts becomes broadcast prefix offsets, and
-    global_rank = offset[pid] + local_rank feeds the closed-form
-    NTILE bucket formula (first n%5 buckets get ceil(n/5) rows).
-    The result is partition-boundary-independent, so range-sampling
-    nondeterminism cannot change a bucket; the intermediate is
-    localCheckpoint-pinned so the offset collect and the downstream
-    join see the same partitioning."""
+def spend_quintiles_of(e: DataFrame) -> DataFrame:
+    """(user_id, spend_quintile) — the distributed NTILE(5) over
+    exact centi-unit spend totals with user_id tie-break, shared by
+    [[privacy_l_diversity]] and [[privacy_t_closeness]] (both audits
+    must bucket the SAME sensitive attribute). NTILE(5) in VALUE but
+    not in plan: range-repartition on the unique (tot_c, user_id)
+    sort key, local rank per partition, one aggregate-sized collect
+    of per-partition counts → broadcast prefix offsets, global_rank
+    = offset[pid] + local_rank into the closed-form NTILE bucket
+    formula (first n%5 buckets get ceil(n/5) rows). Partition-
+    boundary-independent; localCheckpoint pins the partitioning
+    between the offset collect and the downstream join."""
     from pyspark.sql import Window as W
 
-    qi = qi_profiles(
-        e.select("user_id", "ts", "event_id", "event_type")
-    )
     totals = e.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
             "tot_c"
@@ -1734,9 +1730,31 @@ def l_diversity_of(e: DataFrame) -> DataFrame:
             rn <= head, (rn - 1) / (q + 1)
         ).otherwise(m + (rn - head - 1) / q)
         bucket = F.floor(bucket).cast("int") + 1
-    spend = ranked.select(
-        "user_id", bucket.alias("spend_quintile")
+    return ranked.select("user_id", bucket.alias("spend_quintile"))
+
+
+def l_diversity_of(e: DataFrame) -> DataFrame:
+    """The testable audit fold under [[privacy_l_diversity]]: given
+    events ``(user_id, ts, event_id, event_type, value)``, build QI
+    classes + spend quintiles and report distinct-l / entropy-l per
+    class.
+
+    The quintile is NTILE(5) in VALUE but not in plan: a global
+    ordered window would funnel every user through one task, so the
+    rank is computed distributed — range-repartition users on the
+    unique (tot_c, user_id) sort key, local rank per partition (each
+    task sorts only its slice), then one aggregate-sized collect of
+    per-partition counts becomes broadcast prefix offsets, and
+    global_rank = offset[pid] + local_rank feeds the closed-form
+    NTILE bucket formula (first n%5 buckets get ceil(n/5) rows).
+    The result is partition-boundary-independent, so range-sampling
+    nondeterminism cannot change a bucket; the intermediate is
+    localCheckpoint-pinned so the offset collect and the downstream
+    join see the same partitioning."""
+    qi = qi_profiles(
+        e.select("user_id", "ts", "event_id", "event_type")
     )
+    spend = spend_quintiles_of(e)
     cls = (
         qi.join(spend, "user_id")
         .groupBy(
@@ -1950,4 +1968,166 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return skyline_2d(p, "brand", "price_cents", "size").select(
         "brand", "part_key", "price_cents", "size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy_t_closeness — distributional leakage, completing the triad
+# ---------------------------------------------------------------------------
+
+#: Classic closeness threshold t = 0.15 (Li 2007 §6), in micro-units.
+_T_CLOSE_MICRO = 150_000
+
+_TCLOSE_SQL = f"""
+    WITH {{qi}},
+    {_SPEND_QUINTILE_CTE},
+    cls AS (
+      SELECT p.cohort_week, p.activity_bucket, f.fav_type,
+             s.spend_quintile AS k, COUNT(*) AS cnt
+      FROM profile p
+      JOIN fav f ON p.user_id = f.user_id
+      JOIN spend s ON p.user_id = s.user_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    classes AS (
+      SELECT DISTINCT cohort_week, activity_bucket, fav_type FROM cls
+    ),
+    grid AS (
+      SELECT c.cohort_week, c.activity_bucket, c.fav_type, q.k
+      FROM classes c CROSS JOIN (SELECT unnest(range(1, 6)) AS k) q
+    ),
+    filled AS (
+      SELECT g.cohort_week, g.activity_bucket, g.fav_type, g.k,
+             COALESCE(cls.cnt, 0) AS cnt
+      FROM grid g
+      LEFT JOIN cls
+        ON cls.cohort_week = g.cohort_week
+       AND cls.activity_bucket = g.activity_bucket
+       AND cls.fav_type = g.fav_type
+       AND cls.k = g.k
+    ),
+    cum AS (
+      SELECT cohort_week, activity_bucket, fav_type, k, cnt,
+             SUM(cnt) OVER (PARTITION BY cohort_week, activity_bucket,
+                            fav_type ORDER BY k) AS cum_c,
+             SUM(cnt) OVER (PARTITION BY cohort_week, activity_bucket,
+                            fav_type) AS n_c
+      FROM filled
+    ),
+    gdist AS (
+      SELECT k, SUM(cnt) AS g FROM filled GROUP BY k
+    ),
+    gcum AS (
+      SELECT k, SUM(g) OVER (ORDER BY k) AS cum_g,
+             SUM(g) OVER () AS n
+      FROM gdist
+    )
+    SELECT c.cohort_week, c.activity_bucket, c.fav_type,
+           CAST(MAX(c.n_c) AS BIGINT) AS class_size,
+           CAST(SUM(CASE WHEN c.k <= 4
+                         THEN ABS(c.cum_c * g.n - g.cum_g * c.n_c)
+                         ELSE 0 END) * 1000000
+                // (4 * MAX(c.n_c) * MAX(g.n)) AS BIGINT)
+             AS t_emd_micro,
+           SUM(CASE WHEN c.k <= 4
+                    THEN ABS(c.cum_c * g.n - g.cum_g * c.n_c)
+                    ELSE 0 END) * 1000000
+             // (4 * MAX(c.n_c) * MAX(g.n)) <= {_T_CLOSE_MICRO} AS close
+    FROM cum c JOIN gcum g ON c.k = g.k
+    GROUP BY c.cohort_week, c.activity_bucket, c.fav_type
+"""
+
+
+@query("privacy_t_closeness", oracle=_TCLOSE_SQL.format(qi=_QI_CTES.strip()))
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li-Li-Venkatasubramanian 2007) — the third
+    member of the privacy triad: [[privacy_k_anonymity]] bounds class
+    SIZE, [[privacy_l_diversity]] bounds sensitive-value VARIETY,
+    t-closeness bounds the DISTANCE between each class's sensitive
+    distribution and the release-wide one (a class can be large and
+    diverse yet still leak: 'this class skews rich'). Same QI classes
+    (shared ``qi_profiles``/``_QI_CTES``), same sensitive attribute
+    (shared [[spend_quintiles_of]] / ``_SPEND_QUINTILE_CTE``), so the
+    three audits describe the SAME release.
+
+    Distance is the Earth-Mover's Distance over the ORDERED quintiles
+    (Li 2007 §4.2's ordinal form): EMD = (1/(m−1)) Σ_{{k<m}}
+    |CumClass_k/n_c − CumGlobal_k/n|. Computed ENTIRELY in BIGINT:
+    the absolute cumulative gaps cross-multiply to |cum_c·n −
+    cum_g·n_c|, the sum scales by 1e6 (micro-units, ≤ 4e16 at the
+    sf1 user count — in range), and ONE integer division by
+    4·n_c·n lands the reported t_emd_micro identically in both
+    engines — zero floats anywhere, the strongest form of the repo's
+    single-rounding discipline. A 1e9-user deployment re-derives the
+    scale factor or drops to one final double division (the products
+    pass 2^63 around n ≈ 1.5e8 with micro-scaling).
+
+    Plan: the class × quintile vote is ONE user-keyed join + one
+    class-keyed aggregate (event-proportional only in the first
+    map-side combine); the dense 5-slot grid comes from an in-row
+    ``explode(sequence(1,5))`` on the class list (no join), the
+    cumulative sums run on the class×5 frame, and the global
+    distribution is a 5-row broadcast. Every exchange after the
+    profile build is class-cardinality. Verdict column ``close``
+    uses the paper's t = 0.15."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    qik = ["cohort_week", "activity_bucket", "fav_type"]
+    qi = qi_profiles(
+        e.select("user_id", "ts", "event_id", "event_type")
+    )
+    spend = spend_quintiles_of(e)
+    cls = (
+        qi.join(spend, "user_id")
+        .groupBy(*qik, F.col("spend_quintile").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    grid = (
+        cls.select(*qik)
+        .distinct()
+        .select(
+            *qik,
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("k"),
+        )
+    )
+    filled = grid.join(cls, qik + ["k"], "left").select(
+        *qik, "k", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")
+    )
+    wc = W.partitionBy(*qik).orderBy("k")
+    wall = W.partitionBy(*qik)
+    cum = filled.select(
+        *qik,
+        "k",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum_c"),
+        F.sum("cnt").over(wall).alias("n_c"),
+    )
+    glob = filled.groupBy("k").agg(F.sum("cnt").alias("g"))
+    wg = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    wgall = W.partitionBy()
+    gcum = glob.select(
+        "k",
+        F.sum("g").over(wg).alias("cum_g"),
+        F.sum("g").over(wgall).alias("n"),
+    )
+    j = cum.join(F.broadcast(gcum), "k")
+    gap = F.when(
+        F.col("k") <= 4,
+        F.abs(
+            F.col("cum_c") * F.col("n") - F.col("cum_g") * F.col("n_c")
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    agg = j.groupBy(*qik).agg(
+        F.max("n_c").cast("bigint").alias("class_size"),
+        F.sum(gap).alias("num"),
+        F.max("n_c").alias("n_c"),
+        F.max("n").alias("n"),
+    )
+    t_micro = F.expr("num * 1000000 DIV (4 * n_c * n)")
+    return agg.select(
+        *qik,
+        "class_size",
+        t_micro.cast("bigint").alias("t_emd_micro"),
+        (t_micro <= F.lit(_T_CLOSE_MICRO)).alias("close"),
     )

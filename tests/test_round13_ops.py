@@ -1302,3 +1302,111 @@ def test_pack_bins_apply_consistent_with_manifest(spark, sf_dir):
         n, u = agg.get(k, (0, 0))
         agg[k] = (n + 1, u + r.sz_tokens)
     assert agg == manifest
+
+
+# ---------------------------------------------------------------------------
+# privacy_t_closeness — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def _py_t_emd_micro(class_counts, global_counts):
+    """Literal ordinal-EMD in integer micro-units: counts are dicts
+    quintile->count over k=1..5."""
+    n_c = sum(class_counts.values())
+    n = sum(global_counts.values())
+    num = cum_c = cum_g = 0
+    for k in range(1, 5):  # k <= 4: the m-1 interior boundaries
+        cum_c += class_counts.get(k, 0)
+        cum_g += global_counts.get(k, 0)
+        num += abs(cum_c * n - cum_g * n_c)
+    return (num * 1_000_000) // (4 * n_c * n)
+
+
+def test_t_closeness_matches_python_emd(spark, sf_dir):
+    """Differential without DuckDB: rebuild the class×quintile counts
+    from the SAME shared helpers (qi_profiles + spend_quintiles_of)
+    and check every class's t_emd_micro against the literal integer
+    EMD fold."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load as _load
+    from data_pipeline_spark_spark.operators.analytics import (
+        qi_profiles,
+        spend_quintiles_of,
+    )
+
+    registry.load_all()
+    e = _load(spark, sf_dir, "events")
+    qi = qi_profiles(e.select("user_id", "ts", "event_id", "event_type"))
+    rows = qi.join(spend_quintiles_of(e), "user_id").collect()
+    per_class, global_counts = {}, {}
+    for r in rows:
+        key = (r.cohort_week, r.activity_bucket, r.fav_type)
+        per_class.setdefault(key, {})
+        per_class[key][r.spend_quintile] = (
+            per_class[key].get(r.spend_quintile, 0) + 1
+        )
+        global_counts[r.spend_quintile] = (
+            global_counts.get(r.spend_quintile, 0) + 1
+        )
+    got = {
+        (r.cohort_week, r.activity_bucket, r.fav_type): (
+            r.class_size,
+            r.t_emd_micro,
+            r.close,
+        )
+        for r in registry.QUERIES["privacy_t_closeness"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(per_class)
+    for key, counts in per_class.items():
+        t = _py_t_emd_micro(counts, global_counts)
+        assert got[key] == (sum(counts.values()), t, t <= 150_000), key
+
+
+def test_t_closeness_known_shapes(spark):
+    """Synthetic release: one quintile-balanced class (t = 0 — it IS
+    the global distribution when all classes are balanced) and, in a
+    second release, a fully-skewed singleton-quintile class whose
+    integer EMD is computed by hand."""
+    # balanced: two classes, each one user per quintile → global is
+    # balanced too → every cumulative gap is 0.
+    bal = {k: 1 for k in range(1, 6)}
+    assert _py_t_emd_micro(bal, {k: 2 for k in range(1, 6)}) == 0
+    # skewed: class = 5 users all in quintile 1, global = that class
+    # plus a balanced 5-user class. n_c=5, n=10; global cum at
+    # k=1..4 = 6,7,8,9; class cum = 5,5,5,5.
+    # num = |5*10-6*5| + |50-35| + |50-40| + |50-45| = 20+15+10+5 = 50
+    # t_micro = 50*1e6 // (4*5*10) = 250_000 → NOT close at 0.15.
+    skew = {1: 5}
+    glob = {1: 6, 2: 1, 3: 1, 4: 1, 5: 1}
+    assert _py_t_emd_micro(skew, glob) == 250_000
+
+
+def test_t_closeness_plan_and_bounds(spark, sf_dir):
+    """Plan: no Python eval, no cartesian product (the 5-slot grid is
+    an in-row explode, the global distribution a 5-row broadcast).
+    Bounds: t_emd_micro ∈ [0, 1e6] for every class, and the triad's
+    three audits report the SAME class keys (same release)."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    registry.load_all()
+    df = registry.QUERIES["privacy_t_closeness"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.t_emd_micro <= 1_000_000, r
+    k_keys = {
+        (r.cohort_week, r.activity_bucket, r.fav_type)
+        for r in registry.QUERIES["privacy_k_anonymity"](
+            spark, sf_dir
+        ).collect()
+    }
+    t_keys = {
+        (r.cohort_week, r.activity_bucket, r.fav_type) for r in rows
+    }
+    assert t_keys == k_keys
