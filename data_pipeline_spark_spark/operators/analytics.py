@@ -2051,7 +2051,7 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     three audits describe the SAME release.
 
     Distance is the Earth-Mover's Distance over the ORDERED quintiles
-    (Li 2007 §4.2's ordinal form): EMD = (1/(m−1)) Σ_{{k<m}}
+    (Li 2007 §4.2's ordinal form): EMD = (1/(m−1)) Σ_{k<m}
     |CumClass_k/n_c − CumGlobal_k/n|. Computed ENTIRELY in BIGINT:
     the absolute cumulative gaps cross-multiply to |cum_c·n −
     cum_g·n_c|, the sum scales by 1e6 (micro-units, ≤ 4e16 at the
