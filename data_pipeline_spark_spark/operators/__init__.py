@@ -122,6 +122,7 @@ _ROUND13_PRIORITY = [
     "dedup_minhash_incremental",
     "corpus_pack_bins_apply",
     "privacy_t_closeness",
+    "ts_holt_forecast",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",
     "tpch_q21_suppliers_who_kept_waiting",

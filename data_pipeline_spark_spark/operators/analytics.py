@@ -2131,3 +2131,147 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_micro.cast("bigint").alias("t_emd_micro"),
         (t_micro <= F.lit(_T_CLOSE_MICRO)).alias("close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_forecast — Holt linear-trend smoothing + one-step forecast
+# ---------------------------------------------------------------------------
+
+_HOLT_L = 16
+_HOLT_S = 4 ** _HOLT_L  # 2^32 — the common dyadic denominator
+
+
+def _holt_weights() -> tuple[list[int], list[int]]:
+    """Exact integer lag weights of the truncated Holt (1957) linear
+    recurrence at alpha = beta = 1/2: the state [level, trend] obeys
+    s_t = M s_{t-1} + v·x_t with M = [[1/2, 1/2], [-1/4, 3/4]],
+    v = [1/2, 1/4], so level_t = Σ_j (M^j v)[0] · x_{t-j} and
+    trend_t = Σ_j (M^j v)[1] · x_{t-j}. With dyadic alpha/beta every
+    M^j v entry has denominator dividing 4^(j+1), so scaling by
+    S = 4^L makes the first L weights EXACT int64 — the
+    [[ts_ewma_smooth]] bit-determinism argument extended to a
+    second-order recurrence. |eig(M)| = sqrt(det) = 1/√2, so the
+    discarded tail carries ~0.707^L ≈ 0.4% of the mass (level
+    weights sum to 1.0012·S, trend to 0.0029·S — the small constant
+    bias the contract test bounds)."""
+    from fractions import Fraction
+
+    M = (
+        (Fraction(1, 2), Fraction(1, 2)),
+        (Fraction(-1, 4), Fraction(3, 4)),
+    )
+    cur = (Fraction(1, 2), Fraction(1, 4))
+    cs, ds = [], []
+    for _ in range(_HOLT_L):
+        a, b = cur[0] * _HOLT_S, cur[1] * _HOLT_S
+        assert a.denominator == 1 and b.denominator == 1
+        cs.append(int(a))
+        ds.append(int(b))
+        cur = (
+            M[0][0] * cur[0] + M[0][1] * cur[1],
+            M[1][0] * cur[0] + M[1][1] * cur[1],
+        )
+    return cs, ds
+
+
+_HOLT_CS, _HOLT_DS = _holt_weights()
+
+_HOLT_LAGS = ",\n             ".join(
+    f"LAG(v_c, {j}) OVER w AS lag_{j}" for j in range(_HOLT_L)
+)
+
+
+def _holt_sum_sql(ws: list[int]) -> str:
+    return " + ".join(f"lag_{j} * ({w})" for j, w in enumerate(ws))
+
+
+_HOLT_SQL = f"""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, ts, event_id, v_c,
+             {_HOLT_LAGS}
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts,
+           CAST(v_c AS DOUBLE) / 100 AS value,
+           CAST(({_holt_sum_sql(_HOLT_CS)}) AS DOUBLE)
+             / ({_HOLT_S}.0 * 100) AS holt_level,
+           CAST(({_holt_sum_sql(_HOLT_DS)}) AS DOUBLE)
+             / ({_HOLT_S}.0 * 100) AS holt_trend,
+           CAST(({_holt_sum_sql([c + d for c, d in zip(_HOLT_CS, _HOLT_DS)])})
+                AS DOUBLE) / ({_HOLT_S}.0 * 100) AS forecast_next
+    FROM lagged
+    WHERE lag_{_HOLT_L - 1} IS NOT NULL
+"""
+
+
+@query("ts_holt_forecast", oracle=_HOLT_SQL)
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear-trend smoothing with a ONE-STEP FORECAST
+    (Holt 1957, alpha = beta = 1/2) — the registry's forecasting
+    member, one order above [[ts_ewma_smooth]]'s level-only EWMA:
+    the state tracks (level, trend) and forecast_next = level +
+    trend is what a capacity dashboard plots past the last point.
+
+    Exactness: the double recurrence unrolls to fixed lag weights
+    ([[_holt_weights]] — exact dyadic integers at this alpha/beta,
+    derived once in Fractions and embedded as the SAME literals in
+    the Spark expression and the DuckDB oracle), so level, trend,
+    and forecast are exact int64 dot products with one final IEEE
+    division each — bit-identical across engines, where the naive
+    recurrence would chain n data-dependent float ops. Truncation at
+    {_HOLT_L} lags keeps ~99.6% of the weight mass (spectral radius
+    1/√2); rows without a full {_HOLT_L}-lag history are EXCLUDED
+    (steady-state semantics — Holt's trend is undefined at the
+    series head anyway), which both engines express as the identical
+    last-lag-not-null filter.
+
+    Plan: ONE Window over ONE user-keyed exchange evaluates all
+    {_HOLT_L} LAGs; the dot products are whole-stage-codegen integer
+    arithmetic. At 100 TB this is a single pass over the
+    time-ordered partition layout, the same shape as every other
+    lag-ladder key."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [
+        F.lag("v_c", j).over(w).alias(f"lag_{j}")
+        for j in range(_HOLT_L)
+    ]
+    lagged = e.select("user_id", "ts", "event_id", "v_c", *lags)
+
+    def dot(ws: list[int]):
+        s = F.lit(0).cast("bigint")
+        for j, wj in enumerate(ws):
+            s = s + F.col(f"lag_{j}") * F.lit(wj)
+        return s.cast("double") / (float(_HOLT_S) * 100.0)
+
+    return lagged.filter(
+        F.col(f"lag_{_HOLT_L - 1}").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("v_c").cast("double") / 100).alias("value"),
+        dot(_HOLT_CS).alias("holt_level"),
+        dot(_HOLT_DS).alias("holt_trend"),
+        dot([c + d for c, d in zip(_HOLT_CS, _HOLT_DS)]).alias(
+            "forecast_next"
+        ),
+    )
+
+
+ts_holt_forecast.__doc__ = ts_holt_forecast.__doc__.replace(
+    "{_HOLT_L}", str(_HOLT_L)
+)

@@ -1410,3 +1410,125 @@ def test_t_closeness_plan_and_bounds(spark, sf_dir):
         (r.cohort_week, r.activity_bucket, r.fav_type) for r in rows
     }
     assert t_keys == k_keys
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_forecast — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def _py_holt_recurrence(xs, alpha=0.5, beta=0.5):
+    """Literal Holt recurrence (floats), seeded l=x0, b=x1-x0 —
+    the textbook definition the truncated form approximates."""
+    l, b = xs[0], xs[1] - xs[0]
+    out = []
+    for x in xs[1:]:
+        l_new = alpha * x + (1 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1 - beta) * b
+        l = l_new
+        out.append((l, b, l + b))
+    return out
+
+
+@given(
+    st.lists(
+        st.integers(0, 10_000),  # centi-units: values 0..100.00
+        min_size=24,
+        max_size=48,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_holt_truncation_tracks_recurrence(spark, raw):
+    """Semantic contract: after the 16-lag warm-up the truncated
+    dot-product tracks the textbook Holt recurrence within the
+    spectral truncation bound (~0.707^16 of the value scale) —
+    asserted on level AND one-step forecast for arbitrary bounded
+    series."""
+    from data_pipeline_spark_spark.operators.analytics import (
+        _HOLT_CS,
+        _HOLT_DS,
+        _HOLT_L,
+        _HOLT_S,
+    )
+
+    xs = [c / 100 for c in raw]
+    rec = _py_holt_recurrence(xs)
+    scale = max(xs) or 1.0
+    for t in range(_HOLT_L - 1, len(xs)):
+        lags = [raw[t - j] for j in range(_HOLT_L)]
+        level = sum(
+            w * x for w, x in zip(_HOLT_CS, lags)
+        ) / (_HOLT_S * 100)
+        fc = sum(
+            (c + d) * x
+            for c, d, x in zip(_HOLT_CS, _HOLT_DS, lags)
+        ) / (_HOLT_S * 100)
+        rl, rb, rf = rec[t - 1]
+        # truncation + seeding differences both decay at 1/sqrt(2)
+        # per lag; 5% of scale is ~10x the steady-state bound, room
+        # for the seed transient on short series
+        assert abs(level - rl) <= 0.05 * scale + 0.01, (t, level, rl)
+        assert abs(fc - rf) <= 0.08 * scale + 0.01, (t, fc, rf)
+
+
+def test_holt_constant_and_linear_series(spark):
+    """Known shapes, via the registered weights: a constant series
+    forecasts (nearly) itself — off only by the 0.41% truncation
+    mass; a pure linear ramp's trend estimate matches the true slope
+    within the same truncation band."""
+    from data_pipeline_spark_spark.operators.analytics import (
+        _HOLT_CS,
+        _HOLT_DS,
+        _HOLT_S,
+    )
+
+    c = 100_00  # constant 100.00 in centi-units
+    level = sum(w * c for w in _HOLT_CS) / (_HOLT_S * 100)
+    fc = sum((a + b) * c for a, b in zip(_HOLT_CS, _HOLT_DS)) / (
+        _HOLT_S * 100
+    )
+    assert abs(level - 100.0) <= 0.5
+    assert abs(fc - 100.0) <= 0.5
+    slope = 7_00  # +7.00 per step, level 1000.00
+    lags = [100_000 - j * slope for j in range(16)]  # x_{t-j}
+    trend = sum(w * x for w, x in zip(_HOLT_DS, lags)) / (
+        _HOLT_S * 100
+    )
+    # truncated trend = slope·(-Σ j·d_j) + level·Σ d_j: the residual
+    # trend mass (~4% of slope) plus a LEVEL-proportional bias of
+    # Σ d_j ≈ 0.0029 — both decay with L; bound each term honestly
+    assert abs(trend - 7.0) <= 0.05 * 7.0 + 0.0035 * 1000.0
+
+
+def test_holt_plan_shape_and_warmup(spark, sf_dir):
+    """ONE Window over one user-keyed exchange (all 16 LAGs fused),
+    no Python; and exactly the first 15 rows of every user's series
+    are excluded (the declared warm-up)."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load as _load
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    registry.load_all()
+    df = registry.QUERIES["ts_holt_forecast"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert plan.count(" Window") <= 2  # one Window node (+ header)
+    ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert len(ex) == 1 and "user_id" in ex[0], ex
+    per_user_out = {
+        r.user_id: r.n
+        for r in df.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    per_user_in = {
+        r.user_id: r.n
+        for r in _load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for u, n in per_user_in.items():
+        assert per_user_out.get(u, 0) == max(0, n - 15), u
