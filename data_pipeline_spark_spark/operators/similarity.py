@@ -1787,3 +1787,18 @@ def sim_search_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / nt).alias("frac"),
         (k * mx / nt).alias("imbalance_factor"),
     )
+
+
+# plain-string docstrings: expand the constant placeholders (the
+# corpus.py __doc__.replace pattern) so rendered help shows values,
+# not literal braces
+for _fn, _subs in (
+    (sim_search_rerank, ("_RERANK_CANDIDATES", "_TOP_K")),
+    (sim_search_pq, ("_PQ_M", "_PQ_K", "_N_QUERIES")),
+    (sim_search_ivfpq, ("_IVFPQ_NPROBE", "_IVFPQ_CELLS", "_PQ_M")),
+):
+    for _name in _subs:
+        _fn.__doc__ = _fn.__doc__.replace(
+            "{" + _name + "}", str(globals()[_name])
+        )
+del _fn, _subs, _name
