@@ -123,6 +123,7 @@ _ROUND13_PRIORITY = [
     "corpus_pack_bins_apply",
     "privacy_t_closeness",
     "ts_holt_forecast",
+    "vocab_zipf_fit",
     # (e) oldest r9-stale oracle keys — freshness rotation filler
     "tpch_q1_pricing_summary",
     "tpch_q21_suppliers_who_kept_waiting",

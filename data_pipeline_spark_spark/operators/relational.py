@@ -1365,11 +1365,17 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols_fit(m).withColumnRenamed("g", "event_type")
 
 
-def ols_fit(m) -> DataFrame:
-    """The testable OLS fold under [[agg_linear_fit]]: per group ``g``
-    over integer-grid points ``(x, y)`` (y in centi-units), accumulate
-    the five exact int64 moments and evaluate the closed-form
-    slope/intercept/r² double expressions."""
+def ols_fit(
+    m, slope_scale: float = 100.0, intercept_scale: float | None = None
+) -> DataFrame:
+    """The testable OLS fold under [[agg_linear_fit]] (and the Zipf
+    head fit in [[vocab_zipf_fit]]): per group ``g`` over integer-grid
+    points ``(x, y)``, accumulate the five exact int64 moments and
+    evaluate the closed-form slope/intercept/r² double expressions.
+    ``slope_scale``/``intercept_scale`` divide the reported slope and
+    intercept back into caller units (default 100 = centi-unit y on
+    an unscaled x; a fit where x and y share one scale passes
+    slope_scale=1 since the scale cancels in the ratio)."""
     s = m.groupBy("g").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
@@ -1387,16 +1393,17 @@ def ols_fit(m) -> DataFrame:
     # throw DIVIDE_BY_ZERO and kill the whole job on one bad group
     ok_x = vx != 0.0
     slope_centi = F.when(ok_x, cov / vx)
+    iscale = slope_scale if intercept_scale is None else intercept_scale
     return s.select(
         "g",
         "n",
-        (slope_centi / 100.0).alias("slope_per_hr"),
+        (slope_centi / float(slope_scale)).alias("slope_per_hr"),
         (
             (
                 F.col("sy").cast("double") - slope_centi * F.col("sx").cast("double")
             )
             / nd
-            / 100.0
+            / float(iscale)
         ).alias("intercept"),
         F.when(ok_x & (vy != 0.0), (cov * cov) / (vx * vy)).alias("r2"),
     )

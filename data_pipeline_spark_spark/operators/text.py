@@ -1937,3 +1937,125 @@ def quality_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc rollup collapses map-side like every micro-nat key."""
     d = load(spark, sf_dir, "documents")
     return bigram_perplexity_of(fan_out(d).select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# vocab_zipf_fit — power-law diagnostic of the token distribution
+# ---------------------------------------------------------------------------
+
+#: head size fitted per language — the classic Zipf plot fits the
+#: frequency-ranked head (the tail flattens into Heaps noise); a
+#: fixed K also keeps the fit frame K rows/lang regardless of corpus
+#: size, so the rank window and the OLS both run on tiny frames.
+_ZIPF_K = 100
+
+_ZIPF_SQL = f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    cnts AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY lang, token
+    ),
+    ranked AS (
+      SELECT lang, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, token) AS rk
+      FROM cnts
+    ),
+    m AS (
+      SELECT lang,
+             CAST(ROUND(ln(rk) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(ln(cnt) * 1000000) AS BIGINT) AS y
+      FROM ranked WHERE rk <= {_ZIPF_K}
+    ),
+    s AS (
+      SELECT lang, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM m GROUP BY lang
+    ),
+    d AS (
+      SELECT lang, n,
+             CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov,
+             CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+             CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM s
+    )
+    SELECT lang,
+           n AS n_terms,
+           (CASE WHEN vx <> 0 THEN cov / vx END) / 1.0 AS zipf_slope,
+           ((syd - (CASE WHEN vx <> 0 THEN cov / vx END) * sxd)
+            / CAST(n AS DOUBLE)) / 1000000.0 AS ln_intercept,
+           CASE WHEN vx <> 0 AND vy <> 0
+                THEN (cov * cov) / (vx * vy) END AS r2
+    FROM d
+"""
+
+
+@query("vocab_zipf_fit", oracle=_ZIPF_SQL)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the token frequency distribution per
+    language (Zipf 1949: freq ∝ rank^−s ⇒ ln f = ln C − s·ln k) —
+    the vocabulary-health diagnostic next to [[vocab_oov_report]]
+    and [[tokenizer_fertility_report]]: a natural corpus fits s ≈ 1
+    with high r²; template spam or synthetic repetition shows up as
+    a flattened or kinked head long before a human reads a sample.
+
+    Exactness: this is two repo disciplines composed. Each head
+    term's (ln rank, ln count) goes to MICRO-NAT integers with ONE
+    rounding ([[quality_unigram_logprob]]'s micro-ln), then the OLS
+    moments accumulate as exact int64 and the closed-form
+    slope/intercept/r² are fixed double expressions — the shared
+    [[ols_fit]] fold of [[agg_linear_fit]] (slope needs no rescale:
+    x and y share the micro-nat scale, which cancels in the ratio;
+    the intercept divides back to nats).
+
+    Scale shape: one (lang, token) count exchange over the token
+    stream — the only corpus-proportional step — then the rank
+    window and the fit run on vocab- and head-sized frames (the
+    window partitions by lang; rank ≤ {_ZIPF_K} prunes everything
+    else). At web scale per-lang vocab windows get large; the same
+    range-partitioned-rank swap as [[spend_quintiles_of]] applies,
+    noted not needed at fixture vocab."""
+    from pyspark.sql import Window as W
+
+    from .relational import ols_fit
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    cnts = tok.groupBy("lang", "token").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    ranked = cnts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _ZIPF_K
+    )
+    m = ranked.select(
+        F.col("lang").alias("g"),
+        F.round(F.log(F.col("rk").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("y"),
+    )
+    fit = ols_fit(m, slope_scale=1.0, intercept_scale=1e6)
+    return fit.select(
+        F.col("g").alias("lang"),
+        F.col("n").alias("n_terms"),
+        F.col("slope_per_hr").alias("zipf_slope"),
+        F.col("intercept").alias("ln_intercept"),
+        "r2",
+    )
+
+
+vocab_zipf_fit.__doc__ = vocab_zipf_fit.__doc__.replace(
+    "{_ZIPF_K}", str(_ZIPF_K)
+)

@@ -1532,3 +1532,112 @@ def test_holt_plan_shape_and_warmup(spark, sf_dir):
     }
     for u, n in per_user_in.items():
         assert per_user_out.get(u, 0) == max(0, n - 15), u
+
+
+# ---------------------------------------------------------------------------
+# vocab_zipf_fit — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_matches_python_ols(spark, sf_dir):
+    """Differential without DuckDB: rebuild the per-lang ranked head
+    from raw token counts in python (same rank tie-break), micro-nat
+    the logs with the same single rounding, run a literal OLS, and
+    compare slope/intercept/r² exactly (same IEEE op order)."""
+    import math
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load as _load
+
+    registry.load_all()
+    docs = _load(spark, sf_dir, "documents").select("lang", "text").collect()
+    counts = {}
+    for r in docs:
+        for t in r.text.split(" "):
+            counts.setdefault(r.lang, {})
+            counts[r.lang][t] = counts[r.lang].get(t, 0) + 1
+    want = {}
+    for lang, cs in counts.items():
+        head = sorted(cs.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        pts = [
+            (
+                round(math.log(k + 1) * 1e6),
+                round(math.log(cnt) * 1e6),
+            )
+            for k, (_, cnt) in enumerate(head)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        cov = float(n) * sxy - float(sx) * sy
+        vx = float(n) * sxx - float(sx) * sx
+        vy = float(n) * syy - float(sy) * sy
+        slope = cov / vx if vx != 0.0 else None
+        want[lang] = (
+            n,
+            (slope / 1.0) if slope is not None else None,
+            (float(sy) - slope * float(sx)) / float(n) / 1e6,
+            (cov * cov) / (vx * vy) if vx != 0.0 and vy != 0.0 else None,
+        )
+    got = {
+        r.lang: (r.n_terms, r.zipf_slope, r.ln_intercept, r.r2)
+        for r in registry.QUERIES["vocab_zipf_fit"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+
+
+def test_zipf_known_power_law(spark):
+    """A synthetic exact power law (cnt = 2^(20-k) for rank k) must
+    fit... that's geometric, not Zipf — use cnt = round(1e6 / k):
+    slope ≈ −1 with r² ≈ 1; and a CONSTANT-frequency vocabulary
+    (flat head, the template-spam signature) fits slope = 0 with
+    vy = 0 → r² NULL."""
+    from data_pipeline_spark_spark.operators.relational import ols_fit
+    import math
+
+    pts = [
+        (round(math.log(k) * 1e6), round(math.log(round(1e6 / k)) * 1e6))
+        for k in range(1, 101)
+    ]
+    df = spark.createDataFrame(
+        [("z", x, y) for x, y in pts], "g string, x long, y long"
+    )
+    [r] = ols_fit(df, slope_scale=1.0, intercept_scale=1e6).collect()
+    assert abs(r.slope_per_hr - (-1.0)) < 1e-3
+    assert r.r2 > 0.999999
+    flat = spark.createDataFrame(
+        [("f", round(math.log(k) * 1e6), round(math.log(500.0) * 1e6))
+         for k in range(1, 101)],
+        "g string, x long, y long",
+    )
+    [fr] = ols_fit(flat, slope_scale=1.0, intercept_scale=1e6).collect()
+    assert fr.slope_per_hr == 0.0
+    assert fr.r2 is None  # vy = 0: degenerate, NULL in both engines
+
+
+def test_zipf_plan_shape(spark, sf_dir):
+    """One corpus-proportional exchange (the (lang, token) count);
+    the rank window partitions by lang (never a single global
+    partition); no Python eval."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    registry.load_all()
+    plan = formatted_plan(
+        registry.QUERIES["vocab_zipf_fit"](spark, sf_dir)
+    )
+    assert "EvalPython" not in plan
+    assert "SinglePartition" not in plan or "Window" not in plan.split(
+        "SinglePartition"
+    )[0].splitlines()[-1]
+    win_ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert any("lang" in ln for ln in win_ex), win_ex
