@@ -2,10 +2,10 @@
 query into data_pipeline_spark_spark.registry.
 
 The driver's correctness harness walks queries() in dict order under a
-time budget (~50 keys/round), so the explicit ``_ROUND13_PRIORITY``
+time budget (~50 keys/round), so the explicit ``_ROUND14_PRIORITY``
 list below decides which keys earn a CORRECTNESS row this round: the
-eleven never-graded r12 keys first, then the r8-stale oracle tail, the
-r1-stale rows-only block, the new r13 keys, and an r9-stale freshness
+48 r9-stale oracle keys first (after which no key's latest row
+predates r10), then the new r14 keys, then the 50 r10-stale keys as
 filler. Keys past the budget keep their most recent row from earlier
 rounds.
 """
@@ -56,99 +56,132 @@ ALL_MODULES = (
     inventory,
 )
 
-# Round-13 check order. The driver walks queries() in dict order
+# Round-14 check order. The driver walks queries() in dict order
 # under a ~50-key time budget (exactly 50 keys earned rows in each of
-# r8-r12; positions 51+ were cut). This rotation front-loads, per the
-# r12 verdict ask, (a) the ELEVEN keys that have never earned a
-# driver CORRECTNESS row (the r12 section-(c) block, cut at the
-# budget), then (b) the SIX oracle keys whose last green row dates to
-# r08 (the r12 rotation's predicted cut tail), then (c) the FOURTEEN
-# rows-only keys still carrying r1 stamps (pytest re-executes them
-# every round but the driver artifact is 12 rounds old), then (d) new
-# round-13 keys as they land — the front block is only ~31 keys so
-# new keys fit INSIDE the budget this round, unlike r11/r12 where
-# they had to wait a round — and finally (e) the oldest r9-stale
-# oracle keys to fill the remaining budget so grading freshness keeps
-# rotating. Everything else keeps its registration order behind the
-# priority block and retains its latest row.
-_ROUND13_PRIORITY = [
-    # (a) never driver-graded (r12 section (c), past the r12 budget)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_relationship",
-    "tpch_q20_potential_promotion",
-    "ts_cusum_changepoint",
-    "ts_ewma_smooth",
-    "privacy_l_diversity",
-    "retrieval_prf_expand",
-    "agg_countmin_sketch",
-    "stream_countmin",
-    # (b) last green oracle row r08 — the r12 cut tail
-    "ts_decode",
-    "date_parts",
-    "type_rules",
-    "union_append",
-    "parquet_scan",
-    "parquet_write_part",
-    # (c) rows-only keys with r1 stamps
-    "cast_by_prefix",
-    "catalog_sync",
-    "csv_malformed_handling",
-    "csv_meta_extract",
-    "distinct_files",
-    "empty_input_guard",
-    "event_trigger",
-    "file_move_processed",
-    "header_extract",
-    "ingest_log",
-    "row_offset_filter",
-    "schema_export",
-    "supercat_map",
-    "synth_gen",
-    # (d) new round-13 keys — uncommented here as each lands
-    "dedup_bloom_incremental",
-    "dedup_bloom_incremental_verified",
-    "corpus_pack_bins",
-    "graph_pagerank",
-    "dq_constraints",
-    "agg_ddsketch_quantile",
-    "graph_triangle_count",
-    "abtest_welch_ttest",
-    "stream_ddsketch",
-    "mv_join_delta_refresh",
-    "skyline_pareto",
-    "graph_label_propagation",
-    "dedup_minhash_incremental",
-    "corpus_pack_bins_apply",
-    "privacy_t_closeness",
-    "ts_holt_forecast",
-    "vocab_zipf_fit",
-    # (e) oldest r9-stale oracle keys — freshness rotation filler
-    "tpch_q1_pricing_summary",
-    "tpch_q21_suppliers_who_kept_waiting",
-    "agg_basic",
-    "agg_distinct",
-    "agg_stats",
-    "agg_grouping_sets",
-    "join_inner_equi",
-    "join_broadcast",
-    "join_outer",
-    "join_semi_anti",
-    "join_skew_salted",
+# r8-r13; positions 51+ were cut). Per the r13 verdict ask #1 this
+# rotation front-loads (a) the FORTY-EIGHT oracle keys whose latest
+# green row dates to r09 (the oldest evidence in the repo: the
+# streaming family, the approx aggs, core relational, TPC-H
+# q4/6/8/13/15/17/22) — after these are regraded no key is staler
+# than r10 — then (b) the new round-14 keys as they land (48 + 2 fits
+# the budget exactly), and finally (c) the 50 r10-stale oracle keys
+# as filler in case the budget stretches, teeing up the r15 rotation.
+# Everything else keeps its registration order behind the priority
+# block and retains its latest row.
+_ROUND14_PRIORITY = [
+    # (a) latest green row r09 — scripts/staleness_report.py order
     "agg_approx_distinct",
     "agg_approx_quantile",
     "agg_approx_topk",
+    "agg_basic",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_hll_mergeable",
+    "agg_mode_exact",
+    "agg_stats",
+    "agg_weighted_median",
+    "corpus_duplication_profile",
+    "filter_pred",
+    "join_broadcast",
+    "join_bucketed",
+    "join_fuzzy_string",
+    "join_inner_equi",
+    "join_interval_bucketed",
+    "join_outer",
+    "join_semi_anti",
+    "join_skew_salted",
+    "merge_upsert",
+    "mv_incremental_refresh",
+    "partition_overwrite_dynamic",
+    "partition_prune_filter",
+    "project",
+    "quality_decile_report",
+    "repetition_stats",
+    "rollup_reaggregate",
+    "setop_union",
+    "sim_search_ivfadc_residual",
+    "sim_search_ivfpq",
+    "sort_limit",
+    "stream_dedup",
+    "stream_join_static",
+    "stream_session_window",
+    "stream_stateful_agg",
+    "stream_stream_join",
+    "stream_upsert_sink",
+    "stream_window_agg",
+    "stream_window_sliding",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "ts_resample_ohlc",
+    # (b) new round-14 keys — uncommented here as each lands
+    # "graph_bfs_reach",
+    # "privacy_dp_count",
+    # (c) r10-stale oracle keys — freshness filler past the budget
+    "agg_corr_exact",
+    "agg_filter_clause",
+    "agg_histogram",
+    "agg_median_exact",
+    "agg_percentile_disc",
+    "agg_string_concat",
+    "corpus_dsir_select",
+    "corpus_duplication_profile_hashed",
+    "corpus_filter_report",
+    "corpus_mix_temperature",
+    "corpus_pipeline_trained",
+    "corpus_shuffle_deterministic",
+    "dedup_cluster",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_substring_apply",
+    "dedup_substring_spans",
+    "doc_fingerprint_winnow",
+    "embedding_centroids",
+    "embedding_profile",
+    "format_roundtrip",
+    "join_asof_nearest",
+    "join_bloom_runtime",
+    "join_cross",
+    "join_range_asof",
+    "join_semi",
+    "multimodal_meta",
+    "ngram_lm_counts",
+    "pivot_wide",
+    "profile_join_skew",
+    "quality_classifier_nb",
+    "scd2_intervals",
+    "setop_intersect",
+    "setop_union_all",
+    "sim_search_ivf",
+    "sim_search_ivfpq_trained",
+    "sim_search_lsh",
+    "sort_paginate",
+    "stream_late_data_accounting",
+    "tokenizer_bpe_train",
+    "tokenizer_fertility_report",
+    "ts_anomaly_mad",
+    "ts_interpolate",
+    "unpivot_long",
+    "window_analytic",
+    "window_rank",
+    "window_rank_dense",
+    "window_twa",
 ]
 
 
 def _apply_priority_order() -> None:
     from .. import registry
 
-    missing = [k for k in _ROUND13_PRIORITY if k not in registry.QUERIES]
+    missing = [k for k in _ROUND14_PRIORITY if k not in registry.QUERIES]
     if missing:  # fail loudly: a typo here silently wastes a round
-        raise KeyError(f"_ROUND13_PRIORITY names unknown keys: {missing}")
-    ordered = {k: registry.QUERIES[k] for k in _ROUND13_PRIORITY}
+        raise KeyError(f"_ROUND14_PRIORITY names unknown keys: {missing}")
+    ordered = {k: registry.QUERIES[k] for k in _ROUND14_PRIORITY}
     ordered.update(
         (k, v) for k, v in registry.QUERIES.items() if k not in ordered
     )
