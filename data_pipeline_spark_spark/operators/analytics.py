@@ -1786,10 +1786,8 @@ _ABTEST_SQL = """
              CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
              CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
              CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
-             CAST(SUM(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS BIGINT)
-               AS ss0,
-             CAST(SUM(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS BIGINT)
-               AS ss1
+             SUM(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS ss0,
+             SUM(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS ss1
       FROM m GROUP BY event_type
     )
     SELECT event_type,
@@ -1823,9 +1821,12 @@ def abtest_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream plan.
 
     Exactness (the [[agg_corr_exact]] moment discipline): values go
-    to integer milli-units once, each arm's (n, Σx, Σx²) moments are
-    exact BIGINTs folded in ONE conditional aggregate — shuffle
-    carries six longs per event type, never row data — and the
+    to integer milli-units once, each arm's (n, Σx) moments are
+    exact BIGINTs and Σx² accumulates in decimal(38,0) — matching
+    the oracle's SUM(BIGINT)→HUGEINT 128-bit intermediate, so the
+    moments stay exact at ANY |x|·√n, not just the fixture's — all
+    folded in ONE conditional aggregate; shuffle carries six
+    fixed-width values per event type, never row data — and the
     t-statistic is a single final double expression with identical
     operation order in both engines: variance via the
     (n·Σx² − (Σx)²)/(n(n−1)) form, standard error as var/n summed
@@ -1848,13 +1849,25 @@ def abtest_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         )
 
+    def arm_sum_wide(a: int, expr):
+        # Σx² accumulates in decimal(38,0) — the 128-bit-class exact
+        # intermediate DuckDB's SUM(BIGINT)→HUGEINT uses — so the arm
+        # moment can never wrap int64 however large |x|·√n grows; it
+        # only meets a double inside the final t expression, the same
+        # single rounding the oracle performs.
+        return F.sum(
+            F.when(F.col("arm") == a, expr)
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        )
+
     s = m.groupBy("event_type").agg(
         arm_sum(0, F.lit(1)).alias("n0"),
         arm_sum(1, F.lit(1)).alias("n1"),
         arm_sum(0, F.col("x")).alias("s0"),
         arm_sum(1, F.col("x")).alias("s1"),
-        arm_sum(0, F.col("x") * F.col("x")).alias("ss0"),
-        arm_sum(1, F.col("x") * F.col("x")).alias("ss1"),
+        arm_sum_wide(0, F.col("x") * F.col("x")).alias("ss0"),
+        arm_sum_wide(1, F.col("x") * F.col("x")).alias("ss1"),
     )
     n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
     s0d, s1d = F.col("s0").cast("double"), F.col("s1").cast("double")

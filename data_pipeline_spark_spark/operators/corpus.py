@@ -57,11 +57,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Bloom sizing (see docs/SCALE.md): m bits / k hashes fixed so the
-# fixture family (corpus ≤ ~0.5 M digests at sf1) keeps the per-probe
-# false-positive odds below ~1e-10 at sf0.1 — FP(m,k,n) =
-# (1 − e^(−kn/m))^k. At 100 TB the same code sizes m from the corpus
-# row-count statistic (m ≈ 23 bits/key for 1e-7): the sketch is
-# 1 MiB here and would be a few GiB there, still broadcast-sized.
+# fixture family keeps per-probe false-positive odds negligible —
+# FP(m,k,n) = (1 − e^(−kn/m))^k. The sf1 documents fixture is ~50k
+# rows (~40k corpus digests → FP ≈ 4e-11; sf0.1 ~4k digests, far
+# smaller still). The margin is NOT unconditional: at 0.5M digests
+# the same (m, k) gives FP ≈ 5e-4 — tens of expected false drops per
+# batch — which would break dedup_bloom_incremental's exact-oracle
+# equality; test_bloom_sizing_margin pins the fixture corpus well
+# under that cliff so growth fails loudly instead of silently. At
+# 100 TB the same code sizes m from the corpus row-count statistic
+# (m ≈ 23 bits/key for 1e-7): the sketch is 1 MiB here and would be
+# a few GiB there, still broadcast-sized — and the _verified
+# two-phase key stays exact at ANY FP rate.
 _BLOOM_M_BITS = 1 << 23
 _BLOOM_M_WORDS = _BLOOM_M_BITS // 64
 _BLOOM_K = 7

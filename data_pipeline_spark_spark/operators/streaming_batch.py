@@ -1216,9 +1216,12 @@ def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .scale_patterns import _DDS_SQL as _STREAM_DDS_SQL  # noqa: E402
 
 #: Streaming-state ceiling for the DDSketch grid: buckets span the
-#: DECLARED value domain, not the row count — milli-units in
-#: [1, 1e9] give at most ln(1e9)·1e6 div 19803 ≈ 1047 log-buckets,
-#: times a bounded event-type vocabulary.
+#: VALUE DOMAIN, not the row count. 1047 is the per-type bucket
+#: count for milli-units in [1, 1e9] (ln(1e9)·1e6 div 19803) — kept
+#: as the documented *expected* domain — but the runtime assertion
+#: takes max(this, observed max bucket + 1), so a fixture whose
+#: values grow past 1e6 units widens the proven ceiling gracefully
+#: instead of raising on a still-correct sketch.
 _DDS_MAX_BUCKETS = 1047
 
 
@@ -1298,15 +1301,20 @@ def stream_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_rows = prog["stateOperators"][0]["numRowsTotal"]
         # Structural bound: the state IS the (type, bucket) grid, so
         # cap it by the OBSERVED type count times the per-type bucket
-        # domain — no guess about fixture cardinality can go stale.
-        types_seen = (
-            spark.table(sink).select("event_type").distinct().count()
-        )
-        bound = max(types_seen, 1) * _DDS_MAX_BUCKETS
+        # ceiling — itself the max of the declared-domain constant and
+        # the observed max bucket + 1 (buckets are non-negative: the
+        # greatest(·,1) zero-fold pins ln ≥ 0), so neither fixture
+        # cardinality nor value-range growth can stale the assertion.
+        stats = spark.table(sink).agg(
+            F.countDistinct("event_type").alias("t"),
+            F.max("b").alias("mb"),
+        ).first()
+        per_type = max(_DDS_MAX_BUCKETS, int(stats["mb"] or 0) + 1)
+        bound = max(int(stats["t"]), 1) * per_type
         if not (0 <= state_rows <= bound):
             raise AssertionError(
                 f"DDSketch stream state held {state_rows} rows — more "
-                f"than {types_seen} types x {_DDS_MAX_BUCKETS} buckets "
+                f"than {stats['t']} types x {per_type} buckets "
                 "= the grid domain; the sketch bound is broken"
             )
         result = ddsketch_serve(spark.table(sink))
