@@ -119,7 +119,7 @@ _ROUND14_PRIORITY = [
     "tpch_q8_market_share",
     "ts_resample_ohlc",
     # (b) new round-14 keys — uncommented here as each lands
-    # "graph_bfs_reach",
+    "graph_bfs_reach",
     # "privacy_dp_count",
     # (c) r10-stale oracle keys — freshness filler past the budget
     "agg_corr_exact",

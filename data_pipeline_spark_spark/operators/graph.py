@@ -543,3 +543,167 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_label_propagation.__doc__ = graph_label_propagation.__doc__.replace(
     "{_LPA_ITERS}", str(_LPA_ITERS)
 ).replace("{_LPA_TOPK}", str(_LPA_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_reach — k-hop reachability from a seed set (min-hop fold)
+# ---------------------------------------------------------------------------
+
+#: BFS horizon. Three hops already saturates most of the dense
+#: co-order fixture graph (the per-hop counts are the interesting
+#: output); production iterates until the frontier empties with the
+#: same round body.
+_BFS_HOPS = 3
+
+#: Seed predicate: one part brand — the "seed documents" of a crawl
+#: prioritization or a contamination blast-radius query.
+_BFS_SEED_BRAND = "Brand#11"
+
+
+def _bfs_round_ctes() -> str:
+    """Unrolled min-hop rounds h1..h{k}: each round unions the
+    previous reach set with its one-step expansion (hop + 1) and
+    keeps MIN(hop) per node — the textbook BFS-as-semiring fold.
+    The Spark loop computes the same fixed point but only ever
+    expands the FRONTIER (nodes first reached last round); under the
+    min fold the two are identical, since re-expanding an older node
+    can only produce hops that lose the min."""
+    ctes = []
+    for i in range(1, _BFS_HOPS + 1):
+        ctes.append(
+            f"""h{i} AS (
+      SELECT id, MIN(hop) AS hop FROM (
+        SELECT id, hop FROM h{i - 1}
+        UNION ALL
+        SELECT e.dst AS id, p.hop + 1 AS hop
+        FROM sym e JOIN h{i - 1} p ON p.id = e.src
+      ) GROUP BY id
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+def bfs_reach_of(
+    sym: DataFrame, seeds: DataFrame, hops: int = _BFS_HOPS
+) -> DataFrame:
+    """The frontier BFS loop over any symmetric edge frame
+    ``(src, dst)`` and seed frame ``(id,)`` — module-level so the
+    hypothesis differential drives the SAME loop the registered
+    query runs. Returns the ``(id, hop)`` min-hop assignment of
+    every node within ``hops`` of a seed.
+
+    Frontier-size bound (the scale argument): round i joins ONLY the
+    nodes first reached at hop i−1 onto the edges — Σ frontier sizes
+    over all rounds ≤ |V| regardless of hop count, so total join
+    input is O(|E|) across the whole traversal, not O(k·|E|). The
+    naive min-fold the oracle unrolls re-expands the full reach set
+    every round (fine for an unrolled CTE oracle, wrong as a
+    distributed plan); the min fold makes both produce the same
+    fixed point."""
+    edges = sym.select("src", "dst").localCheckpoint(eager=False)
+    reach = seeds.select("id").distinct().withColumn(
+        "hop", F.lit(0).cast("bigint")
+    )
+    for i in range(1, hops + 1):
+        frontier = reach.filter(F.col("hop") == i - 1)
+        expanded = (
+            edges.join(frontier, edges.src == frontier.id)
+            .select(
+                F.col("dst").alias("id"),
+                F.lit(i).cast("bigint").alias("hop"),
+            )
+        )
+        reach = (
+            reach.unionByName(expanded)
+            .groupBy("id")
+            .agg(F.min("hop").alias("hop"))
+        )
+    return reach
+
+
+@query(
+    "graph_bfs_reach",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    sym AS (
+      SELECT pa AS src, pb AS dst FROM pair
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pair
+    ),
+    h0 AS (
+      SELECT p_partkey AS id, CAST(0 AS BIGINT) AS hop
+      FROM part WHERE p_brand = '{_BFS_SEED_BRAND}'
+    ),
+    {{iters}}
+    SELECT hop,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id,
+           CAST(SUM(id) AS BIGINT) AS id_checksum
+    FROM h{_BFS_HOPS}
+    GROUP BY hop
+    ORDER BY hop
+    """.replace("{iters}", _bfs_round_ctes()),
+)
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability from a seed part set over the co-order
+    graph — the TRAVERSAL member completing the iterative graph
+    family: [[dedup_cluster]] = connectivity, [[graph_pagerank]] =
+    importance, [[graph_label_propagation]] = communities, BFS =
+    blast radius. The pipeline shapes behind it: "which documents
+    are within k co-citation hops of a contaminated seed set",
+    crawl-frontier expansion from seed URLs, recall sets for
+    graph-local reprocessing. Seeds are one part brand
+    ('{_BFS_SEED_BRAND}'); the same `_sym_co_order_edges` structure
+    as the three siblings, so all four keys traverse one graph.
+
+    Semantics: min-hop per node (BFS distance, capped at
+    {_BFS_HOPS}); nodes outside the horizon are absent. Isolated
+    seeds (parts never co-ordered) stay at hop 0 — the seed set is
+    part of the reach by definition. The per-hop report
+    (count + min/max/Σ id checksums) grades every node's exact hop
+    without emitting thousands of node rows.
+
+    Plan, per round: ONE hash join (frontier onto checkpointed
+    edges by src — edges stay put) + ONE map-side-combined
+    groupBy(id) min fold. The FRONTIER discipline is the scale
+    argument: each node is expanded exactly once, in the round after
+    it is first reached, so Σ join inputs over the whole traversal
+    is O(|E|) — a k-hop traversal costs one edge-list pass however
+    large k grows, while the oracle's naive unrolled min-fold
+    (re-expanding the full reach set each round) would be O(k·|E|).
+    At 100 TB: edges bucketed by src make each round's join
+    exchange-free on the big side (the family's shared co-location
+    argument), and the reach state between rounds is ≤ |V| rows of
+    (id, hop) longs."""
+    sym = _sym_co_order_edges(load(spark, sf_dir, "lineitem"))
+    seeds = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _BFS_SEED_BRAND)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    reach = bfs_reach_of(sym, seeds)
+    return (
+        reach.groupBy("hop")
+        .agg(
+            F.count("*").cast("bigint").alias("n_reached"),
+            F.min("id").cast("bigint").alias("min_id"),
+            F.max("id").cast("bigint").alias("max_id"),
+            F.sum("id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("hop")
+    )
+
+
+graph_bfs_reach.__doc__ = graph_bfs_reach.__doc__.replace(
+    "{_BFS_HOPS}", str(_BFS_HOPS)
+).replace("{_BFS_SEED_BRAND}", _BFS_SEED_BRAND)

@@ -117,3 +117,129 @@ def test_abtest_ss_moment_is_wide(spark, sf_dir):
         "|x|·sqrt(n) ≈ 3e9 milli-units while the DuckDB oracle stays "
         "exact in HUGEINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_reach — differential / plan / contract
+# ---------------------------------------------------------------------------
+
+
+def _py_bfs(sym_edges, seeds, hops):
+    """Pure-python BFS min-hop replica of graph.bfs_reach_of."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in sym_edges:
+        adj[s].add(d)
+    reach = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, hops + 1):
+        nxt = set()
+        for v in frontier:
+            for u in adj[v]:
+                if u not in reach:
+                    reach[u] = h
+                    nxt.add(u)
+        frontier = nxt
+    return reach
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sets(st.integers(min_value=0, max_value=9), min_size=1, max_size=3),
+)
+def test_bfs_fold_matches_python(spark, raw, seeds):
+    """Hypothesis differential: bfs_reach_of on an arbitrary
+    undirected graph equals the pure-python BFS min-hop map EXACTLY
+    — including seeds absent from the edge list (isolated, hop 0)."""
+    from data_pipeline_spark_spark.operators.graph import bfs_reach_of
+
+    und = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    if not sym:
+        return
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    got = {r["id"]: r["hop"] for r in bfs_reach_of(edf, sdf).collect()}
+    assert got == _py_bfs(sym, seeds, 3)
+
+
+def test_bfs_known_shape(spark):
+    """Path graph 1-2-3-4-5 seeded at 1, horizon 3: node 5 is OUTSIDE
+    the horizon and absent; hops are exact distances. A second seed
+    at 5 folds mins: node 4 flips to hop 1, node 3 to hop 2."""
+    from data_pipeline_spark_spark.operators.graph import bfs_reach_of
+
+    half = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    sym = half + [(b, a) for a, b in half]
+    edf = spark.createDataFrame(sym, "src long, dst long")
+    one = {
+        r["id"]: r["hop"]
+        for r in bfs_reach_of(
+            edf, spark.createDataFrame([(1,)], "id long")
+        ).collect()
+    }
+    assert one == {1: 0, 2: 1, 3: 2, 4: 3}
+    two = {
+        r["id"]: r["hop"]
+        for r in bfs_reach_of(
+            edf, spark.createDataFrame([(1,), (5,)], "id long")
+        ).collect()
+    }
+    assert two == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_plan_shape(spark, sf_dir):
+    """The traversal stays JVM-side and join-based: no Python eval,
+    no cartesian/nested-loop joins; exactly one join per round feeds
+    the min fold (3 rounds → ≤ 1 edge-build join chain + 3 frontier
+    joins, all hash joins)."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    registry.load_all()
+    plan = formatted_plan(
+        registry.QUERIES["graph_bfs_reach"](spark, sf_dir)
+    )
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bfs_contract(spark, sf_dir):
+    """Fixture contracts independent of the oracle: hop-0 count ==
+    distinct seed-brand parts (isolated seeds included), hops lie in
+    [0, 3], and per-hop id bounds are consistent (min ≤ max,
+    checksum ≥ max)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.graph import _BFS_SEED_BRAND
+
+    registry.load_all()
+    rows = registry.QUERIES["graph_bfs_reach"](spark, sf_dir).collect()
+    n_seeds = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _BFS_SEED_BRAND)
+        .select("p_partkey")
+        .distinct()
+        .count()
+    )
+    by_hop = {r["hop"]: r for r in rows}
+    assert by_hop[0]["n_reached"] == n_seeds
+    assert set(by_hop) <= {0, 1, 2, 3}
+    for r in rows:
+        assert r["min_id"] <= r["max_id"] <= r["id_checksum"]
