@@ -120,7 +120,7 @@ _ROUND14_PRIORITY = [
     "ts_resample_ohlc",
     # (b) new round-14 keys — uncommented here as each lands
     "graph_bfs_reach",
-    # "privacy_dp_count",
+    "privacy_dp_count",
     # (c) r10-stale oracle keys — freshness filler past the budget
     "agg_corr_exact",
     "agg_filter_clause",

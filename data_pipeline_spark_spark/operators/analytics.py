@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exact import md5_u32_duck, md5_u32_sql
 from ..registry import query
 
 
@@ -2144,6 +2145,132 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_micro.cast("bigint").alias("t_emd_micro"),
         (t_micro <= F.lit(_T_CLOSE_MICRO)).alias("close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# privacy_dp_count — ε-DP release mechanics (seeded geometric noise)
+# ---------------------------------------------------------------------------
+
+#: Uniform scale: the seeded hash is a 32-bit integer in [0, 2^32).
+_DP_U_SCALE = 1 << 32
+
+#: Truncated noise support: |Z| ≤ 20. The two-sided geometric at
+#: p = 1/2 leaves (2/3)·2^-20 ≈ 6e-7 of mass outside — the usual
+#: (ε, δ)-style tail cut, with δ far below any fixture group count's
+#: reciprocal; the clamp also gives the utility tests a HARD
+#: |noise| ≤ 20 bound instead of a probabilistic one.
+_DP_TAIL = 20
+
+#: Per-release salt (the [[corpus_sample_hash]] salt discipline).
+_DP_SALT = "/dp-v1"
+
+
+def _dp_geo_thresholds() -> list[tuple[int, int]]:
+    """(k, floor(F(k)·2^32)) for k in [−TAIL, TAIL): the exact-rational
+    CDF of the two-sided geometric with p = 1/2 — P(Z = k) =
+    (1/3)·(1/2)^|k| — discretized once in Fractions so both engines
+    compare the SAME integer literals. F(k) = 1 − (1/3)(1/2)^k for
+    k ≥ 0 and (2/3)(1/2)^(−k) for k < 0."""
+    from fractions import Fraction
+    import math
+
+    out = []
+    for k in range(-_DP_TAIL, _DP_TAIL):
+        if k < 0:
+            fk = Fraction(2, 3) * Fraction(1, 2) ** (-k)
+        else:
+            fk = 1 - Fraction(1, 3) * Fraction(1, 2) ** k
+        out.append((k, math.floor(fk * _DP_U_SCALE)))
+    return out
+
+
+def _dp_noise_case(u_expr: str) -> str:
+    """The inverse-CDF lookup as ONE engine-portable CASE chain over
+    integer-literal thresholds: noise = min k with u < T(k), both
+    tails clamped to ±TAIL. ``u_expr`` is the engine's 32-bit seeded
+    hash fragment ([[md5_u32_sql]] / [[md5_u32_duck]]); everything
+    downstream of it is pure integer comparison — no float, no libm,
+    no engine-divergence surface (the parity analysis that killed
+    weighted A-ES sampling does not apply here)."""
+    whens = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}" for k, t in _dp_geo_thresholds()
+    )
+    return f"(CASE {whens} ELSE {_DP_TAIL} END)"
+
+
+_DP_SQL = f"""
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(GREATEST(
+             n + {_dp_noise_case(md5_u32_duck(f"event_type || '{_DP_SALT}'"))},
+             0) AS BIGINT) AS n_noisy
+    FROM g
+    ORDER BY event_type
+"""
+
+
+@query("privacy_dp_count", oracle=_DP_SQL)
+def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private per-group counts — the RELEASE
+    mechanic extending the audit triad ([[privacy_k_anonymity]] /
+    [[privacy_l_diversity]] / [[privacy_t_closeness]]): those keys
+    measure re-identification risk in a published table; this key
+    publishes a statistic with a formal guarantee instead. The
+    mechanism is the geometric (discrete Laplace) mechanism of
+    Ghosh–Roughgarden–Sundararajan 2009 — universally optimal for
+    counting queries — at ε = ln 2: noise Z with P(Z = k) =
+    (1/3)·(1/2)^|k| added to each record count, then clamped at 0
+    (post-processing, which DP is closed under).
+
+    Determinism is the graded-parity requirement, met exactly like
+    [[corpus_sample_hash]]: the noise draw's uniform is a salted
+    md5 of the group key (32-bit integer via the shared
+    [[md5_u32_sql]]/[[md5_u32_duck]] fragment pair), pushed through
+    an inverse-CDF CASE whose thresholds are floor(F(k)·2^32)
+    integer LITERALS precomputed in exact rational arithmetic — the
+    whole mechanism is integer compares on an identical hash in
+    both engines, so no libm/rounding divergence is possible.
+    Production swaps the salt for a fresh per-release seed and
+    keeps the identical plan; re-releasing under new seeds composes
+    ε's additively, which is the deployment's accounting problem,
+    not the operator's.
+
+    Noise support is truncated to |Z| ≤ {_DP_TAIL} (mass outside:
+    (2/3)·2^−{_DP_TAIL} ≈ 6e-7 — a δ far below 1/groups for any
+    fixture), giving a hard utility bound the tests pin:
+    |released − true| ≤ {_DP_TAIL} always, and the threshold table
+    itself certifies the e^ε ratio between adjacent noise widths.
+
+    Plan: ONE map-side-combined groupBy(event_type) over events is
+    the entire data-proportional cost; hashing + the CASE run on
+    the handful of released rows. At 100 TB the released relation
+    is still tiny — DP release is free at any scale once the count
+    exists."""
+    g = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    noise = F.expr(
+        _dp_noise_case(md5_u32_sql(f"concat(event_type, '{_DP_SALT}')"))
+    )
+    return (
+        g.select(
+            "event_type",
+            F.greatest(F.col("n") + noise, F.lit(0))
+            .cast("bigint")
+            .alias("n_noisy"),
+        )
+        .orderBy("event_type")
+    )
+
+
+privacy_dp_count.__doc__ = privacy_dp_count.__doc__.replace(
+    "{_DP_TAIL}", str(_DP_TAIL)
+)
 
 
 # ---------------------------------------------------------------------------

@@ -243,3 +243,104 @@ def test_bfs_contract(spark, sf_dir):
     assert set(by_hop) <= {0, 1, 2, 3}
     for r in rows:
         assert r["min_id"] <= r["max_id"] <= r["id_checksum"]
+
+
+# ---------------------------------------------------------------------------
+# privacy_dp_count — threshold-table certification / utility / pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_dp_threshold_table_certifies_epsilon():
+    """The inverse-CDF table IS the mechanism — certify it in exact
+    arithmetic: (1) thresholds strictly ascending (a valid CDF);
+    (2) every interior noise value k gets an interval of width
+    floor-discretized from the exact pmf (1/3)(1/2)^|k|·2^32 within
+    1 unit; (3) adjacent widths for k ≥ 0 hold the e^ε = 2 ratio
+    within discretization — the DP guarantee made inspectable."""
+    from fractions import Fraction
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        _DP_TAIL,
+        _DP_U_SCALE,
+        _dp_geo_thresholds,
+    )
+
+    tbl = _dp_geo_thresholds()
+    ks = [k for k, _ in tbl]
+    ts = [t for _, t in tbl]
+    assert ks == list(range(-_DP_TAIL, _DP_TAIL))
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+    widths = {}
+    for i in range(1, len(tbl)):
+        k, t = tbl[i]
+        widths[k] = t - tbl[i - 1][1]
+    for k, w in widths.items():
+        exact = Fraction(1, 3) * Fraction(1, 2) ** abs(k) * _DP_U_SCALE
+        assert abs(w - exact) <= 1, (k, w, float(exact))
+    for k in range(0, _DP_TAIL - 2):
+        assert abs(widths[k] - 2 * widths[k + 1]) <= 2, k
+
+
+def test_dp_count_utility_bound(spark, sf_dir):
+    """Fixture utility: every released count is within the hard
+    truncation bound (|released − true| ≤ TAIL), non-negative, and
+    the mechanism demonstrably fires (≥ 1 group with nonzero noise
+    across the fixture's event types)."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import _DP_TAIL
+
+    registry.load_all()
+    got = {
+        r["event_type"]: r["n_noisy"]
+        for r in registry.QUERIES["privacy_dp_count"](
+            spark, sf_dir
+        ).collect()
+    }
+    true = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(true)
+    diffs = {t: got[t] - true[t] for t in got}
+    assert all(abs(d) <= _DP_TAIL for d in diffs.values()), diffs
+    assert all(v >= 0 for v in got.values())
+    assert any(d != 0 for d in diffs.values()), (
+        "no group drew nonzero noise — seed/mechanism suspicious"
+    )
+
+
+def test_dp_noise_case_matches_python_inverse_cdf(spark):
+    """Drive the generated CASE through Spark over a dense uniform
+    grid and compare with a bisect-based python inverse-CDF on the
+    same thresholds: the SQL chain and the table must agree
+    everywhere, including both clamped tails."""
+    import bisect
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        _DP_TAIL,
+        _DP_U_SCALE,
+        _dp_geo_thresholds,
+        _dp_noise_case,
+    )
+
+    tbl = _dp_geo_thresholds()
+    ts = [t for _, t in tbl]
+    step = _DP_U_SCALE // 4096
+    us = list(range(0, _DP_U_SCALE, step)) + [
+        t + d for _, t in tbl for d in (-1, 0) if 0 <= t + d < _DP_U_SCALE
+    ]
+    df = spark.createDataFrame([(u,) for u in us], "u long")
+    got = {
+        r["u"]: r["z"]
+        for r in df.selectExpr(
+            "u", f"{_dp_noise_case('u')} AS z"
+        ).collect()
+    }
+    for u in us:
+        i = bisect.bisect_right(ts, u)
+        want = tbl[i][0] if i < len(tbl) else _DP_TAIL
+        assert got[u] == want, (u, got[u], want)
