@@ -344,3 +344,71 @@ def test_dp_noise_case_matches_python_inverse_cdf(spark):
         i = bisect.bisect_right(ts, u)
         want = tbl[i][0] if i < len(tbl) else _DP_TAIL
         assert got[u] == want, (u, got[u], want)
+
+
+# ---------------------------------------------------------------------------
+# graph trio exchange budget (r13 verdict ask #4) + dual-path equality
+# ---------------------------------------------------------------------------
+
+
+def _toy_sym(spark):
+    half = [(1, 2, 3), (2, 3, 1), (1, 3, 2), (3, 4, 5), (4, 5, 1)]
+    sym = half + [(b, a, w) for a, b, w in half]
+    return spark.createDataFrame(sym, "src long, dst long, w long")
+
+
+def test_graph_loop_exchange_budget(spark):
+    """Pin the per-round shuffle-exchange counts so a refactor that
+    reintroduces a window sort or a state-side shuffle surfaces as a
+    test failure, not a bench regression: pagerank = 1 shuffle per
+    round (the groupBy(dst) fold; rank state broadcasts), LPA = 2
+    per round (vote fold + argmax fold; was 3 with the rn=1
+    window), BFS = a CONSTANT-size plan per round (the per-round
+    lineage cut: without it the reach set feeds two branches and the
+    plan tree doubles every hop — measured 3/7/15 exchanges at hops
+    1/2/3 before the fix)."""
+    from data_pipeline_spark_spark.operators.graph import (
+        _PR_ITERS,
+        bfs_reach_of,
+        lpa_of,
+        pagerank_of,
+    )
+    from data_pipeline_spark_spark.plans.analyze import shuffle_count
+
+    sym = _toy_sym(spark)
+    assert shuffle_count(pagerank_of(sym)) == _PR_ITERS
+    lpa1, lpa3 = (
+        shuffle_count(lpa_of(sym, iters=k)) for k in (1, 3)
+    )
+    assert lpa3 - lpa1 == 2 * 2, (lpa1, lpa3)
+    seeds = spark.createDataFrame([(1,)], "id long")
+    bfs1, bfs3 = (
+        shuffle_count(bfs_reach_of(sym, seeds, hops=k)) for k in (1, 3)
+    )
+    assert bfs3 == bfs1 <= 2, (bfs1, bfs3)
+
+
+def test_graph_dual_state_paths_equal(spark):
+    """broadcast_state=True (local/bench shape) and =False (the
+    co-partitioned billion-node shape) must produce identical
+    results — same integer arithmetic, different physical plan."""
+    from data_pipeline_spark_spark.operators.graph import (
+        bfs_reach_of,
+        lpa_of,
+        pagerank_of,
+    )
+
+    sym = _toy_sym(spark)
+    seeds = spark.createDataFrame([(1,), (4,)], "id long")
+    for fn, args in (
+        (pagerank_of, ()),
+        (lpa_of, ()),
+        (bfs_reach_of, (seeds,)),
+    ):
+        a = sorted(
+            tuple(r) for r in fn(sym, *args, broadcast_state=True).collect()
+        )
+        b = sorted(
+            tuple(r) for r in fn(sym, *args, broadcast_state=False).collect()
+        )
+        assert a == b, fn.__name__
