@@ -715,13 +715,17 @@ def duplication_profile_of(d: DataFrame, hashed: bool = False) -> DataFrame:
             F.xxhash64(F.lit(1), F.col("text")).alias("h1"),
             F.xxhash64(F.col("text")).alias("h2"),
         ]
+    # split let-bound via 1-element transform: inlined in the
+    # per-gram lambda it re-tokenizes the doc PER GRAM — O(T²)/doc
+    # (r14 HOF audit; the r13 FFD lesson)
     grams = d.select(
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 5 THEN"
-                " transform(sequence(0, size(split(text, ' ')) - 5),"
-                "  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 5)))"
-                " ELSE array() END"
+                "try_element_at(transform(array(split(text, ' ')), tk ->"
+                " CASE WHEN size(tk) >= 5 THEN"
+                "  transform(sequence(0, size(tk) - 5),"
+                "   i -> concat_ws(' ', slice(tk, i + 1, 5)))"
+                " ELSE array() END), 1)"
             )
         ).alias("g")
     )
@@ -1081,16 +1085,19 @@ def dsir_select_of(
     from pyspark.sql import Window as W
 
     _r6 = micro_ln
-    bigram = "concat_ws(' ', slice(split(text, ' '), i + 1, 2))"
+    # split let-bound via 1-element transform (r14 HOF audit): the
+    # bigram lambda would otherwise re-tokenize the doc PER BIGRAM
+    bigram = "concat_ws(' ', slice(tk, i + 1, 2))"
     docs_b = lab.select(
         "doc_id",
         "lang",
         "pos",
         F.expr(
-            "CASE WHEN size(split(text, ' ')) >= 2 THEN"
-            " transform(sequence(0, size(split(text, ' ')) - 2),"
-            f" i -> {md5_u32_sql(bigram)} % {int(buckets)})"
-            " ELSE array() END"
+            "try_element_at(transform(array(split(text, ' ')), tk ->"
+            " CASE WHEN size(tk) >= 2 THEN"
+            "  transform(sequence(0, size(tk) - 2),"
+            f"  i -> {md5_u32_sql(bigram)} % {int(buckets)})"
+            " ELSE array() END), 1)"
         ).alias("bs"),
     ).localCheckpoint(eager=False)
     bucket_cnt = (

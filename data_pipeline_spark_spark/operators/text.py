@@ -1285,13 +1285,20 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, w = _WIN_K, _WIN_W
     # filter BEFORE building the hash sequence: sequence(1, n) with
     # n < 1 would generate a DESCENDING range, not an empty one
-    kgram = f"concat_ws(' ', slice(split(text, ' '), i, {k}))"
-    hs = d.filter(F.expr(f"size(split(text, ' ')) >= {k}")).select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, size(split(text, ' ')) - {k - 1}),"
-            f" i -> {md5_u32_sql(kgram)})"
-        ).alias("hs"),
+    # tk projected as its own column (r14 HOF audit): referenced
+    # from the per-k-gram lambda, split(text) would re-tokenize the
+    # doc PER K-GRAM — O(T²)/doc
+    kgram = f"concat_ws(' ', slice(tk, i, {k}))"
+    hs = (
+        d.filter(F.expr(f"size(split(text, ' ')) >= {k}"))
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, size(tk) - {k - 1}),"
+                f" i -> {md5_u32_sql(kgram)})"
+            ).alias("hs"),
+        )
     )
     # per-window rightmost-min selection, then distinct (i, h) pairs
     # — all in-row; `hs` is 0-indexed inside the lambdas while the
@@ -1475,15 +1482,21 @@ def _bpe_loop(d: DataFrame, merges: int):
     merge_rows = []
     w = words
     for t in range(1, merges + 1):
-        pairs = w.filter(F.size(F.split("syms", " ")) >= 2).select(
-            "cnt",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(split(syms, ' ')) - 1),"
-                    " i -> struct(split(syms, ' ')[i-1] AS l,"
-                    "             split(syms, ' ')[i] AS r))"
-                )
-            ).alias("p"),
+        # ss projected before the pair lambda (r14 HOF audit): the
+        # per-pair split(syms) re-tokenizes the word per adjacent
+        # pair — word-length-bounded, but free to avoid
+        pairs = (
+            w.filter(F.size(F.split("syms", " ")) >= 2)
+            .select("cnt", F.split("syms", " ").alias("ss"))
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ss) - 1),"
+                        " i -> struct(ss[i-1] AS l, ss[i] AS r))"
+                    )
+                ).alias("p"),
+            )
         )
         best = (
             pairs.groupBy(

@@ -412,3 +412,44 @@ def test_graph_dual_state_paths_equal(spark):
             tuple(r) for r in fn(sym, *args, broadcast_state=False).collect()
         )
         assert a == b, fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# HOF-fold let-binding (r13 verdict ask #3) — optimizer survival
+# ---------------------------------------------------------------------------
+
+
+def test_hof_letbind_survives_optimizer(spark, sf_dir):
+    """The r14 audit let-bound every computed expression referenced
+    from a per-element lambda (interpreted HOFs have no CSE across
+    lambda boundaries — the r13 FFD lesson). CollapseProject could
+    silently undo a projection-based let-bind by re-inlining the
+    alias into the lambda; pin the OPTIMIZED plans: exactly one
+    array_max fold in embedding_quantize (the scale), at most one
+    split() per row in the winnow k-gram builder, and no split
+    inside dedup_fuzzy's shingle lambda."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+
+    def optimized(key):
+        return (
+            registry.QUERIES[key](spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+
+    assert optimized("embedding_quantize").count("array_max") == 1
+    # the pre-fix cliff pattern was `slice(split(text ...), i, k)`
+    # INSIDE the per-element lambda; post-fix the slice operates on
+    # the let-bound value (a lambda variable or the projected tk
+    # attribute), so the substring must be gone entirely — while the
+    # single legitimate split stays in arg/projection position
+    winnow = optimized("doc_fingerprint_winnow")
+    assert "slice(split(text" not in winnow
+    # two row-level splits are legitimate (the ≥k filter + the tk
+    # projection); the pre-fix lambda inlining had one per k-gram
+    assert winnow.count("split(text") <= 2
+    fuzzy = optimized("dedup_fuzzy")
+    assert "slice(split(text" not in fuzzy
