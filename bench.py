@@ -107,6 +107,14 @@ HEADLINE = [
     "retrieval_prf_expand",
     "ts_cusum_changepoint",
     "agg_countmin_sketch",
+    # r14 promotions (r13 VERDICT ask 2) — the four cheap keys graded
+    # green in the r13 rotation (skyline 0.346 s, ddsketch 0.294 s,
+    # welch 0.291 s, bloom 0.572 s at sf0.1); the graph trio stays
+    # out (7-24 s absolute cost, SCALE.md round-14)
+    "skyline_pareto",
+    "agg_ddsketch_quantile",
+    "abtest_welch_ttest",
+    "dedup_bloom_incremental",
 ]
 
 
