@@ -121,6 +121,7 @@ _ROUND14_PRIORITY = [
     # (b) new round-14 keys — uncommented here as each lands
     "graph_bfs_reach",
     "privacy_dp_count",
+    "ts_acf",
     # (c) r10-stale oracle keys — freshness filler past the budget
     "agg_corr_exact",
     "agg_filter_clause",

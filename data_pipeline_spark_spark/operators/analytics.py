@@ -2415,3 +2415,163 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_holt_forecast.__doc__ = ts_holt_forecast.__doc__.replace(
     "{_HOLT_L}", str(_HOLT_L)
 )
+
+
+# ---------------------------------------------------------------------------
+# ts_acf — sample autocorrelation at lags 1..K, exact integer moments
+# ---------------------------------------------------------------------------
+
+#: Autocorrelation horizon. Lags 1..4 cover the diagnostics the TS
+#: family's other members consume (EWMA/Holt smoothing constants,
+#: CUSUM drift assumptions, seasonal-profile sanity); production
+#: widens K with the identical plan (one more window column per lag).
+_ACF_LAGS = 4
+
+
+def _acf_num_sql(k: int) -> str:
+    """The lag-k numerator ×n² in HUGEINT (DuckDB side) — the same
+    cross-multiplied expansion the Spark decimals compute:
+    n²·Σx_t·x_{t+k} − n·S·(Σ_head + Σ_tail) + (n−k)·S²."""
+    return (
+        f"CAST(n AS HUGEINT) * n * sxy{k}"
+        f" - CAST(n AS HUGEINT) * s * (sh{k} + st{k})"
+        f" + CAST(cnt{k} AS HUGEINT) * s * s"
+    )
+
+
+_ACF_SQL = f"""
+    WITH m0 AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 1000) AS BIGINT) AS x
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, x,
+             {", ".join(f"lag(x, {k}) OVER w AS l{k}" for k in range(1, _ACF_LAGS + 1))}
+      FROM m0
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS s,
+             SUM(x * x) AS ss,
+             {", ".join(
+                 f"SUM(x * l{k}) AS sxy{k},"
+                 f" SUM(l{k}) AS sh{k},"
+                 f" SUM(CASE WHEN l{k} IS NOT NULL THEN x END) AS st{k},"
+                 f" CAST(COUNT(l{k}) AS BIGINT) AS cnt{k}"
+                 for k in range(1, _ACF_LAGS + 1)
+             )}
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type, lag, n_pairs, acf FROM (
+      {" UNION ALL ".join(
+          f'''SELECT event_type, CAST({k} AS BIGINT) AS lag,
+                 cnt{k} AS n_pairs,
+                 CAST({_acf_num_sql(k)} AS DOUBLE)
+                   / CAST(NULLIF(CAST(n AS HUGEINT) * n * ss
+                                 - CAST(n AS HUGEINT) * s * s, 0)
+                          AS DOUBLE) AS acf
+          FROM g'''
+          for k in range(1, _ACF_LAGS + 1)
+      )}
+    )
+    ORDER BY event_type, lag
+"""
+
+
+@query("ts_acf", oracle=_ACF_SQL)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function at lags 1..{_ACF_LAGS} per
+    event type — the diagnostic member completing the TS family:
+    [[ts_ewma_smooth]] and [[ts_holt_forecast]] pick smoothing
+    constants, [[ts_cusum_changepoint]] assumes drift structure, and
+    [[ts_seasonal_profile]] asserts periodicity — the ACF is the
+    statistic that justifies all of those choices (Box–Jenkins model
+    identification: AR signatures decay, MA signatures cut off).
+
+    Exactness (the [[agg_corr_exact]]/[[abtest_welch_ttest]] moment
+    discipline, pushed through a lag window): values go to integer
+    milli-units once; each lag k needs only FIVE exact moments —
+    Σx_t·x_{{t+k}}, Σ_head x, Σ_tail x, the pair count, plus the
+    shared (n, S, Σx²) — folded in ONE pass. The mean-centered
+    estimator r_k = Σ(x_t−x̄)(x_{{t+k}}−x̄) / Σ(x_t−x̄)² is
+    cross-multiplied by n² so every intermediate is an exact integer
+    (decimal(38,0) here ≡ the oracle's HUGEINT; magnitudes peak
+    ~1e28 at sf1, far under 1e38), and the ONLY float operation is
+    the final division — identical in both engines, no tolerance.
+    Ordering is total ((ts, event_id) unique per type on the fixture
+    family), so the lag pairing is deterministic.
+
+    Plan: one window pass (4 lag columns over the SAME
+    (event_type)/(ts, event_id) sort — one exchange + one sort,
+    amortized across all lags) into one map-side-combined
+    groupBy(event_type); the acf arithmetic runs on 5 report rows.
+    At 100 TB the window partitions by series key exactly like every
+    other TS member; no state beyond the K-deep lag buffer."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    m = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    )
+    lagged = m.select(
+        "event_type",
+        "x",
+        *[
+            F.lag("x", k).over(w).alias(f"l{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,0)"))
+
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        dsum(F.col("x")).alias("s"),
+        dsum(F.col("x") * F.col("x")).alias("ss"),
+    ]
+    for k in range(1, _ACF_LAGS + 1):
+        lk = F.col(f"l{k}")
+        aggs += [
+            dsum(F.col("x") * lk).alias(f"sxy{k}"),
+            dsum(lk).alias(f"sh{k}"),
+            dsum(F.when(lk.isNotNull(), F.col("x"))).alias(f"st{k}"),
+            F.count(lk).cast("bigint").alias(f"cnt{k}"),
+        ]
+    g = lagged.groupBy("event_type").agg(*aggs)
+
+    nd = F.col("n").cast("decimal(38,0)")
+    den = (nd * nd * F.col("ss") - nd * F.col("s") * F.col("s")).cast(
+        "double"
+    )
+    rows = []
+    for k in range(1, _ACF_LAGS + 1):
+        num = (
+            nd * nd * F.col(f"sxy{k}")
+            - nd * F.col("s") * (F.col(f"sh{k}") + F.col(f"st{k}"))
+            + F.col(f"cnt{k}").cast("decimal(38,0)")
+            * F.col("s")
+            * F.col("s")
+        ).cast("double")
+        rows.append(
+            F.struct(
+                F.lit(k).cast("bigint").alias("lag"),
+                F.col(f"cnt{k}").alias("n_pairs"),
+                (num / F.nullif(den, F.lit(0.0))).alias("acf"),
+            )
+        )
+    return (
+        g.select("event_type", F.explode(F.array(*rows)).alias("r"))
+        .select("event_type", "r.lag", "r.n_pairs", "r.acf")
+        .orderBy("event_type", "lag")
+    )
+
+
+ts_acf.__doc__ = ts_acf.__doc__.replace("{_ACF_LAGS}", str(_ACF_LAGS))

@@ -453,3 +453,108 @@ def test_hof_letbind_survives_optimizer(spark, sf_dir):
     assert winnow.count("split(text") <= 2
     fuzzy = optimized("dedup_fuzzy")
     assert "slice(split(text" not in fuzzy
+
+
+# ---------------------------------------------------------------------------
+# ts_acf — differential / known shapes / contract
+# ---------------------------------------------------------------------------
+
+
+def _py_acf(xs, k):
+    """Textbook sample ACF at lag k (global mean, n-denominator)."""
+    n = len(xs)
+    mean = sum(xs) / n
+    den = sum((x - mean) ** 2 for x in xs)
+    if den == 0:
+        return None
+    num = sum(
+        (xs[t] - mean) * (xs[t + k] - mean) for t in range(n - k)
+    )
+    return num / den
+
+
+def _acf_frame(spark, xs):
+    import datetime
+
+    base = datetime.datetime(2001, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 1, "t", x / 1000.0, "")
+        for i, x in enumerate(xs)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_acf_matches_python(spark, tmp_path):
+    """Differential on a deterministic synthetic series: the exact
+    cross-multiplied integer formulation equals the textbook float
+    ACF to 1e-12 (one final IEEE division vs float accumulation)."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    xs = [((i * 37) % 101) * 1000 + ((i * 13) % 7) for i in range(200)]
+    df = _acf_frame(spark, xs)
+    sf = str(tmp_path / "acf_sf")
+    df.write.parquet(sf + "/events.parquet")
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in registry.QUERIES["ts_acf"](spark, sf).collect()
+    }
+    for k in (1, 2, 3, 4):
+        n_pairs, acf = got[k]
+        assert n_pairs == 200 - k
+        assert abs(acf - _py_acf(xs, k)) < 1e-12, (k, acf)
+
+
+def test_acf_known_shapes(spark, tmp_path):
+    """Signatures pinned: an alternating series has acf(1) ≈ −1 and
+    acf(2) ≈ +1; a constant series has zero variance → NULL acf at
+    every lag (den guarded by nullif, not a crash or an Inf)."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    alt = [1000 if i % 2 == 0 else -1000 for i in range(100)]
+    sf1 = str(tmp_path / "alt")
+    _acf_frame(spark, alt).write.parquet(sf1 + "/events.parquet")
+    got = {
+        r["lag"]: r["acf"]
+        for r in registry.QUERIES["ts_acf"](spark, sf1).collect()
+    }
+    assert got[1] < -0.97 and got[2] > 0.95
+    const = [5000] * 50
+    sf2 = str(tmp_path / "const")
+    _acf_frame(spark, const).write.parquet(sf2 + "/events.parquet")
+    rows = registry.QUERIES["ts_acf"](spark, sf2).collect()
+    assert len(rows) == 4 and all(r["acf"] is None for r in rows)
+
+
+def test_acf_contract(spark, sf_dir):
+    """Fixture contract: 5 event types × 4 lags, |acf| ≤ 1 + ε
+    (the n-denominator estimator is a positive-definite sequence),
+    n_pairs = n − k exactly, one window exchange in the plan."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.plans.analyze import shuffle_count
+
+    registry.load_all()
+    df = registry.QUERIES["ts_acf"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 20
+    n_by_type = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(r["acf"]) <= 1.0 + 1e-9
+        assert r["n_pairs"] == n_by_type[r["event_type"]] - r["lag"]
+    # physical plan: exactly 2 exchanges (the window's event_type
+    # hash + the final ORDER BY range); the groupBy reuses the
+    # window's partitioning. AQE's formatted output prints initial +
+    # current plans, so the string count doubles to 4.
+    assert shuffle_count(df) <= 4
