@@ -122,6 +122,7 @@ _ROUND14_PRIORITY = [
     "graph_bfs_reach",
     "privacy_dp_count",
     "ts_acf",
+    "privacy_dp_sum",
     # (c) r10-stale oracle keys — freshness filler past the budget
     "agg_corr_exact",
     "agg_filter_clause",

@@ -2575,3 +2575,100 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_acf.__doc__ = ts_acf.__doc__.replace("{_ACF_LAGS}", str(_ACF_LAGS))
+
+
+# ---------------------------------------------------------------------------
+# privacy_dp_sum — bounded-sensitivity ε-DP sums (clip → quantize → noise)
+# ---------------------------------------------------------------------------
+
+#: Per-record contribution bound, in milli-units (100.0 value units).
+#: Clipping to C is what gives the sum a finite sensitivity at all —
+#: the release is of the CLIPPED total, the standard DP-SQL contract.
+_DP_SUM_CLIP = 100_000
+
+#: Salt for the sum release — independent of the count release's
+#: salt, so the two mechanisms draw independent noise.
+_DP_SUM_SALT = "/dp-sum-v1"
+
+
+_DP_SUM_SQL = f"""
+    WITH g AS (
+      SELECT event_type,
+             SUM(LEAST(CAST(round(value * 1000) AS BIGINT),
+                       {_DP_SUM_CLIP})) // {_DP_SUM_CLIP} AS q
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(GREATEST(
+             q + {_dp_noise_case(md5_u32_duck(f"event_type || '{_DP_SUM_SALT}'"))},
+             0) * {_DP_SUM_CLIP} AS BIGINT) AS sum_released_milli
+    FROM g
+    ORDER BY event_type
+"""
+
+
+@query("privacy_dp_sum", oracle=_DP_SUM_SQL)
+def privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP per-group SUM release — the second release mechanic next
+    to [[privacy_dp_count]], together covering the count/sum/mean
+    trio every DP-SQL engine exposes (mean = released sum over
+    released count, pure post-processing). Counts have sensitivity 1
+    for free; sums do NOT — an unbounded record can shift the total
+    arbitrarily — so the pipeline is the standard three-step DP-SQL
+    contract:
+
+    1. **Clip**: each record's contribution is capped at
+       C = {_DP_SUM_CLIP} milli-units (`least(x, C)`). The released
+       statistic is the CLIPPED total — the bias-for-privacy trade
+       every bounded-contribution system makes.
+    2. **Quantize**: the clipped sum is floored into units of C
+       (`div C`), which provably has record-level sensitivity 1
+       (one record moves the clipped sum by ≤ C, the floor by ≤ 1).
+    3. **Noise**: the SAME certified geometric mechanism as the
+       count key — identical exact-rational threshold table, an
+       INDEPENDENT salt — adds Z at ε = ln 2, and the release is
+       (q + Z)·C, clamped at 0 (post-processing).
+
+    Releasing both this key and [[privacy_dp_count]] on one table
+    composes to 2·ln 2 total ε — the deployment's ledger entry, not
+    the operator's. Parity is inherited wholesale: clip, sum, floor
+    division, threshold compares and the final multiply are all
+    exact integer ops on both engines; there is no new float surface
+    anywhere. Utility is hard-bounded by the truncated support:
+    |released − clipped_true| ≤ ({_DP_TAIL} + 1)·C always.
+
+    Plan: the identical one map-side-combined groupBy as the count
+    key — DP sum release costs one `least()` over the scan."""
+    g = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            # integer `div`, not float `/`: floor semantics identical
+            # to the oracle's `//` and exact past 2^53 where a double
+            # quotient would round
+            F.expr(
+                "sum(least(CAST(round(value * 1000) AS BIGINT),"
+                f" {_DP_SUM_CLIP})) div {_DP_SUM_CLIP}"
+            ).alias("q")
+        )
+    )
+    noise = F.expr(
+        _dp_noise_case(md5_u32_sql(f"concat(event_type, '{_DP_SUM_SALT}')"))
+    )
+    return (
+        g.select(
+            "event_type",
+            (
+                F.greatest(F.col("q") + noise, F.lit(0))
+                * F.lit(_DP_SUM_CLIP)
+            )
+            .cast("bigint")
+            .alias("sum_released_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+privacy_dp_sum.__doc__ = privacy_dp_sum.__doc__.replace(
+    "{_DP_SUM_CLIP}", str(_DP_SUM_CLIP)
+).replace("{_DP_TAIL}", str(_DP_TAIL))

@@ -558,3 +558,71 @@ def test_acf_contract(spark, sf_dir):
     # window's partitioning. AQE's formatted output prints initial +
     # current plans, so the string count doubles to 4.
     assert shuffle_count(df) <= 4
+
+
+# ---------------------------------------------------------------------------
+# privacy_dp_sum — clipping / utility / quantized sensitivity
+# ---------------------------------------------------------------------------
+
+
+def test_dp_sum_utility_and_clipping(spark, sf_dir):
+    """Fixture utility: every released sum is within the hard
+    truncation bound of the CLIPPED true total
+    (|released − clipped| ≤ (TAIL+1)·C), non-negative, a multiple of
+    C; and the fixture actually exercises clipping (≥ 1 record above
+    C in some group), so the bounded-contribution step provably
+    fires."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        _DP_SUM_CLIP,
+        _DP_TAIL,
+    )
+
+    registry.load_all()
+    got = {
+        r["event_type"]: r["sum_released_milli"]
+        for r in registry.QUERIES["privacy_dp_sum"](
+            spark, sf_dir
+        ).collect()
+    }
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    )
+    agg = {
+        r["event_type"]: (r["clipped"], r["n_over"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.sum(F.least("x", F.lit(_DP_SUM_CLIP))).alias("clipped"),
+            F.count(F.when(F.col("x") > _DP_SUM_CLIP, 1)).alias(
+                "n_over"
+            ),
+        )
+        .collect()
+    }
+    assert set(got) == set(agg)
+    bound = (_DP_TAIL + 1) * _DP_SUM_CLIP
+    for t, rel in got.items():
+        clipped, _ = agg[t]
+        assert rel >= 0 and rel % _DP_SUM_CLIP == 0
+        assert abs(rel - clipped) <= bound, (t, rel, clipped)
+    assert any(n_over > 0 for _, n_over in agg.values()), (
+        "no record above the clip bound — the contribution cap is "
+        "untested by the fixture"
+    )
+
+
+def test_dp_sum_quantized_sensitivity():
+    """The DP argument rests on the quantized clipped sum having
+    record-level sensitivity EXACTLY 1 — prove it over a dense grid:
+    for any total S and any single-record contribution c ≤ C,
+    floor((S+c)/C) − floor(S/C) ∈ {0, 1}."""
+    from data_pipeline_spark_spark.operators.analytics import (
+        _DP_SUM_CLIP as C,
+    )
+
+    for s in range(0, 5 * C, 997):
+        for c in (0, 1, C // 3, C - 1, C):
+            d = (s + c) // C - s // C
+            assert d in (0, 1), (s, c, d)
