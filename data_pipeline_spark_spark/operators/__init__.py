@@ -63,9 +63,11 @@ ALL_MODULES = (
 # green row dates to r09 (the oldest evidence in the repo: the
 # streaming family, the approx aggs, core relational, TPC-H
 # q4/6/8/13/15/17/22) — after these are regraded no key is staler
-# than r10 — then (b) the new round-14 keys as they land (48 + 2 fits
-# the budget exactly), and finally (c) the 50 r10-stale oracle keys
-# as filler in case the budget stretches, teeing up the r15 rotation.
+# than r10 — then (b) the new round-14 keys as they land (the first
+# two fit the ~50 budget; ts_acf and privacy_dp_sum at positions
+# 51-52 likely wait for the r15 front-load, the r12/r13 precedent),
+# and finally (c) the 50 r10-stale oracle keys as filler in case the
+# budget stretches, teeing up the r15 rotation.
 # Everything else keeps its registration order behind the priority
 # block and retains its latest row.
 _ROUND14_PRIORITY = [
@@ -123,6 +125,7 @@ _ROUND14_PRIORITY = [
     "privacy_dp_count",
     "ts_acf",
     "privacy_dp_sum",
+    "corpus_filter_gopher",
     # (c) r10-stale oracle keys — freshness filler past the budget
     "agg_corr_exact",
     "agg_filter_clause",

@@ -1248,3 +1248,159 @@ def corpus_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unique_surviving"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_filter_gopher — the published Gopher quality-rule battery
+# ---------------------------------------------------------------------------
+
+#: Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", Appendix A —
+#: the published word-level document filters). Kept verbatim so the
+#: report is comparable to the paper's corpus accounting.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MWL_MIN = 3      # mean word length lower bound
+_GOPHER_MWL_MAX = 10     # mean word length upper bound
+_GOPHER_SYMBOL_X10 = 1   # symbol-to-word ratio bound 0.1 → 10·sym > 1·n
+_GOPHER_ALPHA_X5 = 4     # ≥80% alpha words → 5·alpha ≥ 4·n
+_GOPHER_MIN_STOPWORDS = 2
+_GOPHER_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+_GOPHER_SQL = f"""
+    WITH base AS (
+      SELECT len(toks) AS n,
+             length(replace(text, ' ', '')) AS sum_len,
+             length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               AS sym,
+             len(list_filter(toks,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+             len(list_filter(toks, x -> lower(x) IN
+                 {tuple(_GOPHER_STOPWORDS)!s})) AS stop
+      FROM (SELECT text, string_split(text, ' ') AS toks FROM documents)
+    ),
+    flags AS (
+      SELECT CASE WHEN n < {_GOPHER_MIN_WORDS}
+                    OR n > {_GOPHER_MAX_WORDS} THEN 1 ELSE 0 END AS f_wc,
+             CASE WHEN sum_len < {_GOPHER_MWL_MIN} * n
+                    OR sum_len > {_GOPHER_MWL_MAX} * n THEN 1 ELSE 0 END
+               AS f_mwl,
+             CASE WHEN 10 * sym > {_GOPHER_SYMBOL_X10} * n THEN 1 ELSE 0 END
+               AS f_sym,
+             CASE WHEN 5 * alpha < {_GOPHER_ALPHA_X5} * n THEN 1 ELSE 0 END
+               AS f_alpha,
+             CASE WHEN stop < {_GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END
+               AS f_stop
+      FROM base
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_wc) AS BIGINT) AS n_fail_word_count,
+           CAST(SUM(f_mwl) AS BIGINT) AS n_fail_mean_word_len,
+           CAST(SUM(f_sym) AS BIGINT) AS n_fail_symbol_ratio,
+           CAST(SUM(f_alpha) AS BIGINT) AS n_fail_alpha_words,
+           CAST(SUM(f_stop) AS BIGINT) AS n_fail_stopwords,
+           CAST(SUM(CASE WHEN f_wc + f_mwl + f_sym + f_alpha + f_stop = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM flags
+"""
+
+
+@query("corpus_filter_gopher", oracle=_GOPHER_SQL)
+def corpus_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLISHED Gopher document-quality battery (Rae et al.
+    2021, Appendix A) with per-rule drop accounting — the named,
+    citable counterpart to the in-house [[corpus_filter_report]]
+    gate: word-count band [{_GOPHER_MIN_WORDS}, {_GOPHER_MAX_WORDS}],
+    mean word length in [{_GOPHER_MWL_MIN}, {_GOPHER_MWL_MAX}],
+    symbol-to-word ratio ('#' chars + '...' occurrences) ≤ 0.1,
+    ≥80% of words containing an alphabetic character, and ≥
+    {_GOPHER_MIN_STOPWORDS} canonical stopwords. Running a corpus
+    through the literature's exact thresholds is how curation runs
+    are compared ACROSS pipelines, which is why the constants are
+    kept verbatim rather than fixture-tuned (the fixture's short
+    synthetic docs mostly fail the 50-word floor — that asymmetry is
+    itself the report's finding, and the per-rule layout makes it
+    attributable).
+
+    Exactness: every ratio rule is cross-multiplied into integer
+    comparisons (mean-word-length bounds become Σlen vs 3n/10n; the
+    80% alpha rule becomes 5·alpha ≥ 4·n; the 0.1 symbol rule
+    10·sym > n) — no float anywhere, both engines agree per doc bit
+    for bit. Σlen is chars-minus-spaces (one regexp_replace), the
+    symbol count is two replace-and-diff passes, and the two word
+    classifiers are in-row lambda filters over the token array whose
+    predicates reference only the lambda variable (the r14 HOF-audit
+    discipline). One projected scan into one single-row aggregate;
+    ZERO data-proportional shuffles at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ell = (
+        F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    base = d.select(
+        F.size(toks).alias("n"),
+        F.length(F.regexp_replace("text", " ", "")).alias("sum_len"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "#", ""))
+            + ell.cast("int")
+        ).alias("sym"),
+        F.size(
+            F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+        ).alias("alpha"),
+        F.size(
+            F.filter(toks, lambda x: F.lower(x).isin(*_GOPHER_STOPWORDS))
+        ).alias("stop"),
+    )
+    n = F.col("n")
+    flags = base.select(
+        F.when(
+            (n < _GOPHER_MIN_WORDS) | (n > _GOPHER_MAX_WORDS), 1
+        ).otherwise(0).alias("f_wc"),
+        F.when(
+            (F.col("sum_len") < _GOPHER_MWL_MIN * n)
+            | (F.col("sum_len") > _GOPHER_MWL_MAX * n),
+            1,
+        ).otherwise(0).alias("f_mwl"),
+        F.when(10 * F.col("sym") > _GOPHER_SYMBOL_X10 * n, 1)
+        .otherwise(0)
+        .alias("f_sym"),
+        F.when(5 * F.col("alpha") < _GOPHER_ALPHA_X5 * n, 1)
+        .otherwise(0)
+        .alias("f_alpha"),
+        F.when(F.col("stop") < _GOPHER_MIN_STOPWORDS, 1)
+        .otherwise(0)
+        .alias("f_stop"),
+    )
+    total = (
+        F.col("f_wc")
+        + F.col("f_mwl")
+        + F.col("f_sym")
+        + F.col("f_alpha")
+        + F.col("f_stop")
+    )
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("f_wc").cast("bigint").alias("n_fail_word_count"),
+        F.sum("f_mwl").cast("bigint").alias("n_fail_mean_word_len"),
+        F.sum("f_sym").cast("bigint").alias("n_fail_symbol_ratio"),
+        F.sum("f_alpha").cast("bigint").alias("n_fail_alpha_words"),
+        F.sum("f_stop").cast("bigint").alias("n_fail_stopwords"),
+        F.sum(F.when(total == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+
+
+corpus_filter_gopher.__doc__ = (
+    corpus_filter_gopher.__doc__.replace(
+        "{_GOPHER_MIN_WORDS}", str(_GOPHER_MIN_WORDS)
+    )
+    .replace("{_GOPHER_MAX_WORDS}", str(_GOPHER_MAX_WORDS))
+    .replace("{_GOPHER_MWL_MIN}", str(_GOPHER_MWL_MIN))
+    .replace("{_GOPHER_MWL_MAX}", str(_GOPHER_MWL_MAX))
+    .replace("{_GOPHER_MIN_STOPWORDS}", str(_GOPHER_MIN_STOPWORDS))
+)

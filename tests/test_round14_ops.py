@@ -626,3 +626,73 @@ def test_dp_sum_quantized_sensitivity():
         for c in (0, 1, C // 3, C - 1, C):
             d = (s + c) // C - s // C
             assert d in (0, 1), (s, c, d)
+
+
+# ---------------------------------------------------------------------------
+# corpus_filter_gopher — per-rule unit probes / contract
+# ---------------------------------------------------------------------------
+
+
+def _gopher_report(spark, tmp_path, texts, name):
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    sf = str(tmp_path / name)
+    df.write.parquet(sf + "/documents.parquet")
+    return registry.QUERIES["corpus_filter_gopher"](spark, sf).first()
+
+
+def test_gopher_rules_unit(spark, tmp_path):
+    """One synthetic doc per rule, each failing EXACTLY its target
+    rule, plus one passing doc — the per-rule flags are independent
+    and the pass is their conjunction (the paper's battery, exact
+    integer form)."""
+    stop_pad = "the be to of and that have with"
+    good = ("word " * 6 + stop_pad + " word extra") * 4  # ≥50 words, sane
+    # word-count fail: 10 normal words (below the 50 floor), all else fine
+    wc = "the be to of and that have with good words"
+    # mean-word-len fail: ≥50 words each 12 chars + stopwords
+    mwl = " ".join(["abcdefghijkl"] * 60) + " " + stop_pad
+    # symbol fail: ≥50 words, >10% are '#'
+    sym = " ".join(["#"] * 12 + ["word"] * 40) + " " + stop_pad
+    # alpha fail: ≥50 words, >20% pure digits
+    alpha = " ".join(["123"] * 20 + ["word"] * 32) + " " + stop_pad
+    # stopword fail: ≥50 alpha words, no stopwords
+    stop = " ".join(["lorem"] * 60)
+    r = _gopher_report(
+        spark, tmp_path, [good, wc, mwl, sym, alpha, stop], "unit"
+    )
+    assert r["n_docs"] == 6
+    assert r["n_fail_word_count"] == 1
+    assert r["n_fail_mean_word_len"] == 1
+    assert r["n_fail_symbol_ratio"] == 1
+    assert r["n_fail_alpha_words"] == 1
+    assert r["n_fail_stopwords"] == 1  # only the stopword-free doc
+    assert r["n_pass"] == 1
+
+
+def test_gopher_contract(spark, sf_dir):
+    """Fixture contract: counts are consistent (each fail count and
+    the pass count ≤ n_docs; a doc failing nothing is a pass), and
+    the report is a single row."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["corpus_filter_gopher"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    for c in (
+        "n_fail_word_count",
+        "n_fail_mean_word_len",
+        "n_fail_symbol_ratio",
+        "n_fail_alpha_words",
+        "n_fail_stopwords",
+        "n_pass",
+    ):
+        assert 0 <= r[c] <= r["n_docs"], c
