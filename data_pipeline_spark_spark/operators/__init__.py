@@ -126,6 +126,7 @@ _ROUND14_PRIORITY = [
     "ts_acf",
     "privacy_dp_sum",
     "corpus_filter_gopher",
+    "agg_skew_kurtosis",
     # (c) r10-stale oracle keys — freshness filler past the budget
     "agg_corr_exact",
     "agg_filter_clause",

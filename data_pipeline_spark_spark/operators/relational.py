@@ -1407,3 +1407,117 @@ def ols_fit(
         ).alias("intercept"),
         F.when(ok_x & (vy != 0.0), (cov * cov) / (vx * vy)).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_skew_kurtosis — 3rd/4th standardized moments, exact power sums
+# ---------------------------------------------------------------------------
+
+_SKEW_SQL = """
+    WITH m AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS s1, SUM(x * x) AS s2,
+             SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+             SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(s3 AS DOUBLE) / n
+              - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+              + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+             / ((CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                * sqrt(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))) AS skewness,
+           (CAST(s4 AS DOUBLE) / n
+              - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+              + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+              - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / ((CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                * (CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n))) - 3.0 AS kurtosis_excess
+    FROM s
+    WHERE n > 2
+    ORDER BY event_type
+"""
+
+
+@query("agg_skew_kurtosis", oracle=_SKEW_SQL)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness g1 = m3/m2^1.5 and excess kurtosis
+    g2 = m4/m2² − 3 per event type — the 3rd/4th members of the
+    exact-moment family ([[agg_corr_exact]] covers the 2nd,
+    [[abtest_welch_ttest]] uses the same fold for inference): tail
+    asymmetry and heaviness are the distribution-shape diagnostics a
+    latency/spend column report carries next to its quantiles
+    ([[agg_ddsketch_quantile]]).
+
+    Exactness discipline, extended one step: cross-ROW accumulation
+    is the only place engines can disagree (float sums are
+    order-dependent under partitioning), so the four POWER SUMS
+    Σx..Σx⁴ accumulate exactly — Σx³/Σx⁴ in decimal(38,0) ≡ the
+    oracle's HUGEINT (milli-unit x ≤ ~5e5 → x⁴ ≤ 6e22, ×1e9 rows
+    still < 1e38) — and the central-moment combination
+    m3 = S3/n − 3·(S1/n)(S2/n) + 2(S1/n)³ etc. happens ONCE per
+    group row in doubles with IDENTICAL nesting in both engines:
+    deterministic float arithmetic on identical integer inputs is
+    bit-identical; only accumulation ORDER is forbidden. (The raw
+    expansion pays cancellation when spread ≪ mean — the documented
+    accuracy trade; a two-pass mean-shifted variant restores digits
+    with one extra broadcast, same exactness argument.)
+
+    Plan: ONE map-side-combined groupBy over events — shuffle
+    carries (n, S1..S4) per type, never rows; the shape report is
+    free at any scale. Groups with n ≤ 2 are excluded (shape
+    undefined)."""
+    e = load(spark, sf_dir, "events")
+    m = e.select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    )
+
+    def dsum(expr):
+        return F.sum(expr.cast("decimal(38,0)"))
+
+    x = F.col("x")
+    s = m.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum(x).alias("s1"),
+        dsum(x * x).alias("s2"),
+        dsum(x.cast("decimal(38,0)") * x * x).alias("s3"),
+        dsum(x.cast("decimal(38,0)") * x * x * x).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m2 = r2 - mu * mu
+    m3 = r3 - F.lit(3.0) * mu * r2 + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        r4
+        - F.lit(4.0) * mu * r3
+        + F.lit(6.0) * mu * mu * r2
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return (
+        s.filter(F.col("n") > 2)
+        .select(
+            "event_type",
+            "n",
+            (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+            (m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_excess"),
+        )
+        .orderBy("event_type")
+    )

@@ -696,3 +696,63 @@ def test_gopher_contract(spark, sf_dir):
         "n_pass",
     ):
         assert 0 <= r[c] <= r["n_docs"], c
+
+
+# ---------------------------------------------------------------------------
+# agg_skew_kurtosis — differential / known shapes
+# ---------------------------------------------------------------------------
+
+
+def _skew_frame(spark, xs):
+    import datetime
+
+    base = datetime.datetime(2001, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 1, "t", x / 1000.0, "")
+        for i, x in enumerate(xs)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_skew_kurtosis_matches_python(spark, tmp_path):
+    """Differential vs the textbook population formulas computed in
+    python floats from the same integers."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    xs = [((i * 31) % 97) * 1000 + (i % 5) for i in range(300)]
+    sf = str(tmp_path / "sk")
+    _skew_frame(spark, xs).write.parquet(sf + "/events.parquet")
+    r = registry.QUERIES["agg_skew_kurtosis"](spark, sf).first()
+    n = len(xs)
+    mu = sum(xs) / n
+    m2 = sum((x - mu) ** 2 for x in xs) / n
+    m3 = sum((x - mu) ** 3 for x in xs) / n
+    m4 = sum((x - mu) ** 4 for x in xs) / n
+    assert abs(r["skewness"] - m3 / m2**1.5) < 1e-9
+    assert abs(r["kurtosis_excess"] - (m4 / m2**2 - 3)) < 1e-9
+
+
+def test_skew_kurtosis_known_shapes(spark, tmp_path):
+    """Shape signatures: a symmetric two-point series has skew 0 and
+    kurtosis −2 (the minimum); a uniform grid has skew 0 and
+    kurtosis ≈ −1.2."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    two = [1000, 3000] * 50
+    sf1 = str(tmp_path / "two")
+    _skew_frame(spark, two).write.parquet(sf1 + "/events.parquet")
+    r = registry.QUERIES["agg_skew_kurtosis"](spark, sf1).first()
+    assert abs(r["skewness"]) < 1e-9
+    assert abs(r["kurtosis_excess"] - (-2.0)) < 1e-9
+    uni = [i * 1000 for i in range(1, 101)]
+    sf2 = str(tmp_path / "uni")
+    _skew_frame(spark, uni).write.parquet(sf2 + "/events.parquet")
+    r = registry.QUERIES["agg_skew_kurtosis"](spark, sf2).first()
+    assert abs(r["skewness"]) < 1e-9
+    assert -1.25 < r["kurtosis_excess"] < -1.15
