@@ -357,9 +357,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row-fan-out discipline as `basket_pair_affinity`'s item_cap,
     achieved structurally instead of by truncation.
 
-    Plan: three joins — wedge (dir ⋈ dir on the apex) and closure
-    (wedge ⋈ dir on the oriented far pair), both equi-joins on ord
-    keys that AQE sizes; then a 3-way explode and a count. No
+    Plan: three joins — wedge (dir ⋈ dir on the apex, shuffled) and
+    closure (wedge ⋈ dir on the oriented far pair, a BROADCAST-hash
+    probe by default: the O(m^1.5)-bounded wedge stream is the big
+    side and never shuffles when the edge list is broadcast-sized —
+    21.3 → 9.6 s at sf0.1, r14; `triangle_counts_of(
+    broadcast_closure=False)` is the bucketed-shuffle path for edge
+    lists past driver size); then a 3-way explode and a count. No
     iteration, no Python, cardinalities bounded by the orientation
     argument. Top {topk} parts by (triangles desc, part key asc).
     """
@@ -372,13 +376,28 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_TRI_TOPK)
 
 
-def triangle_counts_of(half: DataFrame) -> DataFrame:
+def triangle_counts_of(
+    half: DataFrame, broadcast_closure: bool = True
+) -> DataFrame:
     """Degree-oriented triangle counting over any half-edge frame
     ``(src, dst)`` with src < dst, one row per undirected edge —
     module-level so the hypothesis differential and the synthetic
     K4/pendant contracts drive the SAME joins the registered query
     runs. Returns the full per-node ``(part_key, triangles)`` frame
-    (callers top-k it)."""
+    (callers top-k it).
+
+    The closure probe BROADCASTS the oriented edge list by default
+    (r13 verdict ask #4 — measured 21.3 → 9.6 s at sf0.1, identical
+    output): the wedge stream is the O(m^{3/2})-bounded BIG side and
+    must never be shuffled on its (far-pair) key when the edge list
+    itself is broadcast-sized; wedges then stream through one
+    broadcast-hash probe and collapse straight into the partial
+    count. (Broadcasting the WEDGE join too was measured slower —
+    14.1 s — the sorted wedge generator keeps better locality.)
+    ``broadcast_closure=False`` is the path for edge lists past
+    driver size: the original shuffled join, co-partitionable by
+    bucketing the oriented edges on ou — the same dual-state
+    contract as the loop siblings."""
     deg = (
         half.select(F.col("src").alias("id"))
         .unionAll(half.select(F.col("dst").alias("id")))
@@ -399,7 +418,10 @@ def triangle_counts_of(half: DataFrame) -> DataFrame:
         F.least("os", "od").alias("ou"),
         F.greatest("os", "od").alias("ov"),
     ).localCheckpoint(eager=False)
-    e1, e2, e3 = direct.alias("e1"), direct.alias("e2"), direct.alias("e3")
+    e1, e2 = direct.alias("e1"), direct.alias("e2")
+    e3 = (
+        F.broadcast(direct) if broadcast_closure else direct
+    ).alias("e3")
     tri = (
         e1.join(
             e2,

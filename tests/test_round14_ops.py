@@ -400,6 +400,20 @@ def test_graph_dual_state_paths_equal(spark):
 
     sym = _toy_sym(spark)
     seeds = spark.createDataFrame([(1,), (4,)], "id long")
+    from data_pipeline_spark_spark.operators.graph import (
+        triangle_counts_of,
+    )
+
+    half = sym.filter(F.col("src") < F.col("dst")).select("src", "dst")
+    t_b = sorted(
+        tuple(r)
+        for r in triangle_counts_of(half, broadcast_closure=True).collect()
+    )
+    t_s = sorted(
+        tuple(r)
+        for r in triangle_counts_of(half, broadcast_closure=False).collect()
+    )
+    assert t_b == t_s
     for fn, args in (
         (pagerank_of, ()),
         (lpa_of, ()),
