@@ -34,6 +34,22 @@ def micro_ln(col) -> Column:
     return F.round(F.log(col) * 1000000).cast("bigint")
 
 
+def wide_sum(*factors) -> Column:
+    """Exact 128-bit-class product-sum: Σ(f1·f2·…) with the FIRST
+    factor cast to decimal(38,0) BEFORE the multiply, so neither the
+    per-element product nor the accumulator can wrap int64 — the
+    Spark twin of DuckDB's ``SUM(CAST(f1 AS HUGEINT) * f2 * …)``.
+    The moment discipline's single shared widening point
+    ([[abtest_welch_ttest]], [[ts_acf]], [[agg_skew_kurtosis]]):
+    casting only the SUM (``sum(x*y).cast``) widens too late — the
+    bigint element product overflows first."""
+    first, *rest = factors
+    acc = first.cast("decimal(38,0)")
+    for f in rest:
+        acc = acc * f
+    return F.sum(acc)
+
+
 def md5_u32_sql(operand: str) -> str:
     """Spark SQL fragment for the cross-engine 32-bit md5 hash of
     ``operand`` (an expression string), usable inside higher-order

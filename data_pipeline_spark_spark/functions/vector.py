@@ -32,6 +32,25 @@ def norm(a: Column) -> Column:
     )
 
 
+def unit_normalize(a: Column) -> Column:
+    """``a / ‖a‖`` with the norm STRUCTURALLY let-bound via a
+    1-element transform (the FFD binder): the norm is itself a fold,
+    and referencing it from the per-element division lambda re-folds
+    the whole vector per element — O(d²)/row. A plain projection
+    let-bind is NOT safe here: CollapseProject re-inlines an alias
+    referenced exactly once back into the lambda (verified on the
+    optimized plan, r14 review), whereas this binder is a single
+    expression the optimizer cannot split. Callers must zero-norm
+    guard (ANSI division raises on ‖a‖ = 0)."""
+    return F.try_element_at(
+        F.transform(
+            F.array(norm(a)),
+            lambda nr: F.transform(a, lambda x: x / nr),
+        ),
+        F.lit(1),
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; inputs should be cast to array<double> first
     so both engines accumulate in double precision. The denominator is

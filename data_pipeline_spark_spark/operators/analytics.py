@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.exact import md5_u32_duck, md5_u32_sql
+from ..functions.exact import md5_u32_duck, md5_u32_sql, wide_sum
 from ..registry import query
 
 
@@ -1787,8 +1787,10 @@ _ABTEST_SQL = """
              CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
              CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
              CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
-             SUM(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS ss0,
-             SUM(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS ss1
+             SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * x
+                      ELSE 0 END) AS ss0,
+             SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * x
+                      ELSE 0 END) AS ss1
       FROM m GROUP BY event_type
     )
     SELECT event_type,
@@ -1850,16 +1852,15 @@ def abtest_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         )
 
-    def arm_sum_wide(a: int, expr):
-        # Σx² accumulates in decimal(38,0) — the 128-bit-class exact
-        # intermediate DuckDB's SUM(BIGINT)→HUGEINT uses — so the arm
-        # moment can never wrap int64 however large |x|·√n grows; it
-        # only meets a double inside the final t expression, the same
-        # single rounding the oracle performs.
-        return F.sum(
-            F.when(F.col("arm") == a, expr)
-            .otherwise(0)
-            .cast("decimal(38,0)")
+    def arm_ss_wide(a: int):
+        # Σx² through the shared wide_sum helper: the ELEMENT product
+        # widens to decimal(38,0) BEFORE the multiply (≡ the oracle's
+        # CAST(x AS HUGEINT) * x), so neither x² nor the accumulator
+        # can wrap int64 at any |x|·√n — casting only the sum would
+        # widen after the bigint product already overflowed.
+        return wide_sum(
+            F.when(F.col("arm") == a, F.col("x")).otherwise(0),
+            F.col("x"),
         )
 
     s = m.groupBy("event_type").agg(
@@ -1867,8 +1868,8 @@ def abtest_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         arm_sum(1, F.lit(1)).alias("n1"),
         arm_sum(0, F.col("x")).alias("s0"),
         arm_sum(1, F.col("x")).alias("s1"),
-        arm_sum_wide(0, F.col("x") * F.col("x")).alias("ss0"),
-        arm_sum_wide(1, F.col("x") * F.col("x")).alias("ss1"),
+        arm_ss_wide(0).alias("ss0"),
+        arm_ss_wide(1).alias("ss1"),
     )
     n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
     s0d, s1d = F.col("s0").cast("double"), F.col("s1").cast("double")
@@ -2455,9 +2456,9 @@ _ACF_SQL = f"""
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
              SUM(x) AS s,
-             SUM(x * x) AS ss,
+             SUM(CAST(x AS HUGEINT) * x) AS ss,
              {", ".join(
-                 f"SUM(x * l{k}) AS sxy{k},"
+                 f"SUM(CAST(x AS HUGEINT) * l{k}) AS sxy{k},"
                  f" SUM(l{k}) AS sh{k},"
                  f" SUM(CASE WHEN l{k} IS NOT NULL THEN x END) AS st{k},"
                  f" CAST(COUNT(l{k}) AS BIGINT) AS cnt{k}"
@@ -2529,20 +2530,22 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def dsum(c):
-        return F.sum(c.cast("decimal(38,0)"))
-
+    # wide_sum widens the ELEMENT before any multiply (≡ the
+    # oracle's CAST(x AS HUGEINT) * …): casting only the sum would
+    # let the bigint product x·x wrap first at |x| > ~3e9 milli
     aggs = [
         F.count("*").cast("bigint").alias("n"),
-        dsum(F.col("x")).alias("s"),
-        dsum(F.col("x") * F.col("x")).alias("ss"),
+        wide_sum(F.col("x")).alias("s"),
+        wide_sum(F.col("x"), F.col("x")).alias("ss"),
     ]
     for k in range(1, _ACF_LAGS + 1):
         lk = F.col(f"l{k}")
         aggs += [
-            dsum(F.col("x") * lk).alias(f"sxy{k}"),
-            dsum(lk).alias(f"sh{k}"),
-            dsum(F.when(lk.isNotNull(), F.col("x"))).alias(f"st{k}"),
+            wide_sum(F.col("x"), lk).alias(f"sxy{k}"),
+            wide_sum(lk).alias(f"sh{k}"),
+            wide_sum(F.when(lk.isNotNull(), F.col("x"))).alias(
+                f"st{k}"
+            ),
             F.count(lk).cast("bigint").alias(f"cnt{k}"),
         ]
     g = lagged.groupBy("event_type").agg(*aggs)
@@ -2594,8 +2597,9 @@ _DP_SUM_SALT = "/dp-sum-v1"
 _DP_SUM_SQL = f"""
     WITH g AS (
       SELECT event_type,
-             SUM(LEAST(CAST(round(value * 1000) AS BIGINT),
-                       {_DP_SUM_CLIP})) // {_DP_SUM_CLIP} AS q
+             SUM(GREATEST(LEAST(CAST(round(value * 1000) AS BIGINT),
+                                {_DP_SUM_CLIP}), 0)) // {_DP_SUM_CLIP}
+               AS q
       FROM events GROUP BY event_type
     )
     SELECT event_type,
@@ -2617,8 +2621,11 @@ def privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrarily — so the pipeline is the standard three-step DP-SQL
     contract:
 
-    1. **Clip**: each record's contribution is capped at
-       C = {_DP_SUM_CLIP} milli-units (`least(x, C)`). The released
+    1. **Clip**: each record's contribution is bounded into
+       [0, C] with C = {_DP_SUM_CLIP} milli-units
+       (`greatest(least(x, C), 0)`) — TWO-sided, because a cap from
+       above alone would leave a negative record with unbounded
+       influence and void the sensitivity argument. The released
        statistic is the CLIPPED total — the bias-for-privacy trade
        every bounded-contribution system makes.
     2. **Quantize**: the clipped sum is floored into units of C
@@ -2645,10 +2652,13 @@ def privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # integer `div`, not float `/`: floor semantics identical
             # to the oracle's `//` and exact past 2^53 where a double
-            # quotient would round
+            # quotient would round. The clip is TWO-SIDED ([0, C]) —
+            # capping only from above would leave a negative record
+            # with unbounded influence and void the sensitivity-1
+            # argument (r14 review finding).
             F.expr(
-                "sum(least(CAST(round(value * 1000) AS BIGINT),"
-                f" {_DP_SUM_CLIP})) div {_DP_SUM_CLIP}"
+                "sum(greatest(least(CAST(round(value * 1000) AS"
+                f" BIGINT), {_DP_SUM_CLIP}), 0)) div {_DP_SUM_CLIP}"
             ).alias("q")
         )
     )

@@ -26,6 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exact import wide_sum
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -1421,7 +1422,7 @@ _SKEW_SQL = """
     s AS (
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(x) AS s1, SUM(x * x) AS s2,
+             SUM(x) AS s1, SUM(CAST(x AS HUGEINT) * x) AS s2,
              SUM(CAST(x AS HUGEINT) * x * x) AS s3,
              SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
       FROM m GROUP BY event_type
@@ -1487,16 +1488,16 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 1000).cast("bigint").alias("x"),
     )
 
-    def dsum(expr):
-        return F.sum(expr.cast("decimal(38,0)"))
-
     x = F.col("x")
+    # wide_sum (functions/exact.py): element widens to decimal(38,0)
+    # BEFORE each multiply ≡ the oracle's CAST(x AS HUGEINT) chain —
+    # the moment discipline's single shared widening point
     s = m.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
-        dsum(x).alias("s1"),
-        dsum(x * x).alias("s2"),
-        dsum(x.cast("decimal(38,0)") * x * x).alias("s3"),
-        dsum(x.cast("decimal(38,0)") * x * x * x).alias("s4"),
+        wide_sum(x).alias("s1"),
+        wide_sum(x, x).alias("s2"),
+        wide_sum(x, x, x).alias("s3"),
+        wide_sum(x, x, x, x).alias("s4"),
     )
     nd = F.col("n").cast("double")
     mu = F.col("s1").cast("double") / nd

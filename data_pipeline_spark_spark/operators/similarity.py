@@ -24,7 +24,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load
-from ..functions.vector import as_double_array, cosine, norm
+from ..functions.vector import (
+    as_double_array,
+    cosine,
+    norm,
+    unit_normalize,
+)
 from ..registry import query
 
 _N_QUERIES = 5
@@ -142,16 +147,9 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # mode the division would RAISE, not NaN) — excluded from the
         # unit sphere; never present in the fixtures
         e.filter(norm(F.col("emb")) > 0)
-        # let-bind the norm in its own projection: referenced from
-        # inside the transform lambda it would re-fold per ELEMENT
-        # (O(d²)/row — the r13 FFD interpreted-HOF lesson, registry
-        # audit r14); as an attribute it is one fold per row
-        .select("vec_id", "emb", norm(F.col("emb")).alias("nrm"))
         .select(
             "vec_id",
-            F.transform("emb", lambda x: x / F.col("nrm")).alias(
-                "unit"
-            ),
+            unit_normalize(F.col("emb")).alias("unit"),
         )
         .select("vec_id", array_to_vector("unit").alias("features"))
     )
@@ -220,15 +218,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
-    unit = (
-        e.filter(norm(F.col("emb")) > 0)
-        .select("vec_id", "emb", norm(F.col("emb")).alias("nrm"))
-        .select(
-            "vec_id",
-            F.transform("emb", lambda x: x / F.col("nrm")).alias("unit"),
-        )
-    )  # zero-norm guard: no direction, and ANSI division would raise;
-    # nrm let-bound per row, never re-folded per element (r14 audit)
+    unit = e.filter(norm(F.col("emb")) > 0).select(
+        "vec_id", unit_normalize(F.col("emb")).alias("unit")
+    )  # zero-norm guard: no direction, and ANSI division would raise
     feats = unit.select("vec_id", "unit", array_to_vector("unit").alias("features"))
 
     km = KMeans(

@@ -1217,11 +1217,12 @@ from .scale_patterns import _DDS_SQL as _STREAM_DDS_SQL  # noqa: E402
 
 #: Streaming-state ceiling for the DDSketch grid: buckets span the
 #: VALUE DOMAIN, not the row count. 1047 is the per-type bucket
-#: count for milli-units in [1, 1e9] (ln(1e9)·1e6 div 19803) — kept
-#: as the documented *expected* domain — but the runtime assertion
-#: takes max(this, observed max bucket + 1), so a fixture whose
-#: values grow past 1e6 units widens the proven ceiling gracefully
-#: instead of raising on a still-correct sketch.
+#: count for milli-units in [1, 1e9] (ln(1e9)·1e6 div 19803) — the
+#: documented *expected* domain. The runtime assertion derives its
+#: ceiling from the INPUT's observed max value through the same
+#: log-bucket formula (non-circular — a bucket-expression regression
+#: still fires; non-stale — fixture value growth widens it), so this
+#: constant is documentation, not the guard.
 _DDS_MAX_BUCKETS = 1047
 
 
@@ -1301,21 +1302,37 @@ def stream_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_rows = prog["stateOperators"][0]["numRowsTotal"]
         # Structural bound: the state IS the (type, bucket) grid, so
         # cap it by the OBSERVED type count times the per-type bucket
-        # ceiling — itself the max of the declared-domain constant and
-        # the observed max bucket + 1 (buckets are non-negative: the
-        # greatest(·,1) zero-fold pins ln ≥ 0), so neither fixture
-        # cardinality nor value-range growth can stale the assertion.
-        stats = spark.table(sink).agg(
-            F.countDistinct("event_type").alias("t"),
-            F.max("b").alias("mb"),
-        ).first()
-        per_type = max(_DDS_MAX_BUCKETS, int(stats["mb"] or 0) + 1)
-        bound = max(int(stats["t"]), 1) * per_type
+        # ceiling derived from the INPUT's maximum value through the
+        # same log-bucket formula — non-circular (the ceiling comes
+        # from the source table, not from the state being asserted,
+        # so a bucket-expression regression that explodes the bucket
+        # domain still fires) and non-stale (a fixture value-range
+        # change widens the input-derived ceiling gracefully; the
+        # previous observed-max-bucket form was vacuously true, r14
+        # review finding).
+        import math
+
+        maxv = int(
+            e.agg(
+                F.max(
+                    F.greatest(
+                        F.round(F.col("value") * 1000).cast("bigint"),
+                        F.lit(1),
+                    )
+                )
+            ).first()[0]
+            or 1
+        )
+        per_type = round(math.log(maxv) * 1_000_000) // _DDS_LNG + 2
+        types_seen = (
+            spark.table(sink).select("event_type").distinct().count()
+        )
+        bound = max(types_seen, 1) * per_type
         if not (0 <= state_rows <= bound):
             raise AssertionError(
                 f"DDSketch stream state held {state_rows} rows — more "
-                f"than {stats['t']} types x {per_type} buckets "
-                "= the grid domain; the sketch bound is broken"
+                f"than {types_seen} types x {per_type} buckets "
+                "= the value-domain grid; the sketch bound is broken"
             )
         result = ddsketch_serve(spark.table(sink))
         return spark.createDataFrame(result.collect(), result.schema)

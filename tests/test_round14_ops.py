@@ -467,6 +467,16 @@ def test_hof_letbind_survives_optimizer(spark, sf_dir):
     assert winnow.count("split(text") <= 2
     fuzzy = optimized("dedup_fuzzy")
     assert "slice(split(text" not in fuzzy
+    # the unit-normalize sites (lsh/ivf) need the STRUCTURAL binder:
+    # a projection let-bind of a once-referenced alias is re-inlined
+    # by CollapseProject (r14 review finding — verified on the
+    # optimized plan), so pin the transform(array(<norm fold>))
+    # wrapper and the absence of a division-by-aggregate inside the
+    # per-element lambda
+    for key in ("sim_search_lsh", "sim_search_ivf"):
+        plan = optimized(key)
+        assert "transform(array(SQRT(aggregate(" in plan, key
+        assert "/ SQRT(aggregate(" not in plan, key
 
 
 # ---------------------------------------------------------------------------
@@ -608,7 +618,11 @@ def test_dp_sum_utility_and_clipping(spark, sf_dir):
         r["event_type"]: (r["clipped"], r["n_over"])
         for r in e.groupBy("event_type")
         .agg(
-            F.sum(F.least("x", F.lit(_DP_SUM_CLIP))).alias("clipped"),
+            F.sum(
+                F.greatest(
+                    F.least("x", F.lit(_DP_SUM_CLIP)), F.lit(0)
+                )
+            ).alias("clipped"),
             F.count(F.when(F.col("x") > _DP_SUM_CLIP, 1)).alias(
                 "n_over"
             ),
