@@ -2,12 +2,13 @@
 query into data_pipeline_spark_spark.registry.
 
 The driver's correctness harness walks queries() in dict order under a
-time budget (~50 keys/round), so the explicit ``_ROUND14_PRIORITY``
+time budget (~50 keys/round), so the explicit ``_ROUND15_PRIORITY``
 list below decides which keys earn a CORRECTNESS row this round: the
-48 r9-stale oracle keys first (after which no key's latest row
-predates r10), then the new r14 keys, then the 50 r10-stale keys as
-filler. Keys past the budget keep their most recent row from earlier
-rounds.
+4 r14 keys that have never been graded first (they shipped at
+positions 51-54 last round and fell past the budget), then any new
+r15 keys, then the 50 r10-stale oracle keys (after which no key's
+latest row predates r11), then r11-stale filler. Keys past the budget
+keep their most recent row from earlier rounds.
 """
 
 from . import (  # noqa: F401
@@ -56,78 +57,26 @@ ALL_MODULES = (
     inventory,
 )
 
-# Round-14 check order. The driver walks queries() in dict order
+# Round-15 check order. The driver walks queries() in dict order
 # under a ~50-key time budget (exactly 50 keys earned rows in each of
-# r8-r13; positions 51+ were cut). Per the r13 verdict ask #1 this
-# rotation front-loads (a) the FORTY-EIGHT oracle keys whose latest
-# green row dates to r09 (the oldest evidence in the repo: the
-# streaming family, the approx aggs, core relational, TPC-H
-# q4/6/8/13/15/17/22) — after these are regraded no key is staler
-# than r10 — then (b) the new round-14 keys as they land (the first
-# two fit the ~50 budget; ts_acf and privacy_dp_sum at positions
-# 51-52 likely wait for the r15 front-load, the r12/r13 precedent),
-# and finally (c) the 50 r10-stale oracle keys as filler in case the
-# budget stretches, teeing up the r15 rotation.
-# Everything else keeps its registration order behind the priority
-# block and retains its latest row.
-_ROUND14_PRIORITY = [
-    # (a) latest green row r09 — scripts/staleness_report.py order
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "agg_approx_topk",
-    "agg_basic",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_hll_mergeable",
-    "agg_mode_exact",
-    "agg_stats",
-    "agg_weighted_median",
-    "corpus_duplication_profile",
-    "filter_pred",
-    "join_broadcast",
-    "join_bucketed",
-    "join_fuzzy_string",
-    "join_inner_equi",
-    "join_interval_bucketed",
-    "join_outer",
-    "join_semi_anti",
-    "join_skew_salted",
-    "merge_upsert",
-    "mv_incremental_refresh",
-    "partition_overwrite_dynamic",
-    "partition_prune_filter",
-    "project",
-    "quality_decile_report",
-    "repetition_stats",
-    "rollup_reaggregate",
-    "setop_union",
-    "sim_search_ivfadc_residual",
-    "sim_search_ivfpq",
-    "sort_limit",
-    "stream_dedup",
-    "stream_join_static",
-    "stream_session_window",
-    "stream_stateful_agg",
-    "stream_stream_join",
-    "stream_upsert_sink",
-    "stream_window_agg",
-    "stream_window_sliding",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "ts_resample_ohlc",
-    # (b) new round-14 keys — uncommented here as each lands
-    "graph_bfs_reach",
-    "privacy_dp_count",
+# r8-r14; positions 51+ were cut). Per the r14 verdict ask #1 this
+# rotation front-loads (a) the FOUR r14 keys that shipped with unit
+# tests + probes but fell past the budget at positions 51-54 — the
+# only keys in the registry with zero driver evidence — then (b) new
+# round-15 keys as they land, then (c) the 50 oracle keys whose
+# latest green row dates to r10 (after these no key is staler than
+# r11), and finally (d) r11-stale filler in case the budget
+# stretches, teeing up the r16 rotation. Everything else keeps its
+# registration order behind the priority block and retains its
+# latest row.
+_ROUND15_PRIORITY = [
+    # (a) shipped r14, never graded — highest leverage
     "ts_acf",
     "privacy_dp_sum",
     "corpus_filter_gopher",
     "agg_skew_kurtosis",
-    # (c) r10-stale oracle keys — freshness filler past the budget
+    # (b) new round-15 keys — uncommented here as each lands
+    # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",
     "agg_histogram",
@@ -178,16 +127,62 @@ _ROUND14_PRIORITY = [
     "window_rank",
     "window_rank_dense",
     "window_twa",
+    # (d) latest green row r11 — filler past the budget
+    "adhoc_sql",
+    "cohort_retention",
+    "corpus_pack_sequences",
+    "correlated_exists",
+    "doc_truncate_tokens",
+    "drift_psi_report",
+    "event_pattern_match",
+    "event_transitions",
+    "funnel_steps",
+    "keyword_search_bm25",
+    "layout_zorder_locality",
+    "multimodal_arrow_scan",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "not_in_null_semantics",
+    "privacy_k_anonymity",
+    "profile_table",
+    "quality_bigram_perplexity",
+    "retrieval_hybrid_rrf",
+    "scalar_datetime",
+    "scalar_null_safe_eq",
+    "scalar_subquery",
+    "schema_evolution",
+    "sessionization",
+    "setop_except",
+    "setop_intersect_except",
+    "stream_dedup_bounded_state",
+    "stream_drift_psi",
+    "tokenizer_unigram_segment",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_by_status",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q7_volume_shipping",
+    "ts_downsample_lttb",
+    "ts_gap_fill",
+    "udf_grouped_zscore",
+    "vocab_oov_report",
+    "window_distribution",
+    "window_gaps_islands",
+    "window_range_frame",
 ]
 
 
 def _apply_priority_order() -> None:
     from .. import registry
 
-    missing = [k for k in _ROUND14_PRIORITY if k not in registry.QUERIES]
+    missing = [k for k in _ROUND15_PRIORITY if k not in registry.QUERIES]
     if missing:  # fail loudly: a typo here silently wastes a round
-        raise KeyError(f"_ROUND14_PRIORITY names unknown keys: {missing}")
-    ordered = {k: registry.QUERIES[k] for k in _ROUND14_PRIORITY}
+        raise KeyError(f"_ROUND15_PRIORITY names unknown keys: {missing}")
+    ordered = {k: registry.QUERIES[k] for k in _ROUND15_PRIORITY}
     ordered.update(
         (k, v) for k, v in registry.QUERIES.items() if k not in ordered
     )
