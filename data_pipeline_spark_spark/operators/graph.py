@@ -51,6 +51,55 @@ _PR_ITERS = 5
 #: Top-k rows returned (rank desc, part key asc — a total order).
 _PR_TOPK = 20
 
+# ---------------------------------------------------------------------------
+# Broadcast-vs-shuffle state resolution (shared by the whole family)
+# ---------------------------------------------------------------------------
+
+#: Session conf pinning the family's state-side physical path when a
+#: caller leaves the flag at None (the registered keys do): "true" /
+#: "false" force the broadcast / co-partitioned-shuffle path; "auto"
+#: (the default when unset) broadcasts only while the
+#: node-proportional state frame provably fits the byte budget below
+#: — so at shapes past driver size the registered keys degrade to the
+#: shuffle path instead of dying in a broadcast OOM.
+_BCAST_MODE_CONF = "spark.data_pipeline_spark.graph.broadcastState"
+
+#: Byte budget for an explicit ``F.broadcast`` of loop state under
+#: "auto". Deliberately NOT spark.sql.autoBroadcastJoinThreshold: that
+#: 10 MB default tunes Catalyst's *implicit* plan choices, while an
+#: explicit loop-state broadcast is comfortable far beyond it (the
+#: triangle closure's ~20 MB edge list is a measured 2.2× win over
+#: the shuffle form) and only truly bounded by driver/executor heap
+#: and Spark's 8 GB broadcast hard cap. 256 MB keeps two orders of
+#: headroom under both on any plausible cluster; ≤ 0 disables
+#: broadcasting outright.
+_BCAST_BYTES_CONF = "spark.data_pipeline_spark.graph.maxBroadcastStateBytes"
+_BCAST_BYTES_DEFAULT = 256 * 1024 * 1024
+
+#: Conservative on-wire estimate per state row — the family's state
+#: frames are two packed longs plus row overhead.
+_STATE_ROW_BYTES = 24
+
+
+def _bcast_pinned(spark: SparkSession, explicit) -> bool | None:
+    """Resolve an explicit flag or a conf pin; None means "auto" —
+    the caller must then size-check with [[_fits_broadcast]] using a
+    row count it can obtain cheaply (every loop in this module has
+    one lying around: pagerank counts nodes anyway, LPA's round-1
+    output is its state, BFS/triangle checkpoint the frame the
+    decision is about)."""
+    if explicit is not None:
+        return bool(explicit)
+    mode = str(spark.conf.get(_BCAST_MODE_CONF, "auto")).lower()
+    if mode in ("true", "false"):
+        return mode == "true"
+    return None
+
+
+def _fits_broadcast(spark: SparkSession, n_rows: int) -> bool:
+    cap = int(spark.conf.get(_BCAST_BYTES_CONF, str(_BCAST_BYTES_DEFAULT)))
+    return cap > 0 and n_rows * _STATE_ROW_BYTES <= cap
+
 
 def _pr_iteration_ctes() -> str:
     """The oracle's unrolled power-iteration CTEs r1..r{n}: each one
@@ -215,7 +264,9 @@ def _sym_co_order_edges(li: DataFrame) -> DataFrame:
     )
 
 
-def pagerank_of(sym: DataFrame, broadcast_state: bool = True) -> DataFrame:
+def pagerank_of(
+    sym: DataFrame, broadcast_state: bool | None = None
+) -> DataFrame:
     """The power-iteration fold over any symmetric weighted edge
     frame ``(src, dst, w)`` — module-level so the hypothesis
     differential drives the SAME loop the registered query runs.
@@ -234,7 +285,10 @@ def pagerank_of(sym: DataFrame, broadcast_state: bool = True) -> DataFrame:
     billion-node-graph shape (shuffle-hash join of a co-partitioned
     state — the bucketed-edges cluster argument); both paths run
     the identical integer arithmetic and the tests pin them
-    equal."""
+    equal. ``None`` (the registered key's setting) resolves through
+    [[_bcast_pinned]]: conf pin, else size-check the |V|-row state
+    against [[_fits_broadcast]] — free here, the loop counts nodes
+    anyway."""
     outw = sym.groupBy("src").agg(F.sum("w").alias("ow"))
     edges = sym.join(outw, "src").localCheckpoint(eager=False)
 
@@ -246,6 +300,9 @@ def pagerank_of(sym: DataFrame, broadcast_state: bool = True) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
+    broadcast_state = _bcast_pinned(sym.sparkSession, broadcast_state)
+    if broadcast_state is None:
+        broadcast_state = _fits_broadcast(sym.sparkSession, n_nodes)
     base = (15 * (_PR_SCALE // n_nodes)) // 100
     ranks = nodes.withColumn(
         "r", F.lit(_PR_SCALE // n_nodes).cast("bigint")
@@ -377,7 +434,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def triangle_counts_of(
-    half: DataFrame, broadcast_closure: bool = True
+    half: DataFrame, broadcast_closure: bool | None = None
 ) -> DataFrame:
     """Degree-oriented triangle counting over any half-edge frame
     ``(src, dst)`` with src < dst, one row per undirected edge —
@@ -397,7 +454,11 @@ def triangle_counts_of(
     ``broadcast_closure=False`` is the path for edge lists past
     driver size: the original shuffled join, co-partitionable by
     bucketing the oriented edges on ou — the same dual-state
-    contract as the loop siblings."""
+    contract as the loop siblings. ``None`` (the registered key's
+    setting) resolves through [[_bcast_pinned]]: conf pin, else
+    size-check the oriented edge list against [[_fits_broadcast]] —
+    the count action materializes the checkpoint the closure join
+    reads anyway."""
     deg = (
         half.select(F.col("src").alias("id"))
         .unionAll(half.select(F.col("dst").alias("id")))
@@ -418,6 +479,11 @@ def triangle_counts_of(
         F.least("os", "od").alias("ou"),
         F.greatest("os", "od").alias("ov"),
     ).localCheckpoint(eager=False)
+    broadcast_closure = _bcast_pinned(half.sparkSession, broadcast_closure)
+    if broadcast_closure is None:
+        broadcast_closure = _fits_broadcast(
+            half.sparkSession, direct.count()
+        )
     e1, e2 = direct.alias("e1"), direct.alias("e2")
     e3 = (
         F.broadcast(direct) if broadcast_closure else direct
@@ -491,12 +557,20 @@ def _lpa_round_ctes() -> str:
 def lpa_of(
     sym: DataFrame,
     iters: int = _LPA_ITERS,
-    broadcast_state: bool = True,
+    broadcast_state: bool | None = None,
+    checkpoint_edges: bool = True,
 ) -> DataFrame:
     """The synchronous weighted label-propagation loop over any
     symmetric edge frame ``(src, dst, w)`` — module-level so the
     hypothesis differential drives the SAME loop the registered
     query runs. Returns the final ``(id, label)`` assignment.
+
+    Precondition (as every caller in the repo satisfies, including
+    `_sym_co_order_edges`): parallel edges are pre-collapsed, i.e.
+    ``(src, dst)`` pairs are unique — the standard weighted
+    simple-graph adjacency. The round-1 shortcut below folds the
+    edge list directly and would take a max instead of a sum over
+    parallel edges.
 
     Per-round plan (r13 verdict ask — measured sf0.1 loop cost
     13.5 s → 8.5 s, identical output): the |V|-row label state
@@ -508,15 +582,57 @@ def lpa_of(
     of a per-partition sort. Round cost: one broadcast-hash join +
     TWO shuffle exchanges (vote fold on (dst, label), argmax fold
     on dst), down from the 3-exchange join/fold/window chain.
-    ``broadcast_state=False`` is the billion-node path (shuffle-hash
-    join, co-partitioned state); tests pin both paths equal."""
-    edges = sym.localCheckpoint(eager=False)
+
+    ROUND 1 is algebraically special (r14 verdict ask #2): labels
+    still equal node ids, so the (dst, label) vote rows ARE the
+    edge rows one-for-one — the vote fold is a no-op sum over
+    singleton groups with ZERO map-side combining (the full ~2m
+    unique pairs cross the wire), and the state join joins each
+    node to itself. The first round therefore collapses to ONE
+    map-side-combined argmax straight over the checkpointed edges:
+    no state join, and the exchange carries |V| partial maxima
+    instead of ~2m vote rows. Rounds 2..k run the general body on
+    the coalesced label space, where the (dst, label) fold DOES
+    combine. ``broadcast_state=False`` is the billion-node path
+    (shuffle-hash join, co-partitioned state); tests pin both paths
+    equal; ``None`` (the registered key's setting) resolves through
+    [[_bcast_pinned]]: conf pin, else size-check the round-1 label
+    state against [[_fits_broadcast]] — the count rides the eager
+    checkpoint of round-1 output that round 2's state build would
+    materialize anyway.
+
+    ``checkpoint_edges=False`` is for callers handing in an
+    already-materialized edge table — in particular a
+    ``bucketBy(src)`` saved table, the real cluster shape for the
+    shuffle-state path: the default localCheckpoint would wrap the
+    scan in a LogicalRDD and DROP its HashPartitioning(src) bucket
+    metadata, reintroducing the per-round edge-side exchange the
+    bucketing exists to avoid (measured at sf0.1, shuffle-state
+    path: bucketed scan 5 exchanges / 4.86 s vs checkpointed frame
+    7 exchanges / 6.73 s — docs/SCALE.md)."""
+    edges = sym.localCheckpoint(eager=False) if checkpoint_edges else sym
+    if iters < 1:
+        return (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+        )
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("dst").alias("id"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("w").alias("v"), (-F.col("src")).alias("nl")
+                )
+            ).alias("m")
+        )
+        .select("id", (-F.col("m.nl")).alias("label"))
     )
-    for _ in range(iters):
+    broadcast_state = _bcast_pinned(sym.sparkSession, broadcast_state)
+    if broadcast_state is None and iters >= 2:
+        labels = labels.localCheckpoint()
+        broadcast_state = _fits_broadcast(sym.sparkSession, labels.count())
+    for _ in range(max(0, iters - 1)):
         p = (
             F.broadcast(labels)
             if broadcast_state
@@ -597,7 +713,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE argmax fold (max(struct(v, −label)) ≡ the deterministic
     rn=1 pick, as a hash aggregate instead of a window sort — the
     r13 exchange-cut ask: 2 shuffles/round, was 3, measured
-    13.5 s → 8.5 s at sf0.1). Vote rows are bounded by the DISTINCT
+    13.5 s → 8.5 s at sf0.1). ROUND 1 collapses further (the r14
+    ask): labels == node ids make the vote rows the edges
+    themselves, so the first round is ONE map-side-combined argmax
+    straight over the edge list — no state join, |V| partial maxima
+    through the exchange instead of ~2m combine-free vote rows
+    (`lpa_of` documents the algebra). Vote rows are bounded by the DISTINCT
     (dst, neighbor-label) pairs ≤ 2m edges, shrinking every round as
     labels coalesce; state between rounds is exactly |V| rows. At
     100 TB: `lpa_of(broadcast_state=False)` shuffle-hash-joins a
@@ -667,7 +788,7 @@ def bfs_reach_of(
     sym: DataFrame,
     seeds: DataFrame,
     hops: int = _BFS_HOPS,
-    broadcast_state: bool = True,
+    broadcast_state: bool | None = None,
 ) -> DataFrame:
     """The frontier BFS loop over any symmetric edge frame
     ``(src, dst)`` and seed frame ``(id,)`` — module-level so the
@@ -682,21 +803,33 @@ def bfs_reach_of(
     naive min-fold the oracle unrolls re-expands the full reach set
     every round (fine for an unrolled CTE oracle, wrong as a
     distributed plan); the min fold makes both produce the same
-    fixed point."""
+    fixed point.
+
+    ``broadcast_state=None`` (the registered key's setting) resolves
+    through [[_bcast_pinned]]: conf pin, else a PER-ROUND size check
+    of the reach frame against [[_fits_broadcast]] (the frontier is
+    a subset of reach, so the bound is conservative) — the count
+    rides the per-round lineage-cut checkpoint, made eager in auto
+    mode so each round's materialized reach prices the next round's
+    decision."""
     edges = sym.select("src", "dst").localCheckpoint(eager=False)
+    spark = sym.sparkSession
+    pinned = _bcast_pinned(spark, broadcast_state)
     reach = seeds.select("id").distinct().withColumn(
         "hop", F.lit(0).cast("bigint")
     )
+    n_reach = reach.count() if pinned is None else 0
     for i in range(1, hops + 1):
+        bs = pinned if pinned is not None else _fits_broadcast(
+            spark, n_reach
+        )
         frontier = reach.filter(F.col("hop") == i - 1)
         # the frontier is node-proportional and shrinks as the BFS
         # saturates — broadcast it onto the stationary edges (the
         # family's shared state-vs-data argument; broadcast_state=
         # False is the billion-node shuffle-hash path)
         fr = (
-            F.broadcast(frontier)
-            if broadcast_state
-            else frontier.hint("shuffle_hash")
+            F.broadcast(frontier) if bs else frontier.hint("shuffle_hash")
         )
         expanded = (
             edges.join(fr, edges.src == fr.id)
@@ -714,8 +847,10 @@ def bfs_reach_of(
             reach.unionByName(expanded)
             .groupBy("id")
             .agg(F.min("hop").alias("hop"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=pinned is None)
         )
+        if pinned is None:
+            n_reach = reach.count()
     return reach
 
 

@@ -361,12 +361,16 @@ def test_graph_loop_exchange_budget(spark):
     """Pin the per-round shuffle-exchange counts so a refactor that
     reintroduces a window sort or a state-side shuffle surfaces as a
     test failure, not a bench regression: pagerank = 1 shuffle per
-    round (the groupBy(dst) fold; rank state broadcasts), LPA = 2
-    per round (vote fold + argmax fold; was 3 with the rn=1
-    window), BFS = a CONSTANT-size plan per round (the per-round
+    round (the groupBy(dst) fold; rank state broadcasts), LPA = 1
+    for round 1 (the labels==ids shortcut folds the edge list
+    directly — no state join, no vote fold) + 2 per later round
+    (vote fold + argmax fold; was 3 with the rn=1 window), BFS = a
+    CONSTANT-size plan per round (the per-round
     lineage cut: without it the reach set feeds two branches and the
     plan tree doubles every hop — measured 3/7/15 exchanges at hops
-    1/2/3 before the fix)."""
+    1/2/3 before the fix). Flags are pinned True here: auto mode
+    (None) materializes per-round state for its size checks, which
+    hides upstream exchanges from a whole-plan count."""
     from data_pipeline_spark_spark.operators.graph import (
         _PR_ITERS,
         bfs_reach_of,
@@ -376,16 +380,73 @@ def test_graph_loop_exchange_budget(spark):
     from data_pipeline_spark_spark.plans.analyze import shuffle_count
 
     sym = _toy_sym(spark)
-    assert shuffle_count(pagerank_of(sym)) == _PR_ITERS
+    assert shuffle_count(pagerank_of(sym, broadcast_state=True)) == _PR_ITERS
     lpa1, lpa3 = (
-        shuffle_count(lpa_of(sym, iters=k)) for k in (1, 3)
+        shuffle_count(lpa_of(sym, iters=k, broadcast_state=True))
+        for k in (1, 3)
     )
+    assert lpa1 == 1, lpa1
     assert lpa3 - lpa1 == 2 * 2, (lpa1, lpa3)
     seeds = spark.createDataFrame([(1,)], "id long")
     bfs1, bfs3 = (
-        shuffle_count(bfs_reach_of(sym, seeds, hops=k)) for k in (1, 3)
+        shuffle_count(bfs_reach_of(sym, seeds, hops=k, broadcast_state=True))
+        for k in (1, 3)
     )
     assert bfs3 == bfs1 <= 2, (bfs1, bfs3)
+
+
+def test_graph_broadcast_auto_resolution(spark):
+    """ADVICE r14: the registered keys leave the broadcast flags at
+    None, which must degrade gracefully instead of hardwiring the
+    broadcast path — None resolves via session conf
+    ("true"/"false" pin a path) or, under "auto"/unset, a size check
+    of the state row count against
+    spark.data_pipeline_spark.graph.maxBroadcastStateBytes. A
+    1-byte budget must push every member of the family onto the
+    shuffle path with IDENTICAL results; a conf pin of "true" must
+    restore the broadcast plan."""
+    from data_pipeline_spark_spark.operators.graph import (
+        _BCAST_BYTES_CONF,
+        _BCAST_MODE_CONF,
+        bfs_reach_of,
+        lpa_of,
+        pagerank_of,
+        triangle_counts_of,
+    )
+
+    sym = _toy_sym(spark)
+    half = sym.filter(F.col("src") < F.col("dst")).select("src", "dst")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    cases = (
+        (lambda: pagerank_of(sym), "BroadcastExchange"),
+        (lambda: lpa_of(sym), "BroadcastExchange"),
+        (lambda: triangle_counts_of(half), "BroadcastExchange"),
+    )
+    try:
+        for mk, marker in cases:
+            spark.conf.unset(_BCAST_MODE_CONF)
+            spark.conf.unset(_BCAST_BYTES_CONF)
+            want = sorted(tuple(r) for r in mk().collect())
+            # auto + tiny budget → shuffle path, same answer
+            spark.conf.set(_BCAST_BYTES_CONF, "1")
+            tiny = mk()
+            assert marker not in tiny._jdf.queryExecution().executedPlan().toString()
+            assert sorted(tuple(r) for r in tiny.collect()) == want
+            # conf pin overrides the budget
+            spark.conf.set(_BCAST_MODE_CONF, "true")
+            pinned = mk()
+            assert marker in pinned._jdf.queryExecution().executedPlan().toString()
+            assert sorted(tuple(r) for r in pinned.collect()) == want
+        # BFS materializes per round in auto mode — check values only
+        spark.conf.unset(_BCAST_MODE_CONF)
+        spark.conf.unset(_BCAST_BYTES_CONF)
+        want = sorted(tuple(r) for r in bfs_reach_of(sym, seeds).collect())
+        spark.conf.set(_BCAST_BYTES_CONF, "1")
+        got = sorted(tuple(r) for r in bfs_reach_of(sym, seeds).collect())
+        assert got == want
+    finally:
+        spark.conf.unset(_BCAST_MODE_CONF)
+        spark.conf.unset(_BCAST_BYTES_CONF)
 
 
 def test_graph_dual_state_paths_equal(spark):
