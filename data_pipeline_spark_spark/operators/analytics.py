@@ -2162,8 +2162,41 @@ _DP_U_SCALE = 1 << 32
 #: |noise| ≤ 20 bound instead of a probabilistic one.
 _DP_TAIL = 20
 
-#: Per-release salt (the [[corpus_sample_hash]] salt discipline).
+#: FIXTURE seed for the registered, oracle-graded release — committed
+#: to the repo and shared verbatim with the DuckDB oracle, so the
+#: registered key's "release" provides NO privacy whatsoever (anyone
+#: with this string inverts the noise exactly). It exists so the
+#: driver can grade the release MECHANICS deterministically.
+#: Real releases go through [[dp_noise]], whose ``seed`` parameter is
+#: required and must be SECRET and SINGLE-USE (r14 ADVICE).
 _DP_SALT = "/dp-v1"
+
+
+def dp_noise(key_expr: str, *, seed: str):
+    """Geometric-mechanism noise column for an ε = ln 2 release:
+    Z ~ two-sided geometric, P(Z = k) = (1/3)·(1/2)^|k| truncated to
+    |Z| ≤ {tail}, drawn deterministically from
+    ``md5(key_expr || seed)`` through the exact-rational inverse-CDF
+    threshold table.
+
+    ``seed`` is REQUIRED, and the ε guarantee holds ONLY if it is a
+    SECRET, NON-REUSED value: the noise is a deterministic function
+    of (group key, seed), so anyone who learns the seed inverts the
+    release exactly (zero privacy), and re-using one seed across
+    releases re-draws the SAME noise — correlated releases that do
+    NOT buy fresh ε under composition. Treat it like key material:
+    generate per release from a CSPRNG, store it where the raw data
+    lives (same trust domain), never in code or release artifacts.
+    The module-constant [[_DP_SALT]] that the graded fixture keys
+    pass is the explicit counter-example — committed, reused, public
+    — acceptable only because those keys grade mechanics, not
+    privacy."""
+    return F.expr(
+        _dp_noise_case(md5_u32_sql(f"concat({key_expr}, '{seed}')"))
+    )
+
+
+dp_noise.__doc__ = dp_noise.__doc__.replace("{tail}", str(_DP_TAIL))
 
 
 def _dp_geo_thresholds() -> list[tuple[int, int]]:
@@ -2234,10 +2267,13 @@ def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer LITERALS precomputed in exact rational arithmetic — the
     whole mechanism is integer compares on an identical hash in
     both engines, so no libm/rounding divergence is possible.
-    Production swaps the salt for a fresh per-release seed and
-    keeps the identical plan; re-releasing under new seeds composes
-    ε's additively, which is the deployment's accounting problem,
-    not the operator's.
+    BUT determinism from a repo-committed seed means THIS KEY'S
+    RELEASE HAS NO PRIVACY — it grades the mechanics. Production
+    calls [[dp_noise]] directly, whose required ``seed`` must be
+    secret and single-use for ε to mean anything (its docstring
+    carries the full contract); re-releasing under fresh seeds
+    composes ε's additively, which is the deployment's accounting
+    problem, not the operator's.
 
     Noise support is truncated to |Z| ≤ {_DP_TAIL} (mass outside:
     (2/3)·2^−{_DP_TAIL} ≈ 6e-7 — a δ far below 1/groups for any
@@ -2255,9 +2291,7 @@ def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
-    noise = F.expr(
-        _dp_noise_case(md5_u32_sql(f"concat(event_type, '{_DP_SALT}')"))
-    )
+    noise = dp_noise("event_type", seed=_DP_SALT)
     return (
         g.select(
             "event_type",
@@ -2589,8 +2623,10 @@ ts_acf.__doc__ = ts_acf.__doc__.replace("{_ACF_LAGS}", str(_ACF_LAGS))
 #: the release is of the CLIPPED total, the standard DP-SQL contract.
 _DP_SUM_CLIP = 100_000
 
-#: Salt for the sum release — independent of the count release's
-#: salt, so the two mechanisms draw independent noise.
+#: FIXTURE seed for the sum release — independent of the count
+#: release's so the two graded mechanisms draw independent noise;
+#: same caveat as [[_DP_SALT]]: committed ⇒ zero privacy, grading
+#: only. Real releases pass a secret single-use seed to [[dp_noise]].
 _DP_SUM_SALT = "/dp-sum-v1"
 
 
@@ -2662,9 +2698,7 @@ def privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q")
         )
     )
-    noise = F.expr(
-        _dp_noise_case(md5_u32_sql(f"concat(event_type, '{_DP_SUM_SALT}')"))
-    )
+    noise = dp_noise("event_type", seed=_DP_SUM_SALT)
     return (
         g.select(
             "event_type",

@@ -313,6 +313,32 @@ def test_dp_count_utility_bound(spark, sf_dir):
     )
 
 
+def test_dp_noise_seed_contract(spark):
+    """r14 ADVICE: the seed is a required keyword on [[dp_noise]]
+    (no committed default on the release path), different seeds draw
+    independent noise, and the same seed reproduces the same draw —
+    the determinism that makes a LEAKED seed fully invert the
+    release, which is why the docstring demands secrecy."""
+    import inspect
+
+    from data_pipeline_spark_spark.operators.analytics import dp_noise
+
+    sig = inspect.signature(dp_noise)
+    p = sig.parameters["seed"]
+    assert p.kind is inspect.Parameter.KEYWORD_ONLY
+    assert p.default is inspect.Parameter.empty
+    assert "secret" in dp_noise.__doc__.lower()
+
+    df = spark.range(50).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    a = [r.z for r in df.select(dp_noise("k", seed="/a").alias("z")).collect()]
+    a2 = [r.z for r in df.select(dp_noise("k", seed="/a").alias("z")).collect()]
+    b = [r.z for r in df.select(dp_noise("k", seed="/b").alias("z")).collect()]
+    assert a == a2
+    assert a != b
+
+
 def test_dp_noise_case_matches_python_inverse_cdf(spark):
     """Drive the generated CASE through Spark over a dense uniform
     grid and compare with a bisect-based python inverse-CDF on the
