@@ -115,6 +115,19 @@ HEADLINE = [
     "agg_ddsketch_quantile",
     "abtest_welch_ttest",
     "dedup_bloom_incremental",
+    # r15 promotions (r14 VERDICT ask 3): privacy_dp_count graded
+    # green in r14; the other four are the r14 stragglers graded
+    # FIRST in the r15 rotation front (operators/__init__.py).
+    # Floor sweep at promotion time: dp_count 143% / dp_sum 129% /
+    # gopher 96% / skew_kurtosis 117% floor (pure scheduling);
+    # ts_acf is 60% floor with a 0.55 s data term — promoted anyway
+    # on its sub-linear decades (0.82/1.39/7.61 s) as the headline's
+    # honest data-bound TS representative (SCALE.md round-15)
+    "privacy_dp_count",
+    "privacy_dp_sum",
+    "corpus_filter_gopher",
+    "agg_skew_kurtosis",
+    "ts_acf",
 ]
 
 
