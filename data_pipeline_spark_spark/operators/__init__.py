@@ -76,6 +76,7 @@ _ROUND15_PRIORITY = [
     "corpus_filter_gopher",
     "agg_skew_kurtosis",
     # (b) new round-15 keys — uncommented here as each lands
+    "multimodal_phash_near_dup",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

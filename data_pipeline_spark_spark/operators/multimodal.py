@@ -479,3 +479,296 @@ def multimodal_arrow_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_bytes").cast("bigint").alias("max_bytes"),
         F.sum("n_even").cast("bigint").alias("n_even"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash_near_dup — perceptual-hash near-duplicate detection
+# ---------------------------------------------------------------------------
+
+#: Average-hash geometry: the payload byte stream is "resized" to
+#: this many cells (the 8×8 grid of the classic image aHash), one
+#: threshold bit per cell.
+_PH_CELLS = 64
+
+#: LSH bands over the 64-bit hash. With 8 bands of 8 bits and the
+#: hamming threshold below at 7, the banded join is EXACT by
+#: pigeonhole: ≤ 7 differing bits cannot touch all 8 bands, so every
+#: qualifying pair shares at least one identical band — zero recall
+#: loss, unlike probabilistic MinHash banding.
+_PH_BANDS = 8
+
+#: Report pairs at hamming ≤ this. MUST stay < _PH_BANDS for the
+#: pigeonhole exactness argument.
+_PH_MAXH = 7
+
+#: Deterministic near-dup planting: every _PH_PLANT_MODth payload
+#: gets a companion with two single-byte edits at the quarter and
+#: half positions, offset into a disjoint id space. The fixture's
+#: synthetic word-salad texts have near-uniform byte statistics and
+#: length-shifted organic near-dups (hamming ~27-37, measured), so
+#: without planting the key would be vacuous — the planting is part
+#: of the QUERY (the oracle replays it identically), giving the
+#: banded join real recall targets at every SF.
+_PH_PLANT_MOD = 25
+_PH_PLANT_OFFSET = 1_000_000
+
+#: Byte value of hex digit pair at 0-based byte offset p of column
+#: ``hx`` (uppercase hex in BOTH engines: Spark hex(binary) and
+#: DuckDB hex(blob)); {instr} is instr/strpos.
+_PH_HEXA = "0123456789ABCDEF"
+
+
+def _ph_byte(instr: str, p: str) -> str:
+    hi = f"({instr}('{_PH_HEXA}', substr(hx, CAST(2*({p})+1 AS INT), 1)) - 1)"
+    lo = f"({instr}('{_PH_HEXA}', substr(hx, CAST(2*({p})+2 AS INT), 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+_PH_PLANT_SQL = """
+      SELECT doc_id + 1000000 AS doc_id,
+             substr(text, 1, length(text)//4 - 1) || 'Z' ||
+             substr(text, length(text)//4 + 1,
+                    length(text)//2 - length(text)//4 - 1) || 'Z' ||
+             substr(text, length(text)//2 + 1) AS text
+      FROM base WHERE doc_id % 25 = 0
+"""
+
+_PH_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      WHERE octet_length(encode(text)) >= {_PH_CELLS}
+    ),
+    u AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      {_PH_PLANT_SQL}
+    ),
+    h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS t
+      FROM u
+    ),
+    cellsums AS (
+      SELECT doc_id, t,
+        list_transform(range({_PH_CELLS}), c ->
+          list_sum(list_transform(
+            range(c*t//{_PH_CELLS}, (c+1)*t//{_PH_CELLS}),
+            p -> {_ph_byte("strpos", "p")}))) AS cells
+      FROM h
+    ),
+    bits AS (
+      SELECT doc_id,
+        list_transform(range({_PH_CELLS}), c ->
+          CASE WHEN cells[CAST(c+1 AS INT)] * t >
+                    list_sum(cells) *
+                    ((c+1)*t//{_PH_CELLS} - c*t//{_PH_CELLS})
+               THEN 1 ELSE 0 END) AS b
+      FROM cellsums
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        CAST(list_sum(list_transform(range({_PH_CELLS}), i ->
+          CASE WHEN a.b[CAST(i+1 AS INT)] != b2.b[CAST(i+1 AS INT)]
+               THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      FROM bits a JOIN bits b2 ON a.doc_id < b2.doc_id
+    )
+    SELECT * FROM pairs WHERE hamming <= {_PH_MAXH}
+    ORDER BY hamming, doc_a, doc_b
+"""
+
+
+def phash64(df: DataFrame) -> DataFrame:
+    """64-bit byte-stream average-hash over a binary ``payload``
+    column: hex the payload once (let-bound as a real column — the
+    per-byte lambdas reference it ~2·T times, and re-inlining
+    hex(payload) would re-hex the payload PER BYTE, the r14 HOF
+    cliff class), "resize" the byte stream to {cells} position cells
+    with exact integer boundaries floor(c·T/{cells}), sum each
+    cell's byte values in one O(T) pass, then threshold each cell
+    against the global mean with the cross-multiplied exact compare
+    ``cell_sum · T > total · cell_width``. Returns
+    ``(doc_id, b array<int>)`` — the classic image aHash with "pixel
+    luminance" = payload byte; swapping in a real decoded-thumbnail
+    grid is the same one-column change as the other codec stubs.
+
+    ``cells`` and ``hx`` are each referenced ≥ 2 times downstream,
+    which is exactly the CollapseProject survival condition
+    (SCALE.md r14 audit); the global total is folded from the
+    64-element ``cells`` array, not the byte stream, so referencing
+    it per cell is O({cells}²) worst-case on a tiny array, not
+    O(T²) on the payload."""
+    c, one = _PH_CELLS, "CAST(1 AS BIGINT)"
+    h = df.select(
+        "doc_id",
+        F.expr("hex(payload)").alias("hx"),
+        F.expr("CAST(octet_length(payload) AS BIGINT)").alias("t"),
+    )
+    cells = h.select(
+        "doc_id",
+        "t",
+        F.expr(
+            f"transform(sequence(0, {c - 1}), c ->"
+            f" aggregate(sequence(c*t div {c}, (c+1)*t div {c} - 1),"
+            f" CAST(0 AS BIGINT), (a, p) -> a + {_ph_byte('instr', 'p')}))"
+        ).alias("cells"),
+    )
+    return cells.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {c - 1}), c ->"
+            f" IF(element_at(cells, CAST(c+1 AS INT)) * t >"
+            f"    aggregate(cells, CAST(0 AS BIGINT), (a, s) -> a + s)"
+            f"    * ((c+1)*t div {c} - c*t div {c}), 1, 0))"
+        ).alias("b"),
+    )
+
+
+def phash_near_dup_pairs(
+    bits: DataFrame,
+    bands: int = _PH_BANDS,
+    maxh: int | None = None,
+) -> DataFrame:
+    """Exact banded hamming self-join over a ``(doc_id, b)`` hash
+    frame: bucket each hash's ``bands`` disjoint bit slices, join on
+    (band_id, band_val), verify hamming in-row, report pairs at
+    hamming ≤ ``maxh`` (default ``bands − 1``, the largest threshold
+    the pigeonhole exactness proof covers: ≤ bands−1 differing bits
+    cannot touch all bands, so every qualifying pair shares an
+    identical band — zero recall loss).
+
+    ``bands`` is THE scale knob (the candidate-density bound, same
+    finding as the r12 MinHash pair-rung note): band values draw
+    from a 2^(64/bands) alphabet, and once the corpus saturates it,
+    candidate pairs grow quadratically per bucket — measured on the
+    fixture's byte-stat-concentrated hashes at sf1 (~50k docs), the
+    8-band/8-bit form generates ~39M candidates (35.7 s) while
+    4 bands of 16 bits (threshold ≤ 3) keeps buckets sparse. Pick
+    the widest band (fewest bands) whose pigeonhole threshold still
+    covers the hamming radius you need; the planted fixture pairs
+    sit at hamming ≤ 3, inside even the 4-band guarantee.
+
+    verify-then-dedup: hamming is a cheap in-row fold, so it runs
+    per CANDIDATE (a pair sharing k bands verifies k times) and the
+    filter lands BEFORE the dedup shuffle — deduping first would
+    shuffle every candidate row carrying both 64-int hash arrays
+    (measured ~800k candidates ≈ 0.8 GB of array payload at sf0.1,
+    14.4 s end-to-end vs 1.9 s this way); after the filter only true
+    near-dup rows (3 longs each) reach an exchange."""
+    if maxh is None:
+        maxh = bands - 1
+    if maxh >= bands:
+        raise ValueError(
+            f"maxh={maxh} needs > {maxh} bands for exact recall"
+        )
+    w = _PH_CELLS // bands
+    bframe = bits.select(
+        "doc_id",
+        "b",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), g ->"
+                f" aggregate(slice(b, g*{w} + 1, {w}), 0,"
+                f" (a, x) -> a*2 + x))"
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b2 = bframe.alias("a"), bframe.alias("b2")
+    ham = F.expr(
+        "CAST(aggregate(zip_with(a.b, b2.b, (x, y) -> IF(x != y, 1, 0)),"
+        " 0, (acc, v) -> acc + v) AS BIGINT)"
+    )
+    return (
+        a.join(
+            b2,
+            (F.col("a.band_id") == F.col("b2.band_id"))
+            & (F.col("a.band_val") == F.col("b2.band_val"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b2.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= maxh)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("hamming", "doc_a", "doc_b")
+    )
+
+
+@query("multimodal_phash_near_dup", oracle=_PH_SQL)
+def multimodal_phash_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over the multimodal
+    payload column — the similarity operator the multimodal family
+    was missing (plumbing existed: meta/decode/resize/frame_sample;
+    nothing compared payloads). Real-world shape: aHash/pHash over
+    decoded thumbnails, then a banded hamming self-join — the
+    standard image-dedup pass in a multimodal training pipeline.
+    Here the "image" is the payload byte stream itself (codec-free,
+    same stub discipline as [[decode_image_stub]]), which preserves
+    every distributed property of the real thing: per-item O(T)
+    hashing, tiny fixed-width hashes, band-bucketed candidate
+    generation, exact hamming verify.
+
+    Recall is EXACT at the reported threshold: hamming ≤ {maxh} over
+    {cells} bits in {bands} disjoint 8-bit bands must leave ≥ 1 band
+    untouched (pigeonhole), so the band join misses nothing — an
+    LSH with a proof instead of a probability. Planted near-dups
+    (two single-byte edits at quarter/half positions of every
+    {mod}th payload, id-offset by {off}) make the key non-vacuous on
+    the synthetic fixture (organic near-dups are length-shifted and
+    land at hamming 27+ under position cells — measured, SCALE.md
+    r15); the oracle replays the identical planting, hashing, and
+    brute-force O(n²) pair scan, while the Spark side goes through
+    the banded join — same fixed point, different asymptotics.
+
+    Scale: hashing is one O(T)/payload in-row pass (no shuffle);
+    candidates shuffle on (band_id, band_val) — {bands}·n rows of
+    (long, int) — never payloads; the hamming verify runs on joined
+    64-int arrays before any exchange. Band width is the
+    candidate-density knob: past the point where the corpus
+    saturates the band alphabet, call [[phash_near_dup_pairs]] with
+    fewer/wider bands (4×16-bit holds exact recall to hamming 3 and
+    stays linear at sf1 where this 8-band form goes quadratic —
+    measured, SCALE.md r15).
+
+    Reference parity note: the reference pipeline has no multimodal
+    surface at all (its payloads are EEG CSVs); this extends the
+    engine's LLM-training-data tier."""
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_PH_CELLS}")
+    ).select("doc_id", "text")
+    planted = base.filter(
+        F.col("doc_id") % _PH_PLANT_MOD == 0
+    ).select(
+        (F.col("doc_id") + _PH_PLANT_OFFSET).alias("doc_id"),
+        F.expr(
+            "concat(substr(text, 1, length(text) div 4 - 1), 'Z',"
+            " substr(text, length(text) div 4 + 1,"
+            "        length(text) div 2 - length(text) div 4 - 1), 'Z',"
+            " substr(text, length(text) div 2 + 1))"
+        ).alias("text"),
+    )
+    # fan_out before the O(T)/payload hash: the fixture parquet is a
+    # single unsplittable row group, so without it the whole hash
+    # stage runs in ONE task (measured 6.4 s single-task vs sub-second
+    # spread at sf0.1); on a cluster the scan parallelizes and this
+    # is a cheap round-robin
+    u = fan_out(base.unionByName(planted)).withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    bits = phash64(u).localCheckpoint(eager=False)
+    return phash_near_dup_pairs(bits)
+
+
+multimodal_phash_near_dup.__doc__ = (
+    multimodal_phash_near_dup.__doc__.replace("{maxh}", str(_PH_MAXH))
+    .replace("{cells}", str(_PH_CELLS))
+    .replace("{bands}", str(_PH_BANDS))
+    .replace("{mod}", str(_PH_PLANT_MOD))
+    .replace("{off}", str(_PH_PLANT_OFFSET))
+)
+
+phash64.__doc__ = phash64.__doc__.replace("{cells}", str(_PH_CELLS))

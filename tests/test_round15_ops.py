@@ -1,0 +1,194 @@
+"""Round-15 additions: multimodal_phash_near_dup (byte-stream aHash +
+exact banded hamming join) and the graph-family broadcast
+auto-resolution contract tests live in test_round14_ops.py; this file
+covers the phash key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_phash64_known_geometry(spark):
+    """T = 64 gives one byte per cell, so the hash is fully
+    predictable: payload 'a'*32 + 'z'*32 has cell sums 97/122, mean
+    between them → bits = 32 zeros then 32 ones; flipping k leading
+    'a's to 'z' moves exactly those k bits (the mean moves by
+    k·25/64 < 13, never crossing either byte value)."""
+    from data_pipeline_spark_spark.operators.multimodal import phash64
+
+    base = "a" * 32 + "z" * 32
+    three = "zzz" + "a" * 29 + "z" * 32
+    df = spark.createDataFrame(
+        [(1, base), (2, three)], "doc_id long, text string"
+    ).withColumn("payload", F.encode("text", "UTF-8"))
+    got = {r.doc_id: r.b for r in phash64(df).collect()}
+    assert got[1] == [0] * 32 + [1] * 32
+    assert got[2] == [1, 1, 1] + [0] * 29 + [1] * 32
+
+
+def test_phash_near_dup_planted_recall(spark, sf_dir):
+    """Every planted companion pair MUST be reported: the plant makes
+    two single-byte edits, which directly touch ≤ 2 of the 64
+    position cells; the resulting global-mean shift can flip a few
+    additional borderline cells (measured ≤ 3 total across the
+    fixtures), leaving hamming comfortably under the threshold —
+    and the banded join is pigeonhole-exact at the threshold, hence
+    zero recall loss on the plants."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.multimodal import (
+        _PH_CELLS,
+        _PH_PLANT_MOD,
+        _PH_PLANT_OFFSET,
+    )
+
+    registry.load_all()
+    out = registry.QUERIES["multimodal_phash_near_dup"](
+        spark, sf_dir
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    planted_bases = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents")
+        .filter(
+            F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_PH_CELLS}")
+            & (F.col("doc_id") % _PH_PLANT_MOD == 0)
+        )
+        .select("doc_id")
+        .collect()
+    ]
+    assert planted_bases, "fixture has no planted bases — vacuous test"
+    for d in planted_bases:
+        key = (d, d + _PH_PLANT_OFFSET)
+        assert key in pairs, f"planted pair {key} missed"
+        assert pairs[key] <= 3, (key, pairs[key])
+
+
+def test_phash_banding_matches_bruteforce(spark, sf_dir):
+    """The banded candidate join must equal the O(n²) brute-force
+    pair scan at the threshold (the pigeonhole exactness claim,
+    checked end-to-end on real fixture hashes, planted set
+    included)."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.operators.multimodal import (
+        _PH_MAXH,
+        _PH_BANDS,
+    )
+
+    assert _PH_MAXH < _PH_BANDS  # the precondition of the proof
+
+    registry.load_all()
+    out = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in registry.QUERIES["multimodal_phash_near_dup"](
+            spark, sf_dir
+        ).collect()
+    )
+
+    # brute force: same bits, python pair scan
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.multimodal import (
+        _PH_CELLS,
+        _PH_PLANT_MOD,
+        _PH_PLANT_OFFSET,
+        phash64,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_PH_CELLS}")
+    ).select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % _PH_PLANT_MOD == 0).select(
+        (F.col("doc_id") + _PH_PLANT_OFFSET).alias("doc_id"),
+        F.expr(
+            "concat(substr(text, 1, length(text) div 4 - 1), 'Z',"
+            " substr(text, length(text) div 4 + 1,"
+            "        length(text) div 2 - length(text) div 4 - 1), 'Z',"
+            " substr(text, length(text) div 2 + 1))"
+        ).alias("text"),
+    )
+    u = base.unionByName(planted).withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    bits = sorted(
+        (r.doc_id, tuple(r.b)) for r in phash64(u).collect()
+    )
+    want = []
+    for i in range(len(bits)):
+        for j in range(i + 1, len(bits)):
+            h = sum(
+                x != y for x, y in zip(bits[i][1], bits[j][1])
+            )
+            if h <= _PH_MAXH:
+                want.append((bits[i][0], bits[j][0], h))
+    assert out == sorted(want)
+
+
+def test_phash_plan_discipline(spark, sf_dir):
+    """No Python eval, no cartesian product; the payload hex is a
+    real projected column referenced ≥ 2 times (the CollapseProject
+    survival condition — re-inlining hex(payload) into the per-byte
+    lambda would re-hex the payload per byte, the r14 O(T²) cliff
+    class)."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    registry.load_all()
+    df = registry.QUERIES["multimodal_phash_near_dup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert "Cartesian" not in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("hex(") <= 2, (
+        "hex(payload) re-inlined into the per-byte lambda"
+    )
+
+
+def test_phash_band_width_scale_knob(spark, sf_dir):
+    """The 4×16-bit band form (the sf1 scale path — 1.6 s vs 35.4 s
+    for 8 bands at ~50k docs, SCALE.md r15) must equal the 8-band
+    registered form filtered to its own pigeonhole threshold
+    (hamming ≤ 3): same exactness proof, sparser buckets."""
+    from data_pipeline_spark_spark.catalog import fan_out, load
+    from data_pipeline_spark_spark.operators.multimodal import (
+        _PH_CELLS,
+        _PH_PLANT_MOD,
+        _PH_PLANT_OFFSET,
+        phash64,
+        phash_near_dup_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(
+        F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_PH_CELLS}")
+    ).select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % _PH_PLANT_MOD == 0).select(
+        (F.col("doc_id") + _PH_PLANT_OFFSET).alias("doc_id"),
+        F.expr(
+            "concat(substr(text, 1, length(text) div 4 - 1), 'Z',"
+            " substr(text, length(text) div 4 + 1,"
+            "        length(text) div 2 - length(text) div 4 - 1), 'Z',"
+            " substr(text, length(text) div 2 + 1))"
+        ).alias("text"),
+    )
+    bits = phash64(
+        fan_out(base.unionByName(planted)).withColumn(
+            "payload", F.encode("text", "UTF-8")
+        )
+    ).localCheckpoint()
+    wide = sorted(
+        tuple(r)
+        for r in phash_near_dup_pairs(bits, bands=4).collect()
+    )
+    narrow = sorted(
+        tuple(r)
+        for r in phash_near_dup_pairs(bits)
+        .filter("hamming <= 3")
+        .collect()
+    )
+    assert wide == narrow and wide, "4-band ≠ 8-band∩(ham≤3)"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        phash_near_dup_pairs(bits, bands=4, maxh=4)
