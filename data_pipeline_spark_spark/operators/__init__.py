@@ -77,6 +77,7 @@ _ROUND15_PRIORITY = [
     "agg_skew_kurtosis",
     # (b) new round-15 keys — uncommented here as each lands
     "multimodal_phash_near_dup",
+    "ts_pacf",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

@@ -2474,8 +2474,10 @@ def _acf_num_sql(k: int) -> str:
     )
 
 
-_ACF_SQL = f"""
-    WITH m0 AS (
+#: The shared moment CTE stack (m0 → m → g) — one window pass, one
+#: fold; [[ts_acf]] and [[ts_pacf]] build on the same g so the two
+#: keys can never disagree about the underlying exact moments.
+_ACF_G_SQL = f"""m0 AS (
       SELECT event_type, ts, event_id,
              CAST(round(value * 1000) AS BIGINT) AS x
       FROM events
@@ -2499,15 +2501,27 @@ _ACF_SQL = f"""
                  for k in range(1, _ACF_LAGS + 1)
              )}
       FROM m GROUP BY event_type
+    )"""
+
+
+def _acf_ratio_duck(k: int) -> str:
+    """Lag-k autocorrelation as a double, DuckDB side — the exact
+    integer num/den of [[_acf_num_sql]] with the single final
+    division shared verbatim by ts_acf and ts_pacf."""
+    return (
+        f"CAST({_acf_num_sql(k)} AS DOUBLE)"
+        f" / CAST(NULLIF(CAST(n AS HUGEINT) * n * ss"
+        f"               - CAST(n AS HUGEINT) * s * s, 0) AS DOUBLE)"
     )
+
+
+_ACF_SQL = f"""
+    WITH {_ACF_G_SQL}
     SELECT event_type, lag, n_pairs, acf FROM (
       {" UNION ALL ".join(
           f'''SELECT event_type, CAST({k} AS BIGINT) AS lag,
                  cnt{k} AS n_pairs,
-                 CAST({_acf_num_sql(k)} AS DOUBLE)
-                   / CAST(NULLIF(CAST(n AS HUGEINT) * n * ss
-                                 - CAST(n AS HUGEINT) * s * s, 0)
-                          AS DOUBLE) AS acf
+                 {_acf_ratio_duck(k)} AS acf
           FROM g'''
           for k in range(1, _ACF_LAGS + 1)
       )}
@@ -2545,9 +2559,34 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(event_type); the acf arithmetic runs on 5 report rows.
     At 100 TB the window partitions by series key exactly like every
     other TS member; no state beyond the K-deep lag buffer."""
+    g = _acf_moment_frame(load(spark, sf_dir, "events"))
+    rows = [
+        F.struct(
+            F.lit(k).cast("bigint").alias("lag"),
+            F.col(f"cnt{k}").alias("n_pairs"),
+            _acf_ratio_spark(k).alias("acf"),
+        )
+        for k in range(1, _ACF_LAGS + 1)
+    ]
+    return (
+        g.select("event_type", F.explode(F.array(*rows)).alias("r"))
+        .select("event_type", "r.lag", "r.n_pairs", "r.acf")
+        .orderBy("event_type", "lag")
+    )
+
+
+ts_acf.__doc__ = ts_acf.__doc__.replace("{_ACF_LAGS}", str(_ACF_LAGS))
+
+
+def _acf_moment_frame(e: DataFrame) -> DataFrame:
+    """ONE window pass + ONE fold → per-type exact moments
+    (n, S, Σx², and per lag k: Σx·x_lag, head/tail sums, pair
+    count) — the g frame both [[ts_acf]] and [[ts_pacf]] read.
+    wide_sum widens the ELEMENT before any multiply (≡ the oracle's
+    CAST(x AS HUGEINT) * …): casting only the sum would let the
+    bigint product x·x wrap first at |x| > ~3e9 milli."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     m = e.select(
         "event_type",
@@ -2563,10 +2602,6 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(1, _ACF_LAGS + 1)
         ],
     )
-
-    # wide_sum widens the ELEMENT before any multiply (≡ the
-    # oracle's CAST(x AS HUGEINT) * …): casting only the sum would
-    # let the bigint product x·x wrap first at |x| > ~3e9 milli
     aggs = [
         F.count("*").cast("bigint").alias("n"),
         wide_sum(F.col("x")).alias("s"),
@@ -2582,36 +2617,128 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(lk).cast("bigint").alias(f"cnt{k}"),
         ]
-    g = lagged.groupBy("event_type").agg(*aggs)
+    return lagged.groupBy("event_type").agg(*aggs)
 
+
+def _acf_ratio_spark(k: int):
+    """Lag-k autocorrelation as a double — exact decimal(38,0)
+    num/den with the single final division, the Spark twin of
+    [[_acf_ratio_duck]] (decimal→double ≡ HUGEINT→double cast
+    rounding, confirmed hash-matched in r14)."""
     nd = F.col("n").cast("decimal(38,0)")
     den = (nd * nd * F.col("ss") - nd * F.col("s") * F.col("s")).cast(
         "double"
     )
-    rows = []
-    for k in range(1, _ACF_LAGS + 1):
-        num = (
-            nd * nd * F.col(f"sxy{k}")
-            - nd * F.col("s") * (F.col(f"sh{k}") + F.col(f"st{k}"))
-            + F.col(f"cnt{k}").cast("decimal(38,0)")
-            * F.col("s")
-            * F.col("s")
-        ).cast("double")
-        rows.append(
-            F.struct(
-                F.lit(k).cast("bigint").alias("lag"),
-                F.col(f"cnt{k}").alias("n_pairs"),
-                (num / F.nullif(den, F.lit(0.0))).alias("acf"),
-            )
+    num = (
+        nd * nd * F.col(f"sxy{k}")
+        - nd * F.col("s") * (F.col(f"sh{k}") + F.col(f"st{k}"))
+        + F.col(f"cnt{k}").cast("decimal(38,0)")
+        * F.col("s")
+        * F.col("s")
+    ).cast("double")
+    return num / F.nullif(den, F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# ts_pacf — partial autocorrelation via unrolled Durbin–Levinson
+# ---------------------------------------------------------------------------
+
+
+def _pacf_exprs() -> dict[int, str]:
+    """Unrolled Durbin–Levinson φ_kk for k = 1..4 as SQL strings over
+    double columns r1..r4 — shared VERBATIM by the Spark plan and the
+    DuckDB oracle, which is the whole parity argument: both engines
+    receive the identical operand tree over bit-identical inputs
+    (the r_k divisions are the hash-matched ts_acf values), and
+    deterministic IEEE arithmetic on identical doubles with
+    identical nesting is engine-independent (the
+    [[agg_skew_kurtosis]] lesson; only cross-row accumulation order
+    is forbidden, and none of this is cross-row). Textual expansion
+    duplicates subtrees (φ33 appears four times inside φ44) — both
+    engines just evaluate the same tree again; these run on a
+    handful of post-aggregate report rows. Every division is
+    nullif-guarded (a degenerate |ρ1| = 1 series yields NULL, not an
+    engine-dependent inf)."""
+    p11 = "(r1)"
+    d2 = "nullif(1 - r1*r1, 0.0e0)"
+    p22 = f"((r2 - r1*r1) / {d2})"
+    p21 = f"(r1 - {p22}*r1)"
+    d3 = f"nullif(1 - ({p21}*r1 + {p22}*r2), 0.0e0)"
+    p33 = f"((r3 - ({p21}*r2 + {p22}*r1)) / {d3})"
+    p31 = f"({p21} - {p33}*{p22})"
+    p32 = f"({p22} - {p33}*{p21})"
+    d4 = f"nullif(1 - ({p31}*r1 + {p32}*r2 + {p33}*r3), 0.0e0)"
+    p44 = f"((r4 - ({p31}*r3 + {p32}*r2 + {p33}*r1)) / {d4})"
+    return {1: p11, 2: p22, 3: p33, 4: p44}
+
+
+_PACF_SQL = f"""
+    WITH {_ACF_G_SQL},
+    r AS (
+      SELECT event_type,
+             {", ".join(f"{_acf_ratio_duck(k)} AS r{k}" for k in range(1, _ACF_LAGS + 1))}
+      FROM g
+    )
+    SELECT event_type, lag, pacf FROM (
+      {" UNION ALL ".join(
+          f'''SELECT event_type, CAST({k} AS BIGINT) AS lag,
+                 {expr} AS pacf
+          FROM r'''
+          for k, expr in _pacf_exprs().items()
+      )}
+    )
+    ORDER BY event_type, lag
+"""
+
+
+@query("ts_pacf", oracle=_PACF_SQL)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1..{_ACF_LAGS} per event type
+    — [[ts_acf]]'s Box–Jenkins sibling (the ACF identifies MA order
+    by cut-off, the PACF identifies AR order the same way; model
+    identification needs both). φ_kk comes from the textbook
+    Durbin–Levinson recursion, unrolled to closed form at this fixed
+    lag depth.
+
+    Parity (the r14 land-or-kill question, answered by the
+    [[agg_skew_kurtosis]] precedent rather than exact-rational
+    Levinson): the recursion's inputs are the ts_acf ratios —
+    single divisions of exact decimal(38,0)/HUGEINT integers,
+    already hash-matched — and the recursion itself is evaluated
+    from ONE shared expression-string builder ([[_pacf_exprs]]), so
+    both engines run the identical IEEE operand tree on identical
+    doubles: bit-identical outputs with zero tolerance, no Fractions
+    machinery needed. Divisions are nullif-guarded; short series
+    (n_pairs = 0 at some lag) propagate NULL through the recursion
+    in both engines.
+
+    Plan: identical data-proportional cost to ts_acf — the SAME one
+    window pass + one fold ([[_acf_moment_frame]]); the whole
+    recursion runs on the ~5 post-aggregate report rows. At 100 TB:
+    partition by series key, K-deep lag buffer, nothing else."""
+    g = _acf_moment_frame(load(spark, sf_dir, "events"))
+    r = g.select(
+        "event_type",
+        *[
+            _acf_ratio_spark(k).alias(f"r{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(k).cast("bigint").alias("lag"),
+            F.expr(expr).alias("pacf"),
         )
+        for k, expr in _pacf_exprs().items()
+    ]
     return (
-        g.select("event_type", F.explode(F.array(*rows)).alias("r"))
-        .select("event_type", "r.lag", "r.n_pairs", "r.acf")
+        r.select("event_type", F.explode(F.array(*rows)).alias("p"))
+        .select("event_type", "p.lag", "p.pacf")
         .orderBy("event_type", "lag")
     )
 
 
-ts_acf.__doc__ = ts_acf.__doc__.replace("{_ACF_LAGS}", str(_ACF_LAGS))
+ts_pacf.__doc__ = ts_pacf.__doc__.replace("{_ACF_LAGS}", str(_ACF_LAGS))
 
 
 # ---------------------------------------------------------------------------
