@@ -78,6 +78,10 @@ _ROUND15_PRIORITY = [
     # (b) new round-15 keys — uncommented here as each lands
     "multimodal_phash_near_dup",
     "ts_pacf",
+    "ts_ljung_box",
+    "agg_gini_exact",
+    "privacy_dp_topk",
+    "graph_kcore",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

@@ -2742,6 +2742,79 @@ ts_pacf.__doc__ = ts_pacf.__doc__.replace("{_ACF_LAGS}", str(_ACF_LAGS))
 
 
 # ---------------------------------------------------------------------------
+# ts_ljung_box — portmanteau whiteness test on the shared ACF frame
+# ---------------------------------------------------------------------------
+
+
+def _ljung_box_expr() -> str:
+    """Q = n·(n+2)·Σ_{k=1..K} r_k²/(n−k) as ONE SQL string over
+    bigint n and double r1..r4 — shared verbatim by both engines
+    (the [[_pacf_exprs]] identical-tree parity argument)."""
+    nd = "CAST(n AS DOUBLE)"
+    terms = " + ".join(
+        f"(r{k}*r{k}) / ({nd} - {k})" for k in range(1, _ACF_LAGS + 1)
+    )
+    return f"({nd} * ({nd} + 2) * ({terms}))"
+
+
+_LJUNG_SQL = f"""
+    WITH {_ACF_G_SQL},
+    r AS (
+      SELECT event_type, n,
+             {", ".join(f"{_acf_ratio_duck(k)} AS r{k}" for k in range(1, _ACF_LAGS + 1))}
+      FROM g
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_obs,
+           CAST({_ACF_LAGS} AS BIGINT) AS df,
+           {_ljung_box_expr()} AS q_stat
+    FROM r
+    ORDER BY event_type
+"""
+
+
+@query("ts_ljung_box", oracle=_LJUNG_SQL)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau statistic Q at lags 1..{_ACF_LAGS} per
+    event type — the TEST that consumes [[ts_acf]]'s diagnostics:
+    under the null of a white series, Q ~ χ²(K), so a large Q says
+    the autocorrelation structure the ACF displays is real, not
+    sampling noise (the standard residual-whiteness check after
+    fitting the models [[ts_ewma_smooth]]/[[ts_holt_forecast]]
+    represent). Q is released with its degrees of freedom; the χ²
+    p-value lookup is a driver-side table join in production —
+    shipping erf/Γ approximations would reopen the libm parity
+    surface for zero analytic gain.
+
+    Parity: same recipe as [[ts_pacf]] — inputs are the hash-matched
+    exact-moment ACF ratios, and Q's arithmetic is ONE shared
+    expression string over (n, r1..r4), so both engines evaluate the
+    identical IEEE tree. Data cost: the SAME single window pass +
+    fold as its two siblings ([[_acf_moment_frame]]); Q itself runs
+    on ~5 report rows."""
+    g = _acf_moment_frame(load(spark, sf_dir, "events"))
+    r = g.select(
+        "event_type",
+        "n",
+        *[
+            _acf_ratio_spark(k).alias(f"r{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    return r.select(
+        "event_type",
+        F.col("n").alias("n_obs"),
+        F.lit(_ACF_LAGS).cast("bigint").alias("df"),
+        F.expr(_ljung_box_expr()).alias("q_stat"),
+    ).orderBy("event_type")
+
+
+ts_ljung_box.__doc__ = ts_ljung_box.__doc__.replace(
+    "{_ACF_LAGS}", str(_ACF_LAGS)
+)
+
+
+# ---------------------------------------------------------------------------
 # privacy_dp_sum — bounded-sensitivity ε-DP sums (clip → quantize → noise)
 # ---------------------------------------------------------------------------
 
@@ -2843,3 +2916,108 @@ def privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 privacy_dp_sum.__doc__ = privacy_dp_sum.__doc__.replace(
     "{_DP_SUM_CLIP}", str(_DP_SUM_CLIP)
 ).replace("{_DP_TAIL}", str(_DP_TAIL))
+
+
+# ---------------------------------------------------------------------------
+# privacy_dp_topk — noisy top-k release (report-noisy-max, iterated)
+# ---------------------------------------------------------------------------
+
+#: FIXTURE seed for the top-k release — independent of the count and
+#: sum releases'; same caveat as [[_DP_SALT]] (committed ⇒ zero
+#: privacy, grading only).
+_DP_TOPK_SALT = "/dp-topk-v1"
+
+#: Released list length.
+_DP_TOPK_K = 10
+
+_DP_TOPK_SQL = f"""
+    WITH g AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey
+    ),
+    noisy AS (
+      SELECT l_partkey,
+             GREATEST(
+               n + {_dp_noise_case(md5_u32_duck(f"CAST(l_partkey AS VARCHAR) || '{_DP_TOPK_SALT}'"))},
+               0) AS n_noisy
+      FROM g
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_noisy DESC, l_partkey)
+                AS BIGINT) AS rank,
+           l_partkey,
+           CAST(n_noisy AS BIGINT) AS n_noisy
+    FROM noisy
+    ORDER BY n_noisy DESC, l_partkey
+    LIMIT {_DP_TOPK_K}
+"""
+
+
+@query("privacy_dp_topk", oracle=_DP_TOPK_SQL)
+def privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP top-{_DP_TOPK_K} release — the third release mechanic
+    completing the DP family ([[privacy_dp_count]] = counts,
+    [[privacy_dp_sum]] = bounded sums, this = the ubiquitous "which
+    keys dominate" query: top parts by order volume here, top
+    domains by document count in a corpus-governance report). The
+    mechanism is iterated report-noisy-max over the one-sided-free
+    geometric noise of [[dp_noise]]: every per-key count gets an
+    independent draw (key ⊕ salt), and the k largest NOISY counts
+    are released together with their noisy values — never the true
+    counts, and keys outside the top-k are never revealed at all.
+    The released ranking is post-processing of the noisy counts, so
+    the whole list costs the k·ε (one ε per selected element) that
+    peeling-style mechanisms pay; one more ledger entry for the
+    deployment's accounting.
+
+    The privacy unit is ONE lineitem row (one part-order incidence —
+    the same record unit as the count key). Same grading caveat as
+    the siblings: the committed fixture salt means THIS key grades
+    release MECHANICS, not privacy; production passes a secret,
+    single-use seed to [[dp_noise]].
+
+    Parity: counts are exact; noise is the certified exact-rational
+    threshold CASE on the shared 32-bit md5 (BIGINT→string key
+    formatting is locale-free and identical in both engines); the
+    ranking compares integers with an integer tie-break. Nothing
+    floats anywhere.
+
+    Plan: ONE map-side-combined groupBy(l_partkey) over the fact
+    table; noise + ranking run on the ~20k per-key rows, and only k
+    rows leave. At 100 TB the top-k is a per-partition partial
+    ORDER BY n_noisy LIMIT k under TakeOrderedAndProject — no global
+    sort materializes."""
+    g = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    noise = dp_noise(
+        "CAST(l_partkey AS STRING)", seed=_DP_TOPK_SALT
+    )
+    noisy = g.select(
+        "l_partkey",
+        F.greatest(F.col("n") + noise, F.lit(0)).alias("n_noisy"),
+    )
+    from pyspark.sql import Window
+
+    # limit FIRST (TakeOrderedAndProject: per-partition partial
+    # top-k, no global sort), then rank the k survivors — ranking
+    # before the limit would put every key through one unpartitioned
+    # window sort task
+    topk = noisy.orderBy(
+        F.col("n_noisy").desc(), "l_partkey"
+    ).limit(_DP_TOPK_K)
+    w = Window.orderBy(F.col("n_noisy").desc(), F.col("l_partkey"))
+    return (
+        topk.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        .select("rank", "l_partkey", F.col("n_noisy").cast("bigint"))
+        .orderBy("rank")
+    )
+
+
+privacy_dp_topk.__doc__ = privacy_dp_topk.__doc__.replace(
+    "{_DP_TOPK_K}", str(_DP_TOPK_K)
+)

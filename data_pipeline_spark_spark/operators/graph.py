@@ -940,3 +940,185 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_bfs_reach.__doc__ = graph_bfs_reach.__doc__.replace(
     "{_BFS_HOPS}", str(_BFS_HOPS)
 ).replace("{_BFS_SEED_BRAND}", _BFS_SEED_BRAND)
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore — iterative core peeling at a data-derived threshold
+# ---------------------------------------------------------------------------
+
+#: Fixed peeling rounds (the family's unrolled-oracle discipline;
+#: production loops the same round body to the fixpoint, which IS
+#: the k-core).
+_KCORE_ROUNDS = 3
+
+#: Degree threshold as a fraction of the mean degree: k = (4·|rows|)
+#: div (5·|V|) — 0.8× mean. Data-derived so the peel bites at every
+#: SF (the co-order graph's density grows with SF: min degree 42 at
+#: sf0.01 already defeats any fixed small k, while k = mean empties
+#: the graph by round 2 — both measured; 0.8× peels 9-55%/round
+#: across the fixture decades).
+_KCORE_NUM, _KCORE_DEN = 4, 5
+
+
+def _kcore_round_ctes() -> str:
+    ctes = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        prev = "sym" if i == 1 else f"e{i - 1}"
+        ctes.append(
+            f"""s{i} AS (
+      SELECT src AS id FROM {prev}, kv
+      GROUP BY src, kv.k HAVING COUNT(*) >= kv.k
+    ),
+    e{i} AS (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN s{i} a ON e.src = a.id
+      JOIN s{i} b ON e.dst = b.id
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+def kcore_rounds_of(
+    sym: DataFrame,
+    rounds: int = _KCORE_ROUNDS,
+    broadcast_state: bool | None = None,
+) -> DataFrame:
+    """The peeling loop over any symmetric edge frame ``(src, dst)``
+    — module-level so the hypothesis differential drives the SAME
+    loop the registered query runs. Returns one summary row per
+    round: ``(round, k, n_nodes, n_edges, id_checksum)`` where
+    n_edges counts symmetric (directed) rows of the surviving
+    subgraph.
+
+    Threshold k = ({_KCORE_NUM}·|rows|) div ({_KCORE_DEN}·|V|) is
+    computed from the input once (one fold — the same kind of
+    driver-side scalar as pagerank's node count). Per round: ONE
+    map-side-combined degree fold over the surviving edges + TWO
+    semi-joins of the survivor set onto the edges (src AND dst
+    membership — the state is node-proportional and broadcasts by
+    the family rule; ``broadcast_state=False`` / the session conf is
+    the co-partitioned path, [[_bcast_pinned]]). Surviving edges
+    checkpoint per round (the family's lineage-cut discipline), so
+    Σ per-round cost ≤ rounds·|E| with the edge set SHRINKING every
+    round — peeling only ever deletes."""
+    spark = sym.sparkSession
+    edges = sym.select("src", "dst").localCheckpoint(eager=False)
+    tot = edges.agg(
+        F.count("*").alias("e"),
+        F.countDistinct("src").alias("n"),
+    ).collect()[0]
+    k = (_KCORE_NUM * tot.e) // (_KCORE_DEN * tot.n)
+    pinned = _bcast_pinned(spark, broadcast_state)
+    alive = edges
+    rows = []
+    for i in range(1, rounds + 1):
+        keep = (
+            alive.groupBy(F.col("src").alias("id"))
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("id")
+            .localCheckpoint()
+        )
+        n_keep = keep.count()
+        bs = pinned if pinned is not None else _fits_broadcast(
+            spark, n_keep
+        )
+        ka = (F.broadcast(keep) if bs else keep).alias("ka")
+        kb = (F.broadcast(keep) if bs else keep).alias("kb")
+        alive = (
+            alive.join(ka, alive.src == F.col("ka.id"), "left_semi")
+            .join(kb, alive.dst == F.col("kb.id"), "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        rows.append(
+            keep.agg(
+                F.count("*").cast("bigint").alias("n_nodes"),
+                F.sum("id").cast("bigint").alias("id_checksum"),
+            )
+            .crossJoin(
+                alive.agg(F.count("*").cast("bigint").alias("n_edges"))
+            )
+            .select(
+                F.lit(i).cast("bigint").alias("round"),
+                F.lit(k).cast("bigint").alias("k"),
+                "n_nodes",
+                "n_edges",
+                "id_checksum",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@query(
+    "graph_kcore",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    sym AS (
+      SELECT pa AS src, pb AS dst FROM pair
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pair
+    ),
+    kv AS (
+      SELECT CAST({_KCORE_NUM} * COUNT(*)
+                  // ({_KCORE_DEN} * COUNT(DISTINCT src)) AS BIGINT) AS k
+      FROM sym
+    ),
+    {{iters}}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f'''SELECT CAST({i} AS BIGINT) AS round,
+                 (SELECT k FROM kv) AS k,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM s{i}) AS n_nodes,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM e{i}) AS n_edges,
+                 (SELECT CAST(SUM(id) AS BIGINT) FROM s{i}) AS id_checksum'''
+          for i in range(1, _KCORE_ROUNDS + 1)
+      )}
+    )
+    ORDER BY round
+    """.replace("{iters}", _kcore_round_ctes()),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative core peeling of the part co-order graph — the
+    DENSITY member of the iterative graph family ([[dedup_cluster]]
+    connectivity, [[graph_pagerank]] importance,
+    [[graph_label_propagation]] communities, [[graph_bfs_reach]]
+    blast radius, this: which nodes survive in the densely-connected
+    core). Pipeline shapes: trimming a citation/co-occurrence graph
+    to its stable core before expensive community detection, and the
+    classic "dense subgraph of near-dup clusters" pre-filter.
+
+    Semantics: synchronous peeling — round i keeps nodes whose
+    degree WITHIN the round-(i−1) survivor subgraph is ≥ k, with k
+    = 0.8× mean degree derived from the input (fixed k is vacuous on
+    a graph whose min degree already exceeds it — measured min 42 at
+    sf0.01). {_KCORE_ROUNDS} rounds unrolled in the oracle verbatim;
+    the fixpoint of the same body is the true k-core. Per-round
+    survivor counts at sf0.01: 2000 → 1705 → 1420 → 901 — every
+    round does real work.
+
+    Exactness: degrees, thresholds, counts, id checksums — all
+    integer; nothing floats. Plan: see [[kcore_rounds_of]]."""
+    sym = _sym_co_order_edges(load(spark, sf_dir, "lineitem")).select(
+        "src", "dst"
+    )
+    return kcore_rounds_of(sym).orderBy("round")
+
+
+graph_kcore.__doc__ = graph_kcore.__doc__.replace(
+    "{_KCORE_ROUNDS}", str(_KCORE_ROUNDS)
+)
+kcore_rounds_of.__doc__ = kcore_rounds_of.__doc__.replace(
+    "{_KCORE_NUM}", str(_KCORE_NUM)
+).replace("{_KCORE_DEN}", str(_KCORE_DEN))

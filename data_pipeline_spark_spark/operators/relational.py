@@ -1522,3 +1522,92 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_gini_exact — inequality coefficient with an exact integer core
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = """
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                        l_orderkey, l_linenumber) AS i,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT grp,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(SUM(x) AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(2*i - n - 1 AS HUGEINT) * x) AS DOUBLE)
+             / CAST(NULLIF(CAST(MAX(n) AS HUGEINT) * SUM(x), 0)
+                    AS DOUBLE) AS gini
+    FROM v
+    GROUP BY grp
+    ORDER BY grp
+"""
+
+
+@query("agg_gini_exact", oracle=_GINI_SQL)
+def agg_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of extended price per return flag — the
+    inequality/concentration statistic next to [[agg_skew_kurtosis]]
+    (shape) and [[agg_corr_exact]] (association). In an LLM-data
+    pipeline the identical query measures token- or sample-weight
+    concentration across sources (a high Gini on per-domain document
+    mass is the usual "one crawl dominates the mixture" alarm the
+    [[corpus_mix_weighted]] weights then correct).
+
+    Exactness: the rank form G = Σ(2i − n − 1)·x_(i) / (n·Σx) over
+    cents. The numerator is tie-ORDER-invariant (equal x within a
+    tie block make the coefficient sum independent of their
+    permutation), and every term is exact integer — the coefficient
+    ×x product is widened to decimal(38,0)/HUGEINT BEFORE the
+    multiply via the shared [[wide_sum]] (rank·cents peaks ~1.2e14
+    per row and ~7e20 summed at sf1, past int64), so the ONLY float
+    operation is the final division, identical in both engines.
+
+    Plan: ONE window sort per group (row_number and the partition
+    count share the exchange) into ONE map-side-combined fold. The
+    sort is the honest cost of any rank statistic — same shape as
+    [[agg_median_exact]]; at 100 TB it is a per-group
+    range-partitioned sort, no cross-group coordination."""
+    x = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    w = W.partitionBy("grp").orderBy(
+        "x", "l_orderkey", "l_linenumber"
+    )
+    v = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            x.alias("x"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "n", F.count("*").over(W.partitionBy("grp"))
+        )
+    )
+    num = wide_sum(
+        F.lit(2) * F.col("i") - F.col("n") - F.lit(1), F.col("x")
+    )
+    g = v.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.sum("x").cast("bigint").alias("total_cents"),
+        num.alias("num"),
+    )
+    den = (
+        F.col("n_rows").cast("decimal(38,0)") * F.col("total_cents")
+    ).cast("double")
+    return g.select(
+        "grp",
+        "n_rows",
+        "total_cents",
+        (F.col("num").cast("double") / F.nullif(den, F.lit(0.0))).alias(
+            "gini"
+        ),
+    ).orderBy("grp")

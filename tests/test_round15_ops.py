@@ -289,3 +289,164 @@ def test_ts_pacf_known_ar1(spark):
     xb = x.mean()
     r1 = ((x[:-1] - xb) * (x[1:] - xb)).sum() / ((x - xb) ** 2).sum()
     assert abs(out[1] - r1) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# round-15 registry-depth keys: ljung_box / gini / dp_topk / kcore
+# ---------------------------------------------------------------------------
+
+
+def test_ljung_box_matches_python(spark, sf_dir):
+    """Q = n(n+2)·Σ r_k²/(n−k) recomputed in python from the
+    registered ts_acf outputs (the same r_k doubles) — checks the
+    statistic's algebra; cross-engine bit-parity is the driver's
+    hash check."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    acf = {
+        (r.event_type, r.lag): r.acf
+        for r in registry.QUERIES["ts_acf"](spark, sf_dir).collect()
+    }
+    got = {
+        r.event_type: (r.n_obs, r.df, r.q_stat)
+        for r in registry.QUERIES["ts_ljung_box"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got
+    for et, (n, df, q) in got.items():
+        want = (
+            n
+            * (n + 2)
+            * sum(acf[(et, k)] ** 2 / (n - k) for k in range(1, df + 1))
+        )
+        assert abs(q - want) < 1e-6 * max(1.0, abs(want)), (et, q, want)
+        assert q >= 0
+
+
+def test_gini_matches_python(spark, sf_dir):
+    """Exact-rank Gini recomputed in python over the collected cents
+    — including the tie-order invariance the operator relies on
+    (python sorts by value only)."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+
+    registry.load_all()
+    got = {
+        r.grp: (r.n_rows, r.total_cents, r.gini)
+        for r in registry.QUERIES["agg_gini_exact"](
+            spark, sf_dir
+        ).collect()
+    }
+    rows = (
+        load(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_returnflag AS grp",
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS x",
+        )
+        .collect()
+    )
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.grp, []).append(r.x)
+    assert set(got) == set(groups)
+    for gname, xs in groups.items():
+        xs.sort()
+        n, tot = len(xs), sum(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        want = num / (n * tot)
+        n_rows, total_cents, gini = got[gname]
+        assert (n_rows, total_cents) == (n, tot)
+        assert abs(gini - want) < 1e-12
+        assert 0.0 <= gini < 1.0
+
+
+def test_dp_topk_contract(spark, sf_dir):
+    """k rows, rank 1..k, descending noisy counts with the integer
+    tie-break, every released value within the hard truncation bound
+    of its true count, and the mechanism demonstrably fires."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        _DP_TAIL,
+        _DP_TOPK_K,
+    )
+
+    registry.load_all()
+    out = registry.QUERIES["privacy_dp_topk"](spark, sf_dir).collect()
+    assert [r.rank for r in out] == list(range(1, _DP_TOPK_K + 1))
+    keys = [(-r.n_noisy, r.l_partkey) for r in out]
+    assert keys == sorted(keys)
+    true = {
+        r.l_partkey: r.n
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    diffs = [r.n_noisy - true[r.l_partkey] for r in out]
+    assert all(abs(d) <= _DP_TAIL for d in diffs), diffs
+    assert any(d != 0 for d in diffs)
+
+
+def _py_kcore_rounds(sym_rows, k, rounds):
+    edges = set(sym_rows)
+    out = []
+    for _ in range(rounds):
+        deg = {}
+        for s, d in edges:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {v for v, c in deg.items() if c >= k}
+        edges = {(s, d) for s, d in edges if s in keep and d in keep}
+        out.append(
+            (len(keep), len(edges), sum(keep) if keep else None)
+        )
+    return out
+
+
+def test_kcore_loop_matches_python(spark):
+    """Differential: the DataFrame peeling loop equals a literal
+    python peel on a crafted shape (a K5 clique + a pendant chain,
+    where the chain peels away round by round at the derived k)."""
+    from data_pipeline_spark_spark.operators.graph import (
+        _KCORE_DEN,
+        _KCORE_NUM,
+        kcore_rounds_of,
+    )
+
+    clique = [
+        (a, b) for a in range(5) for b in range(5) if a != b
+    ]
+    chain = [(4, 10), (10, 4), (10, 11), (11, 10), (11, 12), (12, 11)]
+    sym = clique + chain
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = [
+        (r.n_nodes, r.n_edges, r.id_checksum)
+        for r in kcore_rounds_of(df).orderBy("round").collect()
+    ]
+    k = (_KCORE_NUM * len(sym)) // (
+        _KCORE_DEN * len({s for s, _ in sym})
+    )
+    assert got == _py_kcore_rounds(sym, k, 3)
+
+
+def test_kcore_dual_state_paths_equal(spark):
+    """broadcast vs co-partitioned survivor state: identical rows
+    (the family contract extended to the new member)."""
+    from data_pipeline_spark_spark.operators.graph import (
+        kcore_rounds_of,
+    )
+
+    half = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 4)]
+    sym = half + [(b, a) for a, b in half]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    a = sorted(
+        tuple(r)
+        for r in kcore_rounds_of(df, broadcast_state=True).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in kcore_rounds_of(df, broadcast_state=False).collect()
+    )
+    assert a == b
