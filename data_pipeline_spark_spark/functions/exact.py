@@ -63,3 +63,17 @@ def md5_u32_duck(operand: str) -> str:
     """DuckDB SQL fragment computing the SAME integer as
     [[md5_u32_sql]] for the same input."""
     return f"CAST(concat('0x', substr(md5({operand}), 1, 8)) AS BIGINT)"
+
+
+def md5_u32_col(operand: Column) -> Column:
+    """Column twin of [[md5_u32_sql]] — the identical
+    conv(substring(md5(·), 1, 8), 16, 10) integer, built from a
+    Column instead of an expression STRING. For callers whose hash
+    input embeds caller-supplied DATA (e.g. [[dp_noise]]'s secret
+    seed): composing with F.lit keeps the data out of any SQL text,
+    where a quote character would break parsing or splice
+    expressions. The three md5_u32_* forms MUST stay the same
+    function — change them together or not at all."""
+    return F.conv(F.substring(F.md5(operand), 1, 8), 16, 10).cast(
+        "bigint"
+    )

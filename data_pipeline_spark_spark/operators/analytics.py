@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.exact import md5_u32_duck, md5_u32_sql, wide_sum
+from ..functions.exact import (
+    md5_u32_col,
+    md5_u32_duck,
+    md5_u32_sql,
+    wide_sum,
+)
 from ..registry import query
 
 
@@ -2190,10 +2195,20 @@ def dp_noise(key_expr: str, *, seed: str):
     The module-constant [[_DP_SALT]] that the graded fixture keys
     pass is the explicit counter-example — committed, reused, public
     — acceptable only because those keys grade mechanics, not
-    privacy."""
-    return F.expr(
-        _dp_noise_case(md5_u32_sql(f"concat({key_expr}, '{seed}')"))
-    )
+    privacy.
+
+    The seed is DATA, not SQL: it enters through F.lit and the
+    Column twin of the shared hash fragment ([[md5_u32_col]]), never
+    an expression string — a CSPRNG seed containing a quote must not
+    break parsing or splice expressions into the plan (r15 review).
+    ``key_expr`` remains an expression BY CONTRACT (callers pass
+    column arithmetic like ``CAST(k AS STRING)``)."""
+    u = md5_u32_col(F.concat(F.expr(key_expr), F.lit(seed)))
+    out = None
+    for k, t in _dp_geo_thresholds():
+        cond = u < F.lit(t)
+        out = F.when(cond, k) if out is None else out.when(cond, k)
+    return out.otherwise(F.lit(_DP_TAIL))
 
 
 dp_noise.__doc__ = dp_noise.__doc__.replace("{tail}", str(_DP_TAIL))

@@ -524,13 +524,13 @@ def _ph_byte(instr: str, p: str) -> str:
     return f"({hi} * 16 + {lo})"
 
 
-_PH_PLANT_SQL = """
-      SELECT doc_id + 1000000 AS doc_id,
+_PH_PLANT_SQL = f"""
+      SELECT doc_id + {_PH_PLANT_OFFSET} AS doc_id,
              substr(text, 1, length(text)//4 - 1) || 'Z' ||
              substr(text, length(text)//4 + 1,
                     length(text)//2 - length(text)//4 - 1) || 'Z' ||
              substr(text, length(text)//2 + 1) AS text
-      FROM base WHERE doc_id % 25 = 0
+      FROM base WHERE doc_id % {_PH_PLANT_MOD} = 0
 """
 
 _PH_SQL = f"""
@@ -596,8 +596,15 @@ def phash64(df: DataFrame) -> DataFrame:
     (SCALE.md r14 audit); the global total is folded from the
     64-element ``cells`` array, not the byte stream, so referencing
     it per cell is O({cells}²) worst-case on a tiny array, not
-    O(T²) on the payload."""
-    c, one = _PH_CELLS, "CAST(1 AS BIGINT)"
+    O(T²) on the payload.
+
+    Payloads shorter than {cells} bytes are EXCLUDED here (not just
+    in the registered key): a width-0 cell would make Spark's
+    INCLUSIVE sequence(a, a−1) generate a descending 2-element list
+    where the oracle's half-open range(a, a) is empty — silently
+    divergent garbage bits instead of an error (r15 review)."""
+    c = _PH_CELLS
+    df = df.filter(F.expr(f"octet_length(payload) >= {c}"))
     h = df.select(
         "doc_id",
         F.expr("hex(payload)").alias("hx"),
