@@ -82,6 +82,11 @@ _ROUND15_PRIORITY = [
     "agg_gini_exact",
     "privacy_dp_topk",
     "graph_kcore",
+    "graph_clustering_coeff",
+    "graph_edge_jaccard",
+    "agg_hhi_concentration",
+    "text_lexical_diversity",
+    "ts_theil_sen",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

@@ -3036,3 +3036,163 @@ def privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 privacy_dp_topk.__doc__ = privacy_dp_topk.__doc__.replace(
     "{_DP_TOPK_K}", str(_DP_TOPK_K)
 )
+
+
+# ---------------------------------------------------------------------------
+# ts_theil_sen — robust trend line (median-of-pairwise-slopes)
+# ---------------------------------------------------------------------------
+
+#: Bucket width in seconds. Theil–Sen is O(B²) in the number of
+#: points, so the scale contract is to estimate over BUCKET means
+#: (the fixture's 30-day window → ~720 hourly buckets → ~260k pair
+#: slopes per series, independent of row density); raw-point
+#: Theil–Sen on an unbounded series does not survive any scale-up.
+_TSEN_BUCKET_S = 3600
+
+_TSEN_SQL = f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // {_TSEN_BUCKET_S} AS h,
+             SUM(CAST(round(value * 1000) AS BIGINT)) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT i.event_type,
+             CAST(j.s * i.c - i.s * j.c AS DOUBLE)
+               / CAST(i.c * j.c * (j.h - i.h) AS DOUBLE) AS slope,
+             i.h AS hi, j.h AS hj
+      FROM b i
+      JOIN b j ON i.event_type = j.event_type AND i.h < j.h
+    ),
+    ms AS (
+      SELECT event_type, slope, n_pairs FROM (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope, hi, hj) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS n_pairs
+        FROM p
+      ) WHERE rn = (n_pairs + 1) // 2
+    ),
+    iv AS (
+      SELECT b.event_type, ms.slope, ms.n_pairs, b.h,
+             CAST(b.s AS DOUBLE) / b.c - ms.slope * b.h AS v
+      FROM b JOIN ms USING (event_type)
+    )
+    SELECT event_type, n_buckets, n_pairs,
+           slope AS slope_milli_per_hr, v AS intercept_milli
+    FROM (
+      SELECT event_type, slope, n_pairs, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v, h) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_buckets
+      FROM iv
+    ) WHERE rn = (n_buckets + 1) // 2
+    ORDER BY event_type
+"""
+
+
+@query("ts_theil_sen", oracle=_TSEN_SQL)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type — slope = median of all
+    pairwise bucket-mean slopes, intercept = median of (mean −
+    slope·t): the estimator with a 29.3% breakdown point, next to
+    [[agg_linear_fit]]'s least squares (which one outlier burst
+    drags arbitrarily) and [[ts_anomaly_mad]]'s robust dispersion
+    (same median-not-mean philosophy, applied to trend instead of
+    spread). The pipeline shape: drift DIRECTION estimation on
+    metrics with fat-tailed contamination — exactly where OLS lies.
+
+    Exactness: bucket sums/counts are exact integers (milli-units,
+    epoch-hour buckets); each pair slope is ONE double division of
+    the cross-multiplied rational (s_j·c_i − s_i·c_j)/(c_i·c_j·Δh) —
+    integer div would floor-vs-truncate differ on NEGATIVE slopes
+    across engines, so the division is IEEE double in BOTH, bit-
+    identical on identical exact inputs. The median is SELECTION
+    (row_number at rank (n+1)//2), never an average of two floats;
+    the intercept stage reuses the identical expression tree.
+
+    Plan: one map-side-combined fold to ≤720 buckets per series, a
+    per-series range self-join (~260k pair rows per series — bounded
+    by the BUCKET count, not corpus rows), two rank-select windows
+    over tiny frames, and a 5-row broadcast of slopes back onto
+    buckets. At 100 TB the corpus-proportional work is ONLY the
+    first fold; everything after runs on bucket cardinality."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.expr(f"CAST(ts AS LONG) div {_TSEN_BUCKET_S}").alias("h"),
+            F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.sum("x").cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    i, j = b.alias("i"), b.alias("j")
+    p = i.join(
+        j,
+        (F.col("i.event_type") == F.col("j.event_type"))
+        & (F.col("i.h") < F.col("j.h")),
+    ).select(
+        F.col("i.event_type").alias("event_type"),
+        (
+            (F.col("j.s") * F.col("i.c") - F.col("i.s") * F.col("j.c"))
+            .cast("double")
+            / (
+                F.col("i.c")
+                * F.col("j.c")
+                * (F.col("j.h") - F.col("i.h"))
+            ).cast("double")
+        ).alias("slope"),
+        F.col("i.h").alias("hi"),
+        F.col("j.h").alias("hj"),
+    )
+    ws = Window.partitionBy("event_type").orderBy("slope", "hi", "hj")
+    ms = (
+        p.withColumn("rn", F.row_number().over(ws))
+        .withColumn(
+            "n_pairs",
+            F.count("*")
+            .over(Window.partitionBy("event_type"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select("event_type", "slope", "n_pairs")
+    )
+    iv = b.join(F.broadcast(ms), "event_type").select(
+        "event_type",
+        "slope",
+        "n_pairs",
+        "h",
+        (
+            F.col("s").cast("double") / F.col("c")
+            - F.col("slope") * F.col("h")
+        ).alias("v"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("v", "h")
+    return (
+        iv.withColumn("rn", F.row_number().over(wv))
+        .withColumn(
+            "n_buckets",
+            F.count("*")
+            .over(Window.partitionBy("event_type"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rn") == F.expr("(n_buckets + 1) div 2"))
+        .select(
+            "event_type",
+            "n_buckets",
+            "n_pairs",
+            F.col("slope").alias("slope_milli_per_hr"),
+            F.col("v").alias("intercept_milli"),
+        )
+        .orderBy("event_type")
+    )

@@ -459,12 +459,42 @@ def triangle_counts_of(
     size-check the oriented edge list against [[_fits_broadcast]] —
     the count action materializes the checkpoint the closure join
     reads anyway."""
-    deg = (
+    tri = _oriented_triangles(half, broadcast_closure)
+    return (
+        tri.select(F.explode(F.array("o1", "o2", "o3")).alias("o"))
+        .groupBy((F.col("o") % _TRI_C).alias("part_key"))
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+
+
+def _half_degrees(half: DataFrame) -> DataFrame:
+    """Undirected degrees ``(id, d)`` of a half-edge frame — the one
+    degree definition [[triangle_counts_of]],
+    [[graph_clustering_coeff]] and [[graph_edge_jaccard]] share, so
+    the orientation and the coefficient denominators can never rank
+    different degree tables."""
+    return (
         half.select(F.col("src").alias("id"))
         .unionAll(half.select(F.col("dst").alias("id")))
         .groupBy("id")
         .agg(F.count("*").cast("bigint").alias("d"))
     )
+
+
+def _oriented_triangles(
+    half: DataFrame,
+    broadcast_closure: bool | None = None,
+    deg: DataFrame | None = None,
+) -> DataFrame:
+    """The degree-oriented triangle STREAM ``(o1, o2, o3)`` (packed
+    ords, o1 < o2 < o3, one row per triangle) — factored out of
+    [[triangle_counts_of]] so [[graph_clustering_coeff]] (per-node
+    fold) and [[graph_edge_jaccard]] (per-edge fold) consume the
+    same wedge/closure joins instead of re-deriving them. ``deg``
+    lets a caller that already built the degree frame avoid a second
+    degree aggregation."""
+    if deg is None:
+        deg = _half_degrees(half)
     j = (
         half.join(deg.withColumnRenamed("id", "src"), "src")
         .withColumnRenamed("d", "ds")
@@ -488,7 +518,7 @@ def triangle_counts_of(
     e3 = (
         F.broadcast(direct) if broadcast_closure else direct
     ).alias("e3")
-    tri = (
+    return (
         e1.join(
             e2,
             (F.col("e1.ou") == F.col("e2.ou"))
@@ -505,15 +535,287 @@ def triangle_counts_of(
             F.col("e2.ov").alias("o3"),
         )
     )
-    return (
-        tri.select(F.explode(F.array("o1", "o2", "o3")).alias("o"))
-        .groupBy((F.col("o") % _TRI_C).alias("part_key"))
-        .agg(F.count("*").cast("bigint").alias("triangles"))
-    )
 
 
 graph_triangle_count.__doc__ = graph_triangle_count.__doc__.replace(
     "{topk}", str(_TRI_TOPK)
+)
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coeff / graph_edge_jaccard — local-density ratios
+# over the shared triangle stream
+# ---------------------------------------------------------------------------
+
+#: Micro-unit scale for the two density ratios (coefficient 1.0 ==
+#: 1e6), divided with integer ``div`` in both engines.
+_DENS_SCALE = 1_000_000
+
+#: Top-k rows returned by the two density keys.
+_DENS_TOPK = 20
+
+#: The shared CTE stack through the oriented triangle stream —
+#: verbatim the [[_TRI_SQL]] pipeline up to ``tri`` plus the degree
+#: table both density keys join back onto.
+_DENS_BASE_SQL = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    half AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT src AS id FROM half
+        UNION ALL
+        SELECT dst AS id FROM half
+      ) GROUP BY id
+    ),
+    dir AS (
+      SELECT CASE WHEN ds.d * {_TRI_C} + h.src < dd.d * {_TRI_C} + h.dst
+                  THEN ds.d * {_TRI_C} + h.src
+                  ELSE dd.d * {_TRI_C} + h.dst END AS ou,
+             CASE WHEN ds.d * {_TRI_C} + h.src < dd.d * {_TRI_C} + h.dst
+                  THEN dd.d * {_TRI_C} + h.dst
+                  ELSE ds.d * {_TRI_C} + h.src END AS ov
+      FROM half h
+      JOIN deg ds ON ds.id = h.src
+      JOIN deg dd ON dd.id = h.dst
+    ),
+    tri AS (
+      SELECT e1.ou AS o1, e1.ov AS o2, e2.ov AS o3
+      FROM dir e1
+      JOIN dir e2 ON e2.ou = e1.ou AND e1.ov < e2.ov
+      JOIN dir e3 ON e3.ou = e1.ov AND e3.ov = e2.ov
+    )"""
+
+_CLUST_SQL = f"""{_DENS_BASE_SQL},
+    pernode AS (
+      SELECT o % {_TRI_C} AS id, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (
+        SELECT o1 AS o FROM tri
+        UNION ALL SELECT o2 FROM tri
+        UNION ALL SELECT o3 FROM tri
+      )
+      GROUP BY o % {_TRI_C}
+    )
+    SELECT deg.id AS part_key, deg.d AS degree,
+           COALESCE(p.triangles, 0) AS triangles,
+           (2 * COALESCE(p.triangles, 0) * {_DENS_SCALE})
+             // (deg.d * (deg.d - 1)) AS coeff_micro
+    FROM deg
+    LEFT JOIN pernode p ON p.id = deg.id
+    WHERE deg.d >= 2
+    ORDER BY coeff_micro DESC, degree DESC, part_key ASC
+    LIMIT {_DENS_TOPK}
+"""
+
+
+@query("graph_clustering_coeff", oracle=_CLUST_SQL)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — tri(v) / C(deg(v), 2),
+    how close each node's neighborhood is to a clique. The RATIO
+    member of the density family: [[graph_triangle_count]] reports
+    raw closure counts (hub-dominated), this normalizes by the
+    neighborhood's pair capacity, surfacing tight small communities
+    a raw count buries — the standard spam/bot/bridge-node signal
+    and the per-node half of the Watts–Strogatz statistic.
+
+    Exactness: triangles and degrees are exact integers off the
+    shared [[_oriented_triangles]] stream and [[_half_degrees]]
+    table; the coefficient is ONE integer division into micro-units
+    (``2·tri·1e6 div d(d−1)``), identical ``div``/``//`` trees both
+    engines, no float anywhere. Degree-1 nodes (undefined C(d,2))
+    are filtered; triangle-free nodes enter via LEFT join with an
+    exact 0.
+
+    Plan: the O(m^{3/2})-bounded wedge/closure joins (broadcast
+    closure probe via the family's [[_bcast_pinned]] resolver), one
+    explode-fold to per-node counts, one join back onto the degree
+    table, TakeOrderedAndProject top-{_DENS_TOPK} — per-node output,
+    so the result side is |V|-proportional and the top-k never
+    materializes a global sort."""
+    half = (
+        _co_order_edges(load(spark, sf_dir, "lineitem"))
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    return clustering_coeff_of(half).orderBy(
+        F.col("coeff_micro").desc(),
+        F.col("degree").desc(),
+        F.col("part_key").asc(),
+    ).limit(_DENS_TOPK)
+
+
+def clustering_coeff_of(half: DataFrame) -> DataFrame:
+    """Full per-node ``(part_key, degree, triangles, coeff_micro)``
+    frame over any half-edge input — module-level so the synthetic
+    K4/pendant contract drives the same joins the registered query
+    runs (callers top-k it)."""
+    deg = _half_degrees(half)
+    tri = _oriented_triangles(half, deg=deg)
+    pernode = (
+        tri.select(F.explode(F.array("o1", "o2", "o3")).alias("o"))
+        .groupBy((F.col("o") % _TRI_C).alias("id"))
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(pernode, "id", "left")
+        .select(
+            F.col("id").alias("part_key"),
+            F.col("d").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias(
+                "triangles"
+            ),
+        )
+        .withColumn(
+            "coeff_micro",
+            F.expr(
+                f"(2 * triangles * {_DENS_SCALE})"
+                " div (degree * (degree - 1))"
+            ),
+        )
+    )
+
+
+_EJACC_SQL = f"""{_DENS_BASE_SQL},
+    esup AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common FROM (
+        SELECT LEAST(o1 % {_TRI_C}, o2 % {_TRI_C}) AS a,
+               GREATEST(o1 % {_TRI_C}, o2 % {_TRI_C}) AS b FROM tri
+        UNION ALL
+        SELECT LEAST(o1 % {_TRI_C}, o3 % {_TRI_C}),
+               GREATEST(o1 % {_TRI_C}, o3 % {_TRI_C}) FROM tri
+        UNION ALL
+        SELECT LEAST(o2 % {_TRI_C}, o3 % {_TRI_C}),
+               GREATEST(o2 % {_TRI_C}, o3 % {_TRI_C}) FROM tri
+      ) GROUP BY a, b
+    )
+    SELECT h.src, h.dst, ds.d AS deg_src, dd.d AS deg_dst,
+           COALESCE(e.common, 0) AS common,
+           CASE WHEN ds.d + dd.d - 2 - COALESCE(e.common, 0) = 0 THEN 0
+                ELSE (COALESCE(e.common, 0) * {_DENS_SCALE})
+                       // (ds.d + dd.d - 2 - COALESCE(e.common, 0))
+           END AS jaccard_micro
+    FROM half h
+    JOIN deg ds ON ds.id = h.src
+    JOIN deg dd ON dd.id = h.dst
+    LEFT JOIN esup e ON e.a = h.src AND e.b = h.dst
+    ORDER BY jaccard_micro DESC, common DESC, src ASC, dst ASC
+    LIMIT {_DENS_TOPK}
+"""
+
+
+@query("graph_edge_jaccard", oracle=_EJACC_SQL)
+def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard per EDGE — |N(u)∩N(v)| / |N(u)∪N(v)
+    minus u,v themselves| for every existing edge (u,v): the
+    embeddedness /
+    link-strength score behind tie-strength ranking, weak-link
+    pruning before community detection, and graph-based near-dup
+    confirmation (two products whose co-order neighborhoods overlap
+    almost entirely are substitutes). The per-EDGE restriction is
+    the scale decision: all-pairs neighborhood Jaccard is the
+    id-ordered wedge explosion [[graph_triangle_count]]'s docstring
+    rejects, while for edges the intersection |N(u)∩N(v)| is exactly
+    the edge's triangle support — so the O(m^{3/2}) oriented stream
+    computes it with NO new join shape (this is also k-truss
+    support, the edge sibling of [[graph_kcore]]'s node peeling).
+
+    Exactness: support counts from [[_oriented_triangles]] unpacked
+    to id space (LEAST/GREATEST restore the src < dst invariant the
+    orientation scrambled), union size du + dv − 2 − common, one
+    integer division into micro-units, CASE-guarded for the
+    isolated-edge 0/0 (defined as 0). All integers both engines.
+
+    Plan: wedge/closure joins, a 3-edge explode folded map-side to
+    per-edge support, LEFT join back onto the half-edge frame
+    (support-less edges score an exact 0) with the degree table
+    joined on both endpoints, TakeOrderedAndProject
+    top-{_DENS_TOPK}. Output is |E|-proportional — the same scale
+    class as the edge list itself."""
+    half = (
+        _co_order_edges(load(spark, sf_dir, "lineitem"))
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    return edge_jaccard_of(half).orderBy(
+        F.col("jaccard_micro").desc(),
+        F.col("common").desc(),
+        F.col("src").asc(),
+        F.col("dst").asc(),
+    ).limit(_DENS_TOPK)
+
+
+def edge_jaccard_of(half: DataFrame) -> DataFrame:
+    """Full per-edge ``(src, dst, deg_src, deg_dst, common,
+    jaccard_micro)`` frame over any half-edge input — module-level
+    for the synthetic contracts (callers top-k it)."""
+    deg = _half_degrees(half)
+    tri = _oriented_triangles(half, deg=deg)
+    pair = lambda x, y: F.struct(  # noqa: E731
+        F.least(F.col(x) % _TRI_C, F.col(y) % _TRI_C).alias("a"),
+        F.greatest(F.col(x) % _TRI_C, F.col(y) % _TRI_C).alias("b"),
+    )
+    esup = (
+        tri.select(
+            F.explode(
+                F.array(
+                    pair("o1", "o2"), pair("o1", "o3"), pair("o2", "o3")
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    out = (
+        half.join(
+            deg.select(
+                F.col("id").alias("src"), F.col("d").alias("deg_src")
+            ),
+            "src",
+        )
+        .join(
+            deg.select(
+                F.col("id").alias("dst"), F.col("d").alias("deg_dst")
+            ),
+            "dst",
+        )
+        .join(
+            esup,
+            (F.col("src") == F.col("a")) & (F.col("dst") == F.col("b")),
+            "left",
+        )
+        .select(
+            "src",
+            "dst",
+            "deg_src",
+            "deg_dst",
+            F.coalesce("common", F.lit(0)).cast("bigint").alias("common"),
+        )
+        .withColumn(
+            "jaccard_micro",
+            F.expr(
+                "CASE WHEN deg_src + deg_dst - 2 - common = 0 THEN 0"
+                f" ELSE (common * {_DENS_SCALE})"
+                " div (deg_src + deg_dst - 2 - common) END"
+            ),
+        )
+    )
+    return out
+
+
+graph_clustering_coeff.__doc__ = graph_clustering_coeff.__doc__.replace(
+    "{_DENS_TOPK}", str(_DENS_TOPK)
+)
+graph_edge_jaccard.__doc__ = graph_edge_jaccard.__doc__.replace(
+    "{_DENS_TOPK}", str(_DENS_TOPK)
 )
 
 

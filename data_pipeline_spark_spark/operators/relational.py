@@ -1611,3 +1611,97 @@ def agg_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini"
         ),
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# agg_hhi_concentration — Herfindahl–Hirschman market concentration
+# ---------------------------------------------------------------------------
+
+_HHI_SQL = """
+    WITH r AS (
+      SELECT s.s_nationkey AS nation_key, l.l_suppkey AS supp,
+             SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS rev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    )
+    SELECT nation_key,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(rev) AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE)
+             / CAST(NULLIF(CAST(SUM(rev) AS HUGEINT) * SUM(rev), 0)
+                    AS DOUBLE) AS hhi,
+           CAST(MAX(rev) AS DOUBLE)
+             / CAST(NULLIF(SUM(rev), 0) AS DOUBLE) AS cr1
+    FROM r
+    GROUP BY nation_key
+    ORDER BY nation_key
+"""
+
+
+@query("agg_hhi_concentration", oracle=_HHI_SQL)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation — HHI = Σ share_i² plus the CR1 top-supplier share:
+    the antitrust-standard concentration index next to
+    [[agg_gini_exact]]'s inequality coefficient (Gini asks "how
+    unequal", HHI asks "how close to monopoly" — a market of two
+    equal firms is perfectly equal yet highly concentrated). In an
+    LLM-data pipeline the identical query over per-source token mass
+    is the "one domain owns this language's corpus" alarm that
+    [[corpus_mix_weighted]] reweighting then corrects.
+
+    Exactness: revenue in integer cents; Σr_i² widened to
+    decimal(38,0)/HUGEINT BEFORE the square via the shared
+    [[wide_sum]] (per-supplier revenue ~1e9 cents at sf1 → squares
+    ~1e18, summed past int64), the denominator (Σr)² widened the
+    same way, and the ONLY float operations are the two final
+    divisions — identical exact-integer inputs, identical IEEE
+    results, no tolerance (the [[agg_gini_exact]] recipe).
+
+    Plan: two cascaded map-side-combined aggregations — lineitem
+    folds to (nation, supplier) partials behind a broadcast of the
+    supplier dim (10k rows at sf1), then ~40 rows per nation fold to
+    the report. No sort, no window, no data-proportional shuffle
+    beyond the first groupBy's partial-combined exchange; at 100 TB
+    this is a textbook two-level rollup."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    supp = F.broadcast(
+        load(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+    )
+    r = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nation_key"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+    )
+    g = r.groupBy("nation_key").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("rev").cast("bigint").alias("total_cents"),
+        wide_sum(F.col("rev"), F.col("rev")).alias("ssq"),
+        F.max("rev").alias("mx"),
+    )
+    den = (
+        F.col("total_cents").cast("decimal(38,0)") * F.col("total_cents")
+    ).cast("double")
+    return g.select(
+        "nation_key",
+        "n_suppliers",
+        "total_cents",
+        (F.col("ssq").cast("double") / F.nullif(den, F.lit(0.0))).alias(
+            "hhi"
+        ),
+        (
+            F.col("mx").cast("double")
+            / F.nullif(F.col("total_cents").cast("double"), F.lit(0.0))
+        ).alias("cr1"),
+    ).orderBy("nation_key")

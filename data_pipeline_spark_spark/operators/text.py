@@ -2072,3 +2072,87 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 vocab_zipf_fit.__doc__ = vocab_zipf_fit.__doc__.replace(
     "{_ZIPF_K}", str(_ZIPF_K)
 )
+
+
+# ---------------------------------------------------------------------------
+# text_lexical_diversity — TTR / hapax richness per language
+# ---------------------------------------------------------------------------
+
+_LEXDIV_SQL = """
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY lang, tok
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS hapax_count,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(NULLIF(SUM(c), 0) AS DOUBLE) AS ttr,
+           CAST(COUNT(*) FILTER (c = 1) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+    FROM tf
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+@query("text_lexical_diversity", oracle=_LEXDIV_SQL)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness report per language: type-token ratio and
+    hapax-legomenon share — the vocabulary-side quality axis the
+    frequency family brackets from two ends ([[vocab_zipf_fit]]
+    asserts the rank-frequency SHAPE, [[repetition_stats]] catches
+    within-doc loops; this measures global richness). Low TTR /
+    hapax collapse on a crawl slice is the canonical boilerplate- or
+    template-farm signal, and hapax mass is what decides whether a
+    tokenizer's long tail is worth its vocab slots
+    ([[tokenizer_fertility_report]]).
+
+    Exactness: token frequencies, vocab and hapax counts are exact
+    integers off one whitespace tokenization (the [[token_count]]
+    convention, identical split in both engines); the two ratios are
+    single final double divisions of exact integers — the
+    [[agg_gini_exact]] recipe, no tolerance.
+
+    Plan: explode to (lang, token), ONE map-side-combined groupBy to
+    frequencies (the exchange carries distinct (lang, token) pairs,
+    sublinear in corpus size — Heaps' law), then a second fold to 5
+    report rows with the hapax flag as a CASE inside the same agg.
+    No window, no join, no second pass over the corpus; at 100 TB
+    the frequency fold is the same shuffle [[ngram_lm_counts]]
+    already scales."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast(
+        "bigint"
+    )
+    g = tf.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        hapax.alias("hapax_count"),
+    )
+    return g.select(
+        "lang",
+        "total_tokens",
+        "vocab_size",
+        "hapax_count",
+        (
+            F.col("vocab_size").cast("double")
+            / F.nullif(F.col("total_tokens").cast("double"), F.lit(0.0))
+        ).alias("ttr"),
+        (
+            F.col("hapax_count").cast("double")
+            / F.col("vocab_size").cast("double")
+        ).alias("hapax_ratio"),
+    ).orderBy("lang")

@@ -450,3 +450,328 @@ def test_kcore_dual_state_paths_equal(spark):
         for r in kcore_rounds_of(df, broadcast_state=False).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coeff / graph_edge_jaccard — density-family ratios
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coeff_known_shapes(spark):
+    """Closed-form contracts on K4 + pendant: the three pure-K4
+    vertices close every neighbor pair (coeff 1.0 == 1e6 micro);
+    vertex 3 carries the pendant (d=4, tri=3 → 2·3/(4·3) = 0.5);
+    the pendant itself (d=1) is excluded. A chordless 4-cycle scores
+    exact 0 everywhere."""
+    from data_pipeline_spark_spark.operators.graph import (
+        clustering_coeff_of,
+    )
+
+    k4p = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 9)]
+    got = {
+        r.part_key: (r.degree, r.triangles, r.coeff_micro)
+        for r in clustering_coeff_of(
+            spark.createDataFrame(k4p, "src long, dst long")
+        ).collect()
+    }
+    assert got == {
+        0: (3, 3, 1_000_000),
+        1: (3, 3, 1_000_000),
+        2: (3, 3, 1_000_000),
+        3: (4, 3, 500_000),
+    }
+    c4 = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    coeffs = {
+        r.coeff_micro
+        for r in clustering_coeff_of(
+            spark.createDataFrame(c4, "src long, dst long")
+        ).collect()
+    }
+    assert coeffs == {0}
+
+
+def test_edge_jaccard_known_shapes(spark):
+    """K4 edges all score 1.0 (common 2 of union 2); hanging a
+    pendant off vertex 3 dilutes its K4 edges to 2/3 and scores the
+    pendant edge itself an exact 0 (the 0/0 isolated case is also
+    pinned via a lone disconnected edge)."""
+    from data_pipeline_spark_spark.operators.graph import (
+        edge_jaccard_of,
+    )
+
+    k4p = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 9),
+           (20, 21)]
+    got = {
+        (r.src, r.dst): (r.common, r.jaccard_micro)
+        for r in edge_jaccard_of(
+            spark.createDataFrame(k4p, "src long, dst long")
+        ).collect()
+    }
+    assert got[(0, 1)] == (2, 1_000_000)
+    assert got[(0, 2)] == (2, 1_000_000)
+    assert got[(1, 2)] == (2, 1_000_000)
+    # union for a K4 edge touching vertex 3: 3 + 4 - 2 - 2 = 3
+    assert got[(0, 3)] == (2, 666_666)
+    assert got[(1, 3)] == (2, 666_666)
+    assert got[(2, 3)] == (2, 666_666)
+    assert got[(3, 9)] == (0, 0)
+    assert got[(20, 21)] == (0, 0)  # 0/0 isolated edge := 0
+    assert len(got) == len(k4p)
+
+
+def _py_edge_jaccard(edges):
+    import collections
+
+    nbr = collections.defaultdict(set)
+    for a, b in edges:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    out = {}
+    for a, b in edges:
+        common = len(nbr[a] & nbr[b])
+        union = len(nbr[a]) + len(nbr[b]) - 2 - common
+        out[(a, b)] = (common, 0 if union == 0 else common * 1_000_000 // union)
+    return out
+
+
+def test_edge_jaccard_matches_python(spark):
+    """Brute-force neighbor-set differential on a deterministic
+    batch of irregular graphs (bridges, hubs, disconnected bits) —
+    the triangle-support identity common(u,v) = tri(u,v) holds on
+    every edge."""
+    from data_pipeline_spark_spark.operators.graph import (
+        edge_jaccard_of,
+    )
+
+    graphs = [
+        [(0, 1), (1, 2), (2, 3), (0, 3), (0, 2)],  # 4-cycle + chord
+        [(0, i) for i in range(1, 7)] + [(1, 2), (3, 4)],  # hub
+        [(0, 1), (2, 3), (4, 5)],  # matching, all isolated edges
+        [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (2, 4), (4, 5)],
+    ]
+    for edges in graphs:
+        got = {
+            (r.src, r.dst): (r.common, r.jaccard_micro)
+            for r in edge_jaccard_of(
+                spark.createDataFrame(edges, "src long, dst long")
+            ).collect()
+        }
+        assert got == _py_edge_jaccard(edges), edges
+
+
+def test_density_keys_plan_shape(spark, sf_dir):
+    """Both density keys: equi-joins only, no Python, no cartesian,
+    top-k as TakeOrderedAndProject (never a global sort)."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.plans.analyze import formatted_plan
+
+    registry.load_all()
+    for key in ("graph_clustering_coeff", "graph_edge_jaccard"):
+        plan = formatted_plan(registry.QUERIES[key](spark, sf_dir))
+        assert "EvalPython" not in plan, key
+        assert "CartesianProduct" not in plan, key
+        assert "TakeOrderedAndProject" in plan, key
+
+
+# ---------------------------------------------------------------------------
+# agg_hhi_concentration / text_lexical_diversity / ts_theil_sen
+# ---------------------------------------------------------------------------
+
+
+def test_hhi_matches_python(spark, sf_dir):
+    """Independent python fold over the same (nation, supplier)
+    revenue cents: exact integer moments, then the identical two
+    float divisions — doubles must match bit for bit."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+
+    registry.load_all()
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_suppkey", F.round(F.col("l_extendedprice") * 100)
+                .cast("bigint").alias("cents"))
+        .collect()
+    )
+    nat = {
+        r.s_suppkey: r.s_nationkey
+        for r in load(spark, sf_dir, "supplier").collect()
+    }
+    rev: dict[tuple[int, int], int] = {}
+    for r in li:
+        k = (nat[r.l_suppkey], r.l_suppkey)
+        rev[k] = rev.get(k, 0) + r.cents
+    exp = {}
+    for n in {k[0] for k in rev}:
+        rs = [v for k, v in rev.items() if k[0] == n]
+        tot = sum(rs)
+        exp[n] = (
+            len(rs),
+            tot,
+            sum(v * v for v in rs) / float(tot * tot),
+            max(rs) / float(tot),
+        )
+    got = {
+        r.nation_key: (r.n_suppliers, r.total_cents, r.hhi, r.cr1)
+        for r in registry.QUERIES["agg_hhi_concentration"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_hhi_bounds_and_monopoly_contract(spark, sf_dir):
+    """1/n ≤ HHI ≤ 1, CR1 ≤ 1, and CR1² ≤ HHI (the top share alone
+    already contributes its square)."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["agg_hhi_concentration"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 / r.n_suppliers <= r.hhi <= 1.0 + 1e-15
+        assert r.cr1 <= 1.0
+        assert r.cr1 * r.cr1 <= r.hhi + 1e-15
+
+
+def test_lexical_diversity_matches_python(spark, sf_dir):
+    """Independent python Counter over the same whitespace split."""
+    import collections
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+
+    registry.load_all()
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", "text"
+    ).collect()
+    tf: dict[str, collections.Counter] = collections.defaultdict(
+        collections.Counter
+    )
+    for r in docs:
+        tf[r.lang].update(r.text.split(" "))
+    exp = {}
+    for lang, c in tf.items():
+        total = sum(c.values())
+        hapax = sum(1 for v in c.values() if v == 1)
+        exp[lang] = (
+            total,
+            len(c),
+            hapax,
+            len(c) / float(total),
+            hapax / float(len(c)),
+        )
+    got = {
+        r.lang: (
+            r.total_tokens,
+            r.vocab_size,
+            r.hapax_count,
+            r.ttr,
+            r.hapax_ratio,
+        )
+        for r in registry.QUERIES["text_lexical_diversity"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+
+
+def _py_theil_sen(rows, bucket_s=3600):
+    """Reference Theil–Sen over (event_type, epoch_s, milli) rows —
+    bucket means, median-of-slopes by selection at rank (n+1)//2."""
+    import collections
+
+    agg = collections.defaultdict(lambda: collections.defaultdict(
+        lambda: [0, 0]
+    ))
+    for et, sec, x in rows:
+        a = agg[et][sec // bucket_s]
+        a[0] += x
+        a[1] += 1
+    out = {}
+    for et, buckets in agg.items():
+        hs = sorted(buckets)
+        slopes = []
+        for a_i in range(len(hs)):
+            for b_i in range(a_i + 1, len(hs)):
+                hi, hj = hs[a_i], hs[b_i]
+                (si, ci), (sj, cj) = buckets[hi], buckets[hj]
+                slopes.append(
+                    ((sj * ci - si * cj) / float(ci * cj * (hj - hi)),
+                     hi, hj)
+                )
+        if not slopes:
+            continue
+        slopes.sort()
+        slope = slopes[(len(slopes) + 1) // 2 - 1][0]
+        ivs = sorted(
+            (buckets[h][0] / float(buckets[h][1]) - slope * h, h)
+            for h in hs
+        )
+        intercept = ivs[(len(hs) + 1) // 2 - 1][0]
+        out[et] = (len(hs), len(slopes), slope, intercept)
+    return out
+
+
+def test_theil_sen_matches_python(spark, sf_dir):
+    """Full differential on the fixture events table."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+
+    registry.load_all()
+    rows = [
+        (r.event_type, r.sec, r.x)
+        for r in load(spark, sf_dir, "events").select(
+            "event_type",
+            F.expr("CAST(ts AS LONG)").alias("sec"),
+            F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+        ).collect()
+    ]
+    exp = _py_theil_sen(rows)
+    got = {
+        r.event_type: (
+            r.n_buckets,
+            r.n_pairs,
+            r.slope_milli_per_hr,
+            r.intercept_milli,
+        )
+        for r in registry.QUERIES["ts_theil_sen"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_theil_sen_outlier_robustness(spark):
+    """The breakdown-point contract OLS fails: a clean slope-2 line
+    with <29% of buckets blown up by +1e6 still reports slope 2
+    exactly, while the same data's least-squares slope is dragged
+    far off."""
+    import datetime
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        ts_theil_sen,
+    )
+    from data_pipeline_spark_spark.registry import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for hr in range(40):
+        v = 2.0 * hr + (1e6 if hr % 5 == 4 else 0.0)  # 8/40 = 20% junk
+        rows.append(
+            (hr, base + datetime.timedelta(hours=hr), 1, "trend", v, "")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = ts_theil_sen(spark, d).collect()
+    assert len(got) == 1
+    # slope in milli-units/hour: 2.0/hr -> 2000
+    assert got[0].slope_milli_per_hr == 2000.0
