@@ -87,6 +87,11 @@ _ROUND15_PRIORITY = [
     "agg_hhi_concentration",
     "text_lexical_diversity",
     "ts_theil_sen",
+    "abtest_mann_whitney",
+    "corpus_span_corruption",
+    "agg_chi_square_indep",
+    "dq_benford_digits",
+    "agg_bootstrap_ci",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

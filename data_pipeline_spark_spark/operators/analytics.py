@@ -3196,3 +3196,285 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# abtest_mann_whitney — rank-sum experiment readout (Welch's robust twin)
+# ---------------------------------------------------------------------------
+
+#: The U statistic and tie-corrected normal approximation as ONE
+#: expression string over the exact integer/decimal moment columns
+#: (n0, n1, nn, r2x1, tt) — consumed VERBATIM by the Spark plan and
+#: the DuckDB oracle (the [[ts_pacf]] identical-tree recipe), so the
+#: only float arithmetic is this shared tail. r2x1 carries DOUBLED
+#: ranks (tie-block average rank ×2 = lo+hi, always an integer), so
+#: nothing fractional exists before the final cast.
+_MW_U1_EXPR = "CAST(r2x1 - n1 * (n1 + 1) AS DOUBLE) / 2.0"
+_MW_Z_EXPR = (
+    "CAST(r2x1 - n1 * (nn + 1) AS DOUBLE) / (2.0 * sqrt("
+    "NULLIF((CAST(n0 AS DOUBLE) * n1 / 12.0)"
+    " * ((nn + 1) - CAST(tt AS DOUBLE)"
+    "    / (CAST(nn AS DOUBLE) * (nn - 1))), 0.0)))"
+)
+
+_MW_SQL = f"""
+    WITH m AS (
+      SELECT event_type, CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(round(value * 1000) AS BIGINT) AS x
+      FROM events
+    ),
+    blocks AS (
+      SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(arm) AS BIGINT) AS c1
+      FROM m GROUP BY event_type, x
+    ),
+    cum AS (
+      SELECT event_type, t, c1,
+             SUM(t) OVER (PARTITION BY event_type ORDER BY x) AS hi
+      FROM blocks
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(SUM(t - c1) AS BIGINT) AS n0,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             SUM(CAST(c1 AS HUGEINT) * (2 * hi - t + 1)) AS r2x1,
+             SUM(CAST(t AS HUGEINT) * (t - 1) * (t + 1)) AS tt
+      FROM cum GROUP BY event_type
+    )
+    SELECT event_type, n0 AS n_control, n1 AS n_treatment,
+           {_MW_U1_EXPR} AS u_treatment,
+           {_MW_Z_EXPR} AS z_mw
+    FROM (SELECT *, n0 + n1 AS nn FROM g)
+    WHERE n0 >= 1 AND n1 >= 1
+    ORDER BY event_type
+"""
+
+
+@query("abtest_mann_whitney", oracle=_MW_SQL)
+def abtest_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U experiment readout per event type — the
+    rank-sum twin of [[abtest_welch_ttest]]: Welch compares MEANS
+    and one fat-tailed outlier burst owns the answer; U compares
+    the whole distributions (P(treatment draw > control draw)) and
+    is invariant to any monotone transform of the metric — the
+    standard readout for latency/revenue-shaped metrics. Same
+    deterministic ``user_id % 2`` arms so the oracle replays them.
+
+    Exactness: rank arithmetic never leaves integers — the
+    tie-block average rank is carried DOUBLED (block [lo, hi] →
+    lo+hi), so R₁ ties included is an exact integer; the tie
+    correction Σ(t³−t) and the doubled rank sum widen through the
+    shared [[wide_sum]] (t³ ~8e15 at sf1 — wraps int64 one decade
+    later, so widened NOW); U and the tie-corrected z are ONE shared
+    expression string ([[_MW_Z_EXPR]]) evaluated on identical exact
+    inputs by both engines. Degenerate all-tied groups yield NULL z
+    via an in-expression NULLIF, identically.
+
+    Plan: groupBy(event_type, x) collapses rows to distinct-value
+    blocks FIRST (the exchange carries value cardinality, not row
+    count), one cumulative window over blocks per series, one final
+    fold to a 5-row report. The block-collapse-then-rank shape is
+    what survives 100 TB: ranks over raw rows would sort the
+    corpus, ranks over blocks sort the value domain."""
+    from pyspark.sql.window import Window
+
+    m = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("bigint").alias("arm"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    )
+    blocks = m.groupBy("event_type", "x").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum("arm").cast("bigint").alias("c1"),
+    )
+    cum = blocks.withColumn(
+        "hi",
+        F.sum("t").over(
+            Window.partitionBy("event_type").orderBy("x")
+        ),
+    )
+    g = cum.groupBy("event_type").agg(
+        F.sum(F.col("t") - F.col("c1")).cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        wide_sum(
+            F.col("c1"), F.lit(2) * F.col("hi") - F.col("t") + 1
+        ).alias("r2x1"),
+        wide_sum(F.col("t"), F.col("t") - 1, F.col("t") + 1).alias(
+            "tt"
+        ),
+    )
+    return (
+        g.withColumn("nn", F.col("n0") + F.col("n1"))
+        .filter((F.col("n0") >= 1) & (F.col("n1") >= 1))
+        .select(
+            "event_type",
+            F.col("n0").alias("n_control"),
+            F.col("n1").alias("n_treatment"),
+            F.expr(_MW_U1_EXPR).alias("u_treatment"),
+            F.expr(_MW_Z_EXPR).alias("z_mw"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_bootstrap_ci — deterministic Poisson-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+#: Replicate count. Order-statistic 95% CI uses ranks 2 and B−1 at
+#: B = 64 (floor(0.025·64)+1 / ceil(0.975·64)); smaller B would pin
+#: the CI to the extreme replicates.
+_BOOT_B = 64
+_BOOT_LO_RANK = 2
+_BOOT_HI_RANK = 63
+
+#: Poisson(1) inverse-CDF thresholds floor(F(k)·2^32), k = 0..7 —
+#: computed ONCE in python and embedded in both engines' plans (the
+#: privacy_dp_count device: the hash is the RNG, a shared literal
+#: table is the distribution; the engines can never disagree about a
+#: draw). Tail mass beyond 7 (~1e-5) caps at weight 8.
+import math as _math
+
+_BOOT_THRESH = []
+_cum = 0.0
+for _k in range(8):
+    _cum += _math.exp(-1.0) / _math.factorial(_k)
+    _BOOT_THRESH.append(min(int(_cum * 2**32), 2**32))
+
+_BOOT_W_CASE = "CASE " + " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+) + " ELSE 8 END"
+
+_BOOT_SQL = f"""
+    WITH src AS (
+      SELECT o_orderkey, o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    drawn AS (
+      SELECT priority, cents,
+             {md5_u32_duck("concat(CAST(o_orderkey AS VARCHAR), ':', CAST(r AS VARCHAR))")} AS u,
+             r
+      FROM src CROSS JOIN (
+        SELECT unnest(range(1, {_BOOT_B} + 1)) AS r
+      )
+    ),
+    reps AS (
+      SELECT priority, r,
+             SUM(CAST(({_BOOT_W_CASE}) AS HUGEINT) * cents) AS s,
+             CAST(SUM({_BOOT_W_CASE}) AS BIGINT) AS n
+      FROM drawn GROUP BY priority, r
+    ),
+    ranked AS (
+      SELECT priority,
+             CAST(s AS DOUBLE) / NULLIF(n, 0) AS m,
+             row_number() OVER (
+               PARTITION BY priority
+               ORDER BY CAST(s AS DOUBLE) / NULLIF(n, 0), r) AS rn
+      FROM reps
+    ),
+    ci AS (
+      SELECT priority,
+             MAX(CASE WHEN rn = {_BOOT_LO_RANK} THEN m END) AS ci_lo,
+             MAX(CASE WHEN rn = {_BOOT_HI_RANK} THEN m END) AS ci_hi
+      FROM ranked GROUP BY priority
+    ),
+    pt AS (
+      SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean_cents
+      FROM src GROUP BY priority
+    )
+    SELECT pt.priority, pt.n_orders, pt.mean_cents,
+           ci.ci_lo, ci.ci_hi
+    FROM pt JOIN ci USING (priority)
+    ORDER BY pt.priority
+"""
+
+
+@query("agg_bootstrap_ci", oracle=_BOOT_SQL)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for mean order
+    value per priority class — nonparametric uncertainty
+    quantification next to the closed-form tests
+    ([[abtest_welch_ttest]] needs variance assumptions,
+    [[abtest_mann_whitney]] answers a different question; the
+    bootstrap brackets ANY plug-in statistic). Poisson(1) weights
+    instead of multinomial resampling is THE distributed-bootstrap
+    trick (each row draws its replicate weights independently — no
+    global n coordination), and the draws are deterministic
+    hash-RNG ([[privacy_dp_count]]'s device): the engines — and any
+    rerun — agree on every weight, so the CI is reproducible.
+
+    Exactness: per-replicate weighted sums and counts are exact
+    integers (weights from a shared literal threshold table over the
+    md5-u32 uniform, Σw·cents widened before the multiply); each
+    replicate mean is one double division; the CI bounds are
+    SELECTION at fixed order-statistic ranks ({_BOOT_LO_RANK} and
+    {_BOOT_HI_RANK} of {_BOOT_B}), never interpolated.
+
+    Plan: the {_BOOT_B}× replicate explosion collapses immediately
+    into the map-side combine of groupBy(priority, r) — the exchange
+    carries 5·{_BOOT_B} moment rows regardless of corpus size; the
+    rank-select window and the point-estimate join run on the
+    report frame. At 100 TB the cost is one pass over orders with
+    {_BOOT_B} hash draws per row — embarrassingly parallel,
+    shuffle-free until the 320-row combine."""
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    u = md5_u32_sql(
+        "concat(CAST(o_orderkey AS STRING), ':', CAST(r AS STRING))"
+    )
+    drawn = src.select(
+        "priority",
+        "cents",
+        F.expr(f"explode(sequence(1, {_BOOT_B}))").alias("r"),
+        "o_orderkey",
+    ).select(
+        "priority", "cents", "r", F.expr(u).alias("u")
+    )
+    reps = drawn.groupBy("priority", "r").agg(
+        wide_sum(F.expr(_BOOT_W_CASE), F.col("cents")).alias("s"),
+        F.sum(F.expr(_BOOT_W_CASE)).cast("bigint").alias("n"),
+    )
+    from pyspark.sql.window import Window
+
+    m = F.col("s").cast("double") / F.nullif(
+        F.col("n"), F.lit(0)
+    )
+    ranked = reps.select(
+        "priority",
+        m.alias("m"),
+        F.row_number()
+        .over(Window.partitionBy("priority").orderBy(m, F.col("r")))
+        .alias("rn"),
+    )
+    ci = ranked.groupBy("priority").agg(
+        F.max(
+            F.when(F.col("rn") == _BOOT_LO_RANK, F.col("m"))
+        ).alias("ci_lo"),
+        F.max(
+            F.when(F.col("rn") == _BOOT_HI_RANK, F.col("m"))
+        ).alias("ci_hi"),
+    )
+    pt = src.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        (
+            F.sum("cents").cast("double") / F.count("*")
+        ).alias("mean_cents"),
+    )
+    return (
+        pt.join(F.broadcast(ci), "priority")
+        .select("priority", "n_orders", "mean_cents", "ci_lo", "ci_hi")
+        .orderBy("priority")
+    )
+
+
+for _doc_const in ("_BOOT_B", "_BOOT_LO_RANK", "_BOOT_HI_RANK"):
+    agg_bootstrap_ci.__doc__ = agg_bootstrap_ci.__doc__.replace(
+        "{%s}" % _doc_const, str(globals()[_doc_const])
+    )

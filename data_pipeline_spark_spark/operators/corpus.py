@@ -1404,3 +1404,146 @@ corpus_filter_gopher.__doc__ = (
     .replace("{_GOPHER_MWL_MAX}", str(_GOPHER_MWL_MAX))
     .replace("{_GOPHER_MIN_STOPWORDS}", str(_GOPHER_MIN_STOPWORDS))
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_span_corruption — T5-style deterministic denoising-span plan
+# ---------------------------------------------------------------------------
+
+#: One span start per _SPAN_MOD hash residues (5% of positions) of
+#: fixed length _SPAN_LEN: expected masked fraction 1 − 0.95³ ≈ 14%,
+#: the T5 ~15% corruption budget (Raffel et al. 2020, mean span 3).
+_SPAN_MOD = 20
+_SPAN_LEN = 3
+
+#: Span-start predicate for token position j of doc_id — the
+#: engine-shared md5 32-bit hash, so the oracle replays the exact
+#: draw (the corpus_sample_hash convention: hashes ARE the RNG).
+_SPAN_START_SPARK = (
+    md5_u32_sql("concat(CAST(doc_id AS STRING), ':', CAST(j AS STRING))")
+    + f" % {_SPAN_MOD} = 0"
+)
+_SPAN_START_DUCK = (
+    md5_u32_duck(
+        "concat(CAST(doc_id AS VARCHAR), ':', CAST(j AS VARCHAR))"
+    )
+    + f" % {_SPAN_MOD} = 0"
+)
+
+_SPANC_SQL = f"""
+    WITH t0 AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    t1 AS (
+      SELECT doc_id, n_tokens,
+             list_transform(range(1, n_tokens + 1), j ->
+               CASE WHEN {_SPAN_START_DUCK} THEN 1 ELSE 0 END) AS sa
+      FROM t0
+    ),
+    t2 AS (
+      SELECT doc_id, n_tokens,
+             list_transform(range(1, n_tokens + 1), i ->
+               CASE WHEN list_extract(sa, i)
+                    + CASE WHEN i >= 2
+                           THEN list_extract(sa, i - 1) ELSE 0 END
+                    + CASE WHEN i >= 3
+                           THEN list_extract(sa, i - 2) ELSE 0 END
+                    > 0 THEN 1 ELSE 0 END) AS ma
+      FROM t1
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(list_sum(ma) AS BIGINT) AS n_masked,
+           CAST(list_sum(list_transform(range(1, n_tokens + 1), i ->
+             CASE WHEN list_extract(ma, i) = 1
+                   AND (CASE WHEN i >= 2
+                             THEN list_extract(ma, i - 1)
+                             ELSE 0 END) = 0
+                  THEN 1 ELSE 0 END)) AS BIGINT) AS n_spans,
+           CAST(list_sum(list_transform(range(1, n_tokens + 1), i ->
+             i * list_extract(ma, i))) AS BIGINT) AS mask_checksum,
+           CAST(list_sum(ma) AS DOUBLE) / n_tokens AS mask_ratio
+    FROM t2
+    ORDER BY doc_id
+"""
+
+
+@query("corpus_span_corruption", oracle=_SPANC_SQL)
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2 denoising-objective span plan per document: which
+    token positions a deterministic 5%-start / length-{_SPAN_LEN}
+    span corruption masks, with per-doc span counts, masked totals,
+    a position checksum pinning the exact mask set, and the realized
+    corruption ratio (≈15% — the T5 budget). This is the
+    objective-side sibling of [[corpus_pack_sequences]]: packing
+    decides sequence boundaries, this decides denoising targets —
+    and the hash-is-the-RNG determinism ([[corpus_sample_hash]],
+    [[corpus_shuffle_deterministic]]) is what makes the plan
+    REPRODUCIBLE across reruns and engines (re-materializing a
+    corrupted epoch must mask the same spans). Production emits the
+    sentinel-token input/target strings with the same flags and a
+    string fold; the driver-graded surface sticks to the exact
+    integer accounting (raw corrupted strings would add nothing the
+    checksum doesn't already pin).
+
+    Exactness: the span draw is the engine-shared md5-u32 residue
+    per (doc, position); overlap merging is pure integer flag
+    algebra over GUARDED neighbor lookups (negative list indices
+    wrap to end-of-list in BOTH engines — the i ≥ 2/3 CASEs are
+    load-bearing); the only float is the final ratio division.
+
+    Plan: everything is in-row HOFs over let-bound arrays (start
+    flags bound once via the [[dedup.py]] array-binder — referencing
+    the transform TREE inside the mask lambda would re-hash all T
+    positions PER position, the r14 O(T²) cliff; the mask array is a
+    multi-referenced projection, which CollapseProject keeps); zero
+    algorithmic exchanges at any corpus size — the same
+    shuffle-free class as [[doc_fingerprint_winnow]] and
+    [[corpus_filter_gopher]]."""
+    d = load(spark, sf_dir, "documents")
+    p1 = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    sa_expr = (
+        "transform(sequence(1, n_tokens), j -> "
+        f"CASE WHEN {_SPAN_START_SPARK} THEN 1 ELSE 0 END)"
+    )
+    ma_expr = (
+        f"try_element_at(transform(array({sa_expr}), sa -> "
+        "transform(sequence(1, n_tokens), i -> "
+        "CASE WHEN element_at(sa, i) "
+        "+ CASE WHEN i >= 2 THEN element_at(sa, i - 1) ELSE 0 END "
+        "+ CASE WHEN i >= 3 THEN element_at(sa, i - 2) ELSE 0 END "
+        "> 0 THEN 1 ELSE 0 END)), 1)"
+    )
+    p2 = p1.select(
+        "doc_id", "n_tokens", F.expr(ma_expr).alias("ma")
+    )
+    zero = "CAST(0 AS BIGINT)"
+    return p2.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"aggregate(ma, {zero}, (a, x) -> a + x)"
+        ).alias("n_masked"),
+        F.expr(
+            f"aggregate(sequence(1, n_tokens), {zero}, (a, i) -> a + "
+            "CASE WHEN element_at(ma, i) = 1 AND "
+            "(CASE WHEN i >= 2 THEN element_at(ma, i - 1) ELSE 0 END)"
+            " = 0 THEN 1 ELSE 0 END)"
+        ).alias("n_spans"),
+        F.expr(
+            f"aggregate(sequence(1, n_tokens), {zero}, (a, i) -> "
+            "a + i * element_at(ma, i))"
+        ).alias("mask_checksum"),
+        F.expr(
+            "CAST(aggregate(ma, 0, (a, x) -> a + x) AS DOUBLE)"
+            " / n_tokens"
+        ).alias("mask_ratio"),
+    ).orderBy("doc_id")
+
+
+corpus_span_corruption.__doc__ = corpus_span_corruption.__doc__.replace(
+    "{_SPAN_LEN}", str(_SPAN_LEN)
+)

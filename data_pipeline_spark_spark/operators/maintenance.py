@@ -552,3 +552,110 @@ def mv_join_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_benford_digits — Benford first-digit conformance audit
+# ---------------------------------------------------------------------------
+
+#: Benford expected first-digit shares log10(1 + 1/d), embedded as
+#: PYTHON-computed double literals in BOTH engines' plans — a fixed
+#: constant table carries zero libm parity surface (computing ln in
+#: each engine could differ by an ulp; a parsed literal cannot).
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+#: Bare decimal literals parse as DECIMAL (not DOUBLE) in BOTH SQL
+#: dialects — the CAST is what makes the constant a double.
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({p!r} AS DOUBLE)"
+    for d, p in _BENFORD_P.items()
+) + " END"
+
+_BENFORD_SQL = f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM lineitem
+    ),
+    counted AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_observed,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+      FROM digits GROUP BY digit
+    )
+    SELECT digit, n_observed,
+           CAST(n_observed AS DOUBLE) / n_total AS share,
+           {_BENFORD_CASE} AS benford_expected,
+           abs(CAST(n_observed AS DOUBLE) / n_total
+               - {_BENFORD_CASE}) AS abs_dev
+    FROM counted
+    ORDER BY digit
+"""
+
+
+@query("dq_benford_digits", oracle=_BENFORD_SQL)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of extended price — the
+    fraud/synthetic-data screen next to [[dq_constraints]]'s rule
+    checks and [[profile_table]]'s moments: naturally-occurring
+    multiplicative amounts follow P(d) = log10(1 + 1/d), and a
+    digit histogram that deviates hard is the classic fabricated- or
+    truncated-feed alarm (here it also characterizes HOW synthetic
+    the fixture's uniform-ish prices are — large deviation on digits
+    1 and 9 is the expected, attributable finding).
+
+    Exactness: the first digit comes from the integer-cents STRING
+    head (leading-digit is scale-invariant, so cents vs dollars is
+    immaterial; string-of-bigint renders identically in both
+    engines); counts are exact; the Benford reference shares are
+    python-computed double LITERALS embedded in both plans — a
+    constant table has no libm parity surface, unlike evaluating
+    ln() in each engine. The share and deviation are single double
+    operations on exact inputs.
+
+    Plan: one projected scan folding map-side to ≤ 9 digit groups
+    (the window total rides the same 9-row frame); report-sized
+    everything after. The audit costs one pass at any corpus
+    size."""
+    digits = load(spark, sf_dir, "lineitem").select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    from pyspark.sql.window import Window
+
+    counted = (
+        digits.groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_observed"))
+        .withColumn(
+            "n_total",
+            F.sum("n_observed").over(
+                Window.partitionBy()
+            ).cast("bigint"),
+        )
+    )
+    share = F.col("n_observed").cast("double") / F.col("n_total")
+    expected = F.expr(_BENFORD_CASE)
+    return counted.select(
+        "digit",
+        "n_observed",
+        share.alias("share"),
+        expected.alias("benford_expected"),
+        F.abs(share - expected).alias("abs_dev"),
+    ).orderBy("digit")

@@ -1705,3 +1705,138 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("total_cents").cast("double"), F.lit(0.0))
         ).alias("cr1"),
     ).orderBy("nation_key")
+
+
+# ---------------------------------------------------------------------------
+# agg_chi_square_indep — χ² test of independence (categorical × categorical)
+# ---------------------------------------------------------------------------
+
+#: χ² and Cramér's V as expression strings over the fold outputs —
+#: shared verbatim by both engines (the identical-tree recipe).
+_CHI2_V_EXPR = (
+    "sqrt(chi2 / (CAST(n AS DOUBLE)"
+    " * (CASE WHEN n_rows < n_cols THEN n_rows ELSE n_cols END - 1)))"
+)
+
+_CHI2_SQL = f"""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+      SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY seg, pri
+    ),
+    rt AS (SELECT seg, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY seg),
+    ct AS (SELECT pri, CAST(SUM(c) AS BIGINT) AS cc FROM cells GROUP BY pri),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT CAST((CAST(tot.n AS HUGEINT) * COALESCE(cl.c, 0)
+                   - CAST(rt.r AS HUGEINT) * ct.cc)
+                  * (CAST(tot.n AS HUGEINT) * COALESCE(cl.c, 0)
+                     - CAST(rt.r AS HUGEINT) * ct.cc) AS DOUBLE)
+             / CAST(CAST(tot.n AS HUGEINT) * rt.r * ct.cc AS DOUBLE)
+               AS term
+      FROM rt
+      CROSS JOIN ct
+      CROSS JOIN tot
+      LEFT JOIN cells cl ON cl.seg = rt.seg AND cl.pri = ct.pri
+    ),
+    folded AS (
+      SELECT (SELECT n FROM tot) AS n,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_cols,
+             list_reduce(list_sort(list(term)), (a, b) -> a + b) AS chi2
+      FROM terms
+    )
+    SELECT n, n_rows, n_cols,
+           (n_rows - 1) * (n_cols - 1) AS dof,
+           chi2,
+           {_CHI2_V_EXPR} AS cramers_v
+    FROM folded
+"""
+
+
+@query("agg_chi_square_indep", oracle=_CHI2_SQL)
+def agg_chi_square_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² test of independence between market segment and
+    order priority, with Cramér's V effect size — the
+    categorical×categorical member of the inference family
+    ([[abtest_welch_ttest]] numeric means, [[abtest_mann_whitney]]
+    numeric distributions, this: are two labelings associated at
+    all). Pipeline shape: "does document source predict quality
+    bucket" — the drift check behind [[drift_psi_report]], as a
+    hypothesis test.
+
+    Exactness — TWO devices: (1) each cell term (N·c − r·col)² /
+    (N·r·col), zero cells included via the marginal cross join
+    (omitting (0−e)²/e = e is the classic χ² bug), is exact wide
+    integers into ONE double division; (2) the cross-cell SUM of
+    those doubles is order-dependent float arithmetic, so both
+    engines fold the SORTED term array left-to-right
+    (array_sort/list_sort + aggregate/list_reduce) — a deterministic
+    summation order making the float sum itself bit-identical. The
+    25-element fold is driver-trivial; the device generalizes to any
+    small-cardinality float reduction.
+
+    Plan: one map-side-combined groupBy(seg, pri) over orders behind
+    a broadcast customer-dim join is the entire data-proportional
+    cost; marginals, the 25-cell cross join, and the sorted fold run
+    on report-sized frames. dof and Cramér's V are shared expression
+    strings over the fold outputs."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = F.broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    rt = cells.groupBy("seg").agg(F.sum("c").cast("bigint").alias("r"))
+    ct = cells.groupBy("pri").agg(F.sum("c").cast("bigint").alias("cc"))
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.coalesce(F.col("c"), F.lit(0))
+        - F.col("r").cast("decimal(38,0)") * F.col("cc")
+    )
+    terms = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["seg", "pri"], "left")
+        .select(
+            "n",
+            (
+                (num * num).cast("double")
+                / (
+                    F.col("n").cast("decimal(38,0)")
+                    * F.col("r")
+                    * F.col("cc")
+                ).cast("double")
+            ).alias("term")
+        )
+    )
+    folded = terms.groupBy("n").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(term)),"
+            " CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("chi2"),
+    )
+    dims = rt.agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    ).crossJoin(ct.agg(F.count("*").cast("bigint").alias("n_cols")))
+    return (
+        folded.crossJoin(F.broadcast(dims))
+        .select(
+            "n",
+            "n_rows",
+            "n_cols",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+            "chi2",
+            F.expr(_CHI2_V_EXPR).alias("cramers_v"),
+        )
+    )

@@ -775,3 +775,350 @@ def test_theil_sen_outlier_robustness(spark):
     assert len(got) == 1
     # slope in milli-units/hour: 2.0/hr -> 2000
     assert got[0].slope_milli_per_hr == 2000.0
+
+
+# ---------------------------------------------------------------------------
+# abtest_mann_whitney / agg_chi_square_indep / corpus_span_corruption
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_matches_python(spark, sf_dir):
+    """Independent python rank computation (average ranks on ties,
+    tie-corrected normal approximation) over the same milli-unit
+    integers — doubles must match exactly."""
+    import collections
+    import math
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+
+    registry.load_all()
+    rows = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    ).collect()
+    by_et = collections.defaultdict(list)
+    for r in rows:
+        by_et[r.event_type].append((r.x, r.arm))
+    exp = {}
+    for et, vals in by_et.items():
+        vals.sort()
+        n = len(vals)
+        n1 = sum(a for _, a in vals)
+        n0 = n - n1
+        if n0 < 1 or n1 < 1:
+            continue
+        # doubled average ranks per tie block
+        r2x1 = 0
+        tt = 0
+        i = 0
+        while i < n:
+            j = i
+            while j < n and vals[j][0] == vals[i][0]:
+                j += 1
+            t = j - i
+            lo, hi = i + 1, j
+            c1 = sum(a for _, a in vals[i:j])
+            r2x1 += c1 * (lo + hi)
+            tt += t * t * t - t
+            i = j
+        u1 = (r2x1 - n1 * (n1 + 1)) / 2.0
+        var = (n0 * n1 / 12.0) * (
+            (n + 1) - tt / (float(n) * (n - 1))
+        )
+        z = (
+            (r2x1 - n1 * (n + 1)) / (2.0 * math.sqrt(var))
+            if var != 0.0
+            else None
+        )
+        exp[et] = (n0, n1, u1, z)
+    got = {
+        r.event_type: (r.n_control, r.n_treatment, r.u_treatment, r.z_mw)
+        for r in registry.QUERIES["abtest_mann_whitney"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_mann_whitney_shift_detects(spark):
+    """Contract: a location-shifted treatment arm must produce a
+    large positive z; identical arms produce z == 0 (rank symmetry
+    is exact, not approximate)."""
+    import datetime
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        abtest_mann_whitney,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for k in range(200):
+        for arm in (0, 1):
+            eid += 1
+            rows.append(
+                (eid, base, eid * 2 + arm, "shifted",
+                 float(k) + (1000.0 if arm else 0.0), "")
+            )
+            eid += 1
+            rows.append(
+                (eid, base, eid * 2 + arm, "null_effect", float(k), "")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {r.event_type: r for r in abtest_mann_whitney(
+            spark, d
+        ).collect()}
+    assert got["shifted"].z_mw > 10
+    assert got["null_effect"].z_mw == 0.0
+    # complete separation: U equals its maximum n0*n1
+    s = got["shifted"]
+    assert s.u_treatment == s.n_control * s.n_treatment
+
+
+def test_chi_square_matches_python(spark, sf_dir):
+    """Independent python contingency fold with the same sorted
+    summation order."""
+    import collections
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+
+    registry.load_all()
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    cells = collections.Counter(
+        (seg[r.o_custkey], r.o_orderpriority) for r in o
+    )
+    rt = collections.Counter()
+    ct = collections.Counter()
+    for (s, p), c in cells.items():
+        rt[s] += c
+        ct[p] += c
+    n = sum(cells.values())
+    terms = []
+    for s in rt:
+        for p in ct:
+            c = cells.get((s, p), 0)
+            num = n * c - rt[s] * ct[p]
+            terms.append((num * num) / float(n * rt[s] * ct[p]))
+    chi2 = 0.0
+    for t in sorted(terms):
+        chi2 += t
+    import math
+
+    v = math.sqrt(chi2 / (n * (min(len(rt), len(ct)) - 1)))
+    row = registry.QUERIES["agg_chi_square_indep"](
+        spark, sf_dir
+    ).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r.n, r.n_rows, r.n_cols, r.dof) == (
+        n, len(rt), len(ct), (len(rt) - 1) * (len(ct) - 1)
+    )
+    assert r.chi2 == chi2
+    assert r.cramers_v == v
+
+
+def test_span_corruption_matches_python(spark, sf_dir):
+    """Replay the deterministic span plan in python (same md5 draw,
+    same overlap merge) for every fixture document."""
+    import hashlib
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.corpus import (
+        _SPAN_MOD,
+    )
+
+    registry.load_all()
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+
+    def start(doc_id, j):
+        h = hashlib.md5(f"{doc_id}:{j}".encode()).hexdigest()[:8]
+        return int(h, 16) % _SPAN_MOD == 0
+
+    exp = {}
+    for r in docs:
+        n = len(r.text.split(" "))
+        sa = [start(r.doc_id, j) for j in range(1, n + 1)]
+        ma = [
+            sa[i]
+            or (i >= 1 and sa[i - 1])
+            or (i >= 2 and sa[i - 2])
+            for i in range(n)
+        ]
+        n_masked = sum(ma)
+        n_spans = sum(
+            1 for i in range(n) if ma[i] and (i == 0 or not ma[i - 1])
+        )
+        checksum = sum(i + 1 for i in range(n) if ma[i])
+        # positions weighted by index: Σ i·masked(i), 1-based
+        checksum = sum((i + 1) for i in range(n) if ma[i])
+        exp[r.doc_id] = (
+            n, n_masked, n_spans, checksum, n_masked / float(n)
+        )
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.n_masked, r.n_spans, r.mask_checksum,
+            r.mask_ratio,
+        )
+        for r in registry.QUERIES["corpus_span_corruption"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_span_corruption_budget(spark, sf_dir):
+    """Corpus-level realized corruption must sit near the T5 ~15%
+    design budget (1 − 0.95³ ≈ 14.3%); wildly off means the hash
+    draw or the merge is broken in a way the per-doc differential's
+    fixture slice might not expose."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["corpus_span_corruption"](
+        spark, sf_dir
+    ).collect()
+    tot = sum(r.n_tokens for r in rows)
+    masked = sum(r.n_masked for r in rows)
+    assert 0.10 < masked / tot < 0.19, masked / tot
+
+
+# ---------------------------------------------------------------------------
+# dq_benford_digits / agg_bootstrap_ci
+# ---------------------------------------------------------------------------
+
+
+def test_benford_matches_python(spark, sf_dir):
+    """Digit histogram replayed in python over the same cents; the
+    expected shares come from the shared literal table so equality
+    is exact."""
+    import collections
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.maintenance import (
+        _BENFORD_P,
+    )
+
+    registry.load_all()
+    cents = [
+        r.c
+        for r in load(spark, sf_dir, "lineitem")
+        .select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("c")
+        )
+        .collect()
+    ]
+    counts = collections.Counter(int(str(c)[0]) for c in cents)
+    n = len(cents)
+    got = {
+        r.digit: (r.n_observed, r.share, r.benford_expected, r.abs_dev)
+        for r in registry.QUERIES["dq_benford_digits"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(counts)
+    for d, (obs, share, expd, dev) in got.items():
+        assert obs == counts[d]
+        assert share == counts[d] / float(n)
+        assert expd == _BENFORD_P[d]
+        assert dev == abs(share - _BENFORD_P[d])
+
+
+def test_bootstrap_ci_matches_python(spark, sf_dir):
+    """Full replay of the deterministic Poisson draws (same md5
+    thresholds) and the order-statistic selection."""
+    import collections
+    import hashlib
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        _BOOT_B,
+        _BOOT_HI_RANK,
+        _BOOT_LO_RANK,
+        _BOOT_THRESH,
+    )
+
+    registry.load_all()
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    ).collect()
+
+    def weight(okey, r):
+        u = int(
+            hashlib.md5(f"{okey}:{r}".encode()).hexdigest()[:8], 16
+        )
+        for k, t in enumerate(_BOOT_THRESH):
+            if u < t:
+                return k
+        return 8
+
+    reps = collections.defaultdict(lambda: [[0, 0] for _ in range(_BOOT_B)])
+    pt = collections.defaultdict(lambda: [0, 0])
+    for row in rows:
+        p = pt[row.o_orderpriority]
+        p[0] += row.cents
+        p[1] += 1
+        for r in range(1, _BOOT_B + 1):
+            w = weight(row.o_orderkey, r)
+            acc = reps[row.o_orderpriority][r - 1]
+            acc[0] += w * row.cents
+            acc[1] += w
+    exp = {}
+    for pri, accs in reps.items():
+        means = sorted(
+            (s / float(n), r + 1) for r, (s, n) in enumerate(accs)
+        )
+        exp[pri] = (
+            pt[pri][1],
+            pt[pri][0] / float(pt[pri][1]),
+            means[_BOOT_LO_RANK - 1][0],
+            means[_BOOT_HI_RANK - 1][0],
+        )
+    got = {
+        r.priority: (r.n_orders, r.mean_cents, r.ci_lo, r.ci_hi)
+        for r in registry.QUERIES["agg_bootstrap_ci"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_bootstrap_ci_brackets_sanely(spark, sf_dir):
+    """Order-statistic contract: lo < hi, both within the data's
+    range, and the point estimate inside the interval on the
+    fixture (a gross mechanism bug blows any of these)."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    for r in registry.QUERIES["agg_bootstrap_ci"](
+        spark, sf_dir
+    ).collect():
+        assert r.ci_lo < r.ci_hi
+        assert r.ci_lo <= r.mean_cents <= r.ci_hi
