@@ -92,6 +92,9 @@ _ROUND15_PRIORITY = [
     "agg_chi_square_indep",
     "dq_benford_digits",
     "agg_bootstrap_ci",
+    "agg_anova_oneway",
+    "ts_seasonal_strength",
+    "event_attribution_multi",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

@@ -3478,3 +3478,397 @@ for _doc_const in ("_BOOT_B", "_BOOT_LO_RANK", "_BOOT_HI_RANK"):
     agg_bootstrap_ci.__doc__ = agg_bootstrap_ci.__doc__.replace(
         "{%s}" % _doc_const, str(globals()[_doc_const])
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_anova_oneway — one-way ANOVA F test across k groups
+# ---------------------------------------------------------------------------
+
+#: F and η² as shared expression strings over the fold outputs
+#: (ssw, sst, n, k) — identical trees both engines.
+_ANOVA_F_EXPR = (
+    "((sst - ssw) / (k - 1)) / NULLIF(ssw / (n - k), 0.0)"
+)
+_ANOVA_ETA_EXPR = "(sst - ssw) / NULLIF(sst, 0.0)"
+
+_ANOVA_SQL = f"""
+    WITH m AS (
+      SELECT event_type AS grp,
+             CAST(round(value * 1000) AS BIGINT) AS x
+      FROM events
+    ),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(x) AS HUGEINT) AS sg,
+             SUM(CAST(x AS HUGEINT) * x) AS ssg
+      FROM m GROUP BY grp
+    ),
+    terms AS (
+      SELECT ng, sg, ssg,
+             CAST(ng * ssg - sg * sg AS DOUBLE) / CAST(ng AS DOUBLE)
+               AS within_term
+      FROM g
+    ),
+    folded AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(sg) AS s_all,
+             SUM(ssg) AS ss_all,
+             list_reduce(list_sort(list(within_term)), (a, b) -> a + b)
+               AS ssw
+      FROM terms
+    )
+    SELECT n, k, ssw,
+           CAST(CAST(n AS HUGEINT) * ss_all - s_all * s_all AS DOUBLE)
+             / CAST(n AS DOUBLE) AS sst,
+           {_ANOVA_F_EXPR.replace("sst",
+               "(CAST(CAST(n AS HUGEINT) * ss_all - s_all * s_all AS DOUBLE) / CAST(n AS DOUBLE))")}
+             AS f_stat,
+           {_ANOVA_ETA_EXPR.replace("sst",
+               "(CAST(CAST(n AS HUGEINT) * ss_all - s_all * s_all AS DOUBLE) / CAST(n AS DOUBLE))")}
+             AS eta_sq
+    FROM folded
+"""
+
+
+@query("agg_anova_oneway", oracle=_ANOVA_SQL)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types: F statistic and η² effect
+    size — the k-group member of the inference family
+    ([[abtest_welch_ttest]] two means, [[abtest_mann_whitney]] two
+    distributions, [[agg_chi_square_indep]] two labelings; this: do
+    k group means differ at all). Pipeline shape: "does SOURCE move
+    mean document quality" before burning tokens on per-source
+    curation.
+
+    Exactness: per-group moments (n, Σx, Σx²) are exact integers
+    (milli-units, [[wide_sum]]-class widening); each group's
+    within-term (n_g·Σx² − (Σx)²)/n_g is ONE double division of
+    exact wide integers, and the cross-group SSW sum — float
+    arithmetic whose order matters — uses the
+    [[agg_chi_square_indep]] sorted-fold device (array_sort +
+    left fold in BOTH engines), so the float reduction itself is
+    bit-deterministic. SST is a single division of global exact
+    moments; F and η² are shared expression strings.
+
+    Plan: ONE map-side-combined groupBy(event_type) over events is
+    the entire data-proportional cost; the k-row sorted fold and the
+    final expressions run on a report-sized frame. Identical shape
+    to [[abtest_welch_ttest]]'s six-moment fold, generalized to k
+    groups."""
+    m = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    )
+    g = m.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        # widen BEFORE the fold (sum of bigint milli-units wraps at
+        # ~1e13 rows/group; the oracle's SUM(BIGINT)→HUGEINT already
+        # accumulates 128-bit)
+        wide_sum(F.col("x")).alias("sg"),
+        wide_sum(F.col("x"), F.col("x")).alias("ssg"),
+    )
+    within = (
+        (
+            F.col("ng").cast("decimal(38,0)") * F.col("ssg")
+            - F.col("sg") * F.col("sg")
+        ).cast("double")
+        / F.col("ng").cast("double")
+    ).alias("within_term")
+    folded = g.select("ng", "sg", "ssg", within).agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("sg").alias("s_all"),
+        F.sum("ssg").alias("ss_all"),
+        F.expr(
+            "aggregate(array_sort(collect_list(within_term)),"
+            " CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("ssw"),
+    )
+    sst = (
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("ss_all")
+            - F.col("s_all") * F.col("s_all")
+        ).cast("double")
+        / F.col("n").cast("double")
+    )
+    ssb = sst - F.col("ssw")
+    return folded.select(
+        "n",
+        "k",
+        "ssw",
+        sst.alias("sst"),
+        (
+            (ssb / (F.col("k") - 1))
+            / F.nullif(
+                F.col("ssw") / (F.col("n") - F.col("k")), F.lit(0.0)
+            )
+        ).alias("f_stat"),
+        (ssb / F.nullif(sst, F.lit(0.0))).alias("eta_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonal_strength — η² of the hour-of-day factor per series
+# ---------------------------------------------------------------------------
+
+_SEAS_SQL = """
+    WITH m AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS h,
+             CAST(round(value * 1000) AS BIGINT) AS x
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(x) AS HUGEINT) AS sg,
+             SUM(CAST(x AS HUGEINT) * x) AS ssg
+      FROM m GROUP BY event_type, h
+    ),
+    peak AS (
+      SELECT event_type, h AS peak_hour FROM (
+        SELECT event_type, h,
+               row_number() OVER (
+                 PARTITION BY event_type
+                 ORDER BY CAST(sg AS DOUBLE) / ng DESC, h ASC) AS rn
+        FROM g
+      ) WHERE rn = 1
+    ),
+    folded AS (
+      SELECT event_type,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(sg) AS s_all,
+             SUM(ssg) AS ss_all,
+             list_reduce(list_sort(list(
+               CAST(ng * ssg - sg * sg AS DOUBLE) / CAST(ng AS DOUBLE)
+             )), (a, b) -> a + b) AS ssw
+      FROM g GROUP BY event_type
+    )
+    SELECT f.event_type, n, k, peak_hour,
+           1.0 - ssw / NULLIF(
+             CAST(CAST(n AS HUGEINT) * ss_all - s_all * s_all AS DOUBLE)
+               / CAST(n AS DOUBLE), 0.0) AS seasonal_strength
+    FROM folded f JOIN peak USING (event_type)
+    ORDER BY f.event_type
+"""
+
+
+@query("ts_seasonal_strength", oracle=_SEAS_SQL)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each series' variance the hour-of-day explains —
+    η² of the 24-level hourly factor (1 − SSW/SST) plus the peak
+    hour: the DECISION statistic over [[ts_seasonal_profile]]'s
+    descriptive curve (profile says WHAT the daily shape is; this
+    says whether it is signal worth modeling — the [[ts_acf]]/
+    [[ts_ljung_box]] question asked against a known period).
+    Pipeline shape: pick which metrics deserve seasonal adjustment
+    before [[ts_holt_forecast]]/[[ts_cusum_changepoint]] runs.
+
+    Exactness: the [[agg_anova_oneway]] recipe partitioned by
+    series — exact integer (n, Σx, Σx²) per (series, hour), one
+    double division per hour-term, the 24-term SSW folded in SORTED
+    order both engines, SST one division of series moments; the
+    peak hour is rank-1 SELECTION on the per-hour mean (deterministic
+    h tie-break), never a float comparison across engines that
+    disagree.
+
+    Plan: one map-side-combined groupBy(series, hour) — ≤ 24·k rows
+    out of the exchange at any corpus size — then report-sized
+    folds, a 120-row rank window, and one tiny join."""
+    m = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("h"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    )
+    g = m.groupBy("event_type", "h").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        wide_sum(F.col("x")).alias("sg"),
+        wide_sum(F.col("x"), F.col("x")).alias("ssg"),
+    ).localCheckpoint(eager=False)
+    from pyspark.sql.window import Window
+
+    peak = (
+        g.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    (F.col("sg").cast("double") / F.col("ng")).desc(),
+                    F.col("h").asc(),
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("h").alias("peak_hour"))
+    )
+    within = (
+        (
+            F.col("ng").cast("decimal(38,0)") * F.col("ssg")
+            - F.col("sg") * F.col("sg")
+        ).cast("double")
+        / F.col("ng").cast("double")
+    ).alias("within_term")
+    folded = g.select("event_type", "ng", "sg", "ssg", within).groupBy(
+        "event_type"
+    ).agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("sg").alias("s_all"),
+        F.sum("ssg").alias("ss_all"),
+        F.expr(
+            "aggregate(array_sort(collect_list(within_term)),"
+            " CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("ssw"),
+    )
+    sst = (
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("ss_all")
+            - F.col("s_all") * F.col("s_all")
+        ).cast("double")
+        / F.col("n").cast("double")
+    )
+    return (
+        folded.join(F.broadcast(peak), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "k",
+            "peak_hour",
+            (F.lit(1.0) - F.col("ssw") / F.nullif(sst, F.lit(0.0))).alias(
+                "seasonal_strength"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_attribution_multi — three classic attribution models, one pass
+# ---------------------------------------------------------------------------
+
+#: Lookback window before each conversion, in seconds.
+_ATTR_WINDOW_S = 3600
+
+#: Linear credit is integer micro-units truncated per touch
+#: (1e6 div k): sums stay exact integers across engines; the ≤ k−1
+#: micro-unit truncation loss per conversion is the documented,
+#: deterministic cost of never summing rationals in float.
+_ATTR_SCALE = 1_000_000
+
+_ATTR_SQL = f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id, event_id AS c_id, sec AS c_sec
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id, event_type, sec
+      FROM ev WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+      SELECT c.c_id, t.event_id, t.event_type, t.sec,
+             CAST(COUNT(*) OVER (PARTITION BY c.c_id) AS BIGINT) AS k,
+             row_number() OVER (PARTITION BY c.c_id
+                                ORDER BY t.sec DESC, t.event_id DESC)
+               AS rn_last,
+             row_number() OVER (PARTITION BY c.c_id
+                                ORDER BY t.sec ASC, t.event_id ASC)
+               AS rn_first
+      FROM conv c
+      JOIN touch t ON t.user_id = c.user_id
+                  AND t.sec < c.c_sec
+                  AND t.sec >= c.c_sec - {_ATTR_WINDOW_S}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM({_ATTR_SCALE} // k) AS BIGINT) AS linear_credit_micro,
+           CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch_convs,
+           CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch_convs
+    FROM pairs
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@query("event_attribution_multi", oracle=_ATTR_SQL)
+def event_attribution_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution over the events stream —
+    first-touch, last-touch, and linear credit per touch channel for
+    every purchase's preceding-hour touches, in ONE windowed pass:
+    the revenue-analytics member next to [[funnel_steps]] (ordered
+    reach) and [[event_transitions]] (Markov structure); the same
+    query shape attributes which upstream crawl/filter stage
+    "converted" a document in a data pipeline's lineage log.
+
+    Exactness: all three models are integer algebra — linear credit
+    is 1e6 div k micro-units per touch (truncated: summing exact
+    1/k rationals in float would be order-dependent; the ≤ k−1
+    micro loss per conversion is deterministic and documented),
+    first/last are rank-1 SELECTIONS on (epoch-second, event_id) —
+    total orders, so the engines cannot disagree on ties.
+
+    Plan: the conversions⋈touches range join is an equi-join on
+    user_id with the window predicate as a residual filter (per-user
+    fan-out is bounded by per-user event density per hour — the
+    [[join_range_asof]] scale argument); two rank windows + the
+    per-conversion count share ONE (c_id) exchange; the report fold
+    is map-side combined to ≤ 4 channel rows."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("c_id"),
+        F.col("sec").alias("c_sec"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase")
+    pairs = conv.join(
+        touch,
+        (conv.user_id == touch.user_id)
+        & (touch.sec < conv.c_sec)
+        & (touch.sec >= conv.c_sec - _ATTR_WINDOW_S),
+    ).select("c_id", "event_id", "event_type", "sec")
+    from pyspark.sql.window import Window
+
+    wc = Window.partitionBy("c_id")
+    ranked = (
+        pairs.withColumn(
+            "k", F.count("*").over(wc).cast("bigint")
+        )
+        .withColumn(
+            "rn_last",
+            F.row_number().over(
+                wc.orderBy(F.col("sec").desc(), F.col("event_id").desc())
+            ),
+        )
+        .withColumn(
+            "rn_first",
+            F.row_number().over(
+                wc.orderBy(F.col("sec").asc(), F.col("event_id").asc())
+            ),
+        )
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.sum(F.expr(f"{_ATTR_SCALE} div k"))
+            .cast("bigint")
+            .alias("linear_credit_micro"),
+            F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("first_touch_convs"),
+            F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("last_touch_convs"),
+        )
+        .orderBy("event_type")
+    )

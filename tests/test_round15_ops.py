@@ -1122,3 +1122,151 @@ def test_bootstrap_ci_brackets_sanely(spark, sf_dir):
     ).collect():
         assert r.ci_lo < r.ci_hi
         assert r.ci_lo <= r.mean_cents <= r.ci_hi
+
+
+# ---------------------------------------------------------------------------
+# agg_anova_oneway / ts_seasonal_strength
+# ---------------------------------------------------------------------------
+
+
+def _py_anova_terms(groups):
+    """(n, k, ssw, sst) replaying the exact arithmetic: integer
+    moments, one division per within-term, sorted left fold."""
+    n = sum(ng for ng, _, _ in groups)
+    s_all = sum(sg for _, sg, _ in groups)
+    ss_all = sum(ssg for _, _, ssg in groups)
+    terms = sorted(
+        (ng * ssg - sg * sg) / float(ng) for ng, sg, ssg in groups
+    )
+    ssw = 0.0
+    for t in terms:
+        ssw += t
+    sst = (n * ss_all - s_all * s_all) / float(n)
+    return n, len(groups), ssw, sst
+
+
+def test_anova_matches_python(spark, sf_dir):
+    import collections
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+
+    registry.load_all()
+    rows = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    ).collect()
+    acc = collections.defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        a = acc[r.event_type]
+        a[0] += 1
+        a[1] += r.x
+        a[2] += r.x * r.x
+    n, k, ssw, sst = _py_anova_terms(list(acc.values()))
+    f = ((sst - ssw) / (k - 1)) / (ssw / (n - k))
+    eta = (sst - ssw) / sst
+    got = registry.QUERIES["agg_anova_oneway"](spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n, r.k, r.ssw, r.sst) == (n, k, ssw, sst)
+    assert (r.f_stat, r.eta_sq) == (f, eta)
+
+
+def test_seasonal_strength_matches_python(spark, sf_dir):
+    import collections
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+
+    registry.load_all()
+    rows = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("h"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    ).collect()
+    acc = collections.defaultdict(
+        lambda: collections.defaultdict(lambda: [0, 0, 0])
+    )
+    for r in rows:
+        a = acc[r.event_type][r.h]
+        a[0] += 1
+        a[1] += r.x
+        a[2] += r.x * r.x
+    exp = {}
+    for et, hours in acc.items():
+        n, k, ssw, sst = _py_anova_terms(list(hours.values()))
+        peak = min(
+            hours, key=lambda h: (-(hours[h][1] / float(hours[h][0])), h)
+        )
+        exp[et] = (n, k, peak, 1.0 - ssw / sst)
+    got = {
+        r.event_type: (r.n, r.k, r.peak_hour, r.seasonal_strength)
+        for r in registry.QUERIES["ts_seasonal_strength"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+    for _, _, _, s in got.values():
+        assert -1e-12 < s < 1.0
+
+
+# ---------------------------------------------------------------------------
+# event_attribution_multi
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_matches_python(spark, sf_dir):
+    """Replay the three attribution models in python: same window,
+    same tie-breaks, same truncated micro credits."""
+    import collections
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        _ATTR_SCALE,
+        _ATTR_WINDOW_S,
+    )
+
+    registry.load_all()
+    rows = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.col("ts").cast("long").alias("sec"),
+    ).collect()
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for evs in by_user.values():
+        convs = [e for e in evs if e.event_type == "purchase"]
+        touches = [e for e in evs if e.event_type != "purchase"]
+        for c in convs:
+            win = [
+                t for t in touches
+                if c.sec - _ATTR_WINDOW_S <= t.sec < c.sec
+            ]
+            if not win:
+                continue
+            k = len(win)
+            first = min(win, key=lambda t: (t.sec, t.event_id))
+            last = max(win, key=lambda t: (t.sec, t.event_id))
+            for t in win:
+                a = agg[t.event_type]
+                a[0] += 1
+                a[1] += _ATTR_SCALE // k
+            agg[first.event_type][2] += 1
+            agg[last.event_type][3] += 1
+    got = {
+        r.event_type: (
+            r.n_touches, r.linear_credit_micro,
+            r.first_touch_convs, r.last_touch_convs,
+        )
+        for r in registry.QUERIES["event_attribution_multi"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # conservation: every attributed conversion hands out exactly one
+    # first and one last touch
+    firsts = sum(v[2] for v in agg.values())
+    lasts = sum(v[3] for v in agg.values())
+    assert firsts == lasts and firsts > 0
