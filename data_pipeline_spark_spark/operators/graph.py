@@ -70,11 +70,22 @@ _BCAST_MODE_CONF = "spark.data_pipeline_spark.graph.broadcastState"
 #: explicit loop-state broadcast is comfortable far beyond it (the
 #: triangle closure's ~20 MB edge list is a measured 2.2× win over
 #: the shuffle form) and only truly bounded by driver/executor heap
-#: and Spark's 8 GB broadcast hard cap. 256 MB keeps two orders of
+#: and Spark's 8 GB broadcast hard cap. 1 GB keeps an order of
 #: headroom under both on any plausible cluster; ≤ 0 disables
 #: broadcasting outright.
+#:
+#: Why 1 GB and not the original 256 MB: the sf1 co-order edge list
+#: (11.96M oriented edges ≈ 287 MB at the 24 B/row estimate) sat
+#: just past the old cap, so "auto" silently dropped the whole
+#: triangle family onto the wedge-SHUFFLING closure for the first
+#: time in r15 — measured 240 s vs 117 s solo for
+#: graph_triangle_count at sf1, with GCLocker stalls, and a
+#: heap-death under the probe session's extra memory pressure
+#: (docs/SCALE.md r15). The cliff cost is ~2× wall BEFORE the OOM
+#: risk, so the auto cap must sit where broadcast genuinely stops
+#: being the better plan, not at a round number under it.
 _BCAST_BYTES_CONF = "spark.data_pipeline_spark.graph.maxBroadcastStateBytes"
-_BCAST_BYTES_DEFAULT = 256 * 1024 * 1024
+_BCAST_BYTES_DEFAULT = 1024 * 1024 * 1024
 
 #: Conservative on-wire estimate per state row — the family's state
 #: frames are two packed longs plus row overhead.

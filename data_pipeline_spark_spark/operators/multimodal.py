@@ -779,3 +779,134 @@ multimodal_phash_near_dup.__doc__ = (
 )
 
 phash64.__doc__ = phash64.__doc__.replace("{cells}", str(_PH_CELLS))
+
+
+# ---------------------------------------------------------------------------
+# multimodal_scene_segments — temporal segmentation over the frame stream
+# ---------------------------------------------------------------------------
+
+#: Frame geometry shared with [[multimodal_frame_sample]] (16-byte
+#: frames) and the boundary threshold on the |Δ luminance-sum|
+#: between consecutive frames — 100 gives the fixture real texture
+#: (mean ~5 segments of ~18 frames, range 1–15 at sf0.01; measured
+#: while landing the key, not assumed).
+_SCENE_FRAME_B = 16
+_SCENE_TAU = 100
+
+_SCENE_SQL = f"""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS t
+      FROM documents
+      WHERE octet_length(encode(text)) >= {_SCENE_FRAME_B}
+    ),
+    f AS (
+      SELECT doc_id, t // {_SCENE_FRAME_B} AS nf,
+        list_transform(range(t // {_SCENE_FRAME_B}), fr ->
+          list_sum(list_transform(
+            range(fr * {_SCENE_FRAME_B}, (fr + 1) * {_SCENE_FRAME_B}),
+            p -> {_ph_byte("strpos", "p")}))) AS ft
+      FROM h
+    ),
+    b AS (
+      SELECT doc_id, nf,
+        CASE WHEN nf >= 2 THEN COALESCE(list_sum(
+          list_transform(range(1, CAST(nf AS INT)), fr ->
+            CASE WHEN abs(list_extract(ft, CAST(fr + 1 AS INT))
+                          - list_extract(ft, CAST(fr AS INT)))
+                      > {_SCENE_TAU} THEN 1 ELSE 0 END)), 0)
+        ELSE 0 END AS n_boundaries,
+        CASE WHEN nf >= 2 THEN COALESCE(list_sum(
+          list_transform(range(1, CAST(nf AS INT)), fr ->
+            CASE WHEN abs(list_extract(ft, CAST(fr + 1 AS INT))
+                          - list_extract(ft, CAST(fr AS INT)))
+                      > {_SCENE_TAU} THEN fr ELSE 0 END)), 0)
+        ELSE 0 END AS boundary_checksum
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(n_boundaries + 1 AS BIGINT) AS n_segments,
+           CAST(boundary_checksum AS BIGINT) AS boundary_checksum,
+           CAST(1000 * nf AS BIGINT) // (n_boundaries + 1)
+             AS mean_seg_len_milli
+    FROM b
+    ORDER BY doc_id
+"""
+
+
+@query("multimodal_scene_segments", oracle=_SCENE_SQL)
+def multimodal_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot/scene-boundary segmentation over the video-like frame
+    stream: consecutive-frame luminance-sum deltas above a threshold
+    cut the payload into segments — the temporal-structure operator
+    completing the multimodal family ([[multimodal_frame_sample]]
+    samples the stream, [[multimodal_phash_near_dup]] compares
+    whole payloads; this finds structure WITHIN one payload: the
+    standard pre-step before per-scene captioning or keyframe
+    selection in a multimodal training pipeline). Same stub
+    convention as the codec siblings: "frame" = {_SCENE_FRAME_B}
+    payload bytes, "luminance" = byte sum; a real decoder swaps into
+    the same column without touching the plan.
+
+    Exactness: frame features are exact integer byte sums off the
+    ONE let-bound hex column (the [[phash64]] discipline — re-hexing
+    per frame is the O(T²) cliff); boundaries are integer compares;
+    the segment-length summary is integer milli-division. The
+    nf == 1 guard is load-bearing: Spark's INCLUSIVE sequence(1, 0)
+    is a descending 2-list where DuckDB's half-open range(1, 1) is
+    empty (the phash64 r15 review lesson, same trap one row up).
+
+    Plan: shuffle-free in-row HOFs over a projected scan (the
+    winnow/gopher class) — per-doc cost O(bytes), zero exchanges at
+    any corpus size."""
+    fb, tau = _SCENE_FRAME_B, _SCENE_TAU
+    d = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    h = d.filter(F.expr(f"octet_length(payload) >= {fb}")).select(
+        "doc_id",
+        F.expr("hex(payload)").alias("hx"),
+        F.expr("CAST(octet_length(payload) AS BIGINT)").alias("t"),
+    )
+    f = h.select(
+        "doc_id",
+        F.expr(f"t div {fb}").alias("nf"),
+        F.expr(
+            f"transform(sequence(0, CAST(t div {fb} AS INT) - 1), fr ->"
+            f" aggregate(sequence(fr * {fb}, (fr + 1) * {fb} - 1),"
+            f" CAST(0 AS BIGINT), (a, p) -> a + {_ph_byte('instr', 'p')}))"
+        ).alias("ft"),
+    )
+    delta = (
+        f"abs(element_at(ft, CAST(fr + 1 AS INT))"
+        f" - element_at(ft, CAST(fr AS INT))) > {tau}"
+    )
+    b = f.select(
+        "doc_id",
+        "nf",
+        F.expr(
+            f"IF(nf >= 2, aggregate(sequence(1, CAST(nf AS INT) - 1),"
+            f" CAST(0 AS BIGINT), (a, fr) -> a + IF({delta}, 1, 0)), 0)"
+        ).alias("n_boundaries"),
+        F.expr(
+            f"IF(nf >= 2, aggregate(sequence(1, CAST(nf AS INT) - 1),"
+            f" CAST(0 AS BIGINT), (a, fr) -> a + IF({delta}, fr, 0)), 0)"
+        ).alias("boundary_checksum"),
+    )
+    return b.select(
+        "doc_id",
+        F.col("nf").cast("bigint").alias("n_frames"),
+        (F.col("n_boundaries") + 1).cast("bigint").alias("n_segments"),
+        F.col("boundary_checksum").cast("bigint").alias(
+            "boundary_checksum"
+        ),
+        F.expr("(1000 * nf) div (n_boundaries + 1)")
+        .cast("bigint")
+        .alias("mean_seg_len_milli"),
+    ).orderBy("doc_id")
+
+
+multimodal_scene_segments.__doc__ = multimodal_scene_segments.__doc__.replace(
+    "{_SCENE_FRAME_B}", str(_SCENE_FRAME_B)
+)

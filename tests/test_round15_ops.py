@@ -1270,3 +1270,80 @@ def test_attribution_matches_python(spark, sf_dir):
     firsts = sum(v[2] for v in agg.values())
     lasts = sum(v[3] for v in agg.values())
     assert firsts == lasts and firsts > 0
+
+
+# ---------------------------------------------------------------------------
+# multimodal_scene_segments
+# ---------------------------------------------------------------------------
+
+
+def _py_scene(text, fb=16, tau=100):
+    raw = text.encode()
+    nf = len(raw) // fb
+    if nf < 1:
+        return None
+    ft = [sum(raw[fb * f : fb * (f + 1)]) for f in range(nf)]
+    bounds = [
+        f for f in range(1, nf) if abs(ft[f] - ft[f - 1]) > tau
+    ]
+    nseg = len(bounds) + 1
+    return (nf, nseg, sum(bounds), 1000 * nf // nseg)
+
+
+def test_scene_segments_matches_python(spark, sf_dir):
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+
+    registry.load_all()
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    exp = {
+        r.doc_id: _py_scene(r.text)
+        for r in docs
+        if _py_scene(r.text) is not None
+    }
+    got = {
+        r.doc_id: (
+            r.n_frames, r.n_segments, r.boundary_checksum,
+            r.mean_seg_len_milli,
+        )
+        for r in registry.QUERIES["multimodal_scene_segments"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+    assert any(v[1] > 1 for v in got.values()), (
+        "threshold produced zero boundaries corpus-wide — vacuous"
+    )
+
+
+def test_scene_segments_crafted_geometry(spark):
+    """Alternating 16-'a' / 16-'z' frames cut at EVERY junction
+    (|Δ| = 400); a constant payload yields one segment; a 31-byte
+    payload is a single (truncated-tail) frame with zero
+    boundaries, not a sequence(1,0) artifact."""
+    import tempfile
+
+    from data_pipeline_spark_spark.operators.multimodal import (
+        multimodal_scene_segments,
+    )
+
+    alt = ("a" * 16 + "z" * 16) * 4     # 8 frames, 7 boundaries
+    flat = "m" * 64                      # 4 frames, 0 boundaries
+    tail = "q" * 31                      # 1 frame (15-byte tail dropped)
+    df = spark.createDataFrame(
+        [(1, alt, "en", "s", 128), (2, flat, "en", "s", 64),
+         (3, tail, "en", "s", 31)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_frames, r.n_segments, r.boundary_checksum)
+            for r in multimodal_scene_segments(spark, d).collect()
+        }
+    assert got[1] == (8, 8, sum(range(1, 8)))
+    assert got[2] == (4, 1, 0)
+    assert got[3] == (1, 1, 0)
