@@ -95,6 +95,7 @@ _ROUND15_PRIORITY = [
     "agg_anova_oneway",
     "ts_seasonal_strength",
     "event_attribution_multi",
+    "multimodal_scene_segments",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

@@ -861,7 +861,11 @@ def multimodal_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnow/gopher class) — per-doc cost O(bytes), zero exchanges at
     any corpus size."""
     fb, tau = _SCENE_FRAME_B, _SCENE_TAU
-    d = load(spark, sf_dir, "documents").withColumn(
+    # fan_out BEFORE the per-byte work: the fixture parquet is one
+    # unsplittable row group, so without it the O(bytes)/doc feature
+    # pass runs on ONE core (the phash64 r15 cliff — measured here
+    # too: 13.6 s → ~2 s at sf0.1)
+    d = fan_out(load(spark, sf_dir, "documents")).withColumn(
         "payload", F.encode("text", "UTF-8")
     )
     h = d.filter(F.expr(f"octet_length(payload) >= {fb}")).select(
