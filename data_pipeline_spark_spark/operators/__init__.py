@@ -96,6 +96,8 @@ _ROUND15_PRIORITY = [
     "ts_seasonal_strength",
     "event_attribution_multi",
     "multimodal_scene_segments",
+    "window_rolling_median",
+    "abtest_ratio_delta",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

@@ -3872,3 +3872,144 @@ def event_attribution_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# abtest_ratio_delta — delta-method ratio-metric readout (clustered users)
+# ---------------------------------------------------------------------------
+
+
+def _rd_r(s: str) -> str:
+    return f"(CAST(sx{s} AS DOUBLE) / CAST(sy{s} AS DOUBLE))"
+
+
+def _rd_var(s: str) -> str:
+    """Delta-method variance of the ratio-of-sums for arm suffix
+    ``s`` — ONE expression string over the exact wide moment
+    columns, shared verbatim by both engines. The covariance-form
+    numerators are subtracted EXACTLY in the 128-bit integer domain
+    and cast to double once (better conditioned than double-domain
+    subtraction, and parity-free either way)."""
+    r = _rd_r(s)
+    return (
+        f"((CAST(n{s} * sxx{s} - sx{s} * sx{s} AS DOUBLE)"
+        f" - 2.0 * {r} * CAST(n{s} * sxy{s} - sx{s} * sy{s} AS DOUBLE)"
+        f" + {r} * {r} * CAST(n{s} * syy{s} - sy{s} * sy{s} AS DOUBLE))"
+        f" / (CAST(n{s} AS DOUBLE) * (n{s} - 1))"
+        f" / (CAST(sy{s} AS DOUBLE) * CAST(sy{s} AS DOUBLE)"
+        f"    / CAST(n{s} AS DOUBLE)))"
+    )
+
+
+_RD_Z = (
+    f"({_rd_r('1')} - {_rd_r('0')})"
+    f" / sqrt({_rd_var('0')} + {_rd_var('1')})"
+)
+
+_RD_SQL = f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 1000) AS BIGINT)
+                      ELSE 0 END) AS x,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx0,
+        SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx1,
+        SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy0,
+        SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy1,
+        SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+          AS sxx0,
+        SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+          AS sxx1,
+        SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+          AS sxy0,
+        SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+          AS sxy1,
+        SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+          AS syy0,
+        SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+          AS syy1
+      FROM u
+    )
+    SELECT n0 AS n_control_users, n1 AS n_treatment_users,
+           {_rd_r('0')} AS ratio_control,
+           {_rd_r('1')} AS ratio_treatment,
+           ({_rd_r('1')} - {_rd_r('0')}) AS ratio_diff,
+           {_RD_Z} AS z_delta
+    FROM g
+"""
+
+
+@query("abtest_ratio_delta", oracle=_RD_SQL)
+def abtest_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-metric experiment readout with the delta method —
+    purchase revenue PER VIEW, arms by ``user_id % 2``, variance
+    via first-order Taylor expansion over per-USER aggregates
+    (Deng, Knoblich & Lu 2018): the statistically-correct analysis
+    for every "X per Y" metric, where naive row-level variance is
+    wrong because the randomization unit (user) clusters both
+    numerator and denominator. Completes the experimentation
+    family: [[abtest_welch_ttest]] means, [[abtest_mann_whitney]]
+    distributions, [[agg_bootstrap_ci]] nonparametric brackets —
+    this: ratios, the metric class that powers most real dashboards.
+
+    Exactness: per-user (x, y) aggregates are exact integers; the
+    six per-arm moments widen through the 128-bit domain; every
+    covariance-form numerator (n·Sxy − Sx·Sy …) is subtracted
+    EXACTLY in integers and cast to double once; R, Var(R), and z
+    are shared expression strings over those columns. Ratio and z
+    parity is therefore bit-exact with no tolerance.
+
+    Plan: one groupBy(user_id) fold over events (map-side combined),
+    one 12-moment single-row fold — the welch shape with a
+    user-grain pre-aggregation in front. Nothing downstream of the
+    second fold touches data."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 1000).cast("bigint"),
+            ).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).cast("bigint").alias("y"),
+    ).withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+
+    def arm_mom(a: int, expr, *more):
+        return wide_sum(
+            F.when(F.col("arm") == a, expr).otherwise(0), *more
+        )
+
+    g = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        arm_mom(0, F.col("x")).alias("sx0"),
+        arm_mom(1, F.col("x")).alias("sx1"),
+        arm_mom(0, F.col("y")).alias("sy0"),
+        arm_mom(1, F.col("y")).alias("sy1"),
+        arm_mom(0, F.col("x"), F.col("x")).alias("sxx0"),
+        arm_mom(1, F.col("x"), F.col("x")).alias("sxx1"),
+        arm_mom(0, F.col("x"), F.col("y")).alias("sxy0"),
+        arm_mom(1, F.col("x"), F.col("y")).alias("sxy1"),
+        arm_mom(0, F.col("y"), F.col("y")).alias("syy0"),
+        arm_mom(1, F.col("y"), F.col("y")).alias("syy1"),
+    )
+    return g.select(
+        F.col("n0").alias("n_control_users"),
+        F.col("n1").alias("n_treatment_users"),
+        F.expr(_rd_r("0")).alias("ratio_control"),
+        F.expr(_rd_r("1")).alias("ratio_treatment"),
+        F.expr(f"({_rd_r('1')} - {_rd_r('0')})").alias("ratio_diff"),
+        F.expr(_RD_Z).alias("z_delta"),
+    )

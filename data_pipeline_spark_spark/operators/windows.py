@@ -280,3 +280,89 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(w).alias("trailing_7d_cents"),
         F.count("*").over(w).alias("trailing_7d_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window_rolling_median — exact selection median over a trailing frame
+# ---------------------------------------------------------------------------
+
+#: Trailing frame size (current row + the 24 preceding) per series.
+_ROLLMED_N = 25
+
+_ROLLMED_SQL = f"""
+    WITH m AS (
+      SELECT event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value * 1000) AS BIGINT) AS x
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, event_id, sec, x,
+             list_sort(list(x) OVER (
+               PARTITION BY event_type ORDER BY sec, event_id
+               ROWS BETWEEN {_ROLLMED_N - 1} PRECEDING AND CURRENT ROW
+             )) AS frame
+      FROM m
+    )
+    SELECT event_type, event_id, x,
+           list_extract(frame, CAST((len(frame) + 1) // 2 AS INT))
+             AS rolling_median_milli
+    FROM w
+    ORDER BY event_type, sec, event_id
+"""
+
+
+@query("window_rolling_median", oracle=_ROLLMED_SQL)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over the trailing {_ROLLMED_N}-row frame
+    per series — the robust smoother next to [[ts_ewma_smooth]]
+    (which one spike drags) and [[ts_anomaly_mad]] (whose global MAD
+    this localizes): the standard de-spiking pass before
+    changepoint/trend estimation on contaminated telemetry.
+
+    Exactness: both engines collect the SAME frame (identical
+    (sec, event_id) total order), sort it, and SELECT the lower
+    median at rank (n+1)//2 — integer milli values, no averaging of
+    the two middle elements, no float anywhere. DuckDB evaluates
+    its native list()-over-window; Spark's collect_list over the
+    frame is the same multiset, and sort order on integers is
+    engine-free.
+
+    Plan: ONE window exchange (series-partitioned sort both ranks
+    ride); the in-frame sort is O(N log N) per row on a
+    {_ROLLMED_N}-element array — constant per row, embarrassingly
+    parallel, no second exchange. At 100 TB this is the same
+    window-partitioning contract as every ts sibling; N is the
+    memory knob and it is O(1)."""
+    m = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    )
+    frame = F.array_sort(
+        F.collect_list("x").over(
+            W.partitionBy("event_type")
+            .orderBy("sec", "event_id")
+            .rowsBetween(-(_ROLLMED_N - 1), 0)
+        )
+    )
+    return (
+        m.withColumn("frame", frame)
+        .select(
+            "event_type",
+            "event_id",
+            "x",
+            F.expr(
+                "element_at(frame, CAST((size(frame) + 1) div 2 AS INT))"
+            ).alias("rolling_median_milli"),
+            "sec",
+        )
+        .orderBy("event_type", "sec", "event_id")
+        .drop("sec")
+    )
+
+
+window_rolling_median.__doc__ = window_rolling_median.__doc__.replace(
+    "{_ROLLMED_N}", str(_ROLLMED_N)
+)

@@ -1347,3 +1347,97 @@ def test_scene_segments_crafted_geometry(spark):
     assert got[1] == (8, 8, sum(range(1, 8)))
     assert got[2] == (4, 1, 0)
     assert got[3] == (1, 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# window_rolling_median / abtest_ratio_delta
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_median_matches_python(spark, sf_dir):
+    import collections
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.windows import (
+        _ROLLMED_N,
+    )
+
+    registry.load_all()
+    rows = load(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.col("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    ).collect()
+    series = collections.defaultdict(list)
+    for r in rows:
+        series[r.event_type].append((r.sec, r.event_id, r.x))
+    exp = {}
+    for et, evs in series.items():
+        evs.sort()
+        for i, (_, eid, _x) in enumerate(evs):
+            frame = sorted(
+                x for _, _, x in evs[max(0, i - _ROLLMED_N + 1): i + 1]
+            )
+            exp[(et, eid)] = frame[(len(frame) + 1) // 2 - 1]
+    got = {
+        (r.event_type, r.event_id): r.rolling_median_milli
+        for r in registry.QUERIES["window_rolling_median"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_ratio_delta_matches_python(spark, sf_dir):
+    import collections
+    import math
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+
+    registry.load_all()
+    rows = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+    ).collect()
+    users = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        if r.event_type == "purchase":
+            users[r.user_id][0] += r.v
+        elif r.event_type == "view":
+            users[r.user_id][1] += 1
+    arms = {0: [], 1: []}
+    for uid, (x, y) in users.items():
+        arms[uid % 2].append((x, y))
+
+    def mom(vals):
+        n = len(vals)
+        sx = sum(x for x, _ in vals)
+        sy = sum(y for _, y in vals)
+        sxx = sum(x * x for x, _ in vals)
+        sxy = sum(x * y for x, y in vals)
+        syy = sum(y * y for _, y in vals)
+        r = float(sx) / float(sy)
+        var = (
+            (
+                float(n * sxx - sx * sx)
+                - 2.0 * r * float(n * sxy - sx * sy)
+                + r * r * float(n * syy - sy * sy)
+            )
+            / (float(n) * (n - 1))
+            / (float(sy) * float(sy) / float(n))
+        )
+        return n, r, var
+
+    n0, r0, v0 = mom(arms[0])
+    n1, r1, v1 = mom(arms[1])
+    row = registry.QUERIES["abtest_ratio_delta"](
+        spark, sf_dir
+    ).collect()
+    assert len(row) == 1
+    g = row[0]
+    assert (g.n_control_users, g.n_treatment_users) == (n0, n1)
+    assert (g.ratio_control, g.ratio_treatment) == (r0, r1)
+    assert g.ratio_diff == r1 - r0
+    assert g.z_delta == (r1 - r0) / math.sqrt(v0 + v1)
