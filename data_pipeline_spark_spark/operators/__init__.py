@@ -98,6 +98,8 @@ _ROUND15_PRIORITY = [
     "multimodal_scene_segments",
     "window_rolling_median",
     "abtest_ratio_delta",
+    "graph_degree_stats",
+    "text_keyphrase_rake",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

@@ -1435,3 +1435,134 @@ graph_kcore.__doc__ = graph_kcore.__doc__.replace(
 kcore_rounds_of.__doc__ = kcore_rounds_of.__doc__.replace(
     "{_KCORE_NUM}", str(_KCORE_NUM)
 ).replace("{_KCORE_DEN}", str(_KCORE_DEN))
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_stats — degree summary + Hill power-law tail estimate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    half AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT src AS id FROM half
+        UNION ALL SELECT dst AS id FROM half
+      ) GROUP BY id
+    ),
+    km AS (
+      SELECT d AS kmin FROM (
+        SELECT d,
+               row_number() OVER (ORDER BY d) AS rn,
+               COUNT(*) OVER () AS n
+        FROM deg
+      ) WHERE rn = (n + 1) // 2
+    ),
+    tail AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+             CAST(SUM(CAST(round(ln(deg.d) * 1000000) AS BIGINT)
+                      - CAST(round(ln(km.kmin) * 1000000) AS BIGINT))
+                  AS BIGINT) AS sum_micro
+      FROM deg CROSS JOIN km
+      WHERE deg.d >= km.kmin
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM half) AS n_edges,
+           (SELECT CAST(MIN(d) AS BIGINT) FROM deg) AS d_min,
+           (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS d_max,
+           CAST((SELECT 2 * COUNT(*) FROM half) AS DOUBLE)
+             / (SELECT COUNT(*) FROM deg) AS mean_degree,
+           (SELECT CAST(kmin AS BIGINT) FROM km) AS kmin_median,
+           tail.n_tail,
+           1.0 + CAST(tail.n_tail AS DOUBLE) * 1000000.0
+             / NULLIF(tail.sum_micro, 0) AS alpha_hill
+    FROM tail
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution diagnostics for the co-order graph: node
+    and edge counts, degree extremes, mean degree, and the Hill
+    maximum-likelihood power-law tail exponent α̂ = 1 + n/Σ
+    ln(d_i/k_min) over the upper-median tail — the one-row report
+    that decides which graph algorithms are even safe to run
+    (α < 2.5 hub-heavy graphs are where the degree-orientation and
+    salting disciplines earn their keep; the mean/max gap is the
+    skew alarm [[profile_join_skew]] raises for join keys, here for
+    the graph family).
+
+    Exactness: degrees and counts are exact; k_min is the MEDIAN
+    degree by rank SELECTION; each ln(d) is quantized ONCE per
+    distinct integer through the shared [[micro_ln]] contract, so
+    the tail sum is an exact integer in micro-nats and α̂ is one
+    shared final division. Mean degree is 2|E|/|V|, one division.
+
+    Plan: the shared [[_co_order_edges]] build (the dominant, and
+    amortizable, cost), one degree fold, one |V|-row rank window
+    for the median, one tail fold. Everything after the edge build
+    is |V|-proportional."""
+    half = (
+        _co_order_edges(load(spark, sf_dir, "lineitem"))
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    deg = _half_degrees(half).localCheckpoint(eager=False)
+    from pyspark.sql.window import Window
+
+    km = (
+        deg.withColumn(
+            "rn", F.row_number().over(Window.orderBy("d"))
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("d").alias("kmin"))
+    )
+    from ..functions.exact import micro_ln
+
+    tail = (
+        deg.crossJoin(F.broadcast(km))
+        .filter(F.col("d") >= F.col("kmin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_tail"),
+            F.sum(micro_ln(F.col("d")) - micro_ln(F.col("kmin")))
+            .cast("bigint")
+            .alias("sum_micro"),
+            F.max("kmin").cast("bigint").alias("kmin_median"),
+        )
+    )
+    summary = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.min("d").cast("bigint").alias("d_min"),
+        F.max("d").cast("bigint").alias("d_max"),
+    ).crossJoin(half.agg(F.count("*").cast("bigint").alias("n_edges")))
+    return (
+        summary.crossJoin(F.broadcast(tail))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "d_min",
+            "d_max",
+            (
+                (F.lit(2) * F.col("n_edges")).cast("double")
+                / F.col("n_nodes")
+            ).alias("mean_degree"),
+            "kmin_median",
+            "n_tail",
+            (
+                F.lit(1.0)
+                + F.col("n_tail").cast("double")
+                * 1000000.0
+                / F.nullif(F.col("sum_micro").cast("double"), F.lit(0.0))
+            ).alias("alpha_hill"),
+        )
+    )

@@ -2156,3 +2156,144 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("vocab_size").cast("double")
         ).alias("hapax_ratio"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# text_keyphrase_rake — RAKE keyword extraction (Rose et al. 2010)
+# ---------------------------------------------------------------------------
+
+#: RAKE delimiter vocabulary: phrases are maximal runs of
+#: non-stopword tokens. Fixed tuple so the oracle replays it.
+_RAKE_STOP = (
+    "the", "a", "of", "and", "to", "in", "is", "it",
+    "be", "that", "have", "with",
+)
+
+#: Top-k phrases reported.
+_RAKE_TOPK = 20
+
+_RAKE_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, u.pos, u.w,
+             CASE WHEN u.w IN {_RAKE_STOP!s} THEN 1 ELSE 0 END AS s
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(string_split(text, ' '),
+                      (x, i) -> struct_pack(pos := i, w := x))) AS u
+        FROM documents
+      )
+    ),
+    grouped AS (
+      SELECT doc_id, pos, w, s,
+             SUM(s) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM tok
+    ),
+    pw AS (
+      SELECT doc_id, grp, pos, w,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id, grp) AS BIGINT)
+               AS plen
+      FROM grouped WHERE s = 0
+    ),
+    ws AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg,
+             (1000000 * CAST(SUM(plen) AS BIGINT)) // COUNT(*)
+               AS score_micro
+      FROM pw GROUP BY w
+    ),
+    phr AS (
+      SELECT pw.doc_id, pw.grp,
+             string_agg(pw.w, ' ' ORDER BY pw.pos) AS phrase,
+             CAST(SUM(ws.score_micro) AS BIGINT) AS score_micro
+      FROM pw JOIN ws USING (w)
+      GROUP BY pw.doc_id, pw.grp
+    )
+    SELECT phrase, score_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM phr
+    GROUP BY phrase, score_micro
+    ORDER BY score_micro DESC, n_occurrences DESC, phrase ASC
+    LIMIT {_RAKE_TOPK}
+"""
+
+
+@query("text_keyphrase_rake", oracle=_RAKE_SQL)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — candidate
+    phrases are maximal non-stopword runs; word score = degree/
+    frequency (degree = Σ length of phrases containing the word);
+    phrase score = Σ member word scores. The published,
+    citation-anchored counterpart to [[tfidf_top_terms]] (which
+    ranks single terms by rarity; RAKE surfaces multi-word phrases
+    by co-occurrence density) — corpus topic labeling and
+    dedup-cluster naming in a curation pipeline.
+
+    Exactness: every statistic is integer — word scores are
+    truncated micro-units (1e6·deg div freq), so phrase scores are
+    exact integer SUMS (summing float deg/freq ratios would be
+    order-dependent; the attribution-credit device); identical
+    phrase strings get identical scores by construction (word stats
+    are corpus-global), making the phrase-level dedup exact. Tie
+    order (score desc, occurrences desc, phrase asc) is total.
+
+    Plan: posexplode → one per-doc running-stop-count window (the
+    phrase grouper) → per-phrase length window on the SAME
+    (doc_id)-clustered exchange → word-stat fold on (w) → broadcast
+    the vocabulary-sized score table back onto phrase words → one
+    phrase fold and a TakeOrderedAndProject. Token-proportional
+    exchanges only — the tfidf/ngram scale class."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    ).withColumn(
+        "s", F.when(F.col("w").isin(*_RAKE_STOP), 1).otherwise(0)
+    )
+    grouped = tok.withColumn(
+        "grp",
+        F.sum("s").over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    pw = (
+        grouped.filter(F.col("s") == 0)
+        .withColumn(
+            "plen",
+            F.count("*")
+            .over(Window.partitionBy("doc_id", "grp"))
+            .cast("bigint"),
+        )
+        .select("doc_id", "grp", "pos", "w", "plen")
+    )
+    ws = pw.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    ).withColumn(
+        "score_micro", F.expr("(1000000 * deg) div freq")
+    )
+    phr = (
+        pw.join(F.broadcast(ws.select("w", "score_micro")), "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(pos, w))), t -> t.w)"
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("score_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    return (
+        phr.groupBy("phrase", "score_micro")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(
+            F.col("score_micro").desc(),
+            F.col("n_occurrences").desc(),
+            F.col("phrase").asc(),
+        )
+        .limit(_RAKE_TOPK)
+    )

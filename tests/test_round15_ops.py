@@ -1441,3 +1441,119 @@ def test_ratio_delta_matches_python(spark, sf_dir):
     assert (g.ratio_control, g.ratio_treatment) == (r0, r1)
     assert g.ratio_diff == r1 - r0
     assert g.z_delta == (r1 - r0) / math.sqrt(v0 + v1)
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_stats
+# ---------------------------------------------------------------------------
+
+
+def test_degree_stats_matches_python(spark, sf_dir):
+    """Replay degrees + median-kmin Hill estimator in python.
+    Integer fields exact; alpha within 1e-9 (python libm vs JVM can
+    differ by an ulp pre-quantization on isolated values)."""
+    import collections
+    import math
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+
+    registry.load_all()
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order = collections.defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    ds = sorted(deg.values())
+    kmin = ds[(len(ds) + 1) // 2 - 1]
+    tail = [d for d in ds if d >= kmin]
+    sum_micro = sum(
+        round(math.log(d) * 1e6) - round(math.log(kmin) * 1e6)
+        for d in tail
+    )
+    row = registry.QUERIES["graph_degree_stats"](
+        spark, sf_dir
+    ).collect()
+    assert len(row) == 1
+    g = row[0]
+    assert (g.n_nodes, g.n_edges, g.d_min, g.d_max) == (
+        len(deg), len(edges), ds[0], ds[-1]
+    )
+    assert g.kmin_median == kmin
+    assert g.n_tail == len(tail)
+    assert g.mean_degree == 2 * len(edges) / len(deg)
+    assert abs(g.alpha_hill - (1.0 + len(tail) * 1e6 / sum_micro)) < 1e-9
+    assert g.alpha_hill > 1.0
+
+
+# ---------------------------------------------------------------------------
+# text_keyphrase_rake
+# ---------------------------------------------------------------------------
+
+
+def test_rake_matches_python(spark, sf_dir):
+    """Full python RAKE replay: same stoplist, same truncated
+    micro word scores, same phrase dedup and tie order."""
+    import collections
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.text import (
+        _RAKE_STOP,
+        _RAKE_TOPK,
+    )
+
+    registry.load_all()
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    freq = collections.Counter()
+    deg = collections.Counter()
+    phrases = []  # (phrase_words tuple) per occurrence
+    for r in docs:
+        run = []
+        for w in r.text.split(" "):
+            if w in _RAKE_STOP:
+                if run:
+                    phrases.append(tuple(run))
+                    run = []
+            else:
+                run.append(w)
+        if run:
+            phrases.append(tuple(run))
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    score = {w: 1_000_000 * deg[w] // freq[w] for w in freq}
+    agg = collections.Counter()
+    pscore = {}
+    for p in phrases:
+        s = " ".join(p)
+        agg[s] += 1
+        pscore[s] = sum(score[w] for w in p)
+    ranked = sorted(
+        ((pscore[s], agg[s], s) for s in agg),
+        key=lambda t: (-t[0], -t[1], t[2]),
+    )[:_RAKE_TOPK]
+    got = [
+        (r.score_micro, r.n_occurrences, r.phrase)
+        for r in registry.QUERIES["text_keyphrase_rake"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == ranked
+    assert any(" " in p for _, _, p in got), (
+        "top-k contains no multi-word phrase — stoplist vacuous"
+    )
