@@ -3059,7 +3059,8 @@ _TSEN_SQL = f"""
     ),
     p AS (
       SELECT i.event_type,
-             CAST(j.s * i.c - i.s * j.c AS DOUBLE)
+             CAST(CAST(j.s AS HUGEINT) * i.c
+                  - CAST(i.s AS HUGEINT) * j.c AS DOUBLE)
                / CAST(i.c * j.c * (j.h - i.h) AS DOUBLE) AS slope,
              i.h AS hi, j.h AS hj
       FROM b i
@@ -3144,7 +3145,13 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("i.event_type").alias("event_type"),
         (
-            (F.col("j.s") * F.col("i.c") - F.col("i.s") * F.col("j.c"))
+            # widen BEFORE the product (bucket sum × bucket count
+            # wraps int64 once per-bucket density reaches ~1e6 rows —
+            # ten past sf1; the oracle's HUGEINT twin is exact there)
+            (
+                F.col("j.s").cast("decimal(38,0)") * F.col("i.c")
+                - F.col("i.s").cast("decimal(38,0)") * F.col("j.c")
+            )
             .cast("double")
             / (
                 F.col("i.c")
@@ -3209,9 +3216,16 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: only float arithmetic is this shared tail. r2x1 carries DOUBLED
 #: ranks (tie-block average rank ×2 = lo+hi, always an integer), so
 #: nothing fractional exists before the final cast.
-_MW_U1_EXPR = "CAST(r2x1 - n1 * (n1 + 1) AS DOUBLE) / 2.0"
+#: n·(n+1) widens through DECIMAL(38,0) — portable to both dialects —
+#: because bigint·bigint wraps SILENTLY in Spark at n ~ 3e9 rows per
+#: series while DuckDB errors loudly: a silent-vs-loud overflow
+#: divergence, not just an overflow (r15 self-review).
+_MW_U1_EXPR = (
+    "CAST(r2x1 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS DOUBLE) / 2.0"
+)
 _MW_Z_EXPR = (
-    "CAST(r2x1 - n1 * (nn + 1) AS DOUBLE) / (2.0 * sqrt("
+    "CAST(r2x1 - CAST(n1 AS DECIMAL(38,0)) * (nn + 1) AS DOUBLE)"
+    " / (2.0 * sqrt("
     "NULLIF((CAST(n0 AS DOUBLE) * n1 / 12.0)"
     " * ((nn + 1) - CAST(tt AS DOUBLE)"
     "    / (CAST(nn AS DOUBLE) * (nn - 1))), 0.0)))"
