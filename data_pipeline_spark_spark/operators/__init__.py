@@ -100,6 +100,8 @@ _ROUND15_PRIORITY = [
     "abtest_ratio_delta",
     "graph_degree_stats",
     "text_keyphrase_rake",
+    "agg_winsorized_mean",
+    "ts_bollinger_bands",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

@@ -4027,3 +4027,133 @@ def abtest_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({_rd_r('1')} - {_rd_r('0')})").alias("ratio_diff"),
         F.expr(_RD_Z).alias("z_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_bollinger_bands — trailing mean ± k·σ envelope with breach flags
+# ---------------------------------------------------------------------------
+
+#: Trailing frame size and band width (the classic 20/2).
+_BOLL_N = 20
+_BOLL_K = 2
+
+#: Shared expression tail over the exact frame moments (cnt, s, ss):
+#: sample σ via the (n·Σx² − (Σx)²)/(n(n−1)) form, one sqrt; the
+#: bands and the breach flag reuse the same subtrees verbatim.
+_BOLL_MEAN = "CAST(s AS DOUBLE) / cnt"
+_BOLL_SD = (
+    "sqrt(CAST(cnt * ss - s * s AS DOUBLE)"
+    " / (CAST(cnt AS DOUBLE) * (cnt - 1)))"
+)
+_BOLL_UP = f"({_BOLL_MEAN} + {_BOLL_K} * {_BOLL_SD})"
+_BOLL_DN = f"({_BOLL_MEAN} - {_BOLL_K} * {_BOLL_SD})"
+
+_BOLL_SQL = f"""
+    WITH m AS (
+      SELECT event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value * 1000) AS BIGINT) AS x
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, event_id, sec, x,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS cnt,
+             CAST(SUM(x) OVER fr AS HUGEINT) AS s,
+             SUM(CAST(x AS HUGEINT) * x) OVER fr AS ss
+      FROM m
+      WINDOW fr AS (PARTITION BY event_type ORDER BY sec, event_id
+                    ROWS BETWEEN {_BOLL_N - 1} PRECEDING
+                             AND CURRENT ROW)
+    )
+    SELECT event_type, event_id, x,
+           {_BOLL_MEAN} AS sma_milli,
+           CASE WHEN cnt > 1 THEN {_BOLL_UP} END AS upper_milli,
+           CASE WHEN cnt > 1 THEN {_BOLL_DN} END AS lower_milli,
+           CASE WHEN cnt > 1
+                THEN (CASE WHEN x > {_BOLL_UP} OR x < {_BOLL_DN}
+                           THEN 1 ELSE 0 END)
+                ELSE 0 END AS breach
+    FROM w
+    ORDER BY event_type, sec, event_id
+"""
+
+
+@query("ts_bollinger_bands", oracle=_BOLL_SQL)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger envelope per series — trailing-{_BOLL_N} mean ±
+    {_BOLL_K}σ with per-event breach flags: the parametric
+    volatility-band sibling of [[window_rolling_median]]'s robust
+    smoother and the windowed counterpart of [[ts_anomaly_mad]]'s
+    global gate (MAD asks "weird for the series"; this asks "weird
+    for RIGHT NOW"). Breach runs feed [[ts_cusum_changepoint]]-style
+    alerting in any telemetry pipeline.
+
+    Exactness: frame moments (count, Σx, Σx²) are exact integers
+    over the identical (sec, event_id)-ordered frame (the Σx²
+    element widens through the 128-bit domain BEFORE the square —
+    25 elements of ~1e12² would wrap int64); mean, σ, bands, and
+    the breach predicate are ONE shared expression tail evaluated
+    on those moments by both engines — the breach flag compares x
+    against the same doubles, so even the boolean is bit-exact.
+    Single-element frames yield NULL bands (σ undefined), identical
+    CASE both sides.
+
+    Plan: one window exchange; three running aggregates share the
+    frame; output is row-proportional like every per-event
+    annotator. O(1) state per row — this is also the shape the
+    streaming twin would keep in [[stream_window_sliding]]'s
+    state store."""
+    m = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    )
+    from pyspark.sql.window import Window as W2
+
+    fr = (
+        W2.partitionBy("event_type")
+        .orderBy("sec", "event_id")
+        .rowsBetween(-(_BOLL_N - 1), 0)
+    )
+    w = m.select(
+        "event_type",
+        "event_id",
+        "sec",
+        "x",
+        F.count("*").over(fr).cast("bigint").alias("cnt"),
+        F.sum(F.col("x").cast("decimal(38,0)")).over(fr).alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .over(fr)
+        .alias("ss"),
+    )
+    return (
+        w.select(
+            "event_type",
+            "event_id",
+            "x",
+            F.expr(_BOLL_MEAN).alias("sma_milli"),
+            F.expr(f"CASE WHEN cnt > 1 THEN {_BOLL_UP} END").alias(
+                "upper_milli"
+            ),
+            F.expr(f"CASE WHEN cnt > 1 THEN {_BOLL_DN} END").alias(
+                "lower_milli"
+            ),
+            # nested CASE: the sigma division must live in a THEN
+            # branch (lazily evaluated), not in a WHEN predicate --
+            # ANSI Spark evaluates predicates eagerly and raises
+            # DIVIDE_BY_ZERO on the cnt = 1 rows
+            F.expr(
+                f"CASE WHEN cnt > 1 THEN (CASE WHEN x > {_BOLL_UP}"
+                f" OR x < {_BOLL_DN} THEN 1 ELSE 0 END) ELSE 0 END"
+            ).alias("breach"),
+            "sec",
+        )
+        .orderBy("event_type", "sec", "event_id")
+        .drop("sec")
+    )
+
+
+ts_bollinger_bands.__doc__ = ts_bollinger_bands.__doc__.replace(
+    "{_BOLL_N}", str(_BOLL_N)
+).replace("{_BOLL_K}", str(_BOLL_K))

@@ -1840,3 +1840,122 @@ def agg_chi_square_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_CHI2_V_EXPR).alias("cramers_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_winsorized_mean — robust mean via exact percentile clamping
+# ---------------------------------------------------------------------------
+
+#: Winsorization percentile ranks: ceil(n/20) and ceil(19n/20) —
+#: pure integer div, identical both engines.
+_WINS_LO_DUCK = "(n + 19) // 20"
+_WINS_HI_DUCK = "(19 * n + 19) // 20"
+_WINS_LO_SPARK = "(n + 19) div 20"
+_WINS_HI_SPARK = "(19 * n + 19) div 20"
+
+_WINS_SQL = f"""
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                        l_orderkey, l_linenumber) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT)
+               AS n
+      FROM lineitem
+    ),
+    thr AS (
+      SELECT grp,
+             MAX(CASE WHEN rn = {_WINS_LO_DUCK} THEN x END) AS p05,
+             MAX(CASE WHEN rn = {_WINS_HI_DUCK} THEN x END) AS p95
+      FROM v GROUP BY grp
+    )
+    SELECT v.grp,
+           CAST(MAX(v.n) AS BIGINT) AS n_rows,
+           CAST(MAX(thr.p05) AS BIGINT) AS p05_cents,
+           CAST(MAX(thr.p95) AS BIGINT) AS p95_cents,
+           CAST(SUM(CASE WHEN v.x < thr.p05 THEN thr.p05
+                         WHEN v.x > thr.p95 THEN thr.p95
+                         ELSE v.x END) AS DOUBLE) / MAX(v.n)
+             AS winsorized_mean_cents,
+           CAST(SUM(v.x) AS DOUBLE) / MAX(v.n) AS raw_mean_cents
+    FROM v JOIN thr USING (grp)
+    GROUP BY v.grp
+    ORDER BY v.grp
+"""
+
+
+@query("agg_winsorized_mean", oracle=_WINS_SQL)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (5%/95% clamp) of extended price per return
+    flag, next to the raw mean — the robust-location member between
+    [[agg_median_exact]] (discards all magnitude) and plain AVG (one
+    fat tail owns it): the standard metric-capping move for
+    revenue-like experiment metrics, with the clamp thresholds
+    REPORTED so the capping is auditable ([[abtest_welch_ttest]]'s
+    docstring caveat, answered).
+
+    Exactness: thresholds are ORDER-STATISTIC selections at integer
+    ranks ceil(n/20)/ceil(19n/20) over a total order (cents,
+    orderkey, linenumber); the clamped sum is exact integer; the two
+    means are single final divisions (the [[agg_gini_exact]]
+    recipe, which also shares the window sort).
+
+    Plan: ONE rank window per group (rn and the partition count
+    share the exchange), a group-sized threshold fold broadcast back
+    onto the SAME checkpointed ranked frame (no second sort of the
+    data), one clamped fold. Same per-group range-sort contract as
+    every rank statistic at 100 TB."""
+    from pyspark.sql.window import Window as W2
+
+    x = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    v = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            x.alias("x"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W2.partitionBy("grp").orderBy(
+                    "x", "l_orderkey", "l_linenumber"
+                )
+            ),
+        )
+        .withColumn(
+            "n",
+            F.count("*").over(W2.partitionBy("grp")).cast("bigint"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    thr = v.groupBy("grp").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr(_WINS_LO_SPARK), F.col("x"))
+        ).alias("p05"),
+        F.max(
+            F.when(F.col("rn") == F.expr(_WINS_HI_SPARK), F.col("x"))
+        ).alias("p95"),
+    )
+    clamped = F.when(F.col("x") < F.col("p05"), F.col("p05")).when(
+        F.col("x") > F.col("p95"), F.col("p95")
+    ).otherwise(F.col("x"))
+    return (
+        v.join(F.broadcast(thr), "grp")
+        .groupBy("grp")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.max("p05").cast("bigint").alias("p05_cents"),
+            F.max("p95").cast("bigint").alias("p95_cents"),
+            (
+                F.sum(clamped).cast("double") / F.max("n")
+            ).alias("winsorized_mean_cents"),
+            (
+                F.sum("x").cast("double") / F.max("n")
+            ).alias("raw_mean_cents"),
+        )
+        .orderBy("grp")
+    )

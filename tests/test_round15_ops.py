@@ -1557,3 +1557,102 @@ def test_rake_matches_python(spark, sf_dir):
     assert any(" " in p for _, _, p in got), (
         "top-k contains no multi-word phrase — stoplist vacuous"
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_winsorized_mean / ts_bollinger_bands
+# ---------------------------------------------------------------------------
+
+
+def test_winsorized_mean_matches_python(spark, sf_dir):
+    import collections
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+
+    registry.load_all()
+    rows = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "x"
+        ),
+        "l_orderkey", "l_linenumber",
+    ).collect()
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[r.l_returnflag].append((r.x, r.l_orderkey, r.l_linenumber))
+    exp = {}
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        p05 = vals[(n + 19) // 20 - 1][0]
+        p95 = vals[(19 * n + 19) // 20 - 1][0]
+        wsum = sum(min(max(x, p05), p95) for x, _, _ in vals)
+        exp[g] = (
+            n, p05, p95, wsum / float(n),
+            sum(x for x, _, _ in vals) / float(n),
+        )
+    got = {
+        r.grp: (
+            r.n_rows, r.p05_cents, r.p95_cents,
+            r.winsorized_mean_cents, r.raw_mean_cents,
+        )
+        for r in registry.QUERIES["agg_winsorized_mean"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+    for n, p05, p95, wm, rm in got.values():
+        assert p05 <= wm <= p95
+
+
+def test_bollinger_matches_python(spark, sf_dir):
+    import collections
+    import math
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        _BOLL_K,
+        _BOLL_N,
+    )
+
+    registry.load_all()
+    rows = load(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.col("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    ).collect()
+    series = collections.defaultdict(list)
+    for r in rows:
+        series[r.event_type].append((r.sec, r.event_id, r.x))
+    exp = {}
+    breaches = 0
+    for et, evs in series.items():
+        evs.sort()
+        for i, (_, eid, x) in enumerate(evs):
+            fr = [v for _, _, v in evs[max(0, i - _BOLL_N + 1): i + 1]]
+            cnt, s = len(fr), sum(fr)
+            mean = float(s) / cnt
+            if cnt > 1:
+                ss = sum(v * v for v in fr)
+                sd = math.sqrt(
+                    float(cnt * ss - s * s) / (float(cnt) * (cnt - 1))
+                )
+                up, dn = mean + _BOLL_K * sd, mean - _BOLL_K * sd
+                breach = 1 if (x > up or x < dn) else 0
+            else:
+                up = dn = None
+                breach = 0
+            breaches += breach
+            exp[(et, eid)] = (x, mean, up, dn, breach)
+    got = {
+        (r.event_type, r.event_id): (
+            r.x, r.sma_milli, r.upper_milli, r.lower_milli, r.breach
+        )
+        for r in registry.QUERIES["ts_bollinger_bands"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+    assert breaches > 0, "no breach anywhere — flag vacuous"
