@@ -102,6 +102,8 @@ _ROUND15_PRIORITY = [
     "text_keyphrase_rake",
     "agg_winsorized_mean",
     "ts_bollinger_bands",
+    "graph_assortativity",
+    "cohort_rfm_segments",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

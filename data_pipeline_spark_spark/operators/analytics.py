@@ -4157,3 +4157,123 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_bollinger_bands.__doc__ = ts_bollinger_bands.__doc__.replace(
     "{_BOLL_N}", str(_BOLL_N)
 ).replace("{_BOLL_K}", str(_BOLL_K))
+
+
+# ---------------------------------------------------------------------------
+# cohort_rfm_segments — recency/frequency/monetary quintile segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_Q = 5
+
+_RFM_SQL = f"""
+    WITH anchor AS (
+      SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS t1 FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             (anchor.t1 - MAX(CAST(floor(epoch(ts)) AS BIGINT)))
+               // 86400 AS rec_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 1000) AS BIGINT)
+                      ELSE 0 END) AS monetary
+      FROM events CROSS JOIN anchor
+      GROUP BY user_id, anchor.t1
+    ),
+    q AS (
+      SELECT user_id, rec_days, freq, monetary,
+             ntile({_RFM_Q}) OVER (ORDER BY rec_days, user_id) AS r_q,
+             ntile({_RFM_Q}) OVER (ORDER BY freq, user_id) AS f_q,
+             ntile({_RFM_Q}) OVER (ORDER BY monetary, user_id) AS m_q
+      FROM u
+    )
+    SELECT r_q, f_q, m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(freq) AS BIGINT) AS total_events,
+           CAST(SUM(monetary) AS DOUBLE) / COUNT(*)
+             AS avg_monetary_milli
+    FROM q
+    GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+"""
+
+
+@query("cohort_rfm_segments", oracle=_RFM_SQL)
+def cohort_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation —
+    THE classic customer-value partitioning, next to
+    [[cohort_retention]]'s time axis and [[funnel_steps]]'s
+    conversion axis: each user scored 1–{_RFM_Q} on days-since-last-
+    event, event count, and purchase value, then the segment grid
+    reported with sizes and value. The same three-axis bucketing
+    stratifies DOCUMENTS (staleness / duplication count / quality
+    mass) for curriculum sampling.
+
+    Exactness: recency/frequency/monetary are exact integers (epoch
+    days, counts, milli-value sums); quintile assignment is ntile
+    over TOTAL orders (metric, user_id) — ntile's
+    floor-based bucket arithmetic is definitionally identical in
+    both engines given the same row order, which the unique user_id
+    tie-break guarantees; the only float is the per-segment mean.
+
+    Plan: one groupBy(user) fold (map-side combined), a broadcast
+    1-row anchor, three ntile windows sharing one |U|-row frame
+    (single-partition sort of USER-GRAIN rows — at 100 TB this is
+    the one global-sort-of-aggregates step, range-partitioned in
+    practice), then a ≤{_RFM_Q}³-row report fold."""
+    from pyspark.sql.window import Window as W2
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    anchor = ev.agg(F.max("sec").alias("t1"))
+    u = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "t1")
+        .agg(
+            F.max("sec").alias("last_sec"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("v"))
+                .otherwise(0)
+            ).cast("bigint").alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.expr("(t1 - last_sec) div 86400").alias("rec_days"),
+            "freq",
+            "monetary",
+        )
+    )
+    q = u.select(
+        "user_id",
+        "rec_days",
+        "freq",
+        "monetary",
+        F.ntile(_RFM_Q)
+        .over(W2.orderBy("rec_days", "user_id"))
+        .alias("r_q"),
+        F.ntile(_RFM_Q).over(W2.orderBy("freq", "user_id")).alias("f_q"),
+        F.ntile(_RFM_Q)
+        .over(W2.orderBy("monetary", "user_id"))
+        .alias("m_q"),
+    )
+    return (
+        q.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("freq").cast("bigint").alias("total_events"),
+            (
+                F.sum("monetary").cast("double") / F.count("*")
+            ).alias("avg_monetary_milli"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+cohort_rfm_segments.__doc__ = cohort_rfm_segments.__doc__.replace(
+    "{_RFM_Q}", str(_RFM_Q)
+)

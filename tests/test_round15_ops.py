@@ -1656,3 +1656,121 @@ def test_bollinger_matches_python(spark, sf_dir):
     }
     assert got == exp
     assert breaches > 0, "no breach anywhere — flag vacuous"
+
+
+# ---------------------------------------------------------------------------
+# graph_assortativity / cohort_rfm_segments
+# ---------------------------------------------------------------------------
+
+
+def test_assortativity_matches_python_and_known_shapes(spark, sf_dir):
+    """Differential on the fixture graph + closed forms: a star is
+    perfectly DISassortative (r = -1); a cycle has zero degree
+    variance (r undefined -> NULL via the 0/0 guard)."""
+    import collections
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+
+    registry.load_all()
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order = collections.defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    m = len(edges)
+    A = sum(deg[a] * deg[b] for a, b in edges)
+    B = sum(deg[a] + deg[b] for a, b in edges)
+    C = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+    exp = (4 * A * m - B * B) / float(2 * C * m - B * B)
+    row = registry.QUERIES["graph_assortativity"](
+        spark, sf_dir
+    ).collect()
+    assert len(row) == 1 and row[0].n_edges == m
+    assert row[0].assortativity == exp
+
+    from data_pipeline_spark_spark.operators.graph import (
+        _half_degrees,
+    )
+    # star K1,5: r must be exactly -1
+    star = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    deg2 = {r.id: r.d for r in _half_degrees(df).collect()}
+    A2 = sum(deg2[a] * deg2[b] for a, b in star)
+    B2 = sum(deg2[a] + deg2[b] for a, b in star)
+    C2 = sum(deg2[a] ** 2 + deg2[b] ** 2 for a, b in star)
+    m2 = len(star)
+    assert (4 * A2 * m2 - B2 * B2) / (2 * C2 * m2 - B2 * B2) == -1.0
+
+
+def test_rfm_matches_python(spark, sf_dir):
+    import collections
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import _RFM_Q
+
+    registry.load_all()
+    rows = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.col("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+    ).collect()
+    t1 = max(r.sec for r in rows)
+    acc = collections.defaultdict(lambda: [0, 0, 0])  # last, freq, mon
+    for r in rows:
+        a = acc[r.user_id]
+        a[0] = max(a[0], r.sec)
+        a[1] += 1
+        if r.event_type == "purchase":
+            a[2] += r.v
+    users = {
+        uid: ((t1 - a[0]) // 86400, a[1], a[2])
+        for uid, a in acc.items()
+    }
+
+    def ntile_map(keyed):
+        n = len(keyed)
+        order = sorted(keyed)
+        out = {}
+        base, rem = divmod(n, _RFM_Q)
+        start = 0
+        for b in range(1, _RFM_Q + 1):
+            size = base + (1 if b <= rem else 0)
+            for _, uid in order[start:start + size]:
+                out[uid] = b
+            start += size
+        return out
+
+    rq = ntile_map([(v[0], uid) for uid, v in users.items()])
+    fq = ntile_map([(v[1], uid) for uid, v in users.items()])
+    mq = ntile_map([(v[2], uid) for uid, v in users.items()])
+    seg = collections.defaultdict(lambda: [0, 0, 0])
+    for uid, (rec, f, mon) in users.items():
+        s = seg[(rq[uid], fq[uid], mq[uid])]
+        s[0] += 1
+        s[1] += f
+        s[2] += mon
+    exp = {
+        k: (v[0], v[1], v[2] / float(v[0])) for k, v in seg.items()
+    }
+    got = {
+        (r.r_q, r.f_q, r.m_q): (
+            r.n_users, r.total_events, r.avg_monetary_milli
+        )
+        for r in registry.QUERIES["cohort_rfm_segments"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
