@@ -828,7 +828,7 @@ _SCENE_SQL = f"""
            CAST(nf AS BIGINT) AS n_frames,
            CAST(n_boundaries + 1 AS BIGINT) AS n_segments,
            CAST(boundary_checksum AS BIGINT) AS boundary_checksum,
-           CAST(1000 * nf AS BIGINT) // (n_boundaries + 1)
+           CAST((1000 * nf) // (n_boundaries + 1) AS BIGINT)
              AS mean_seg_len_milli
     FROM b
     ORDER BY doc_id
