@@ -64,11 +64,18 @@ ALL_MODULES = (
 # tests + probes but fell past the budget at positions 51-54 — the
 # only keys in the registry with zero driver evidence — then (b) new
 # round-15 keys as they land, then (c) the 50 oracle keys whose
-# latest green row dates to r10 (after these no key is staler than
-# r11), and finally (d) r11-stale filler in case the budget
-# stretches, teeing up the r16 rotation. Everything else keeps its
-# registration order behind the priority block and retains its
-# latest row.
+# latest green row dates to r10, and finally (d) r11-stale filler.
+# Everything else keeps its registration order behind the priority
+# block and retains its latest row.
+#
+# DELIBERATE tradeoff, round-15 session 2: the (b) block grew to 23
+# new keys, so ~29 of the r10-stale (c) keys will now fall past the
+# budget and stay r10 for one more round. Chosen consciously: a key
+# with ZERO driver evidence is worth more than moving a green key's
+# stamp from r10 to r15 ("ungraded keys stay out of the headline" is
+# the binding policy, and it binds on the new keys). The surviving
+# (c) prefix still de-stales the 21 oldest; r16's rotation should
+# front the remainder.
 _ROUND15_PRIORITY = [
     # (a) shipped r14, never graded — highest leverage
     "ts_acf",
@@ -104,6 +111,7 @@ _ROUND15_PRIORITY = [
     "ts_bollinger_bands",
     "graph_assortativity",
     "cohort_rfm_segments",
+    "ts_mann_kendall",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

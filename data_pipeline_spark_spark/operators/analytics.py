@@ -3049,14 +3049,38 @@ privacy_dp_topk.__doc__ = privacy_dp_topk.__doc__.replace(
 #: Theil–Sen on an unbounded series does not survive any scale-up.
 _TSEN_BUCKET_S = 3600
 
-_TSEN_SQL = f"""
-    WITH b AS (
+def _hour_bucket_frame(ev: DataFrame) -> DataFrame:
+    """Per-(series, epoch-hour) exact moment frame ``(event_type, h,
+    s, c)`` — the ONE bucket definition [[ts_theil_sen]] and
+    [[ts_mann_kendall]] share (twin of [[_TSEN_B_CTE]])."""
+    return (
+        ev.select(
+            "event_type",
+            F.expr(f"CAST(ts AS LONG) div {_TSEN_BUCKET_S}").alias("h"),
+            F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.sum("x").cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+#: The hourly bucket CTE shared by ts_theil_sen and ts_mann_kendall —
+#: one definition, so the two trend keys can never disagree about the
+#: series they test.
+_TSEN_B_CTE = f"""b AS (
       SELECT event_type,
              CAST(floor(epoch(ts)) AS BIGINT) // {_TSEN_BUCKET_S} AS h,
              SUM(CAST(round(value * 1000) AS BIGINT)) AS s,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2
-    ),
+    )"""
+
+_TSEN_SQL = f"""
+    WITH {_TSEN_B_CTE},
     p AS (
       SELECT i.event_type,
              CAST(CAST(j.s AS HUGEINT) * i.c
@@ -3123,20 +3147,7 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     first fold; everything after runs on bucket cardinality."""
     from pyspark.sql.window import Window
 
-    ev = load(spark, sf_dir, "events")
-    b = (
-        ev.select(
-            "event_type",
-            F.expr(f"CAST(ts AS LONG) div {_TSEN_BUCKET_S}").alias("h"),
-            F.round(F.col("value") * 1000).cast("bigint").alias("x"),
-        )
-        .groupBy("event_type", "h")
-        .agg(
-            F.sum("x").cast("bigint").alias("s"),
-            F.count("*").cast("bigint").alias("c"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    b = _hour_bucket_frame(load(spark, sf_dir, "events"))
     i, j = b.alias("i"), b.alias("j")
     p = i.join(
         j,
@@ -4277,3 +4288,130 @@ def cohort_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 cohort_rfm_segments.__doc__ = cohort_rfm_segments.__doc__.replace(
     "{_RFM_Q}", str(_RFM_Q)
 )
+
+
+# ---------------------------------------------------------------------------
+# ts_mann_kendall — nonparametric trend significance (Theil–Sen's test)
+# ---------------------------------------------------------------------------
+
+#: z with continuity correction as a shared expression over the
+#: integer S and the integer variance NUMERATOR (Var·18): z =
+#: (S ∓ 1) / sqrt(vn/18). The CASE keeps the ±1 correction out of
+#: the S = 0 branch.
+_MK_Z_EXPR = (
+    "CASE WHEN s_stat > 0"
+    " THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(vn AS DOUBLE) / 18.0)"
+    " WHEN s_stat < 0"
+    " THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(vn AS DOUBLE) / 18.0)"
+    " ELSE 0.0 END"
+)
+
+_MK_SQL = f"""
+    WITH {_TSEN_B_CTE},
+    bm AS (
+      SELECT event_type, h, CAST(s AS DOUBLE) / c AS m FROM b
+    ),
+    p AS (
+      SELECT i.event_type,
+             CASE WHEN j.m > i.m THEN 1
+                  WHEN j.m < i.m THEN -1 ELSE 0 END AS sgn
+      FROM bm i
+      JOIN bm j ON i.event_type = j.event_type AND i.h < j.h
+    ),
+    sstat AS (
+      SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat
+      FROM p GROUP BY event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (
+        SELECT event_type, m, CAST(COUNT(*) AS BIGINT) AS t
+        FROM bm GROUP BY event_type, m
+      ) GROUP BY event_type
+    )
+    SELECT s.event_type, t.n AS n_buckets, s.s_stat,
+           CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term AS BIGINT)
+             AS vn,
+           {_MK_Z_EXPR.replace("vn",
+               "(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term)")
+            .replace("s_stat", "s.s_stat")} AS z_mk
+    FROM sstat s JOIN ties t USING (event_type)
+    ORDER BY s.event_type
+"""
+
+
+@query("ts_mann_kendall", oracle=_MK_SQL)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per series — S = Σ sign(m_j − m_i)
+    over all bucket pairs with the tie-corrected normal
+    approximation and continuity correction: the SIGNIFICANCE half
+    of the robust-trend pair ([[ts_theil_sen]] estimates the
+    magnitude; MK decides whether a monotone trend exists at all,
+    invariant to any monotone transform — the hydrology/climatology
+    standard, and the right drift GATE in front of a drift
+    magnitude estimate). Shares [[_hour_bucket_frame]] /
+    [[_TSEN_B_CTE]] with Theil–Sen — one bucket definition, so the
+    pair can never test different series.
+
+    Exactness: both engines compare the IDENTICAL bucket-mean
+    doubles (one division of exact integers each — and tie GROUPS
+    are defined on those same doubles, so the sign and the tie term
+    can never disagree); S and the variance numerator n(n−1)(2n+5) −
+    Σt(t−1)(2t+5) are exact integers; z is one shared expression
+    with the ±1 continuity CASE.
+
+    Plan: the same bounded O(B²) pair join as Theil–Sen (~260k
+    pairs per series regardless of row density), one sign fold, one
+    tie fold on ≤B rows, a report-sized join. The corpus-
+    proportional work remains the single bucket fold."""
+    b = _hour_bucket_frame(load(spark, sf_dir, "events"))
+    bm = b.select(
+        "event_type",
+        "h",
+        (F.col("s").cast("double") / F.col("c")).alias("m"),
+    )
+    i, j = bm.alias("i"), bm.alias("j")
+    p = i.join(
+        j,
+        (F.col("i.event_type") == F.col("j.event_type"))
+        & (F.col("i.h") < F.col("j.h")),
+    ).select(
+        F.col("i.event_type").alias("event_type"),
+        F.when(F.col("j.m") > F.col("i.m"), 1)
+        .when(F.col("j.m") < F.col("i.m"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    sstat = p.groupBy("event_type").agg(
+        F.sum("sgn").cast("bigint").alias("s_stat")
+    )
+    ties = (
+        bm.groupBy("event_type", "m")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            # n = Σt (bucket count), NOT the tie-GROUP count — the
+            # python differential caught both engines agreeing on the
+            # wrong n (r15 session 2)
+            F.sum("t").cast("bigint").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("bigint").alias("tie_term"),
+        )
+    )
+    out = sstat.join(ties, "event_type").withColumn(
+        "vn",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_term")
+        ).cast("bigint"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n").alias("n_buckets"),
+        "s_stat",
+        "vn",
+        F.expr(_MK_Z_EXPR).alias("z_mk"),
+    ).orderBy("event_type")

@@ -1774,3 +1774,101 @@ def test_rfm_matches_python(spark, sf_dir):
         ).collect()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# ts_mann_kendall
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    import collections
+    import math
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        _TSEN_BUCKET_S,
+    )
+
+    registry.load_all()
+    rows = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"CAST(ts AS LONG) div {_TSEN_BUCKET_S}").alias("h"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    ).collect()
+    agg = collections.defaultdict(lambda: collections.defaultdict(
+        lambda: [0, 0]
+    ))
+    for r in rows:
+        a = agg[r.event_type][r.h]
+        a[0] += r.x
+        a[1] += 1
+    exp = {}
+    for et, buckets in agg.items():
+        ms = [
+            buckets[h][0] / float(buckets[h][1])
+            for h in sorted(buckets)
+        ]
+        n = len(ms)
+        s = 0
+        for a_i in range(n):
+            for b_i in range(a_i + 1, n):
+                d = ms[b_i] - ms[a_i]
+                s += (d > 0) - (d < 0)
+        tg = collections.Counter(ms)
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in tg.values())
+        vn = n * (n - 1) * (2 * n + 5) - tie
+        if s > 0:
+            z = (s - 1) / math.sqrt(vn / 18.0)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(vn / 18.0)
+        else:
+            z = 0.0
+        exp[et] = (n, s, vn, z)
+    got = {
+        r.event_type: (r.n_buckets, r.s_stat, r.vn, r.z_mk)
+        for r in registry.QUERIES["ts_mann_kendall"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_mann_kendall_monotone_contract(spark):
+    """A strictly increasing series must yield S = n(n-1)/2 (every
+    pair concordant) and a large positive z; its reverse exactly
+    negates S."""
+    import datetime
+    import tempfile
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        ts_mann_kendall,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hr in range(30):
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(hours=hr), 1,
+                     "up", float(hr), ""))
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(hours=hr), 2,
+                     "down", float(29 - hr), ""))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {r.event_type: r for r in ts_mann_kendall(
+            spark, d
+        ).collect()}
+    n = 30
+    smax = n * (n - 1) // 2
+    assert got["up"].s_stat == smax
+    assert got["down"].s_stat == -smax
+    assert got["up"].z_mk > 3
+    assert got["up"].z_mk == -got["down"].z_mk
