@@ -112,6 +112,8 @@ _ROUND15_PRIORITY = [
     "graph_assortativity",
     "cohort_rfm_segments",
     "ts_mann_kendall",
+    "quality_stupid_backoff",
+    "abtest_cuped",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

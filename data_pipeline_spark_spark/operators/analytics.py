@@ -4415,3 +4415,212 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vn",
         F.expr(_MK_Z_EXPR).alias("z_mk"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# abtest_cuped — CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+#: Pre-period length: the first half of the fixture's 30-day window,
+#: split at min(ts) + 15 days (exact epoch-second arithmetic).
+_CUPED_SPLIT_S = 15 * 86400
+
+#: Pooled sums and theta over the per-arm exact moment columns —
+#: shared expression strings; theta is materialized as a COLUMN so
+#: every downstream reference reuses one identical subtree instead
+#: of re-inlining the ratio.
+_CU_N = "(n0 + n1)"
+_CU_SX = "(sx0 + sx1)"
+_CU_SY = "(sy0 + sy1)"
+_CU_SXX = "(sxx0 + sxx1)"
+_CU_SXY = "(sxy0 + sxy1)"
+_CU_SYY = "(syy0 + syy1)"
+_CU_THETA = (
+    f"CAST({_CU_N} * {_CU_SXY} - {_CU_SX} * {_CU_SY} AS DOUBLE)"
+    f" / NULLIF(CAST({_CU_N} * {_CU_SXX} - {_CU_SX} * {_CU_SX}"
+    f" AS DOUBLE), 0.0)"
+)
+
+
+def _cu_var(s: str, mom: str, f1: str, f2: str) -> str:
+    return (
+        f"(CAST(n{s} * {mom}{s} - {f1}{s} * {f2}{s} AS DOUBLE)"
+        f" / (CAST(n{s} AS DOUBLE) * (n{s} - 1)))"
+    )
+
+
+def _cu_var_adj(s: str) -> str:
+    return (
+        f"({_cu_var(s, 'syy', 'sy', 'sy')}"
+        f" - 2.0 * theta * {_cu_var(s, 'sxy', 'sx', 'sy')}"
+        f" + theta * theta * {_cu_var(s, 'sxx', 'sx', 'sx')})"
+    )
+
+
+def _cu_adj(s: str) -> str:
+    return (
+        f"(CAST(sy{s} AS DOUBLE) / n{s}"
+        f" - theta * (CAST(sx{s} AS DOUBLE) / n{s}"
+        f" - CAST({_CU_SX} AS DOUBLE) / {_CU_N}))"
+    )
+
+
+_CU_T = (
+    f"(({_cu_adj('1')}) - ({_cu_adj('0')}))"
+    f" / sqrt({_cu_var_adj('1')} / n1 + {_cu_var_adj('0')} / n0)"
+)
+
+_CU_VARY_POOL = (
+    f"(CAST({_CU_N} * {_CU_SYY} - {_CU_SY} * {_CU_SY} AS DOUBLE)"
+    f" / (CAST({_CU_N} AS DOUBLE) * ({_CU_N} - 1)))"
+)
+_CU_COV_POOL = (
+    f"(CAST({_CU_N} * {_CU_SXY} - {_CU_SX} * {_CU_SY} AS DOUBLE)"
+    f" / (CAST({_CU_N} AS DOUBLE) * ({_CU_N} - 1)))"
+)
+_CU_VARX_POOL = (
+    f"(CAST({_CU_N} * {_CU_SXX} - {_CU_SX} * {_CU_SX} AS DOUBLE)"
+    f" / (CAST({_CU_N} AS DOUBLE) * ({_CU_N} - 1)))"
+)
+_CU_VARRED = (
+    f"(1.0 - ({_CU_VARY_POOL} - 2.0 * theta * {_CU_COV_POOL}"
+    f" + theta * theta * {_CU_VARX_POOL}) / NULLIF({_CU_VARY_POOL},"
+    f" 0.0))"
+)
+
+_CUPED_SQL = f"""
+    WITH anchor AS (
+      SELECT MIN(CAST(floor(epoch(ts)) AS BIGINT)) + {_CUPED_SPLIT_S}
+               AS split_sec
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(floor(epoch(ts)) AS BIGINT)
+                           < anchor.split_sec
+                      THEN CAST(round(value * 1000) AS BIGINT)
+                      ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(floor(epoch(ts)) AS BIGINT)
+                           >= anchor.split_sec
+                      THEN CAST(round(value * 1000) AS BIGINT)
+                      ELSE 0 END) AS y
+      FROM events CROSS JOIN anchor
+      GROUP BY user_id
+    ),
+    g AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx0,
+        SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx1,
+        SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy0,
+        SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy1,
+        SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+          AS sxx0,
+        SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+          AS sxx1,
+        SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+          AS sxy0,
+        SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+          AS sxy1,
+        SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+          AS syy0,
+        SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+          AS syy1
+      FROM u
+    ),
+    gt AS (SELECT *, {_CU_THETA} AS theta FROM g)
+    SELECT n0 AS n_control_users, n1 AS n_treatment_users, theta,
+           {_cu_adj('0')} AS mean_adj_control,
+           {_cu_adj('1')} AS mean_adj_treatment,
+           {_CU_T} AS t_cuped,
+           {_CU_VARRED} AS var_reduction
+    FROM gt
+"""
+
+
+@query("abtest_cuped", oracle=_CUPED_SQL)
+def abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker 2013): per-user PRE-period purchase value (the first 15
+    days) as the control covariate for the POST-period metric —
+    Y' = Y − θ(X − X̄) with the pooled OLS θ, the industry-standard
+    sensitivity boost that [[abtest_welch_ttest]]'s docstring
+    defers to. Completes the experimentation family: means
+    (welch), distributions (mann-whitney), ratios (ratio_delta),
+    brackets (bootstrap), and now variance reduction — the five
+    readouts a real experimentation platform ships.
+
+    Exactness: per-user (x, y) exact integers split at an exact
+    epoch-second anchor; twelve per-arm moments widen through the
+    128-bit domain; θ is ONE shared division MATERIALIZED AS A
+    COLUMN so every downstream reference (adjusted means, adjusted
+    variances via the expanded Σ(y−θx)² = Σy² − 2θΣxy + θ²Σx² form
+    — never a float sum over users), the t statistic, and the
+    variance-reduction ratio reuse the identical subtree in both
+    engines. The expansion is the load-bearing trick: adjusted
+    moments come from the SAME exact integer moments, so CUPED
+    costs zero extra passes and zero float-order hazards.
+
+    Plan: one groupBy(user) fold behind a broadcast 1-row anchor,
+    one 12-moment single-row fold, report math on one row — the
+    welch/ratio_delta shape with a covariate."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    anchor = ev.agg(
+        (F.min("sec") + _CUPED_SPLIT_S).alias("split_sec")
+    )
+    is_p = F.col("event_type") == "purchase"
+    u = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(is_p & (F.col("sec") < F.col("split_sec")),
+                       F.col("v")).otherwise(0)
+            ).cast("bigint").alias("x"),
+            F.sum(
+                F.when(is_p & (F.col("sec") >= F.col("split_sec")),
+                       F.col("v")).otherwise(0)
+            ).cast("bigint").alias("y"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    )
+
+    def arm_mom(a: int, expr, *more):
+        return wide_sum(
+            F.when(F.col("arm") == a, expr).otherwise(0), *more
+        )
+
+    g = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        arm_mom(0, F.col("x")).alias("sx0"),
+        arm_mom(1, F.col("x")).alias("sx1"),
+        arm_mom(0, F.col("y")).alias("sy0"),
+        arm_mom(1, F.col("y")).alias("sy1"),
+        arm_mom(0, F.col("x"), F.col("x")).alias("sxx0"),
+        arm_mom(1, F.col("x"), F.col("x")).alias("sxx1"),
+        arm_mom(0, F.col("x"), F.col("y")).alias("sxy0"),
+        arm_mom(1, F.col("x"), F.col("y")).alias("sxy1"),
+        arm_mom(0, F.col("y"), F.col("y")).alias("syy0"),
+        arm_mom(1, F.col("y"), F.col("y")).alias("syy1"),
+    )
+    gt = g.withColumn("theta", F.expr(_CU_THETA))
+    return gt.select(
+        F.col("n0").alias("n_control_users"),
+        F.col("n1").alias("n_treatment_users"),
+        "theta",
+        F.expr(_cu_adj("0")).alias("mean_adj_control"),
+        F.expr(_cu_adj("1")).alias("mean_adj_treatment"),
+        F.expr(_CU_T).alias("t_cuped"),
+        F.expr(_CU_VARRED).alias("var_reduction"),
+    )

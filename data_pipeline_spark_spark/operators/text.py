@@ -2297,3 +2297,195 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_RAKE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_stupid_backoff — held-out LM scoring with backoff accounting
+# ---------------------------------------------------------------------------
+
+#: round(ln(0.4)·1e6) — the stupid-backoff discount (Brants et al.
+#: 2007) as a python-computed micro-nat literal (the benford device:
+#: constants never touch either engine's libm).
+_SB_LN04_MICRO = -916291
+
+#: Train/held-out split (the bloom/minhash incremental convention).
+_SB_TRAIN_MOD, _SB_TRAIN_KEEP = 10, 8
+
+_SB_SQL = f"""
+    WITH train AS (
+      SELECT text FROM documents WHERE doc_id % {_SB_TRAIN_MOD} < {_SB_TRAIN_KEEP}
+    ),
+    test AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {_SB_TRAIN_MOD} >= {_SB_TRAIN_KEEP}
+    ),
+    ttok AS (
+      SELECT string_split(text, ' ') AS toks FROM train
+    ),
+    cu AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(toks) AS w FROM ttok
+      ) GROUP BY w
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cu),
+    cb AS (
+      SELECT u.a AS a, u.b AS b, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS u
+        FROM ttok
+      ) GROUP BY u.a, u.b
+    ),
+    stream AS (
+      SELECT doc_id, u.a, u.b FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                 i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM test)
+      )
+    ),
+    scored AS (
+      SELECT s.doc_id,
+             CASE WHEN cb.c IS NOT NULL THEN 0 ELSE 1 END AS backoff,
+             CASE WHEN cb.c IS NULL AND cuw.c IS NULL THEN 1 ELSE 0 END
+               AS oov,
+             CASE WHEN cb.c IS NOT NULL THEN
+                    CAST(round(ln(cb.c) * 1000000) AS BIGINT)
+                    - CAST(round(ln(cua.c) * 1000000) AS BIGINT)
+                  WHEN cuw.c IS NOT NULL THEN
+                    {_SB_LN04_MICRO}
+                    + CAST(round(ln(cuw.c) * 1000000) AS BIGINT)
+                    - CAST(round(ln(n.n) * 1000000) AS BIGINT)
+                  ELSE
+                    2 * {_SB_LN04_MICRO}
+                    - CAST(round(ln(n.n) * 1000000) AS BIGINT)
+             END AS lp6
+      FROM stream s
+      LEFT JOIN cb ON cb.a = s.a AND cb.b = s.b
+      LEFT JOIN cu cua ON cua.w = s.a
+      LEFT JOIN cu cuw ON cuw.w = s.b
+      CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(backoff) AS BIGINT) AS n_backoffs,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(lp6) AS DOUBLE) / (1000000.0 * COUNT(*))
+             AS mean_logprob
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+@query("quality_stupid_backoff", oracle=_SB_SQL)
+def quality_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram scoring of HELD-OUT documents (Brants
+    et al. 2007 — the web-scale LM that skips normalization because
+    at corpus size a constant 0.4 discount ranks as well as Katz):
+    train on the doc_id-mod-{_SB_TRAIN_MOD} 80% split, score the
+    held-out 20% with per-doc backoff/OOV accounting. The held-out
+    split is what makes the key non-vacuous — self-scoring (the
+    [[quality_bigram_perplexity]] frame) never exercises the
+    backoff branch because every bigram trivially exists; here
+    ~unseen bigrams fall to 0.4·P(w) and unseen words to the
+    0.4²/N floor, and the per-doc backoff RATE is itself the
+    novelty signal (high = out-of-domain for the corpus).
+
+    Exactness: the micro-nat single-rounding discipline
+    ([[micro_ln]]) for every count, ln(0.4) as a python literal
+    micro constant, per-doc accumulation a pure BIGINT sum, one
+    final double division.
+
+    Scale: model folds are (w)/(a,b)-keyed map-side-combined counts
+    (type-sized, not occurrence-sized); scoring is three hash joins
+    on the bigram/word keys exactly like the perplexity sibling (the
+    join side is model TYPES; AQE skew-split owns the Zipf head);
+    the per-doc rollup collapses map-side."""
+    d = load(spark, sf_dir, "documents")
+    train = fan_out(
+        d.filter(F.col("doc_id") % _SB_TRAIN_MOD < _SB_TRAIN_KEEP)
+    ).select(F.split("text", " ").alias("toks"))
+    test = fan_out(
+        d.filter(F.col("doc_id") % _SB_TRAIN_MOD >= _SB_TRAIN_KEEP)
+    ).select("doc_id", F.split("text", " ").alias("toks"))
+    cu = (
+        train.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n = cu.agg(F.sum("c").cast("bigint").alias("n"))
+    bigrams = (
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) AS a,"
+        "             element_at(toks, i + 1) AS b))"
+    )
+    cb = (
+        train.filter(F.size("toks") >= 2)
+        .select(F.explode(F.expr(bigrams)).alias("u"))
+        .select("u.a", "u.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    stream = (
+        test.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(F.expr(bigrams)).alias("u"))
+        .select("doc_id", "u.a", "u.b")
+    )
+    scored = (
+        stream.join(
+            cb.withColumnRenamed("c", "cb_c"), ["a", "b"], "left"
+        )
+        .join(
+            cu.select(F.col("w").alias("a"), F.col("c").alias("cua_c")),
+            "a",
+            "left",
+        )
+        .join(
+            cu.select(F.col("w").alias("b"), F.col("c").alias("cuw_c")),
+            "b",
+            "left",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.when(F.col("cb_c").isNotNull(), 0).otherwise(1).alias(
+                "backoff"
+            ),
+            F.when(
+                F.col("cb_c").isNull() & F.col("cuw_c").isNull(), 1
+            ).otherwise(0).alias("oov"),
+            F.when(
+                F.col("cb_c").isNotNull(),
+                micro_ln(F.col("cb_c")) - micro_ln(F.col("cua_c")),
+            )
+            .when(
+                F.col("cuw_c").isNotNull(),
+                F.lit(_SB_LN04_MICRO)
+                + micro_ln(F.col("cuw_c"))
+                - micro_ln(F.col("n")),
+            )
+            .otherwise(
+                F.lit(2 * _SB_LN04_MICRO) - micro_ln(F.col("n"))
+            )
+            .alias("lp6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("backoff").cast("bigint").alias("n_backoffs"),
+            F.sum("oov").cast("bigint").alias("n_oov"),
+            (
+                F.sum("lp6").cast("double")
+                / (F.lit(1000000.0) * F.count("*"))
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+quality_stupid_backoff.__doc__ = quality_stupid_backoff.__doc__.replace(
+    "{_SB_TRAIN_MOD}", str(_SB_TRAIN_MOD)
+)

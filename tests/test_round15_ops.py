@@ -1872,3 +1872,158 @@ def test_mann_kendall_monotone_contract(spark):
     assert got["down"].s_stat == -smax
     assert got["up"].z_mk > 3
     assert got["up"].z_mk == -got["down"].z_mk
+
+
+# ---------------------------------------------------------------------------
+# quality_stupid_backoff
+# ---------------------------------------------------------------------------
+
+
+def test_stupid_backoff_matches_python(spark, sf_dir):
+    import collections
+    import math
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.text import (
+        _SB_LN04_MICRO,
+        _SB_TRAIN_KEEP,
+        _SB_TRAIN_MOD,
+    )
+
+    registry.load_all()
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    cu = collections.Counter()
+    cb = collections.Counter()
+    for r in docs:
+        if r.doc_id % _SB_TRAIN_MOD < _SB_TRAIN_KEEP:
+            toks = r.text.split(" ")
+            cu.update(toks)
+            cb.update(zip(toks, toks[1:]))
+    n = sum(cu.values())
+    ml = lambda c: round(math.log(c) * 1e6)  # noqa: E731
+    exp = {}
+    for r in docs:
+        if r.doc_id % _SB_TRAIN_MOD < _SB_TRAIN_KEEP:
+            continue
+        toks = r.text.split(" ")
+        if len(toks) < 2:
+            continue
+        tot = backoffs = oov = 0
+        s6 = 0
+        for a, b in zip(toks, toks[1:]):
+            tot += 1
+            if (a, b) in cb:
+                s6 += ml(cb[(a, b)]) - ml(cu[a])
+            elif b in cu:
+                backoffs += 1
+                s6 += _SB_LN04_MICRO + ml(cu[b]) - ml(n)
+            else:
+                backoffs += 1
+                oov += 1
+                s6 += 2 * _SB_LN04_MICRO - ml(n)
+        exp[r.doc_id] = (tot, backoffs, oov, s6 / (1e6 * tot))
+    got = {
+        r.doc_id: (
+            r.n_bigrams, r.n_backoffs, r.n_oov, r.mean_logprob
+        )
+        for r in registry.QUERIES["quality_stupid_backoff"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for k in got:
+        ge, ee = got[k], exp[k]
+        assert ge[:3] == ee[:3], (k, ge, ee)
+        assert abs(ge[3] - ee[3]) < 1e-9, (k, ge, ee)
+    assert sum(v[1] for v in got.values()) > 0, (
+        "no backoff fired on held-out docs — split vacuous"
+    )
+
+
+# ---------------------------------------------------------------------------
+# abtest_cuped
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_matches_python(spark, sf_dir):
+    import collections
+    import math
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        _CUPED_SPLIT_S,
+    )
+
+    registry.load_all()
+    rows = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.col("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+    ).collect()
+    split = min(r.sec for r in rows) + _CUPED_SPLIT_S
+    users = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        a = users[r.user_id]
+        if r.event_type == "purchase":
+            if r.sec < split:
+                a[0] += r.v
+            else:
+                a[1] += r.v
+    m = {s: dict(n=0, sx=0, sy=0, sxx=0, sxy=0, syy=0) for s in (0, 1)}
+    for uid, (x, y) in users.items():
+        d = m[uid % 2]
+        d["n"] += 1
+        d["sx"] += x
+        d["sy"] += y
+        d["sxx"] += x * x
+        d["sxy"] += x * y
+        d["syy"] += y * y
+    N = m[0]["n"] + m[1]["n"]
+    SX = m[0]["sx"] + m[1]["sx"]
+    SY = m[0]["sy"] + m[1]["sy"]
+    SXX = m[0]["sxx"] + m[1]["sxx"]
+    SXY = m[0]["sxy"] + m[1]["sxy"]
+    SYY = m[0]["syy"] + m[1]["syy"]
+    theta = float(N * SXY - SX * SY) / float(N * SXX - SX * SX)
+
+    def var(d, mom, f1, f2):
+        return float(d["n"] * d[mom] - d[f1] * d[f2]) / (
+            float(d["n"]) * (d["n"] - 1)
+        )
+
+    def var_adj(d):
+        return (
+            var(d, "syy", "sy", "sy")
+            - 2.0 * theta * var(d, "sxy", "sx", "sy")
+            + theta * theta * var(d, "sxx", "sx", "sx")
+        )
+
+    def adj(d):
+        return float(d["sy"]) / d["n"] - theta * (
+            float(d["sx"]) / d["n"] - float(SX) / N
+        )
+
+    t = (adj(m[1]) - adj(m[0])) / math.sqrt(
+        var_adj(m[1]) / m[1]["n"] + var_adj(m[0]) / m[0]["n"]
+    )
+    vy = float(N * SYY - SY * SY) / (float(N) * (N - 1))
+    cv = float(N * SXY - SX * SY) / (float(N) * (N - 1))
+    vx = float(N * SXX - SX * SX) / (float(N) * (N - 1))
+    vr = 1.0 - (vy - 2.0 * theta * cv + theta * theta * vx) / vy
+    row = registry.QUERIES["abtest_cuped"](spark, sf_dir).collect()
+    assert len(row) == 1
+    g = row[0]
+    assert (g.n_control_users, g.n_treatment_users) == (
+        m[0]["n"], m[1]["n"]
+    )
+    assert g.theta == theta
+    assert g.mean_adj_control == adj(m[0])
+    assert g.mean_adj_treatment == adj(m[1])
+    assert g.t_cuped == t
+    assert g.var_reduction == vr
+    # the covariate must actually reduce variance on the fixture
+    assert 0.0 < g.var_reduction < 1.0
