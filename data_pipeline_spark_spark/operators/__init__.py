@@ -114,6 +114,7 @@ _ROUND15_PRIORITY = [
     "ts_mann_kendall",
     "quality_stupid_backoff",
     "abtest_cuped",
+    "scd2_snapshot_at",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

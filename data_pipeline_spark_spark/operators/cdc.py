@@ -163,3 +163,136 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scd2_snapshot_at — point-in-time reconstruction over the SCD2 history
+# ---------------------------------------------------------------------------
+
+#: Snapshot offsets from min(ts), in days — early / mid / late in
+#: the fixture's 30-day window, so each snapshot sees a genuinely
+#: different dimension state.
+_SNAP_DAYS = (5, 15, 25)
+
+_SNAP_SQL = f"""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(round(value * 1000) AS BIGINT) AS v,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    hist AS (
+      SELECT user_id, v, sec AS valid_from,
+             LEAD(sec) OVER (PARTITION BY user_id
+                             ORDER BY sec, event_id) AS valid_to
+      FROM obs
+    ),
+    anchor AS (
+      SELECT MIN(sec) AS t0 FROM obs
+    ),
+    snaps AS (
+      SELECT anchor.t0 + d * 86400 AS t, d AS snapshot_day
+      FROM anchor CROSS JOIN (
+        SELECT unnest({list(_SNAP_DAYS)!s}) AS d
+      )
+    ),
+    at AS (
+      SELECT s.snapshot_day, h.user_id, h.v
+      FROM snaps s
+      JOIN hist h
+        ON h.valid_from <= s.t
+       AND (h.valid_to IS NULL OR s.t < h.valid_to)
+    )
+    SELECT snapshot_day,
+           CAST(COUNT(*) AS BIGINT) AS n_users_known,
+           CAST(SUM(v) AS BIGINT) AS total_milli,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS avg_milli,
+           CAST(SUM(CAST(user_id AS HUGEINT) * v) AS DOUBLE)
+             AS checksum
+    FROM at
+    GROUP BY snapshot_day
+    ORDER BY snapshot_day
+"""
+
+
+@query("scd2_snapshot_at", oracle=_SNAP_SQL)
+def scd2_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction over the [[scd2_intervals]]
+    history — "what did the dimension look like on day
+    {_SNAP_DAYS}" — the TIME-TRAVEL read that is the entire reason
+    warehouses keep type-2 history (audit reruns, training-data
+    as-of-T reproducibility, backfills that must not leak future
+    attribute values). Three snapshots in ONE query show the state
+    actually evolving; each user contributes exactly one version
+    per snapshot because the validity intervals partition time.
+
+    Exactness: the same (sec, event_id)-ordered lead window as the
+    history builder (the snapshot can never disagree with
+    [[scd2_intervals]] about versions); interval membership is
+    integer epoch comparison with the open-ended current row as an
+    explicit NULL branch; per-snapshot aggregates are exact
+    integers (+ a user_id-weighted checksum pinning WHICH version
+    was selected, not just how many) and one double division.
+
+    Plan: one per-user window (the history build), a 3-row
+    broadcast of snapshot instants against the interval frame
+    (range predicate as residual — each history row survives for
+    at most |snaps| instants, so the join output is bounded by
+    3·|versions|), one report fold."""
+    from pyspark.sql.window import Window
+
+    obs = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+            F.col("ts").cast("long").alias("sec"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    hist = obs.select(
+        "user_id",
+        "v",
+        F.col("sec").alias("valid_from"),
+        F.lead("sec").over(w).alias("valid_to"),
+    )
+    anchor = obs.agg(F.min("sec").alias("t0"))
+    snaps = (
+        anchor.select(
+            F.explode(
+                F.array(*[F.lit(d) for d in _SNAP_DAYS])
+            ).alias("snapshot_day"),
+            "t0",
+        )
+        .select(
+            "snapshot_day",
+            (F.col("t0") + F.col("snapshot_day") * 86400).alias("t"),
+        )
+    )
+    at = F.broadcast(snaps).join(
+        hist,
+        (F.col("valid_from") <= F.col("t"))
+        & (F.col("valid_to").isNull() | (F.col("t") < F.col("valid_to"))),
+    )
+    return (
+        at.groupBy("snapshot_day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users_known"),
+            F.sum("v").cast("bigint").alias("total_milli"),
+            (F.sum("v").cast("double") / F.count("*")).alias(
+                "avg_milli"
+            ),
+            F.sum(F.col("user_id").cast("decimal(38,0)") * F.col("v"))
+            .cast("double")
+            .alias("checksum"),
+        )
+        .orderBy("snapshot_day")
+    )
+
+
+scd2_snapshot_at.__doc__ = scd2_snapshot_at.__doc__.replace(
+    "{_SNAP_DAYS}", "/".join(str(d) for d in _SNAP_DAYS)
+)

@@ -2027,3 +2027,63 @@ def test_cuped_matches_python(spark, sf_dir):
     assert g.var_reduction == vr
     # the covariate must actually reduce variance on the fixture
     assert 0.0 < g.var_reduction < 1.0
+
+
+# ---------------------------------------------------------------------------
+# scd2_snapshot_at
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_snapshot_matches_python(spark, sf_dir):
+    """Replay point-in-time selection: for each snapshot instant,
+    each user's version with the largest valid_from <= t."""
+    import collections
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.cdc import _SNAP_DAYS
+
+    registry.load_all()
+    rows = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+        F.col("ts").cast("long").alias("sec"),
+        "event_id",
+    ).collect()
+    t0 = min(r.sec for r in rows)
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.sec, r.event_id, r.v))
+    exp = {}
+    for d in _SNAP_DAYS:
+        t = t0 + d * 86400
+        n = tot = chk = 0
+        for uid, evs in by_user.items():
+            evs.sort()
+            cur = None
+            for sec, _, v in evs:
+                if sec <= t:
+                    cur = v
+                else:
+                    break
+            if cur is not None:
+                n += 1
+                tot += cur
+                chk += uid * cur
+        exp[d] = (n, tot, tot / float(n), float(chk))
+    got = {
+        r.snapshot_day: (
+            r.n_users_known, r.total_milli, r.avg_milli, r.checksum
+        )
+        for r in registry.QUERIES["scd2_snapshot_at"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+    # the dimension must actually evolve across the snapshots
+    days = sorted(got)
+    assert got[days[0]][0] < got[days[-1]][0] or (
+        got[days[0]][1] != got[days[-1]][1]
+    )
