@@ -115,6 +115,7 @@ _ROUND15_PRIORITY = [
     "quality_stupid_backoff",
     "abtest_cuped",
     "scd2_snapshot_at",
+    "abtest_ks_test",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

@@ -4624,3 +4624,132 @@ def abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CU_T).alias("t_cuped"),
         F.expr(_CU_VARRED).alias("var_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# abtest_ks_test — exact two-sample Kolmogorov–Smirnov distance
+# ---------------------------------------------------------------------------
+
+#: K–S 5% critical coefficient c(α) = sqrt(−ln(α/2)/2) for α = 0.05,
+#: as a python literal (the benford device).
+_KS_C05 = 1.3581015157406195
+
+@query(
+    "abtest_ks_test",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(round(value * 1000) AS BIGINT) AS x
+      FROM events
+    ),
+    blocks AS (
+      SELECT event_type, x,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1
+      FROM m GROUP BY event_type, x
+    ),
+    cum AS (
+      SELECT event_type,
+             CAST(SUM(c0) OVER w AS BIGINT) AS f0,
+             CAST(SUM(c1) OVER w AS BIGINT) AS f1
+      FROM blocks
+      WINDOW w AS (PARTITION BY event_type ORDER BY x)
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(c0) AS BIGINT) AS n0,
+             CAST(SUM(c1) AS BIGINT) AS n1
+      FROM blocks GROUP BY event_type
+    ),
+    g AS (
+      SELECT c.event_type, t.n0, t.n1,
+             CAST(MAX(abs(CAST(c.f0 AS HUGEINT) * t.n1
+                          - CAST(c.f1 AS HUGEINT) * t.n0))
+                  AS BIGINT) AS d_num
+      FROM cum c JOIN tot t USING (event_type)
+      GROUP BY c.event_type, t.n0, t.n1
+    )
+    SELECT event_type, n0 AS n_control, n1 AS n_treatment, d_num,
+           CAST(d_num AS DOUBLE)
+             / (CAST(n0 AS DOUBLE) * n1) AS d_stat,
+           CASE WHEN CAST(d_num AS DOUBLE)
+                     / (CAST(n0 AS DOUBLE) * n1)
+                     > CAST({_KS_C05!r} AS DOUBLE)
+                       * sqrt((CAST(n0 AS DOUBLE) + n1)
+                              / (CAST(n0 AS DOUBLE) * n1))
+                THEN 1 ELSE 0 END AS reject_05
+    FROM g
+    ORDER BY event_type
+    """,
+)
+def abtest_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test per event type — D =
+    sup|F₀ − F₁| between the arms' empirical CDFs with the 5%
+    large-sample decision: the distribution-EQUALITY member closing
+    the two-sample family ([[abtest_welch_ttest]] means,
+    [[abtest_mann_whitney]] stochastic dominance — a variance or
+    shape change with equal medians slips past BOTH; K–S catches
+    any distributional difference).
+
+    Exactness: the supremum is computed ENTIRELY in integers — at
+    every distinct value, |F₀ − F₁| ∝ |cum₀·n₁ − cum₁·n₀| (the
+    cross-multiplied CDF gap; ~1e5·1e5 ≈ 1e10 per term at sf1,
+    widened through the 128-bit domain for the 100 TB case), and
+    MAX over exact integers is order-free — no float sup, no
+    tolerance. D and the critical-value comparison (c(0.05) as a
+    python literal) are the only float operations, shared trees
+    both engines — even the reject flag is bit-exact.
+
+    Plan: the [[abtest_mann_whitney]] block-collapse discipline —
+    groupBy(series, value) FIRST, so the CDF window sorts the value
+    domain, not the corpus; one window exchange + one fold. At
+    100 TB the exchange carries distinct (series, milli-value)
+    blocks."""
+    from pyspark.sql.window import Window
+
+    m = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    )
+    blocks = m.groupBy("event_type", "x").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint").alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint").alias("c1"),
+    )
+    w = Window.partitionBy("event_type").orderBy("x")
+    wt = Window.partitionBy("event_type")
+    cum = blocks.select(
+        "event_type",
+        F.sum("c0").over(w).cast("bigint").alias("f0"),
+        F.sum("c1").over(w).cast("bigint").alias("f1"),
+        F.sum("c0").over(wt).cast("bigint").alias("n0"),
+        F.sum("c1").over(wt).cast("bigint").alias("n1"),
+    )
+    g = cum.groupBy("event_type", "n0", "n1").agg(
+        F.max(
+            F.abs(
+                F.col("f0").cast("decimal(38,0)") * F.col("n1")
+                - F.col("f1").cast("decimal(38,0)") * F.col("n0")
+            )
+        ).cast("bigint").alias("d_num")
+    )
+    d = F.col("d_num").cast("double") / (
+        F.col("n0").cast("double") * F.col("n1")
+    )
+    crit = F.expr(
+        f"CAST({_KS_C05!r} AS DOUBLE)"
+        " * sqrt((CAST(n0 AS DOUBLE) + n1)"
+        "        / (CAST(n0 AS DOUBLE) * n1))"
+    )
+    return g.select(
+        "event_type",
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        "d_num",
+        d.alias("d_stat"),
+        F.when(d > crit, 1).otherwise(0).alias("reject_05"),
+    ).orderBy("event_type")

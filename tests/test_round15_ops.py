@@ -2087,3 +2087,87 @@ def test_scd2_snapshot_matches_python(spark, sf_dir):
     assert got[days[0]][0] < got[days[-1]][0] or (
         got[days[0]][1] != got[days[-1]][1]
     )
+
+
+# ---------------------------------------------------------------------------
+# abtest_ks_test
+# ---------------------------------------------------------------------------
+
+
+def test_ks_matches_python(spark, sf_dir):
+    import collections
+    import math
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import _KS_C05
+
+    registry.load_all()
+    rows = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    ).collect()
+    by_et = collections.defaultdict(lambda: ([], []))
+    for r in rows:
+        by_et[r.event_type][r.arm].append(r.x)
+    exp = {}
+    for et, (a0, a1) in by_et.items():
+        n0, n1 = len(a0), len(a1)
+        xs = sorted(set(a0) | set(a1))
+        c0 = collections.Counter(a0)
+        c1 = collections.Counter(a1)
+        f0 = f1 = 0
+        dnum = 0
+        for x in xs:
+            f0 += c0.get(x, 0)
+            f1 += c1.get(x, 0)
+            dnum = max(dnum, abs(f0 * n1 - f1 * n0))
+        d = dnum / (float(n0) * n1)
+        crit = _KS_C05 * math.sqrt((float(n0) + n1) / (float(n0) * n1))
+        exp[et] = (n0, n1, dnum, d, 1 if d > crit else 0)
+    got = {
+        r.event_type: (
+            r.n_control, r.n_treatment, r.d_num, r.d_stat, r.reject_05
+        )
+        for r in registry.QUERIES["abtest_ks_test"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_ks_detects_shape_change_mw_misses(spark):
+    """The reason K-S exists next to Mann-Whitney: a symmetric
+    variance inflation with identical medians — U stays near null
+    (z ~ 0) while D rejects loudly."""
+    import datetime
+    import tempfile
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        abtest_ks_test,
+        abtest_mann_whitney,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for k in range(500):
+        # control: tight around 1000; treatment: symmetric wide
+        eid += 1
+        rows.append((eid, base, eid * 2, "spread",
+                     1000.0 + (k % 5) - 2, ""))
+        eid += 1
+        rows.append((eid, base, eid * 2 + 1, "spread",
+                     1000.0 + ((k % 2) * 2 - 1) * (50 + k % 7), ""))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        ks = abtest_ks_test(spark, d).collect()[0]
+        mw = abtest_mann_whitney(spark, d).collect()[0]
+    assert ks.reject_05 == 1
+    assert abs(mw.z_mw) < 2.0  # MW blind to the symmetric spread
