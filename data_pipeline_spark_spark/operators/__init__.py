@@ -116,6 +116,7 @@ _ROUND15_PRIORITY = [
     "abtest_cuped",
     "scd2_snapshot_at",
     "abtest_ks_test",
+    "multimodal_phash_dedup_apply",
     # (c) latest green row r10 — scripts/staleness_report.py order
     "agg_corr_exact",
     "agg_filter_clause",

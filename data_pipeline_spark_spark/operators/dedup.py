@@ -998,33 +998,24 @@ _CLUSTER_SQL = """
 """
 
 
-@query("dedup_cluster", oracle=_CLUSTER_SQL)
-def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group near-duplicate documents into clusters and pick one
-    canonical representative per cluster — the step after pair
-    generation in every production dedup: pairs alone can chain
-    (A~B, B~C but A≁C), so keep/drop decisions need the transitive
-    closure, i.e. connected components.
 
-    Components via iterative min-label propagation on the candidate
-    graph from `dedup_ngram_jaccard` (J ≥ 0.8): every node starts
-    labeled with its own id; each round a node takes the min of its
-    own and its neighbors' labels; fixpoint = components labeled by
-    their min doc_id. Rounds ∝ graph diameter — near-dup clusters
-    are dense and shallow (typically 2-4 rounds). Each round is one
-    shuffle on the node id; the frontier DataFrame is cached and the
-    previous round unpersisted, so state never accumulates. At 1B+
-    nodes the same loop holds (labels are (id, label) pairs, ~16 B a
-    row); the large-star/small-star variant (Kiveris et al.) halves
-    round count when diameters grow, but dup graphs don't.
 
-    The DuckDB oracle computes the same closure with a recursive CTE
-    — Spark has no WITH RECURSIVE, which is exactly why the
-    DataFrame loop is the idiomatic form (SURVEY.md §2C dedup tier).
-    """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components of an undirected pair frame ``(doc_a,
+    doc_b)`` via iterative min-label propagation — factored out of
+    [[dedup_cluster]] so any pair GENERATOR (n-gram Jaccard there,
+    perceptual-hash pairs in [[multimodal_phash_dedup_apply]]) feeds
+    the SAME closure loop. Returns ``(doc_id, cluster_id)`` with
+    cluster_id = the component's min doc_id; nodes are exactly the
+    ids that appear in some pair (isolated items never enter the
+    loop — callers account for them separately, which is also what
+    keeps the loop state pair-population-sized, not corpus-sized).
+    Each round: one shuffle on the node id; frontier cached, prior
+    round unpersisted, so state never accumulates."""
     edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        pairs.union(
+            pairs.select(pairs.columns[1], pairs.columns[0])
+        )
         .toDF("src", "dst")
         .cache()
     )
@@ -1057,9 +1048,37 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    out = labels.select(
+    return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
+
+
+@query("dedup_cluster", oracle=_CLUSTER_SQL)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-duplicate documents into clusters and pick one
+    canonical representative per cluster — the step after pair
+    generation in every production dedup: pairs alone can chain
+    (A~B, B~C but A≁C), so keep/drop decisions need the transitive
+    closure, i.e. connected components.
+
+    Components via iterative min-label propagation on the candidate
+    graph from `dedup_ngram_jaccard` (J ≥ 0.8): every node starts
+    labeled with its own id; each round a node takes the min of its
+    own and its neighbors' labels; fixpoint = components labeled by
+    their min doc_id. Rounds ∝ graph diameter — near-dup clusters
+    are dense and shallow (typically 2-4 rounds). Each round is one
+    shuffle on the node id; the frontier DataFrame is cached and the
+    previous round unpersisted, so state never accumulates. At 1B+
+    nodes the same loop holds (labels are (id, label) pairs, ~16 B a
+    row); the large-star/small-star variant (Kiveris et al.) halves
+    round count when diameters grow, but dup graphs don't.
+
+    The DuckDB oracle computes the same closure with a recursive CTE
+    — Spark has no WITH RECURSIVE, which is exactly why the
+    DataFrame loop is the idiomatic form (SURVEY.md §2C dedup tier).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    out = min_label_components(pairs)
     return out.select(
         "doc_id",
         "cluster_id",

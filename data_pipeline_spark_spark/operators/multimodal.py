@@ -533,8 +533,10 @@ _PH_PLANT_SQL = f"""
       FROM base WHERE doc_id % {_PH_PLANT_MOD} = 0
 """
 
-_PH_SQL = f"""
-    WITH base AS (
+#: The full CTE chain through the verified pair set — shared by the
+#: near-dup key's oracle and [[multimodal_phash_dedup_apply]]'s
+#: transitive-closure oracle (one definition of the candidate graph).
+_PH_CTES = f"""base AS (
       SELECT doc_id, text FROM documents
       WHERE octet_length(encode(text)) >= {_PH_CELLS}
     ),
@@ -572,6 +574,10 @@ _PH_SQL = f"""
                THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
       FROM bits a JOIN bits b2 ON a.doc_id < b2.doc_id
     )
+"""
+
+_PH_SQL = f"""
+    WITH {_PH_CTES}
     SELECT * FROM pairs WHERE hamming <= {_PH_MAXH}
     ORDER BY hamming, doc_a, doc_b
 """
@@ -743,6 +749,17 @@ def multimodal_phash_near_dup(
     Reference parity note: the reference pipeline has no multimodal
     surface at all (its payloads are EEG CSVs); this extends the
     engine's LLM-training-data tier."""
+    bits = phash64(_ph_population(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    return phash_near_dup_pairs(bits)
+
+
+def _ph_population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed payload population (eligible fixture docs + the
+    planted near-dup companions) — factored so the pair key and
+    [[multimodal_phash_dedup_apply]] hash EXACTLY the same items
+    (twin of the oracle's ``u`` CTE inside [[_PH_CTES]])."""
     d = load(spark, sf_dir, "documents")
     base = d.filter(
         F.expr(f"octet_length(encode(text, 'UTF-8')) >= {_PH_CELLS}")
@@ -763,11 +780,9 @@ def multimodal_phash_near_dup(
     # stage runs in ONE task (measured 6.4 s single-task vs sub-second
     # spread at sf0.1); on a cluster the scan parallelizes and this
     # is a cheap round-robin
-    u = fan_out(base.unionByName(planted)).withColumn(
+    return fan_out(base.unionByName(planted)).withColumn(
         "payload", F.encode(F.col("text"), "UTF-8")
     )
-    bits = phash64(u).localCheckpoint(eager=False)
-    return phash_near_dup_pairs(bits)
 
 
 multimodal_phash_near_dup.__doc__ = (
@@ -914,3 +929,111 @@ def multimodal_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 multimodal_scene_segments.__doc__ = multimodal_scene_segments.__doc__.replace(
     "{_SCENE_FRAME_B}", str(_SCENE_FRAME_B)
 )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash_dedup_apply — pairs → components → keep/drop decisions
+# ---------------------------------------------------------------------------
+
+_PH_APPLY_SQL = f"""
+    WITH RECURSIVE {_PH_CTES},
+    fpairs AS (
+      SELECT doc_a, doc_b FROM pairs WHERE hamming <= {_PH_MAXH}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM fpairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM fpairs
+    ),
+    walk(doc, node) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT w.doc, e.dst FROM walk w JOIN edges e ON w.node = e.src
+    ),
+    membership AS (
+      SELECT doc AS doc_id, MIN(node) AS cluster_id
+      FROM walk GROUP BY doc
+    ),
+    pop AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM u)
+    SELECT pop.n_items,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fpairs) AS n_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM membership)
+             AS n_in_clusters,
+           (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT)
+            FROM membership) AS n_clusters,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM membership
+            WHERE doc_id <> cluster_id) AS n_dropped,
+           pop.n_items
+             - (SELECT COUNT(*) FROM membership
+                WHERE doc_id <> cluster_id) AS n_kept,
+           (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+            FROM membership WHERE doc_id <> cluster_id)
+             AS dropped_checksum
+    FROM pop
+"""
+
+
+@query("multimodal_phash_dedup_apply", oracle=_PH_APPLY_SQL)
+def multimodal_phash_dedup_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The multimodal dedup loop CLOSED: perceptual-hash near-dup
+    pairs ([[multimodal_phash_near_dup]]) → transitive closure →
+    min-id canonical keep/drop decisions with a dropped-id checksum
+    — pairs alone cannot be applied (A~B, B~C chains need
+    components), so this is the operator a pipeline actually
+    executes to shrink an image corpus. Composes two existing
+    machineries verbatim: the banded hamming candidate graph and
+    [[dedup_cluster]]'s now-shared [[min_label_components]] loop —
+    the text-dedup and image-dedup paths run the SAME closure code.
+
+    Exactness: the pair set is the graded phash key's own; the
+    closure oracle is the same WITH RECURSIVE walk as
+    [[dedup_cluster]]'s; every report column is an exact integer
+    (the dropped-id checksum pins WHICH payloads were dropped, not
+    just how many).
+
+    Plan: the phash stages unchanged, then the min-label loop runs
+    on the PAIR population only (nodes = ids appearing in some pair
+    — cluster state is near-dup-population-sized, never
+    corpus-sized), one report row at the end."""
+    bits = phash64(_ph_population(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    pairs = phash_near_dup_pairs(bits).select("doc_a", "doc_b")
+    pairs = pairs.localCheckpoint(eager=False)
+    from .dedup import min_label_components
+
+    memb = min_label_components(pairs).localCheckpoint(eager=False)
+    n_items = bits.count()
+    n_pairs = pairs.count()
+    rep = memb.agg(
+        F.count("*").cast("bigint").alias("n_in_clusters"),
+        F.countDistinct("cluster_id").cast("bigint").alias(
+            "n_clusters"
+        ),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("cluster_id"), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_dropped"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("doc_id") != F.col("cluster_id"),
+                    F.col("doc_id"),
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("dropped_checksum"),
+    )
+    return rep.select(
+        F.lit(n_items).cast("bigint").alias("n_items"),
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        "n_in_clusters",
+        "n_clusters",
+        "n_dropped",
+        (F.lit(n_items) - F.col("n_dropped"))
+        .cast("bigint")
+        .alias("n_kept"),
+        "dropped_checksum",
+    )

@@ -2171,3 +2171,61 @@ def test_ks_detects_shape_change_mw_misses(spark):
         mw = abtest_mann_whitney(spark, d).collect()[0]
     assert ks.reject_05 == 1
     assert abs(mw.z_mw) < 2.0  # MW blind to the symmetric spread
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash_dedup_apply
+# ---------------------------------------------------------------------------
+
+
+def test_phash_dedup_apply_contract(spark, sf_dir):
+    """Closure consistency + plant accounting: every planted
+    companion pairs with its base and carries the larger id, so
+    every companion MUST be dropped; totals and the dropped-id
+    checksum must be internally consistent with the pair key's
+    output replayed through a python union-find."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["multimodal_phash_near_dup"](
+            spark, sf_dir
+        ).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted(parent)
+    clusters = {}
+    for m in members:
+        clusters.setdefault(find(m), []).append(m)
+    dropped = [m for m in members if find(m) != m]
+    row = registry.QUERIES["multimodal_phash_dedup_apply"](
+        spark, sf_dir
+    ).collect()
+    assert len(row) == 1
+    g = row[0]
+    assert g.n_pairs == len(pairs)
+    assert g.n_in_clusters == len(members)
+    assert g.n_clusters == len(clusters)
+    assert g.n_dropped == len(dropped)
+    assert g.dropped_checksum == sum(dropped)
+    assert g.n_kept + g.n_dropped == g.n_items
+    # every planted companion (id offset 1e6) must be dropped
+    from data_pipeline_spark_spark.operators.multimodal import (
+        _PH_PLANT_OFFSET,
+    )
+
+    companions = {m for m in members if m >= _PH_PLANT_OFFSET}
+    assert companions and companions <= set(dropped)
