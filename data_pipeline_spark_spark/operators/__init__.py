@@ -68,8 +68,8 @@ ALL_MODULES = (
 # Everything else keeps its registration order behind the priority
 # block and retains its latest row.
 #
-# DELIBERATE tradeoff, round-15 session 2: the (b) block grew to 23
-# new keys, so ~29 of the r10-stale (c) keys will now fall past the
+# DELIBERATE tradeoff, round-15 session 2: the (b) block grew to 28
+# new keys, so ~34 of the r10-stale (c) keys will now fall past the
 # budget and stay r10 for one more round. Chosen consciously: a key
 # with ZERO driver evidence is worth more than moving a green key's
 # stamp from r10 to r15 ("ungraded keys stay out of the headline" is
