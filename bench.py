@@ -206,6 +206,63 @@ def _tree_jiffies() -> int:
     return total
 
 
+def _mem_signals(me: int) -> tuple[float, float] | None:
+    """(external_rss_frac, mem_available_frac) of MemTotal — the
+    signals the r15 drift slipped past the CPU-only meter: a
+    co-resident idle JVM holding a multi-GB heap (the round driver's
+    48 GB sf1 probe sessions) burns no CPU during the timed window
+    but evicts page cache and squeezes allocation headroom, inflating
+    every query a little — a uniform +31% spark-side drift with
+    DuckDB flat and `contended:[]` (BENCH_r15 postmortem; the
+    interleaved A/B against the r14 tree measured the code delta at
+    ~3%, so the rest was host/session state)."""
+    try:
+        memtotal = memavail = None
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    memtotal = int(line.split()[1]) * 1024
+                elif line.startswith("MemAvailable:"):
+                    memavail = int(line.split()[1]) * 1024
+                if memtotal and memavail:
+                    break
+        if not memtotal:
+            return None
+        page = os.sysconf("SC_PAGE_SIZE")
+        ppid_of: dict[int, int] = {}
+        rss_of: dict[int, int] = {}
+        for pid_s in os.listdir("/proc"):
+            if not pid_s.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid_s}/stat") as fh:
+                    st = fh.read()
+                with open(f"/proc/{pid_s}/statm") as fh:
+                    rss_pages = int(fh.read().split()[1])
+            except OSError:
+                continue
+            after = st.rsplit(")", 1)[-1].split()
+            pid = int(pid_s)
+            ppid_of[pid] = int(after[1])
+            rss_of[pid] = rss_pages * page
+        external = 0
+        for pid, rss in rss_of.items():
+            p = pid
+            ours = False
+            for _ in range(64):
+                if p == me:
+                    ours = True
+                    break
+                p = ppid_of.get(p, 0)
+                if p <= 1:
+                    break
+            if not ours:
+                external += rss
+        return external / memtotal, (memavail or 0) / memtotal
+    except Exception:
+        return None
+
+
 def _spin() -> float:
     """Seconds for a fixed ~15 ms single-thread arithmetic loop — a
     userspace canary for host-level CPU degradation the guest can't
@@ -252,6 +309,7 @@ class ContentionMeter:
 
     def __enter__(self):
         self.t0 = time.perf_counter()
+        self.mem = _mem_signals(os.getpid())
         try:
             (self.busy0, self.steal0) = _busy_jiffies()
             self.tree0 = _tree_jiffies()
@@ -277,11 +335,27 @@ class ContentionMeter:
                 pass
 
     @property
+    def memory_pressured(self):
+        """External (non-tree) RSS > 20% of RAM, or < 15% of RAM
+        available at window open — the co-resident-heap signature
+        that is invisible to CPU/steal metering. On a healthy bench
+        host external RSS is a few percent (this python + system
+        daemons; the JVM is INSIDE the tree), so 20% ≈ a co-resident
+        multi-GB process; 15% MemAvailable means the page cache the
+        parquet scans rely on is already squeezed."""
+        if self.mem is None:
+            return None
+        ext_rss, avail = self.mem
+        return ext_rss > 0.20 or avail < 0.15
+
+    @property
     def contended(self):
         if self.external_frac is None:
             return None
-        return self.external_frac > 0.15 or (
-            self.steal_frac is not None and self.steal_frac > 0.08
+        return (
+            self.external_frac > 0.15
+            or (self.steal_frac is not None and self.steal_frac > 0.08)
+            or self.memory_pressured is True
         )
 
 
@@ -439,6 +513,12 @@ def main() -> None:
         "contended_queries": contended_queries,
         "contended": bool(contended_queries),
     }
+    mem = _mem_signals(os.getpid())
+    if mem is not None:
+        # start-vs-end-of-bench host memory state, for the artifact
+        # to carry WHY a window was (or should have been) suspect
+        out["mem_external_rss_frac"] = round(mem[0], 3)
+        out["mem_available_frac"] = round(mem[1], 3)
     if duck:
         out["duckdb"] = duck
         out["duckdb_total"] = round(sum(duck.values()), 3)

@@ -2,13 +2,13 @@
 query into data_pipeline_spark_spark.registry.
 
 The driver's correctness harness walks queries() in dict order under a
-time budget (~50 keys/round), so the explicit ``_ROUND15_PRIORITY``
-list below decides which keys earn a CORRECTNESS row this round: the
-4 r14 keys that have never been graded first (they shipped at
-positions 51-54 last round and fell past the budget), then any new
-r15 keys, then the 50 r10-stale oracle keys (after which no key's
-latest row predates r11), then r11-stale filler. Keys past the budget
-keep their most recent row from earlier rounds.
+time budget (~50 keys/round), so the explicit ``_ROUND16_PRIORITY``
+list below decides which keys earn a CORRECTNESS row this round.
+Round 16 is the staleness-paydown round (r15 verdict ask #2): new
+r16 keys first (every key lands with driver evidence in its landing
+round — deliberately few this round), then ALL 38 keys whose latest
+green row is r10, then r11-stale filler with headline members first.
+Keys past the budget keep their most recent row from earlier rounds.
 """
 
 from . import (  # noqa: F401
@@ -76,60 +76,12 @@ ALL_MODULES = (
 # the binding policy, and it binds on the new keys). The surviving
 # (c) prefix still de-stales the 21 oldest; r16's rotation should
 # front the remainder.
-_ROUND15_PRIORITY = [
-    # (a) shipped r14, never graded — highest leverage
-    "ts_acf",
-    "privacy_dp_sum",
-    "corpus_filter_gopher",
-    "agg_skew_kurtosis",
-    # (b) new round-15 keys — uncommented here as each lands
-    "multimodal_phash_near_dup",
-    "ts_pacf",
-    "ts_ljung_box",
-    "agg_gini_exact",
-    "privacy_dp_topk",
-    "graph_kcore",
-    "graph_clustering_coeff",
-    "graph_edge_jaccard",
-    "agg_hhi_concentration",
-    "text_lexical_diversity",
-    "ts_theil_sen",
-    "abtest_mann_whitney",
-    "corpus_span_corruption",
-    "agg_chi_square_indep",
-    "dq_benford_digits",
-    "agg_bootstrap_ci",
-    "agg_anova_oneway",
-    "ts_seasonal_strength",
-    "event_attribution_multi",
-    "multimodal_scene_segments",
-    "window_rolling_median",
-    "abtest_ratio_delta",
-    "graph_degree_stats",
-    "text_keyphrase_rake",
-    "agg_winsorized_mean",
-    "ts_bollinger_bands",
-    "graph_assortativity",
-    "cohort_rfm_segments",
-    "ts_mann_kendall",
-    "quality_stupid_backoff",
-    "abtest_cuped",
-    "scd2_snapshot_at",
-    "abtest_ks_test",
-    "multimodal_phash_dedup_apply",
-    # (c) latest green row r10 — scripts/staleness_report.py order
-    "agg_corr_exact",
-    "agg_filter_clause",
-    "agg_histogram",
-    "agg_median_exact",
-    "agg_percentile_disc",
-    "agg_string_concat",
-    "corpus_dsir_select",
-    "corpus_duplication_profile_hashed",
-    "corpus_filter_report",
-    "corpus_mix_temperature",
-    "corpus_pipeline_trained",
-    "corpus_shuffle_deterministic",
+_ROUND16_PRIORITY = [
+    # (a) new round-16 keys — appended here as each lands, so every
+    # key ships with driver evidence in its landing round
+    # (b) latest green row r10 — the full 38-key staleness debt the
+    # r15 landing spree deferred (r15 verdict ask #2): after this
+    # grade no key's latest row predates r11
     "dedup_cluster",
     "dedup_embedding",
     "dedup_exact",
@@ -168,7 +120,18 @@ _ROUND15_PRIORITY = [
     "window_rank",
     "window_rank_dense",
     "window_twa",
-    # (d) latest green row r11 — filler past the budget
+    # (c) latest green row r11 — filler to the ~50-key budget,
+    # headline members first (their bench numbers should rest on
+    # fresh correctness rows), then the rest in report order
+    "keyword_search_bm25",
+    "quality_bigram_perplexity",
+    "retrieval_hybrid_rrf",
+    "tokenizer_unigram_segment",
+    "vocab_oov_report",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
     "adhoc_sql",
     "cohort_retention",
     "corpus_pack_sequences",
@@ -178,7 +141,6 @@ _ROUND15_PRIORITY = [
     "event_pattern_match",
     "event_transitions",
     "funnel_steps",
-    "keyword_search_bm25",
     "layout_zorder_locality",
     "multimodal_arrow_scan",
     "multimodal_feature_extract",
@@ -187,8 +149,6 @@ _ROUND15_PRIORITY = [
     "not_in_null_semantics",
     "privacy_k_anonymity",
     "profile_table",
-    "quality_bigram_perplexity",
-    "retrieval_hybrid_rrf",
     "scalar_datetime",
     "scalar_null_safe_eq",
     "scalar_subquery",
@@ -198,32 +158,31 @@ _ROUND15_PRIORITY = [
     "setop_intersect_except",
     "stream_dedup_bounded_state",
     "stream_drift_psi",
-    "tokenizer_unigram_segment",
-    "tpch_q10_returned_items",
     "tpch_q12_priority_by_status",
     "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
     "tpch_q7_volume_shipping",
     "ts_downsample_lttb",
     "ts_gap_fill",
     "udf_grouped_zscore",
-    "vocab_oov_report",
     "window_distribution",
     "window_gaps_islands",
     "window_range_frame",
+    "csv_header_probe",
+    "csv_scan_infer",
+    "csv_scan_schema",
+    "eeg_ingest",
+    "eeg_tidy_melt",
 ]
 
 
 def _apply_priority_order() -> None:
     from .. import registry
 
-    missing = [k for k in _ROUND15_PRIORITY if k not in registry.QUERIES]
+    missing = [k for k in _ROUND16_PRIORITY if k not in registry.QUERIES]
     if missing:  # fail loudly: a typo here silently wastes a round
-        raise KeyError(f"_ROUND15_PRIORITY names unknown keys: {missing}")
-    ordered = {k: registry.QUERIES[k] for k in _ROUND15_PRIORITY}
+        raise KeyError(f"_ROUND16_PRIORITY names unknown keys: {missing}")
+    ordered = {k: registry.QUERIES[k] for k in _ROUND16_PRIORITY}
     ordered.update(
         (k, v) for k, v in registry.QUERIES.items() if k not in ordered
     )
