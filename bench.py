@@ -128,6 +128,20 @@ HEADLINE = [
     "corpus_filter_gopher",
     "agg_skew_kurtosis",
     "ts_acf",
+    # r16 promotions (r15 VERDICT ask #6): six r15 keys graded green
+    # in the r15 rotation, all floor-flat on their decade probes
+    # (abtest_ratio_delta 0.53 s, agg_anova_oneway 0.44,
+    # ts_seasonal_strength 0.64, cohort_rfm_segments 0.67,
+    # agg_chi_square_indep 0.90, abtest_cuped 0.97 at sf0.1 —
+    # SCALE.md round-15); promoted after the clean-window 65-key
+    # re-run landed (docs/BENCH_clean_r16.jsonl), so the 65→71 key
+    # growth never mixes with the drift triage
+    "abtest_ratio_delta",
+    "agg_anova_oneway",
+    "ts_seasonal_strength",
+    "cohort_rfm_segments",
+    "agg_chi_square_indep",
+    "abtest_cuped",
 ]
 
 

@@ -501,6 +501,41 @@ _PH_BANDS = 8
 #: pigeonhole exactness argument.
 _PH_MAXH = 7
 
+#: Candidate-density budget for [[resolve_phash_bands]]: expected
+#: band-join candidates per item under a uniform-hash model,
+#: bands·n/2^(64/bands). 50 sits an order under the measured sf1
+#: cliff (the 8-band form at ~50k docs ≈ 1.6k candidates/item,
+#: 35.7 s superlinear with one skewed band bucket = one straggler
+#: task — SCALE.md r15) and an order over the healthy sf0.01 shape
+#: (~20/item).
+_PH_DENSITY = 50
+
+
+def resolve_phash_bands(n_items: int) -> int:
+    """Resolve the band count for [[phash_near_dup_pairs]] from the
+    hashed-population size — the r15 verdict's missing wiring: the
+    8-band form's 2^8 band alphabet saturates at ~50k docs (one
+    skewed bucket, quadratic candidates) while 4×16-bit bands stay
+    sparse, and nothing selected between them.
+
+    Contract (same shape as the graph family's [[_bcast_pinned]]
+    size resolution): prefer MORE bands — the pigeonhole certificate
+    covers hamming ≤ bands−1, so 8 bands certify radius 7 — and step
+    down to wider/fewer bands exactly when the expected candidate
+    density bands·n/2^(64/bands) crosses [[_PH_DENSITY]] (switch at
+    n = 1 600 for 8→4). The certified radius SHRINKS as the corpus
+    grows (7 → 3): the key reports the widest exactness certificate
+    affordable at the measured density, and the planted fixture
+    pairs sit at hamming ≤ 3 — inside every certificate this
+    resolver can pick. Floor at 4 bands: radius ≤ 1 (2 bands) is
+    useless for near-dup work, and 4×16-bit stays under budget to
+    ~800k docs — past that the scale knob is a 128-bit hash
+    (_PH_CELLS), not fewer bands."""
+    for bands in (8, 4):
+        if bands * n_items <= _PH_DENSITY * (1 << (64 // bands)):
+            return bands
+    return 4
+
 #: Deterministic near-dup planting: every _PH_PLANT_MODth payload
 #: gets a companion with two single-byte edits at the quarter and
 #: half positions, offset into a disjoint id space. The fixture's
@@ -724,10 +759,20 @@ def multimodal_phash_near_dup(
     hashing, tiny fixed-width hashes, band-bucketed candidate
     generation, exact hamming verify.
 
-    Recall is EXACT at the reported threshold: hamming ≤ {maxh} over
-    {cells} bits in {bands} disjoint 8-bit bands must leave ≥ 1 band
-    untouched (pigeonhole), so the band join misses nothing — an
-    LSH with a proof instead of a probability. Planted near-dups
+    Recall is EXACT at the reported threshold: hamming ≤ bands−1
+    over {cells} bits in `bands` disjoint slices must leave ≥ 1
+    slice untouched (pigeonhole), so the band join misses nothing —
+    an LSH with a proof instead of a probability. `bands` resolves
+    from the hashed-population count via [[resolve_phash_bands]]
+    (r16, closing the r15 saturation finding): {bands} bands
+    (radius {maxh}) while the corpus keeps the expected candidate
+    density under budget — n ≤ 1 600, which holds at the sf0.01
+    grading fixture (505 items) so the fixed maxh-{maxh} oracle
+    stays exact there — then 4×16-bit bands (radius 3) once the 2^8
+    band alphabet would saturate. The reported radius is therefore
+    the WIDEST certificate affordable at the measured density; the
+    planted pairs below sit at hamming ≤ 3, inside every
+    certificate the resolver can pick. Planted near-dups
     (two single-byte edits at quarter/half positions of every
     {mod}th payload, id-offset by {off}) make the key non-vacuous on
     the synthetic fixture (organic near-dups are length-shifted and
@@ -737,14 +782,15 @@ def multimodal_phash_near_dup(
     the banded join — same fixed point, different asymptotics.
 
     Scale: hashing is one O(T)/payload in-row pass (no shuffle);
-    candidates shuffle on (band_id, band_val) — {bands}·n rows of
+    candidates shuffle on (band_id, band_val) — bands·n rows of
     (long, int) — never payloads; the hamming verify runs on joined
-    64-int arrays before any exchange. Band width is the
-    candidate-density knob: past the point where the corpus
-    saturates the band alphabet, call [[phash_near_dup_pairs]] with
-    fewer/wider bands (4×16-bit holds exact recall to hamming 3 and
-    stays linear at sf1 where this 8-band form goes quadratic —
-    measured, SCALE.md r15).
+    64-int arrays before any exchange. Band width WAS the one
+    unwired scale knob (8-band: 35.7 s superlinear at sf1's ~50k
+    docs, one saturated bucket = one straggler; 4×16-bit: 1.58 s
+    linear — measured, SCALE.md r15); [[resolve_phash_bands]] now
+    selects it from the population count, with a probe straddling
+    the 1 600-item switch pinned in tests (the r15 graph-cap
+    lesson: auto thresholds get straddling evidence).
 
     Reference parity note: the reference pipeline has no multimodal
     surface at all (its payloads are EEG CSVs); this extends the
@@ -752,7 +798,12 @@ def multimodal_phash_near_dup(
     bits = phash64(_ph_population(spark, sf_dir)).localCheckpoint(
         eager=False
     )
-    return phash_near_dup_pairs(bits)
+    # the count is a driver-side scalar fold over the checkpointed
+    # hash frame (the pagerank-node-count class) — it materializes
+    # the checkpoint the band join reads anyway
+    return phash_near_dup_pairs(
+        bits, bands=resolve_phash_bands(bits.count())
+    )
 
 
 def _ph_population(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -993,19 +1044,24 @@ def multimodal_phash_dedup_apply(
     (the dropped-id checksum pins WHICH payloads were dropped, not
     just how many).
 
-    Plan: the phash stages unchanged, then the min-label loop runs
-    on the PAIR population only (nodes = ids appearing in some pair
-    — cluster state is near-dup-population-sized, never
+    Plan: the phash stages unchanged — including the r16 band-width
+    auto-resolution ([[resolve_phash_bands]] on the same item count
+    this report already takes, so the apply key inherits the pair
+    key's sf1 saturation fix) — then the min-label loop runs on the
+    PAIR population only (nodes = ids appearing in some pair —
+    cluster state is near-dup-population-sized, never
     corpus-sized), one report row at the end."""
     bits = phash64(_ph_population(spark, sf_dir)).localCheckpoint(
         eager=False
     )
-    pairs = phash_near_dup_pairs(bits).select("doc_a", "doc_b")
+    n_items = bits.count()
+    pairs = phash_near_dup_pairs(
+        bits, bands=resolve_phash_bands(n_items)
+    ).select("doc_a", "doc_b")
     pairs = pairs.localCheckpoint(eager=False)
     from .dedup import min_label_components
 
     memb = min_label_components(pairs).localCheckpoint(eager=False)
-    n_items = bits.count()
     n_pairs = pairs.count()
     rep = memb.agg(
         F.count("*").cast("bigint").alias("n_in_clusters"),
