@@ -244,21 +244,41 @@ def _co_order_edges(li: DataFrame) -> DataFrame:
     clustering AND the join's requirement — r14: −14% on the build,
     which dominates every graph key end-to-end); per-order fan-out
     bounded by C(order size, 2)."""
-    items = (
+    # r16: basket-style build (the analytics.py pair machinery) —
+    # collect each order's distinct sorted part set in ONE fact
+    # shuffle, then expand successor pairs IN-ROW with chained
+    # generators (posexplode + explode of the successor slice; HOF
+    # lambdas are interpreted and 2-4× slower here). Replaces the
+    # r14 items self-join: same (src < dst, w) frame bit-for-bit,
+    # one fewer corpus-proportional pass (no second join-side read
+    # of items) — measured 4.04 s → 2.6 s solo for the build at
+    # sf0.1, inherited by every graph key. The explicit width pins
+    # the post-shuffle task count: AQE would coalesce the few-MB
+    # basket arrays to ~1 task and serialize the k²/2 expansion
+    # (the same advisory-size cliff as the LPA dst-repartition).
+    width = li.sparkSession.sparkContext.defaultParallelism
+    baskets = (
         li.select("l_orderkey", "l_partkey")
-        .repartition("l_orderkey")
-        .dropDuplicates(["l_orderkey", "l_partkey"])
+        .repartition(width, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .localCheckpoint(eager=False)
     )
     return (
-        items.alias("a")
-        .join(items.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
+        baskets.select(F.posexplode("ps").alias("i", "src"), "ps")
+        .select(
+            "src",
+            F.explode(
+                F.slice("ps", F.col("i") + F.lit(2), F.size("ps"))
+            ).alias("dst"),
         )
+        .groupBy("src", "dst")
         .agg(F.count("*").cast("bigint").alias("w"))
+        # consumers reference the pair frame 2-4× (degrees +
+        # orientation + wedge sides; sym's two directions); pin the
+        # 2m-row result so the k²/2 expansion runs once per query
+        # instead of once per reference
+        .localCheckpoint(eager=False)
     )
 
 
@@ -939,8 +959,20 @@ def lpa_of(
     # exchange, pays the repartition; its per-round src-side join
     # exchange is the bucketed-table territory the
     # checkpoint_edges=False escape exists for).
+    # NOTE the order: checkpoint FIRST (materialize the edge build
+    # once, truncate its lineage), repartition AFTER — localCheckpoint
+    # wraps its input in a LogicalRDD that reports UnknownPartitioning
+    # (measured: the checkpointed side of a repartition loses the
+    # layout and every round re-exchanges — same mechanism as the r15
+    # bucketed-scan note), so the repartition node must stay in the
+    # downstream lineage where EnsureRequirements can see it. Each
+    # reference to `edges` compiles its own copy of this exchange,
+    # but they canonicalize identically over the shared checkpoint
+    # RDD and AQE's stage cache reuses the shuffle at runtime.
     edges = (
-        sym.repartition(F.col("dst")).localCheckpoint(eager=False)
+        sym.localCheckpoint(eager=False).repartition(
+            sym.sparkSession.sparkContext.defaultParallelism, F.col("dst")
+        )
         if checkpoint_edges
         else sym
     )
