@@ -12,7 +12,9 @@ Keys past the budget keep their most recent row from earlier rounds.
 """
 
 from . import (  # noqa: F401
+    geo,
     graph,
+    labels,
     relational,
     windows,
     workloads,
@@ -35,7 +37,9 @@ from . import (  # noqa: F401
 )
 
 ALL_MODULES = (
+    geo,
     graph,
+    labels,
     relational,
     windows,
     workloads,
@@ -57,28 +61,24 @@ ALL_MODULES = (
     inventory,
 )
 
-# Round-15 check order. The driver walks queries() in dict order
-# under a ~50-key time budget (exactly 50 keys earned rows in each of
-# r8-r14; positions 51+ were cut). Per the r14 verdict ask #1 this
-# rotation front-loads (a) the FOUR r14 keys that shipped with unit
-# tests + probes but fell past the budget at positions 51-54 — the
-# only keys in the registry with zero driver evidence — then (b) new
-# round-15 keys as they land, then (c) the 50 oracle keys whose
-# latest green row dates to r10, and finally (d) r11-stale filler.
+# Round-16 check order. The driver walks queries() in dict order
+# under a ~50-key time budget (exactly 50 keys earned rows in each
+# of r8-r15; positions 51+ were cut). This round pays the staleness
+# debt the r15 landing spree deferred: (a) the handful of new r16
+# keys (capped deliberately — r15 verdict ask #2 limits landing
+# velocity so the budget covers rotation), then (b) ALL 38 r10-stale
+# keys, then (c) r11-stale filler, headline members first.
 # Everything else keeps its registration order behind the priority
 # block and retains its latest row.
-#
-# DELIBERATE tradeoff, round-15 session 2: the (b) block grew to 28
-# new keys, so ~34 of the r10-stale (c) keys will now fall past the
-# budget and stay r10 for one more round. Chosen consciously: a key
-# with ZERO driver evidence is worth more than moving a green key's
-# stamp from r10 to r15 ("ungraded keys stay out of the headline" is
-# the binding policy, and it binds on the new keys). The surviving
-# (c) prefix still de-stales the 21 oldest; r16's rotation should
-# front the remainder.
 _ROUND16_PRIORITY = [
     # (a) new round-16 keys — appended here as each lands, so every
     # key ships with driver evidence in its landing round
+    "geo_grid_radius_join",
+    "geo_cell_stats",
+    "label_cohens_kappa",
+    "label_fleiss_kappa",
+    "abtest_two_proportion_z",
+    "window_rolling_corr",
     # (b) latest green row r10 — the full 38-key staleness debt the
     # r15 landing spree deferred (r15 verdict ask #2): after this
     # grade no key's latest row predates r11

@@ -4753,3 +4753,122 @@ def abtest_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("d_stat"),
         F.when(d > crit, 1).otherwise(0).alias("reject_05"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# abtest_two_proportion_z — pooled two-proportion z-test at user grain
+# ---------------------------------------------------------------------------
+
+_PROP_Z_SQL = """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+      FROM u
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           CAST(x_a AS DOUBLE) / n_a AS p_a,
+           CAST(x_b AS DOUBLE) / n_b AS p_b,
+           (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+             / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)) AS z
+    FROM c
+    WHERE n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+      AND x_a + x_b < n_a + n_b
+"""
+
+
+@query("abtest_two_proportion_z", oracle=_PROP_Z_SQL)
+def abtest_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test on USER-grain conversion
+    (heavy buyer: ≥ 14 purchase events — the fixture's ~67
+    events/user make any-purchase saturate at 100%, caught by the
+    python differential; the median split keeps both outcome
+    classes populated at every SF) — the binary-outcome member completing
+    the experimentation readout suite: [[abtest_welch_ttest]] =
+    means, [[abtest_mann_whitney]] = distributions,
+    [[abtest_ratio_delta]] = ratio metrics, [[abtest_cuped]] =
+    variance reduction, [[abtest_ks_test]] = distribution equality,
+    this key = conversion rates. Collapsing to the user FIRST is the
+    methodological point (same clustering argument as ratio_delta's
+    delta method): event-grain rows of one user are correlated, so
+    the z denominator is only valid on the user-grain Bernoulli.
+
+    Exactness: (n, x) per arm are exact BIGINTs from ONE user-grain
+    fold; p̂, the pooled variance, and z are a fixed chain of double
+    ops written with IDENTICAL operation order in both engines
+    (division of exact ints → products → one sqrt; IEEE doubles are
+    deterministic given the order, the repo's single-final-division
+    rule extended to a fixed expression DAG). Degenerate cases
+    (empty arm, all-converted, none-converted) are excluded rows,
+    not NULL/Inf (the welch n ≤ 1 convention).
+
+    Plan: groupBy(user_id) conversion fold (the one data-shuffle:
+    user-grain, map-side combined) → single 4-counter conditional
+    aggregate → 1-row z computation. At 100 TB: a salted-hash arm
+    assignment swaps in (corpus_sample_hash machinery), plan
+    unchanged."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("conv")
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "conv")
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    p_a = F.col("x_a").cast("double") / F.col("n_a")
+    p_b = F.col("x_b").cast("double") / F.col("n_b")
+    pooled = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return c.filter(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("x_a") + F.col("x_b") > 0)
+        & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b"))
+    ).select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        z.alias("z"),
+    )

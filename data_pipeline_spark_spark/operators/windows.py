@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..catalog import load
 from ..registry import query
@@ -365,4 +366,119 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 window_rolling_median.__doc__ = window_rolling_median.__doc__.replace(
     "{_ROLLMED_N}", str(_ROLLMED_N)
+)
+
+
+# ---------------------------------------------------------------------------
+# window_rolling_corr — rolling Pearson correlation over a row frame
+# ---------------------------------------------------------------------------
+
+#: Frame width (current row + 9 preceding) for the rolling
+#: correlation — the pairs-trading / sensor-drift readout width.
+_ROLLCORR_N = 10
+
+_ROLLCORR_SQL = f"""
+    WITH m AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS n_w,
+             CAST(SUM(x) OVER fr AS BIGINT) AS sx,
+             CAST(SUM(y) OVER fr AS BIGINT) AS sy,
+             CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER fr AS BIGINT) AS sx2,
+             CAST(SUM(y * y) OVER fr AS BIGINT) AS sy2
+      FROM m
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN {_ROLLCORR_N - 1} PRECEDING
+                         AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, n_w,
+           CAST(n_w * sxy - sx * sy AS BIGINT) AS corr_num,
+           CAST(n_w * sx2 - sx * sx AS BIGINT) AS dx,
+           CAST(n_w * sy2 - sy * sy AS BIGINT) AS dy,
+           (n_w * sxy - sx * sy)
+             / nullif(sqrt(CAST(n_w * sx2 - sx * sx AS DOUBLE)
+                           * CAST(n_w * sy2 - sy * sy AS DOUBLE)), 0.0)
+             AS corr
+    FROM w
+    ORDER BY user_id, event_id
+"""
+
+
+@query("window_rolling_corr", oracle=_ROLLCORR_SQL)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {n}-row Pearson correlation between the event value
+    stream and its JSON metadata series, per user — the two-series
+    window statistic ([[window_rolling_median]] is one-series
+    robust, [[agg_corr_exact]] is whole-table; this is the moving
+    co-movement readout: pairs trading, sensor drift, engagement vs
+    spend). The entire statistic rides ONE window specification:
+    five integer sums + a count over the same frame, so Spark
+    evaluates all six accumulators in a single pass over each
+    partition's sorted run.
+
+    Exactness (the [[agg_corr_exact]] discipline applied to
+    frames): x = centi-units of the 2-decimal value, y = the JSON
+    integer, so every window sum is BIGINT-exact; corr_num and the
+    two variance terms are published as exact integers (they pin
+    the result even if a reader ignores the float), and the final
+    corr is one division by one sqrt of double-cast exact integers
+    — identical operation order in both engines, NULL (via nullif)
+    exactly when a window series is constant.
+
+    Plan: one shuffle on user_id, one sort per partition, zero
+    joins; the frame sums are O(1) per row (Spark's sliding
+    aggregate buffers). 100 TB: user-partitioned event streams are
+    the natural layout; a range-frame variant swaps the ROWS clause
+    only."""
+    ev = load(spark, sf_dir, "events")
+    props_schema = T.StructType([T.StructField("k", T.LongType())])
+    m = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        F.from_json("props", props_schema).getField("k").alias("y"),
+    )
+    fr = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ROLLCORR_N - 1), 0)
+    )
+    w = m.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(fr).cast("bigint").alias("n_w"),
+        F.sum("x").over(fr).cast("bigint").alias("sx"),
+        F.sum("y").over(fr).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(fr).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).cast("bigint").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).over(fr).cast("bigint").alias("sy2"),
+    )
+    num = F.col("n_w") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n_w") * F.col("sx2") - F.col("sx") * F.col("sx")
+    dy = F.col("n_w") * F.col("sy2") - F.col("sy") * F.col("sy")
+    return w.select(
+        "user_id",
+        "event_id",
+        "n_w",
+        num.cast("bigint").alias("corr_num"),
+        dx.cast("bigint").alias("dx"),
+        dy.cast("bigint").alias("dy"),
+        (
+            num
+            / F.nullif(
+                F.sqrt(dx.cast("double") * dy.cast("double")), F.lit(0.0)
+            )
+        ).alias("corr"),
+    ).orderBy("user_id", "event_id")
+
+
+window_rolling_corr.__doc__ = window_rolling_corr.__doc__.replace(
+    "{n}", str(_ROLLCORR_N)
 )

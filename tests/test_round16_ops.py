@@ -114,3 +114,215 @@ def test_phash_registered_keys_use_resolver(spark):
         tuple(r) for r in phash_near_dup_pairs(bits, bands=8).collect()
     )
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# round-16 new keys: geo / labels / z-test / rolling corr
+# ---------------------------------------------------------------------------
+
+
+def _events_pd(sf_dir):
+    import duckdb
+
+    return duckdb.connect().execute(
+        f"SELECT * FROM '{sf_dir}/events.parquet'"
+    ).fetchdf()
+
+
+def test_geo_radius_join_matches_bruteforce(spark):
+    """The grid join must equal the literal all-pairs scan — recall
+    is structural (cell size = R ⇒ 3×3 covers the disc), so the
+    differential is exact set equality, not approximate. Runs at
+    sf0.01 (10k points, ~40 true pairs; sf0.001's 1k points have an
+    expected pair count below 1 and would be vacuous); the reference
+    is chunked-numpy all-pairs, ~1e8 integer distance compares."""
+    import numpy as np
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.01"
+    got = sorted(
+        tuple(r)
+        for r in registry.QUERIES["geo_grid_radius_join"](
+            spark, sf
+        ).collect()
+    )
+    import hashlib
+
+    ev = _events_pd(sf)
+    M, R = 1_000_000, 500
+
+    def h(i, salt):
+        return (
+            int(
+                hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:8], 16
+            )
+            % M
+        )
+
+    ids = ev["event_id"].to_numpy(dtype=np.int64)
+    x = np.array([h(int(i), "/geo-x-v1") for i in ids], dtype=np.int64)
+    y = np.array([h(int(i), "/geo-y-v1") for i in ids], dtype=np.int64)
+    want = []
+    for lo in range(0, len(ids), 1000):  # chunked O(n²) reference
+        sl = slice(lo, lo + 1000)
+        d2 = (x[sl, None] - x[None, :]) ** 2 + (y[sl, None] - y[None, :]) ** 2
+        ia, ib = np.nonzero((d2 <= R * R) & (ids[sl, None] < ids[None, :]))
+        want += [
+            (int(ids[sl][a]), int(ids[b]), int(d2[a, b]))
+            for a, b in zip(ia, ib)
+        ]
+    assert got == sorted(want) and got, (len(got), len(want))
+
+
+def test_geo_radius_cell_boundary_contract(spark):
+    """Pinned boundary geometry: a pair split across a cell border
+    is found (the 3×3 argument), the exact R² distance is included
+    (≤, not <), and a pair at R²+ε is excluded."""
+    from data_pipeline_spark_spark.operators.geo import grid_radius_pairs
+
+    pts = spark.createDataFrame(
+        [
+            (1, 499, 0),  # cell (0,0)
+            (2, 501, 0),  # cell (1,0) — cross-cell, dist2 = 4
+            (3, 0, 0),
+            (4, 300, 400),  # dist2 vs 3 = 250000 = R² exactly
+            (5, 0, 501),  # dist2 vs 3 = 251001 > R²
+        ],
+        "id long, x long, y long",
+    )
+    got = sorted(tuple(r) for r in grid_radius_pairs(pts, 500).collect())
+    assert (1, 2, 4) in got
+    assert (3, 4, 250000) in got
+    assert not any(r[:2] == (3, 5) for r in got)
+
+
+def _labels_py(ev, raters):
+    cats = {"click": 0, "error": 1, "purchase": 2, "signup": 3, "view": 4}
+    out = []
+    for eid, et in zip(ev["event_id"], ev["event_type"]):
+        eid = int(eid)
+        cat = cats[et]
+        labs = []
+        for r in range(1, raters + 1):
+            if (eid * 31 + r * 17) % 10 < 2:
+                labs.append((cat + 1 + (eid + r) % 4) % 5)
+            else:
+                labs.append(cat)
+        out.append(labs)
+    return out
+
+
+def test_label_cohens_kappa_differential(spark, sf_dir):
+    """Literal-formula python re-derivation (the mandatory
+    statistic-key differential): po/pe from raw confusion counts,
+    κ = (po − pe)/(1 − pe) in floats — independent of the engines'
+    integer-cleared form."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    row = registry.QUERIES["label_cohens_kappa"](spark, sf_dir).collect()[0]
+    labs = _labels_py(_events_pd(sf_dir), 2)
+    n = len(labs)
+    po = sum(1 for a, b in labs if a == b) / n
+    pe = sum(
+        (sum(1 for a, _ in labs if a == j) / n)
+        * (sum(1 for _, b in labs if b == j) / n)
+        for j in range(5)
+    )
+    kappa = (po - pe) / (1 - pe)
+    assert row.n_items == n
+    assert abs(row.po - po) < 1e-12
+    assert abs(row.kappa - kappa) < 1e-9
+    assert 0.3 < row.kappa < 0.95  # non-vacuous: real chance correction
+
+
+def test_label_fleiss_kappa_differential(spark, sf_dir):
+    """Textbook Fleiss formula (P̄ and P̄_e as floats) against the
+    engine's integer-cleared single division."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    row = registry.QUERIES["label_fleiss_kappa"](spark, sf_dir).collect()[0]
+    labs = _labels_py(_events_pd(sf_dir), 3)
+    n, m = len(labs), 3
+    p_i = []
+    cj = [0] * 5
+    for ls in labs:
+        nij = [ls.count(j) for j in range(5)]
+        for j in range(5):
+            cj[j] += nij[j]
+        p_i.append((sum(v * v for v in nij) - m) / (m * (m - 1)))
+    p_bar = sum(p_i) / n
+    pe = sum((c / (n * m)) ** 2 for c in cj)
+    kappa = (p_bar - pe) / (1 - pe)
+    assert row.n_items == n and row.m == m
+    assert abs(row.kappa - kappa) < 1e-9
+    assert 0.3 < row.kappa < 0.95
+
+
+def test_abtest_two_proportion_z_differential(spark, sf_dir):
+    """Literal pooled z from user-grain pandas counts."""
+    import math
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    row = registry.QUERIES["abtest_two_proportion_z"](
+        spark, sf_dir
+    ).collect()[0]
+    ev = _events_pd(sf_dir)
+    conv = (
+        ev.assign(c=(ev["event_type"] == "purchase").astype(int))
+        .groupby("user_id")["c"]
+        .sum()
+        .ge(14)
+        .astype(int)
+    )
+    arms = conv.index % 2
+    n_a, x_a = int((arms == 0).sum()), int(conv[arms == 0].sum())
+    n_b, x_b = int((arms == 1).sum()), int(conv[arms == 1].sum())
+    p = (x_a + x_b) / (n_a + n_b)
+    z = (x_a / n_a - x_b / n_b) / math.sqrt(
+        p * (1 - p) * (1 / n_a + 1 / n_b)
+    )
+    assert (row.n_a, row.x_a, row.n_b, row.x_b) == (n_a, x_a, n_b, x_b)
+    assert abs(row.z - z) < 1e-9
+
+
+def test_window_rolling_corr_differential(spark, sf_dir):
+    """Pandas rolling(10).corr per user against the exact-integer
+    window form; NULL exactly where a window series is constant."""
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = (
+        registry.QUERIES["window_rolling_corr"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    ev = _events_pd(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    ev["x"] = (ev["value"] * 100).round().astype("int64")
+    ev["y"] = ev["props"].str.extract(r'"k": (\d+)').astype("int64")
+    for uid, g in list(ev.groupby("user_id"))[:12]:
+        # literal formula instead of pandas corr (ddof pitfalls):
+        for w in range(len(g)):
+            lo = max(0, w - 9)
+            xs = g["x"].iloc[lo : w + 1].to_numpy(dtype=np.float64)
+            ys = g["y"].iloc[lo : w + 1].to_numpy(dtype=np.float64)
+            n = len(xs)
+            num = n * (xs * ys).sum() - xs.sum() * ys.sum()
+            dx = n * (xs * xs).sum() - xs.sum() ** 2
+            dy = n * (ys * ys).sum() - ys.sum() ** 2
+            eid = int(g["event_id"].iloc[w])
+            have = got.loc[eid]
+            assert have.n_w == n
+            if dx == 0 or dy == 0:
+                assert pd.isna(have["corr"])  # .corr is Series.corr()
+            else:
+                assert abs(have["corr"] - num / np.sqrt(dx * dy)) < 1e-9
