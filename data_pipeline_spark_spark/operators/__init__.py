@@ -79,6 +79,10 @@ _ROUND16_PRIORITY = [
     "label_fleiss_kappa",
     "abtest_two_proportion_z",
     "window_rolling_corr",
+    "agg_entropy_profile",
+    "agg_mutual_information",
+    "cohort_survival_km",
+    "text_readability",
     # (b) latest green row r10 — the full 38-key staleness debt the
     # r15 landing spree deferred (r15 verdict ask #2): after this
     # grade no key's latest row predates r11

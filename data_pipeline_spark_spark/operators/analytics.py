@@ -20,6 +20,7 @@ from ..functions.exact import (
     md5_u32_col,
     md5_u32_duck,
     md5_u32_sql,
+    micro_ln,
     wide_sum,
 )
 from ..registry import query
@@ -4871,4 +4872,155 @@ def abtest_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_a.alias("p_a"),
         p_b.alias("p_b"),
         z.alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort_survival_km — Kaplan–Meier survival with right censoring
+# ---------------------------------------------------------------------------
+
+_KM_SQL = """
+    WITH pc AS (
+      SELECT o_custkey AS k,
+             MIN(o_orderdate) AS f,
+             MAX(o_orderdate) AS l
+      FROM orders GROUP BY o_custkey
+    ),
+    gm AS (SELECT MAX(o_orderdate) AS g FROM orders),
+    subj AS (
+      SELECT c.c_mktsegment AS cohort,
+             CAST(date_diff('day', pc.f, pc.l) AS BIGINT) AS dur,
+             CASE WHEN date_diff('day', pc.l, gm.g) > 365
+                  THEN 1 ELSE 0 END AS ev
+      FROM pc
+      JOIN customer c ON c.c_custkey = pc.k
+      CROSS JOIN gm
+    ),
+    steps AS (
+      SELECT cohort, dur,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(ev) AS BIGINT) AS d
+      FROM subj GROUP BY cohort, dur
+    ),
+    risk AS (
+      SELECT cohort, dur, d,
+             CAST(SUM(m) OVER (
+               PARTITION BY cohort ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS n_risk
+      FROM steps
+    ),
+    ev_steps AS (
+      SELECT cohort, dur, d, n_risk
+      FROM risk WHERE d >= 1 AND n_risk > d
+    )
+    SELECT cohort,
+           dur AS t_days,
+           n_risk,
+           d AS d_events,
+           CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard,
+           CAST(SUM(CAST(round(ln(n_risk - d) * 1000000) AS BIGINT)
+                    - CAST(round(ln(n_risk) * 1000000) AS BIGINT))
+                OVER (PARTITION BY cohort ORDER BY dur ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS log_surv_micro
+    FROM ev_steps
+    ORDER BY cohort, t_days
+"""
+
+
+@query("cohort_survival_km", oracle=_KM_SQL)
+def cohort_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve per market-segment cohort over
+    customer purchase lifetimes, with right censoring: a customer's
+    duration is first→last order in days; the "death" (churn) is
+    observed only if the last order predates the dataset horizon by
+    more than a year, otherwise the subject is censored at its
+    duration and leaves the risk set without an event — the
+    estimator the naive "fraction still active at t" gets wrong by
+    treating censored users as churned ([[cohort_retention]] counts
+    activity per period; this estimates the survival FUNCTION). In
+    an LLM-data pipeline the identical query over document
+    crawl-first/last-seen dates estimates content half-life per
+    source — the freshness prior behind recrawl scheduling.
+
+    Exactness: the KM product Π(1−dᵢ/nᵢ) is float-order-dependent,
+    so the survival curve ships in LOG space as an exact integer —
+    log_surv_micro = Σ (mln(nᵢ−dᵢ) − mln(nᵢ)) via [[micro_ln]],
+    cumulative in deterministic t-order; per-step hazard d/n is one
+    IEEE division. Steps are reported where d ≥ 1 and n > d (at an
+    absorbing n = d step ln 0 is engine-divergent; S = 0 from there
+    is implied). exp(micro/1e6) reconstructs S(t) downstream.
+
+    Plan: one groupBy(custkey) over orders (map-combined), a
+    broadcast customer dim for the cohort label, a 1-row horizon
+    broadcast, then windows over the per-(cohort, dur) STEP frame —
+    bounded by distinct durations (~2.4k), not subjects. At 100 TB
+    the only data-proportional work is the first fold; the risk-set
+    windows run on alphabet-sized frames per cohort."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    pc = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.min("o_orderdate").alias("f"),
+        F.max("o_orderdate").alias("l"),
+    )
+    gm = o.agg(F.max("o_orderdate").alias("g"))
+    cust = F.broadcast(
+        load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    subj = (
+        pc.join(cust, pc.k == cust.c_custkey)
+        .crossJoin(F.broadcast(gm))
+        .select(
+            F.col("c_mktsegment").alias("cohort"),
+            F.datediff("l", "f").cast("bigint").alias("dur"),
+            F.when(F.datediff("g", "l") > 365, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ev"),
+        )
+    )
+    steps = subj.groupBy("cohort", "dur").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("ev").cast("bigint").alias("d"),
+    )
+    w_desc = (
+        W.partitionBy("cohort")
+        .orderBy(F.col("dur").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    risk = steps.select(
+        "cohort",
+        "dur",
+        "d",
+        F.sum("m").over(w_desc).cast("bigint").alias("n_risk"),
+    )
+    ev_steps = risk.filter(
+        (F.col("d") >= 1) & (F.col("n_risk") > F.col("d"))
+    )
+    w_asc = (
+        W.partitionBy("cohort")
+        .orderBy(F.col("dur").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    term = micro_ln(F.col("n_risk") - F.col("d")) - micro_ln(
+        F.col("n_risk")
+    )
+    return (
+        ev_steps.select(
+            "cohort",
+            F.col("dur").alias("t_days"),
+            "n_risk",
+            F.col("d").alias("d_events"),
+            (
+                F.col("d").cast("double")
+                / F.col("n_risk").cast("double")
+            ).alias("hazard"),
+            F.sum(term).over(w_asc).cast("bigint").alias(
+                "log_surv_micro"
+            ),
+        )
+        .orderBy("cohort", "t_days")
     )

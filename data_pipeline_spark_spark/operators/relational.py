@@ -26,7 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.exact import wide_sum
+from ..functions.exact import micro_ln, wide_sum
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -1958,4 +1958,274 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("raw_mean_cents"),
         )
         .orderBy("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_entropy_profile — Shannon entropy of a categorical distribution
+# ---------------------------------------------------------------------------
+
+_ENTROPY_SQL = """
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+      SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY seg, pri
+    ),
+    g AS (
+      SELECT seg,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(c) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT)
+                 * CAST(round(ln(c) * 1000000) AS BIGINT)) AS s
+      FROM cells GROUP BY seg
+    )
+    SELECT seg,
+           k AS n_categories,
+           n AS n_rows,
+           CAST(CAST(n AS HUGEINT)
+                  * CAST(round(ln(n) * 1000000) AS BIGINT)
+                - s AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000.0) AS entropy_nats,
+           CAST(CAST(n AS HUGEINT)
+                  * CAST(round(ln(n) * 1000000) AS BIGINT)
+                - s AS DOUBLE)
+             / (CAST(n AS DOUBLE)
+                * CAST(NULLIF(CAST(round(ln(k) * 1000000) AS BIGINT),
+                              0) AS DOUBLE)) AS norm_entropy
+    FROM g
+    ORDER BY seg
+"""
+
+
+@query("agg_entropy_profile", oracle=_ENTROPY_SQL)
+def agg_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (and its [0,1] normalization by ln k) of the
+    order-priority distribution within each market segment — the
+    dispersion measure for CATEGORICAL columns, completing the
+    concentration family: [[agg_gini_exact]] (numeric inequality),
+    [[agg_hhi_concentration]] (market shares), this (label
+    uncertainty). In an LLM-data pipeline the identical query over
+    per-source language or topic labels is the mixture-diversity
+    gauge the [[corpus_mix_weighted]] weights target, and a
+    normalized entropy near 0 on a supposedly balanced field is the
+    usual "this split is degenerate" alarm.
+
+    Exactness — the [[micro_ln]] device end-to-end: H = ln n −
+    (1/n)·Σ cᵢ·ln cᵢ becomes (n·mln(n) − Σ cᵢ·mln(cᵢ)) / (n·1e6)
+    with every mln a per-distinct-integer single rounding and the
+    product-sum widened via [[wide_sum]]/HUGEINT before the
+    multiply; normalized entropy divides the SAME integer numerator
+    by n·mln(k), so both outputs are one float division over exact
+    integers — no cross-row float accumulation at all.
+
+    Plan: one map-side-combined groupBy(seg, pri) over orders behind
+    a broadcast customer dim, then a report-sized per-segment fold.
+    At 100 TB the cell count is bounded by the label alphabet (25
+    here), so the second fold never grows with data."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = F.broadcast(
+        load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    g = cells.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("c").cast("bigint").alias("n"),
+        wide_sum(F.col("c"), micro_ln(F.col("c"))).alias("s"),
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * micro_ln(F.col("n"))
+        - F.col("s")
+    )
+    return g.select(
+        "seg",
+        F.col("k").alias("n_categories"),
+        F.col("n").alias("n_rows"),
+        (
+            num.cast("double")
+            / (F.col("n").cast("double") * F.lit(1000000.0))
+        ).alias("entropy_nats"),
+        (
+            num.cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.nullif(
+                    micro_ln(F.col("k")), F.lit(0)
+                ).cast("double")
+            )
+        ).alias("norm_entropy"),
+    ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# agg_mutual_information — MI / NMI between two categorical columns
+# ---------------------------------------------------------------------------
+
+_MI_SQL = """
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+      SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY seg, pri
+    ),
+    rt AS (SELECT seg, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY seg),
+    ct AS (SELECT pri, CAST(SUM(c) AS BIGINT) AS cc FROM cells GROUP BY pri),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    folded AS (
+      SELECT (SELECT n FROM tot) AS n,
+             (SELECT SUM(CAST(c AS HUGEINT)
+                         * (CAST(round(ln(c) * 1000000) AS BIGINT)
+                            + CAST(round(ln(tot.n) * 1000000) AS BIGINT)
+                            - CAST(round(ln(rt.r) * 1000000) AS BIGINT)
+                            - CAST(round(ln(ct.cc) * 1000000) AS BIGINT)))
+              FROM cells
+              JOIN rt ON rt.seg = cells.seg
+              JOIN ct ON ct.pri = cells.pri
+              CROSS JOIN tot) AS smi,
+             (SELECT CAST(tot.n AS HUGEINT)
+                       * CAST(round(ln(tot.n) * 1000000) AS BIGINT)
+                     - SUM(CAST(r AS HUGEINT)
+                           * CAST(round(ln(r) * 1000000) AS BIGINT))
+              FROM rt CROSS JOIN tot GROUP BY tot.n) AS sx,
+             (SELECT CAST(tot.n AS HUGEINT)
+                       * CAST(round(ln(tot.n) * 1000000) AS BIGINT)
+                     - SUM(CAST(cc AS HUGEINT)
+                           * CAST(round(ln(cc) * 1000000) AS BIGINT))
+              FROM ct CROSS JOIN tot GROUP BY tot.n) AS sy
+    ),
+    scaled AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS h_seg,
+             CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS h_pri,
+             CAST(smi AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mi_nats
+      FROM folded
+    )
+    SELECT n, h_seg, h_pri, mi_nats,
+           mi_nats / NULLIF(sqrt(h_seg * h_pri), 0.0) AS nmi
+    FROM scaled
+"""
+
+
+@query("agg_mutual_information", oracle=_MI_SQL)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between market segment and order priority,
+    with both marginal entropies and the sqrt-normalized NMI — the
+    EFFECT-SIZE companion to [[agg_chi_square_indep]] (χ² asks "is
+    there any association", MI says how many nats of one label the
+    other carries; NMI puts it on [0,1]). Pipeline twin: "how much
+    does document source determine quality bucket" — the
+    feature-leakage / split-contamination check run before training
+    on labels derived from [[quality_score]].
+
+    Exactness: MI·n·1e6 = Σ c_xy·(mln c_xy + mln n − mln r_x −
+    mln c_y) over OBSERVED cells only (empty cells contribute
+    exactly 0 to MI, unlike χ² — no marginal cross join needed);
+    marginal entropies use [[agg_entropy_profile]]'s integer
+    numerator. Every term is an exact [[micro_ln]]/[[wide_sum]]
+    integer; the only float operations are the three final
+    divisions plus one IEEE-exact sqrt for NMI — no cross-row float
+    accumulation, no tolerance.
+
+    Plan: the same broadcast-dim groupBy(seg, pri) cell fold as
+    [[agg_chi_square_indep]]; marginals and the term join run on the
+    ≤|X|·|Y| cell frame (25 rows), folded to ONE report row. The
+    single data-proportional cost is the first groupBy's
+    map-combined exchange — unchanged at 100 TB."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = F.broadcast(
+        load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    rt = cells.groupBy("seg").agg(
+        F.sum("c").cast("bigint").alias("r")
+    )
+    ct = cells.groupBy("pri").agg(
+        F.sum("c").cast("bigint").alias("cc")
+    )
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    smi = (
+        cells.join(rt, "seg")
+        .join(ct, "pri")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            wide_sum(
+                F.col("c"),
+                micro_ln(F.col("c"))
+                + micro_ln(F.col("n"))
+                - micro_ln(F.col("r"))
+                - micro_ln(F.col("cc")),
+            ).alias("smi")
+        )
+    )
+    sx = (
+        rt.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            (
+                F.col("n").cast("decimal(38,0)")
+                * micro_ln(F.col("n"))
+                - wide_sum(F.col("r"), micro_ln(F.col("r")))
+            ).alias("sx")
+        )
+    )
+    sy = (
+        ct.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            (
+                F.col("n").cast("decimal(38,0)")
+                * micro_ln(F.col("n"))
+                - wide_sum(F.col("cc"), micro_ln(F.col("cc")))
+            ).alias("sy")
+        )
+    )
+    den = F.col("n").cast("double") * F.lit(1000000.0)
+    scaled = (
+        sx.join(sy, "n")
+        .crossJoin(F.broadcast(smi))
+        .select(
+            "n",
+            (F.col("sx").cast("double") / den).alias("h_seg"),
+            (F.col("sy").cast("double") / den).alias("h_pri"),
+            (F.col("smi").cast("double") / den).alias("mi_nats"),
+        )
+    )
+    return scaled.select(
+        "n",
+        "h_seg",
+        "h_pri",
+        "mi_nats",
+        (
+            F.col("mi_nats")
+            / F.nullif(
+                F.sqrt(F.col("h_seg") * F.col("h_pri")), F.lit(0.0)
+            )
+        ).alias("nmi"),
     )

@@ -2489,3 +2489,107 @@ def quality_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 quality_stupid_backoff.__doc__ = quality_stupid_backoff.__doc__.replace(
     "{_SB_TRAIN_MOD}", str(_SB_TRAIN_MOD)
 )
+
+
+# ---------------------------------------------------------------------------
+# text_readability — Flesch reading ease from regex run counts
+# ---------------------------------------------------------------------------
+
+_READ_SQL = """
+    WITH counted AS (
+      SELECT source,
+             length(regexp_replace(lower(text), '[a-z0-9]+', '#', 'g'))
+               - length(regexp_replace(lower(text), '[a-z0-9]+', '', 'g'))
+               AS words,
+             length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+               - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+               AS syllables,
+             GREATEST(
+               1,
+               length(regexp_replace(lower(text), '[.!?]+', '#', 'g'))
+                 - length(regexp_replace(lower(text), '[.!?]+', '', 'g'))
+             ) AS sentences
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(sentences) AS BIGINT) AS sentences,
+           CAST(SUM(syllables) AS BIGINT) AS syllables,
+           206.835
+             - 1.015 * (CAST(SUM(words) AS DOUBLE)
+                        / CAST(SUM(sentences) AS DOUBLE))
+             - 84.6 * (CAST(SUM(syllables) AS DOUBLE)
+                       / CAST(SUM(words) AS DOUBLE)) AS flesch
+    FROM counted
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@query("text_readability", oracle=_READ_SQL)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Flesch reading ease per source: 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words) over POOLED
+    integer counts (not a mean of per-doc scores — pooling weights
+    long documents correctly and keeps the aggregation exact). The
+    classic complexity prior next to [[text_stats]] (surface
+    shape), [[quality_score]] (heuristic filter) and
+    [[text_lexical_diversity]] (vocabulary growth): readability
+    bands are a standard pre-training curriculum / mixture axis.
+    Syllables ≈ maximal [aeiouy]+ runs — the textbook vowel-group
+    approximation; sentences floor at 1 per document so
+    punctuation-free corpora (this fixture) degrade to
+    words-per-doc rather than dividing by zero.
+
+    Exactness: every count is the run-count identity len(sub(P,'#'))
+    − len(sub(P,'')) — two regexp passes whose difference counts
+    MATCHES not characters, engine-portable because it assumes
+    nothing about the alphabet (DuckDB needs the 'g' flag; Spark
+    replaces globally by default). Sums are integers; the Flesch
+    line is literal·exact-int divisions and subtractions — IEEE
+    ops with one shared shape, no tolerance.
+
+    Plan: per-row regexp work fused in the scan stage (whole-stage
+    codegen, zero Python), one map-side-combined groupBy(source).
+    At 100 TB this is the cheapest possible shape: the exchange
+    carries one 4-integer partial per source per task."""
+    t = F.lower(F.col("text"))
+
+    def runs(pat: str):
+        return F.length(F.regexp_replace(t, pat, "#")) - F.length(
+            F.regexp_replace(t, pat, "")
+        )
+
+    counted = load(spark, sf_dir, "documents").select(
+        "source",
+        runs("[a-z0-9]+").alias("words"),
+        runs("[aeiouy]+").alias("syllables"),
+        F.greatest(F.lit(1), runs("[.!?]+")).alias("sentences"),
+    )
+    g = counted.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("sentences").cast("bigint").alias("sentences"),
+        F.sum("syllables").cast("bigint").alias("syllables"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (
+                F.col("words").cast("double")
+                / F.col("sentences").cast("double")
+            )
+            - F.lit(84.6)
+            * (
+                F.col("syllables").cast("double")
+                / F.col("words").cast("double")
+            )
+        ).alias("flesch"),
+    ).orderBy("source")

@@ -326,3 +326,171 @@ def test_window_rolling_corr_differential(spark, sf_dir):
                 assert pd.isna(have["corr"])  # .corr is Series.corr()
             else:
                 assert abs(have["corr"] - num / np.sqrt(dx * dy)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-16 session 3: entropy / MI / KM survival / readability
+# ---------------------------------------------------------------------------
+
+
+def _seg_pri_pd(sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_custkey", "o_orderpriority"]
+    ]
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[
+        ["c_custkey", "c_mktsegment"]
+    ]
+    return o.merge(c, left_on="o_custkey", right_on="c_custkey")
+
+
+def test_agg_entropy_profile_differential(spark, sf_dir):
+    """Literal H = −Σ p·ln p in floats per segment — independent of
+    the engines' micro-nat integer clearing (tolerance covers the
+    ≤0.5e-6-per-term quantization)."""
+    import math
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    rows = {
+        r.seg: r
+        for r in registry.QUERIES["agg_entropy_profile"](
+            spark, sf_dir
+        ).collect()
+    }
+    df = _seg_pri_pd(sf_dir)
+    for seg, grp in df.groupby("c_mktsegment"):
+        counts = grp["o_orderpriority"].value_counts()
+        n = counts.sum()
+        h = -sum((c / n) * math.log(c / n) for c in counts)
+        r = rows[seg]
+        assert r.n_rows == n and r.n_categories == len(counts)
+        assert abs(r.entropy_nats - h) < 5e-6
+        assert abs(r.norm_entropy - h / math.log(len(counts))) < 5e-6
+        assert 0.0 < r.norm_entropy <= 1.0 + 1e-12
+
+
+def test_agg_mutual_information_differential(spark, sf_dir):
+    """Literal MI = Σ p_xy·ln(p_xy/(p_x·p_y)) plus both marginal
+    entropies and NMI = MI/√(H_x·H_y), all in floats."""
+    import math
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    row = registry.QUERIES["agg_mutual_information"](
+        spark, sf_dir
+    ).collect()[0]
+    df = _seg_pri_pd(sf_dir)
+    n = len(df)
+    pxy = df.groupby(["c_mktsegment", "o_orderpriority"]).size() / n
+    px = df.groupby("c_mktsegment").size() / n
+    py = df.groupby("o_orderpriority").size() / n
+    mi = sum(
+        p * math.log(p / (px[x] * py[y])) for (x, y), p in pxy.items()
+    )
+    hx = -sum(p * math.log(p) for p in px)
+    hy = -sum(p * math.log(p) for p in py)
+    assert row.n == n
+    assert abs(row.mi_nats - mi) < 5e-6
+    assert abs(row.h_seg - hx) < 5e-6
+    assert abs(row.h_pri - hy) < 5e-6
+    assert abs(row.nmi - mi / math.sqrt(hx * hy)) < 5e-6
+    # non-vacuous: MI bounded by both marginals, NMI in [0, 1]
+    assert 0.0 <= row.mi_nats <= min(hx, hy) + 1e-9
+    assert 0.0 <= row.nmi <= 1.0
+
+
+def test_cohort_survival_km_differential(spark, sf_dir):
+    """Textbook KM: per cohort, S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) with
+    right censoring (event iff last order > 365 days before the
+    dataset horizon), recomputed row-by-row in python floats and
+    compared against exp(log_surv_micro/1e6)."""
+    import math
+
+    import pandas as pd
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["cohort_survival_km"](
+        spark, sf_dir
+    ).collect()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[
+        ["c_custkey", "c_mktsegment"]
+    ]
+    horizon = o["o_orderdate"].max()
+    pc = o.groupby("o_custkey")["o_orderdate"].agg(["min", "max"])
+    pc["dur"] = (pc["max"] - pc["min"]).dt.days
+    pc["ev"] = ((horizon - pc["max"]).dt.days > 365).astype(int)
+    pc = pc.merge(c, left_index=True, right_on="c_custkey")
+    assert len(out) > 10  # a real curve, not a degenerate table
+    for cohort, grp in pc.groupby("c_mktsegment"):
+        steps = (
+            grp.groupby("dur")
+            .agg(m=("ev", "size"), d=("ev", "sum"))
+            .sort_index()
+        )
+        n_risk_total = len(grp)
+        s, seen = 1.0, 0
+        expect = {}
+        for t, r in steps.iterrows():
+            n_risk = n_risk_total - seen
+            seen += r.m
+            if r.d >= 1 and n_risk > r.d:
+                s *= 1.0 - r.d / n_risk
+                expect[t] = (n_risk, r.d, s)
+        got = {
+            r.t_days: r for r in out if r.cohort == cohort
+        }
+        assert set(got) == set(expect)
+        for t, (n_risk, d, s) in expect.items():
+            r = got[t]
+            assert r.n_risk == n_risk and r.d_events == d
+            assert abs(r.hazard - d / n_risk) < 1e-12
+            assert (
+                abs(math.exp(r.log_surv_micro / 1e6) - s)
+                < 1e-4 * s + 1e-9
+            )
+
+
+def test_text_readability_differential(spark, sf_dir):
+    """Exact re-count of the three regex run counts per document in
+    python `re`, then the literal Flesch line."""
+    import re
+
+    import pandas as pd
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    rows = {
+        r.source: r
+        for r in registry.QUERIES["text_readability"](
+            spark, sf_dir
+        ).collect()
+    }
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    agg = {}
+    for src, grp in d.groupby("source"):
+        w = s = y = 0
+        for t in grp["text"]:
+            t = t.lower()
+            w += len(re.findall(r"[a-z0-9]+", t))
+            y += len(re.findall(r"[aeiouy]+", t))
+            s += max(1, len(re.findall(r"[.!?]+", t)))
+        agg[src] = (len(grp), w, s, y)
+    assert set(rows) == set(agg)
+    for src, (n_docs, w, s, y) in agg.items():
+        r = rows[src]
+        assert (r.n_docs, r.words, r.sentences, r.syllables) == (
+            n_docs,
+            w,
+            s,
+            y,
+        )
+        flesch = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        assert abs(r.flesch - flesch) < 1e-9
