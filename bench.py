@@ -521,6 +521,13 @@ def main() -> None:
         # replans. Fixed cost vanishes at cluster scale — see the
         # cross-SF scaling table in docs/SCALE.md
         "spark_floor_sec": round(floor, 3),
+        # floor-first triage (r16 window-variance lesson): the floor
+        # is pure scheduling, code-independent — its ratio to the
+        # best floor ever observed on this host (r14, 0.066 s) is a
+        # direct window-quality multiplier. Read totals only after
+        # dividing by this; >1.3 means the window is degraded and
+        # cross-round comparisons of absolute walls are invalid.
+        "floor_vs_best": round(floor / 0.066, 2),
         # queries whose every timed window saw >15% external CPU or
         # >8% hypervisor steal — their numbers are inflated and must
         # not be read as regressions; [] means every number is clean
@@ -577,6 +584,7 @@ def main() -> None:
         "sf": out["sf"],
         "n_queries": len(timings),
         "spark_floor_sec": out["spark_floor_sec"],
+        "floor_vs_best": out["floor_vs_best"],
         "contended_queries": contended_queries,
     }
     if duck:
