@@ -2594,13 +2594,43 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_acf.__doc__ = ts_acf.__doc__.replace("{_ACF_LAGS}", str(_ACF_LAGS))
 
 
-def _acf_moment_frame(e: DataFrame) -> DataFrame:
-    """ONE window pass + ONE fold → per-type exact moments
-    (n, S, Σx², and per lag k: Σx·x_lag, head/tail sums, pair
-    count) — the g frame both [[ts_acf]] and [[ts_pacf]] read.
-    wide_sum widens the ELEMENT before any multiply (≡ the oracle's
-    CAST(x AS HUGEINT) * …): casting only the sum would let the
-    bigint product x·x wrap first at |x| > ~3e9 milli."""
+#: Time-bucket width for the parallel moment frame. One hour keeps
+#: buckets people-sized at every fixture SF (2.8 / 28 / 280 rows per
+#: type-hour at sf0.01/0.1/1); production tunes it toward ~10³ rows
+#: per bucket. Correctness is width-INDEPENDENT (the global-position
+#: join below repairs every boundary, including buckets smaller than
+#: the lag horizon and empty buckets), so the knob is pure plan
+#: shape — no straddling-probe obligation.
+_ACF_BUCKET_SEC = 3600
+
+
+#: Row count above which [[_acf_moment_frame]] switches from the
+#: single-window form to the bucketed form. MEASURED crossover
+#: logic, not guesswork: interleaved A/B (r16, fresh session, noop
+#: sink, best-of-3/4) put the single-window form AHEAD at every
+#: fixture decade — 0.80 vs 2.83 s at sf0.1, 3.56 vs 4.80 s at sf1
+#: (1M rows/series; five parallel in-memory sorts beat the bucketed
+#: form's checkpoint + boundary machinery). The hazard the bucketed
+#: form exists for — ONE task sorting and spilling a whole series —
+#: needs a series bigger than a single task's sort capacity, ~10⁸
+#: rows as a conservative floor (tens of GB through one sorter).
+#: Resolution uses the TOTAL row count (one metadata-cheap count(),
+#: the pagerank/kcore driver-scalar precedent): above the cutoff
+#: the bucketed form is at worst ~1.3× locally and unboundedly
+#: better when series are few and huge.
+_ACF_SERIES_FORM_MAX_ROWS = 100_000_000
+
+
+def _acf_moment_frame_series(e: DataFrame) -> DataFrame:
+    """Single-window reference form of the moment frame: one
+    (event_type)/(ts, event_id) sort window per series. The FAST
+    form at fixture scales (measured above) and the semantic
+    reference the bucketed form must bit-match. Its scale hazard is
+    the one the weighted-median r10 rewrite documented: a whole
+    series funnels through ONE sort task, an executor's worth of
+    spill once a series outgrows single-task sort capacity — which
+    is exactly where [[_acf_moment_frame]] flips to the bucketed
+    form."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -2618,11 +2648,21 @@ def _acf_moment_frame(e: DataFrame) -> DataFrame:
             for k in range(1, _ACF_LAGS + 1)
         ],
     )
-    aggs = [
+    return lagged.groupBy("event_type").agg(
+        *_acf_core_aggs(), *_acf_pair_aggs()
+    )
+
+
+def _acf_core_aggs() -> list:
+    return [
         F.count("*").cast("bigint").alias("n"),
         wide_sum(F.col("x")).alias("s"),
         wide_sum(F.col("x"), F.col("x")).alias("ss"),
     ]
+
+
+def _acf_pair_aggs() -> list:
+    aggs = []
     for k in range(1, _ACF_LAGS + 1):
         lk = F.col(f"l{k}")
         aggs += [
@@ -2633,7 +2673,192 @@ def _acf_moment_frame(e: DataFrame) -> DataFrame:
             ),
             F.count(lk).cast("bigint").alias(f"cnt{k}"),
         ]
-    return lagged.groupBy("event_type").agg(*aggs)
+    return aggs
+
+
+def _acf_moment_frame(
+    e: DataFrame,
+    bucket_sec: int = _ACF_BUCKET_SEC,
+    max_series_rows: int | None = None,
+) -> DataFrame:
+    """Per-type exact moments (n, S, Σx², and per lag k ≤ K:
+    Σx_t·x_{t−k}, head/tail sums, pair count) — the g frame
+    [[ts_acf]], [[ts_pacf]] and [[ts_ljung_box]] all read. SIZE-
+    RESOLVED dual path (the graph-broadcast / phash-band pattern,
+    including its lesson that an unselected scale knob is a weak
+    flag): one cheap count() picks the measured-fastest form below
+    [[_ACF_SERIES_FORM_MAX_ROWS]] ([[_acf_moment_frame_series]])
+    and the serialization-proof bucketed form above it. Both forms
+    are bit-identical by test at every fixture SF, so the switch
+    can never change an answer.
+
+    The bucketed form: the single-window form partitions the raw
+    stream by series key, funneling each series through one sort
+    task (an executor's worth of spill once a series outgrows a
+    task). Here the sort partitions by (series, time bucket)
+    instead — thousands of bucket-bounded sorts — and the ≤ K pairs
+    that straddle each bucket boundary are repaired exactly:
+
+    1. In-bucket lag window over (event_type, b = floor(epoch/w))
+       pairs every row whose lag-k predecessor shares its bucket.
+       Ordering by (b, ts, event_id) ≡ (ts, event_id) since b is
+       monotone in ts, so the pairing matches the global order.
+    2. Each row's GLOBAL position g = (exclusive running sum of
+       bucket sizes over the per-type bucket DIM frame — hundreds
+       of rows, the only per-series sequential fold) + in-bucket
+       row_number. Empty and sub-K buckets need no special case: g
+       is exact whatever the bucket occupancy.
+    3. The missing pairs are exactly {(successor within K of its
+       bucket START) × (predecessor within K of its bucket END)}
+       at g-distance k ≥ successor's in-bucket rank (closer
+       predecessors were paired in-bucket; a predecessor k ≤ K
+       steps back across ANY number of boundaries is always within
+       K of its own bucket's end). One broadcast range join of the
+       two K-deep fringe frames recovers them; their moment terms
+       add to the in-bucket partials per (type, k).
+
+    Every term is the same exact decimal(38,0) integer the oracle's
+    HUGEINT computes; addition is associative over exact integers,
+    so the split changes NOTHING about any output bit — pinned by
+    the bit-equality test against [[_acf_moment_frame_series]].
+    wide_sum widens the ELEMENT before any multiply: casting only
+    the sum would let the bigint product x·x wrap at |x| > ~3e9."""
+    from pyspark.sql import Window
+
+    cutoff = (
+        max_series_rows
+        if max_series_rows is not None
+        else _ACF_SERIES_FORM_MAX_ROWS
+    )
+    if e.count() <= cutoff:
+        return _acf_moment_frame_series(e)
+
+    K = _ACF_LAGS
+    m = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+        F.floor(
+            F.col("ts").cast("timestamp_ltz").cast("long")
+            / F.lit(bucket_sec)
+        ).alias("b"),
+    )
+    wb = Window.partitionBy("event_type", "b").orderBy(
+        "ts", "event_id"
+    )
+    # whole-partition frame is safe HERE: the partition is one time
+    # bucket, bounded by bucket width × arrival rate, never a series
+    wsz = Window.partitionBy("event_type", "b")
+    lagged = m.select(
+        "event_type",
+        "b",
+        "x",
+        F.row_number().over(wb).alias("rn"),
+        F.count("*").over(wsz).alias("bsz"),
+        *[F.lag("x", k).over(wb).alias(f"l{k}") for k in range(1, K + 1)],
+        # checkpoint: the windowed frame feeds BOTH the moment fold
+        # and the fringe extraction; column pruning gives the two
+        # branches different scan projections, which defeats
+        # exchange reuse — without the cut the (type, b) sort runs
+        # per consumer (the chi-square cells / LPA checkpoint
+        # precedent)
+    ).localCheckpoint(eager=False)
+    core = lagged.groupBy("event_type").agg(
+        *_acf_core_aggs(), *_acf_pair_aggs()
+    )
+    # exclusive per-type running bucket offsets — a window over the
+    # bucket DIM frame (one row per non-empty (type, bucket)), the
+    # only sequential-per-series step and it is dim-sized; derived
+    # from m directly (bucket sizes need no ordering)
+    sizes = m.groupBy("event_type", "b").agg(
+        F.count("*").alias("bsz")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "event_type",
+        "b",
+        F.coalesce(F.sum("bsz").over(wcum), F.lit(0)).alias("off"),
+    )
+    fringe = lagged.filter(
+        (F.col("rn") <= K) | (F.col("bsz") - F.col("rn") < K)
+    ).join(F.broadcast(offs), ["event_type", "b"])
+    heads = fringe.filter(F.col("rn") <= K).select(
+        "event_type",
+        (F.col("off") + F.col("rn")).alias("g"),
+        F.col("rn").alias("p"),
+        F.col("x").alias("xh"),
+    )
+    tails = fringe.filter(
+        F.col("bsz") - F.col("rn") < K
+    ).select(
+        "event_type",
+        (F.col("off") + F.col("rn")).alias("g"),
+        F.col("x").alias("xt"),
+    )
+    h, t = heads.alias("h"), tails.alias("t")
+    pairs = h.join(
+        F.broadcast(t),
+        (F.col("h.event_type") == F.col("t.event_type"))
+        & (F.col("t.g") >= F.col("h.g") - K)
+        & (F.col("t.g") <= F.col("h.g") - F.col("h.p")),
+    ).select(
+        F.col("h.event_type").alias("event_type"),
+        (F.col("h.g") - F.col("t.g")).alias("k"),
+        "xh",
+        "xt",
+    )
+    bnd_aggs = []
+    for k in range(1, K + 1):
+        isk = F.col("k") == k
+        bnd_aggs += [
+            wide_sum(F.when(isk, F.col("xh")), F.col("xt")).alias(
+                f"bxy{k}"
+            ),
+            wide_sum(F.when(isk, F.col("xt"))).alias(f"bh{k}"),
+            wide_sum(F.when(isk, F.col("xh"))).alias(f"bt{k}"),
+            F.count(F.when(isk, F.lit(1))).cast("bigint").alias(
+                f"bc{k}"
+            ),
+        ]
+    bnd = pairs.groupBy("event_type").agg(*bnd_aggs)
+    z = F.lit(0).cast("decimal(38,0)")
+    cols = ["event_type", "n", "s", "ss"]
+    merged = core.join(F.broadcast(bnd), "event_type", "left")
+    exprs = [
+        *(F.col(c) for c in cols),
+    ]
+    for k in range(1, K + 1):
+        # either side may be NULL alone (a type with no in-bucket
+        # lag-k pair at sparse SFs, or no boundary pair): coalesce
+        # BOTH, but keep the reference's no-pairs-at-all → NULL
+        # contract via the combined count
+        total = (
+            F.col(f"cnt{k}") + F.coalesce(F.col(f"bc{k}"), F.lit(0))
+        ).cast("bigint")
+        exprs += [
+            F.when(
+                total > 0,
+                F.coalesce(F.col(f"sxy{k}"), z)
+                + F.coalesce(F.col(f"bxy{k}"), z),
+            ).alias(f"sxy{k}"),
+            F.when(
+                total > 0,
+                F.coalesce(F.col(f"sh{k}"), z)
+                + F.coalesce(F.col(f"bh{k}"), z),
+            ).alias(f"sh{k}"),
+            F.when(
+                total > 0,
+                F.coalesce(F.col(f"st{k}"), z)
+                + F.coalesce(F.col(f"bt{k}"), z),
+            ).alias(f"st{k}"),
+            total.alias(f"cnt{k}"),
+        ]
+    return merged.select(*exprs)
 
 
 def _acf_ratio_spark(k: int):

@@ -670,11 +670,17 @@ def test_acf_contract(spark, sf_dir):
     for r in rows:
         assert abs(r["acf"]) <= 1.0 + 1e-9
         assert r["n_pairs"] == n_by_type[r["event_type"]] - r["lag"]
-    # physical plan: exactly 2 exchanges (the window's event_type
-    # hash + the final ORDER BY range); the groupBy reuses the
-    # window's partitioning. AQE's formatted output prints initial +
-    # current plans, so the string count doubles to 4.
-    assert shuffle_count(df) <= 4
+    # physical plan (r16 bucketed moment frame): ONE full-data
+    # exchange — the (event_type, bucket) window hash, hidden from
+    # the printout behind the lagged checkpoint cut — plus
+    # dim/report-sized exchanges for the per-type fold partials, the
+    # bucket DIM offset window, the boundary-pair fold, and the
+    # final ORDER BY range (measured string count 7-12 depending on
+    # how much initial+current duplication AQE prints in the session;
+    # bound leaves headroom for that printing variance, not for new
+    # data-sized shuffles — the one-full-data-exchange property is
+    # pinned structurally by the bit-equality tests + SCALE.md).
+    assert shuffle_count(df) <= 14
 
 
 # ---------------------------------------------------------------------------

@@ -494,3 +494,96 @@ def test_text_readability_differential(spark, sf_dir):
         )
         flesch = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
         assert abs(r.flesch - flesch) < 1e-9
+
+
+def test_acf_bucketed_frame_bit_identical(spark):
+    """The r16 bucketed ACF moment frame (parallel (type, bucket)
+    sorts + exact boundary repair by global position) must be
+    BIT-identical to the single-window reference form — every
+    moment is the same exact decimal/bigint integer, so equality is
+    ==, no tolerance. sf0.001 exercises the sparse regime (buckets
+    smaller than the lag horizon, within-bucket lag sums NULL);
+    sf0.01 the mixed regime."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        _acf_moment_frame,
+        _acf_moment_frame_series,
+    )
+
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        e = load(spark, sf, "events")
+        a = {
+            r["event_type"]: r.asDict()
+            for r in _acf_moment_frame(e, max_series_rows=0).collect()
+        }
+        b = {
+            r["event_type"]: r.asDict()
+            for r in _acf_moment_frame_series(e).collect()
+        }
+        assert set(a) == set(b)
+        for t in a:
+            for c in a[t]:
+                assert a[t][c] == b[t][c], (sf, t, c)
+
+
+def test_acf_bucketed_frame_width_independent(spark):
+    """Bucket width is pure plan shape: widths straddling the
+    fixture's inter-event spacing (60 s — several boundaries per
+    pair at the narrow end; 1 day — almost no boundaries) all
+    produce the identical frame, including widths that make every
+    bucket smaller than the lag horizon."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        _acf_moment_frame,
+        _acf_moment_frame_series,
+    )
+
+    e = load(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        r["event_type"]: r.asDict()
+        for r in _acf_moment_frame_series(e).collect()
+    }
+    for width in (60, 86400):
+        got = {
+            r["event_type"]: r.asDict()
+            for r in _acf_moment_frame(
+                e, bucket_sec=width, max_series_rows=0
+            ).collect()
+        }
+        for t in want:
+            for c in want[t]:
+                assert got[t][c] == want[t][c], (width, t, c)
+
+
+def test_acf_form_resolver_straddle(spark):
+    """Straddling probe for the size-resolved form switch (the
+    graph-cap lesson): with the cutoff pinned exactly at the
+    fixture's row count the series form is chosen; one row lower
+    the bucketed form is chosen — verified by plan shape (the
+    bucketed plan windows over (event_type, b), the series plan
+    over event_type alone) — and the two sides return identical
+    frames, so the switch can never change an answer."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        _acf_moment_frame,
+    )
+
+    e = load(spark, "/root/testdata/sf0.001", "events")
+    n = e.count()
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    series_df = _acf_moment_frame(e, max_series_rows=n)
+    bucket_df = _acf_moment_frame(e, max_series_rows=n - 1)
+    assert ", b#" not in plan(series_df)  # window keyed by type alone
+    assert ", b#" in plan(bucket_df)  # bucketed: (type, b) window
+    a = {r["event_type"]: r.asDict() for r in series_df.collect()}
+    b = {r["event_type"]: r.asDict() for r in bucket_df.collect()}
+    assert a.keys() == b.keys()
+    for t in a:
+        assert a[t] == b[t]
