@@ -47,6 +47,13 @@ from data_pipeline_spark_spark import registry
 from data_pipeline_spark_spark.session import get_spark
 
 #: One representative per operator family — the graded surface.
+# Best scheduling floor ever observed on THIS host (r14 artifact,
+# 1-row noop write). floor_vs_best is only meaningful relative to the
+# host the reference was measured on — on a different machine the
+# first clean run's floor should replace it (the artifact carries
+# both numbers so a reader can re-derive the ratio).
+FLOOR_REFERENCE_SEC = 0.066
+
 HEADLINE = [
     "filter_pred",
     "agg_basic",
@@ -272,7 +279,13 @@ def _mem_signals(me: int) -> tuple[float, float] | None:
                     break
             if not ours:
                 external += rss
-        return external / memtotal, (memavail or 0) / memtotal
+        # MemAvailable is absent on some kernels/containers — report
+        # None rather than 0.0, which would read as "no memory left"
+        # and flag every window pressured on a healthy host
+        return (
+            external / memtotal,
+            None if memavail is None else memavail / memtotal,
+        )
     except Exception:
         return None
 
@@ -360,7 +373,7 @@ class ContentionMeter:
         if self.mem is None:
             return None
         ext_rss, avail = self.mem
-        return ext_rss > 0.20 or avail < 0.15
+        return ext_rss > 0.20 or (avail is not None and avail < 0.15)
 
     @property
     def contended(self):
@@ -523,11 +536,14 @@ def main() -> None:
         "spark_floor_sec": round(floor, 3),
         # floor-first triage (r16 window-variance lesson): the floor
         # is pure scheduling, code-independent — its ratio to the
-        # best floor ever observed on this host (r14, 0.066 s) is a
-        # direct window-quality multiplier. Read totals only after
-        # dividing by this; >1.3 means the window is degraded and
-        # cross-round comparisons of absolute walls are invalid.
-        "floor_vs_best": round(floor / 0.066, 2),
+        # best floor ever observed on this host (FLOOR_REFERENCE_SEC)
+        # is a direct window-quality multiplier. Read totals only
+        # after dividing by this; >1.3 means the window is degraded
+        # and cross-round comparisons of absolute walls are invalid.
+        # Host-specific by nature: the artifact carries the reference
+        # so the ratio is re-derivable anywhere.
+        "floor_reference_sec": FLOOR_REFERENCE_SEC,
+        "floor_vs_best": round(floor / FLOOR_REFERENCE_SEC, 2),
         # queries whose every timed window saw >15% external CPU or
         # >8% hypervisor steal — their numbers are inflated and must
         # not be read as regressions; [] means every number is clean
@@ -539,7 +555,8 @@ def main() -> None:
         # start-vs-end-of-bench host memory state, for the artifact
         # to carry WHY a window was (or should have been) suspect
         out["mem_external_rss_frac"] = round(mem[0], 3)
-        out["mem_available_frac"] = round(mem[1], 3)
+        if mem[1] is not None:
+            out["mem_available_frac"] = round(mem[1], 3)
     if duck:
         out["duckdb"] = duck
         out["duckdb_total"] = round(sum(duck.values()), 3)

@@ -2800,10 +2800,36 @@ def _acf_moment_frame(
         (F.col("off") + F.col("rn")).alias("g"),
         F.col("x").alias("xt"),
     )
-    h, t = heads.alias("h"), tails.alias("t")
+    # Block the range join on g div K (r16 self-review: with only
+    # event_type as an equi key, the hash join buckets per TYPE and
+    # every head scans ALL same-type tails — ~K·#buckets rows at
+    # exactly the >cutoff scale this form exists for, a quadratic
+    # fringe scan. The wanted tails sit in [g−K, g−1], an interval
+    # of width ≤ K−1 that meets at most TWO g-blocks of width K —
+    # the geo-grid pigeonhole in 1-D — so each head probes exactly
+    # 2 blocks and the hash join delivers O(K) candidates/head.)
+    h = (
+        heads.select(
+            "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("dx")
+        )
+        .select(
+            "event_type",
+            "g",
+            "p",
+            "xh",
+            (F.floor((F.col("g") - K) / F.lit(K)) + F.col("dx")).alias(
+                "blk"
+            ),
+        )
+        .alias("h")
+    )
+    t = tails.withColumn(
+        "blk", F.floor(F.col("g") / F.lit(K))
+    ).alias("t")
     pairs = h.join(
         F.broadcast(t),
         (F.col("h.event_type") == F.col("t.event_type"))
+        & (F.col("h.blk") == F.col("t.blk"))
         & (F.col("t.g") >= F.col("h.g") - K)
         & (F.col("t.g") <= F.col("h.g") - F.col("h.p")),
     ).select(

@@ -54,25 +54,33 @@ _GEO_PTS_SQL = f"""
 """
 
 
-def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The derived point set ``(id, x, y)`` — twin of the oracle's
-    ``pts`` CTE."""
-    ev = load(spark, sf_dir, "events")
-    return ev.select(
-        F.col("event_id").alias("id"),
+def _with_xy(df: DataFrame) -> DataFrame:
+    """Append the derived ``x, y`` coordinates to any frame carrying
+    an ``id`` column — ONE definition of the salted-hash projection
+    so every geo key (and any carried measure columns) derives
+    coordinates in the same single scan."""
+    return df.select(
+        "*",
         (
             md5_u32_col(
-                F.concat(F.col("event_id").cast("string"), F.lit(_GEO_SALT_X))
+                F.concat(F.col("id").cast("string"), F.lit(_GEO_SALT_X))
             )
             % _GEO_M
         ).alias("x"),
         (
             md5_u32_col(
-                F.concat(F.col("event_id").cast("string"), F.lit(_GEO_SALT_Y))
+                F.concat(F.col("id").cast("string"), F.lit(_GEO_SALT_Y))
             )
             % _GEO_M
         ).alias("y"),
     )
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived point set ``(id, x, y)`` — twin of the oracle's
+    ``pts`` CTE."""
+    ev = load(spark, sf_dir, "events")
+    return _with_xy(ev.select(F.col("event_id").alias("id")))
 
 
 _RADIUS_SQL = f"""
@@ -202,18 +210,24 @@ def geo_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries ≤ 100 partial rows per map task regardless of
     corpus size. Exact: integer cell ids, centi-unit value sums
     (the fixture's 2-decimal measures), min id as the per-cell
-    canonical witness."""
-    ev = _points(spark, sf_dir).join(
+    canonical witness.
+
+    r16 self-review fix: x, y, and v_centi are all per-row
+    derivations of the SAME events row, so they project in one scan
+    — the earlier form joined [[_points]] back to events on id,
+    paying a second full scan plus a join for data one select
+    produces identically (and contradicting the module's own
+    'coordinates derive in-row, zero extra scans' discipline)."""
+    ev = _with_xy(
         load(spark, sf_dir, "events").select(
             F.col("event_id").alias("id"),
             F.round(F.col("value") * 100).cast("bigint").alias("v_centi"),
-        ),
-        "id",
+        )
     )
     return (
         ev.groupBy(
-            (F.col("x") / 100000).cast("long").alias("cell_x"),
-            (F.col("y") / 100000).cast("long").alias("cell_y"),
+            F.expr("x div 100000").alias("cell_x"),
+            F.expr("y div 100000").alias("cell_y"),
         )
         .agg(
             F.count("*").cast("bigint").alias("n_points"),

@@ -490,16 +490,25 @@ def multimodal_arrow_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: threshold bit per cell.
 _PH_CELLS = 64
 
-#: LSH bands over the 64-bit hash. With 8 bands of 8 bits and the
-#: hamming threshold below at 7, the banded join is EXACT by
-#: pigeonhole: ≤ 7 differing bits cannot touch all 8 bands, so every
+#: Default LSH band count over the 64-bit hash (the registered keys
+#: resolve theirs via [[resolve_phash_bands]]). With b bands and a
+#: hamming threshold ≤ b−1, the banded join is EXACT by pigeonhole:
+#: ≤ b−1 differing bits cannot touch all b bands, so every
 #: qualifying pair shares at least one identical band — zero recall
 #: loss, unlike probabilistic MinHash banding.
 _PH_BANDS = 8
 
-#: Report pairs at hamming ≤ this. MUST stay < _PH_BANDS for the
-#: pigeonhole exactness argument.
-_PH_MAXH = 7
+#: Semantic near-dup radius of the REGISTERED phash keys: report
+#: pairs at hamming ≤ this, at EVERY corpus size. MUST stay < the
+#: smallest band count [[resolve_phash_bands]] can pick (4) so each
+#: resolver choice certifies it by pigeonhole — the band count is
+#: then a pure plan knob that never changes the result, and the
+#: static oracles stay exact at any SF (r16 self-review fix: the
+#: earlier maxh = bands−1 coupling made the key's radius shrink
+#: 7 → 3 when the resolver switched at 1 600 items while the oracle
+#: stayed at 7 — query and oracle disagreed above the grading
+#: fixture). The planted fixture pairs sit at hamming ≤ 3.
+_PH_MAXH = 3
 
 #: Candidate-density budget for [[resolve_phash_bands]]: expected
 #: band-join candidates per item under a uniform-hash model,
@@ -519,21 +528,19 @@ def resolve_phash_bands(n_items: int) -> int:
     sparse, and nothing selected between them.
 
     Contract (same shape as the graph family's [[_bcast_pinned]]
-    size resolution): prefer MORE bands — the pigeonhole certificate
-    covers hamming ≤ bands−1, so 8 bands certify radius 7 — and step
-    down to wider/fewer bands exactly when the expected candidate
-    density bands·n/2^(64/bands) crosses [[_PH_DENSITY]] (switch at
-    n = 1 600 for 8→4). The certified radius SHRINKS as the corpus
-    grows (7 → 3): the key reports the widest exactness certificate
-    affordable at the measured density, and the planted fixture
-    pairs sit at hamming ≤ 3 — inside every certificate this
-    resolver can pick. Floor at 4 bands: radius ≤ 1 (2 bands) is
-    useless for near-dup work, and 4×16-bit stays under budget to
-    ~800k docs — past that the scale knob is a 128-bit hash
-    (_PH_CELLS), not fewer bands."""
-    for bands in (8, 4):
-        if bands * n_items <= _PH_DENSITY * (1 << (64 // bands)):
-            return bands
+    size resolution): the band count is a pure PLAN knob — both
+    choices certify the fixed semantic radius [[_PH_MAXH]] = 3 by
+    pigeonhole (≤ 3 differing bits cannot touch all 4, let alone all
+    8, bands), so the resolver never changes the result, only the
+    candidate density. Prefer 8 narrow bands (finer buckets, fewer
+    verify calls per item at small n) while the expected candidate
+    density 8·n/2^8 stays under [[_PH_DENSITY]] — i.e. n ≤ 1 600 —
+    then 4×16-bit bands, whose 2^16 alphabet stays under budget to
+    ~800k docs. Past that the scale knob is a 128-bit hash
+    (_PH_CELLS), not fewer bands: radius ≤ 1 (2 bands) is useless
+    for near-dup work."""
+    if 8 * n_items <= _PH_DENSITY * (1 << 8):
+        return 8
     return 4
 
 #: Deterministic near-dup planting: every _PH_PLANT_MODth payload
@@ -759,20 +766,18 @@ def multimodal_phash_near_dup(
     hashing, tiny fixed-width hashes, band-bucketed candidate
     generation, exact hamming verify.
 
-    Recall is EXACT at the reported threshold: hamming ≤ bands−1
-    over {cells} bits in `bands` disjoint slices must leave ≥ 1
-    slice untouched (pigeonhole), so the band join misses nothing —
-    an LSH with a proof instead of a probability. `bands` resolves
-    from the hashed-population count via [[resolve_phash_bands]]
-    (r16, closing the r15 saturation finding): {bands} bands
-    (radius {maxh}) while the corpus keeps the expected candidate
-    density under budget — n ≤ 1 600, which holds at the sf0.01
-    grading fixture (505 items) so the fixed maxh-{maxh} oracle
-    stays exact there — then 4×16-bit bands (radius 3) once the 2^8
-    band alphabet would saturate. The reported radius is therefore
-    the WIDEST certificate affordable at the measured density; the
-    planted pairs below sit at hamming ≤ 3, inside every
-    certificate the resolver can pick. Planted near-dups
+    Recall is EXACT at the fixed radius (hamming ≤ {maxh} at every
+    corpus size): {maxh} differing bits over {cells} bits in ≥ 4
+    disjoint slices must leave ≥ 1 slice untouched (pigeonhole), so
+    the band join misses nothing — an LSH with a proof instead of a
+    probability. `bands` resolves from the hashed-population count
+    via [[resolve_phash_bands]] (r16, closing the r15 saturation
+    finding): {bands} narrow bands while the corpus keeps the
+    expected candidate density under budget (n ≤ 1 600, which holds
+    at the sf0.01 grading fixture's 505 items), 4×16-bit bands once
+    the 2^8 band alphabet would saturate — a pure plan choice; both
+    certify radius {maxh}, so the result (and the static oracle)
+    is band-count-independent at any SF. Planted near-dups
     (two single-byte edits at quarter/half positions of every
     {mod}th payload, id-offset by {off}) make the key non-vacuous on
     the synthetic fixture (organic near-dups are length-shifted and
@@ -802,7 +807,7 @@ def multimodal_phash_near_dup(
     # hash frame (the pagerank-node-count class) — it materializes
     # the checkpoint the band join reads anyway
     return phash_near_dup_pairs(
-        bits, bands=resolve_phash_bands(bits.count())
+        bits, bands=resolve_phash_bands(bits.count()), maxh=_PH_MAXH
     )
 
 
@@ -1056,7 +1061,7 @@ def multimodal_phash_dedup_apply(
     )
     n_items = bits.count()
     pairs = phash_near_dup_pairs(
-        bits, bands=resolve_phash_bands(n_items)
+        bits, bands=resolve_phash_bands(n_items), maxh=_PH_MAXH
     ).select("doc_a", "doc_b")
     pairs = pairs.localCheckpoint(eager=False)
     from .dedup import min_label_components

@@ -670,17 +670,28 @@ def test_acf_contract(spark, sf_dir):
     for r in rows:
         assert abs(r["acf"]) <= 1.0 + 1e-9
         assert r["n_pairs"] == n_by_type[r["event_type"]] - r["lag"]
-    # physical plan (r16 bucketed moment frame): ONE full-data
-    # exchange — the (event_type, bucket) window hash, hidden from
-    # the printout behind the lagged checkpoint cut — plus
-    # dim/report-sized exchanges for the per-type fold partials, the
-    # bucket DIM offset window, the boundary-pair fold, and the
-    # final ORDER BY range (measured string count 7-12 depending on
-    # how much initial+current duplication AQE prints in the session;
-    # bound leaves headroom for that printing variance, not for new
-    # data-sized shuffles — the one-full-data-exchange property is
-    # pinned structurally by the bit-equality tests + SCALE.md).
-    assert shuffle_count(df) <= 14
+    # physical plan: at fixture scale the size resolver picks the
+    # SERIES form (one (event_type) window hash + the final fold /
+    # ORDER BY) — measured 2 exchanges; the bound leaves headroom
+    # only for AQE initial+current printing variance, not for new
+    # data-sized shuffles (r16 self-review: an earlier ≤14 bound
+    # sized for the bucketed plan silently voided this guard once
+    # the resolver kept the series form at test scale).
+    assert shuffle_count(df) <= 4
+    # the >cutoff bucketed form keeps its own budget: one full-data
+    # (event_type, bucket) exchange behind the checkpoint cut plus
+    # dim/report-sized exchanges (offsets window, fringe block join,
+    # boundary fold) — measured 10, bounded with the same headroom
+    # rule; bit-equality to the series form is pinned in
+    # test_round16_ops.py
+    from data_pipeline_spark_spark.operators.analytics import (
+        _acf_moment_frame,
+    )
+
+    g = _acf_moment_frame(
+        load(spark, sf_dir, "events"), max_series_rows=0
+    )
+    assert shuffle_count(g) <= 12
 
 
 # ---------------------------------------------------------------------------

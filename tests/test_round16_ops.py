@@ -91,8 +91,9 @@ def test_phash_registered_keys_use_resolver(spark):
     """The REGISTERED keys route through the resolver (the r15 gap
     was exactly that the knob existed but nothing selected it): at
     the sf0.01 grading fixture the population is 505 items → 8
-    bands → the fixed maxh-7 oracle stays exact, and the pair set
-    matches the explicit 8-band call bit-for-bit."""
+    bands, and the pair set matches the explicit 8-band call at the
+    fixed semantic radius _PH_MAXH bit-for-bit (r16 self-review:
+    the radius is scale-invariant — bands are a plan knob only)."""
     from data_pipeline_spark_spark import registry
     from data_pipeline_spark_spark.operators.multimodal import (
         _ph_population,
@@ -110,8 +111,13 @@ def test_phash_registered_keys_use_resolver(spark):
     )
     bits = phash64(_ph_population(spark, sf)).localCheckpoint()
     assert bits.count() == 505  # the documented grading shape
+    from data_pipeline_spark_spark.operators.multimodal import _PH_MAXH
+
     want = sorted(
-        tuple(r) for r in phash_near_dup_pairs(bits, bands=8).collect()
+        tuple(r)
+        for r in phash_near_dup_pairs(
+            bits, bands=8, maxh=_PH_MAXH
+        ).collect()
     )
     assert got == want and got
 
