@@ -1,0 +1,313 @@
+"""Literal-formula python differentials for statistic keys that
+predate the r15 mandatory-differential discipline (r16 session-4
+audit): ts_anomaly_mad and quality_decile_report had no dedicated
+test at all, agg_corr_exact / ts_gap_fill only a cross-engine parity
+row, ts_resample_ohlc only a plan test, ts_downsample_lttb only
+endpoint invariants. The DuckDB oracle proves cross-ENGINE agreement
+only — the r15 mann_kendall incident (both engines agreeing on a
+wrong variance n) is the failure class these re-derivations close.
+
+Each test recomputes the published statistic from collected fixture
+rows in plain python/pandas/numpy — no shared helper code from the
+operators under test — and compares against the Spark output.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+import pyspark.sql.functions as F  # noqa: F401  (parity with sibling files)
+
+
+def _rhu(x: float, d: int) -> float:
+    """Spark-compatible ROUND(): HALF_UP on the double's shortest
+    decimal repr (Spark rounds BigDecimal(Double.toString(x)))."""
+    q = Decimal(1).scaleb(-d) if d else Decimal(1)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _events_pd(sf_dir: str) -> pd.DataFrame:
+    df = pd.read_parquet(f"{sf_dir}/events.parquet")
+    # catalog.load floors the TIMESTAMP(NANOS) column to µs; the
+    # differential must compare at the same precision
+    df["ts"] = df["ts"].dt.floor("us")
+    return df
+
+
+def test_anomaly_mad_matches_python(spark, sf_dir):
+    """med = round(median(v), 4); mad = round(median(|v − med|), 4);
+    outliers = #{|v − med| > 3·mad} — re-derived per event_type with
+    numpy medians and repr-HALF_UP rounding."""
+    import numpy as np
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        r["event_type"]: r.asDict()
+        for r in registry.QUERIES["ts_anomaly_mad"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = _events_pd(sf_dir)
+    assert set(got) == set(ev["event_type"].unique())
+    for t, grp in ev.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        med = _rhu(float(np.median(v)), 4)
+        mad = _rhu(float(np.median(np.abs(v - med))), 4)
+        n_out = int((np.abs(v - med) > 3 * mad).sum())
+        r = got[t]
+        assert r["med"] == med, (t, r["med"], med)
+        assert r["mad"] == mad, (t, r["mad"], mad)
+        assert r["n_events"] == len(v)
+        assert r["n_outliers"] == n_out, (t, r["n_outliers"], n_out)
+        # the fixture must actually exercise the threshold
+    assert sum(r["n_outliers"] for r in got.values()) > 0
+
+
+def test_corr_exact_matches_numpy(spark, sf_dir):
+    """Pearson r from the five exact centi-unit integer moments,
+    re-accumulated with python arbitrary-precision ints and compared
+    through the same final double formula."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        r["l_returnflag"]: r.asDict()
+        for r in registry.QUERIES["agg_corr_exact"](
+            spark, sf_dir
+        ).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    for flag, grp in li.groupby("l_returnflag"):
+        x = [int(_rhu(q * 100, 0)) for q in grp["l_quantity"]]
+        y = [int(_rhu(p * 100, 0)) for p in grp["l_extendedprice"]]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        syy = sum(b * b for b in y)
+        cov = float(n) * sxy - float(sx) * sy
+        vx = float(n) * sxx - float(sx) * sx
+        vy = float(n) * syy - float(sy) * sy
+        r_py = cov / (math.sqrt(vx) * math.sqrt(vy))
+        r = got[flag]
+        assert r["n"] == n
+        assert abs(r["corr_qty_price"] - r_py) <= 1e-12 * max(
+            1.0, abs(r_py)
+        ), (flag, r["corr_qty_price"], r_py)
+
+
+def _logprob_reference(sf_dir: str):
+    """Per-doc (n_tokens, sum_lp6, mean_logprob) re-derived from the
+    corpus with python ints: lp6 = HALF_UP(ln(count)·1e6) once per
+    DISTINCT count, BIGINT sums, one final double division."""
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    counts: dict[str, int] = {}
+    doc_tokens: dict[int, list[str]] = {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        toks = text.split(" ")  # keeps empties, like split/unnest
+        doc_tokens[int(doc_id)] = toks
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+    lp6 = {
+        t: int(_rhu(math.log(c) * 1_000_000, 0))
+        for t, c in counts.items()
+    }
+    n_total = sum(counts.values())
+    ln_total6 = int(_rhu(math.log(n_total) * 1_000_000, 0))
+    out = {}
+    for doc_id, toks in doc_tokens.items():
+        n = len(toks)
+        s = sum(lp6[t] for t in toks)
+        out[doc_id] = (n, s, float(s - n * ln_total6) / (1e6 * n))
+    return out
+
+
+def test_unigram_logprob_matches_python(spark, sf_dir):
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in registry.QUERIES["quality_unigram_logprob"](
+            spark, sf_dir
+        ).collect()
+    }
+    want = _logprob_reference(sf_dir)
+    assert set(got) == set(want)
+    for doc_id, (n, s, mean) in want.items():
+        r = got[doc_id]
+        assert r["n_tokens"] == n, (doc_id, r["n_tokens"], n)
+        assert r["sum_lp6"] == s, (doc_id, r["sum_lp6"], s)
+        assert r["mean_logprob"] == mean, (doc_id,)
+
+
+def test_decile_report_matches_python(spark, sf_dir):
+    """NTILE(10) over (mean_logprob, doc_id) with the standard
+    remainder rule (first n mod 10 buckets take the extra row), then
+    the per-decile rollup — all re-derived."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        r["decile"]: r.asDict()
+        for r in registry.QUERIES["quality_decile_report"](
+            spark, sf_dir
+        ).collect()
+    }
+    scores = _logprob_reference(sf_dir)
+    ranked = sorted(
+        (mean, doc_id, n) for doc_id, (n, _s, mean) in scores.items()
+    )
+    n_docs = len(ranked)
+    q, rem = divmod(n_docs, 10)
+    want: dict[int, list[tuple[float, int, int]]] = {}
+    pos = 0
+    for dec in range(1, 11):
+        size = q + (1 if dec <= rem else 0)
+        want[dec] = ranked[pos : pos + size]
+        pos += size
+    assert set(got) == {d for d, rows in want.items() if rows}
+    for dec, rows in want.items():
+        if not rows:
+            continue
+        r = got[dec]
+        toks = [n for (_m, _d, n) in rows]
+        means = [m for (m, _d, _n) in rows]
+        assert r["n_docs"] == len(rows)
+        assert r["total_tokens"] == sum(toks)
+        assert r["avg_tokens"] == float(sum(toks)) / len(rows)
+        assert r["min_mean_logprob"] == min(means)
+        assert r["max_mean_logprob"] == max(means)
+
+
+def test_gap_fill_matches_pandas_locf(spark, sf_dir):
+    """Hourly grid per user between floor-hour(first) and
+    floor-hour(last), LOCF fill via merge_asof, inner semantics
+    (grid points before the first observation drop)."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        (r["user_id"], r["grid_ts"]): r["last_value"]
+        for r in registry.QUERIES["ts_gap_fill"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = _events_pd(sf_dir)[["user_id", "ts", "value"]]
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        grp = grp.sort_values("ts")
+        t0 = grp["ts"].min().floor("h")
+        t1 = grp["ts"].max().floor("h")
+        grid = pd.date_range(t0, t1, freq="h").astype("datetime64[us]")
+        filled = pd.merge_asof(
+            pd.DataFrame({"ts": grid}),
+            grp[["ts", "value"]],
+            on="ts",
+            direction="backward",
+        ).dropna(subset=["value"])
+        for ts, v in zip(filled["ts"], filled["value"]):
+            want[(uid, ts.to_pydatetime())] = float(v)
+    assert got == want
+    # non-vacuous: some hour must carry a value forward (no event in
+    # that hour), else the fixture never exercises LOCF
+    observed_hours = {
+        (u, ts.floor("h").to_pydatetime())
+        for u, ts in zip(ev["user_id"], ev["ts"])
+    }
+    assert any(k not in observed_hours for k in want)
+
+
+def test_resample_ohlc_matches_pandas(spark, sf_dir):
+    """open/close by (ts, event_id) order inside each hourly bar,
+    high/low/count, volume as exact HALF_UP milli-units."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        (r["event_type"], r["bar_start"]): r.asDict()
+        for r in registry.QUERIES["ts_resample_ohlc"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = _events_pd(sf_dir)
+    ev = ev.assign(bar=ev["ts"].dt.floor("h"))
+    want_keys = set()
+    for (etype, bar), grp in ev.groupby(["event_type", "bar"]):
+        grp = grp.sort_values(["ts", "event_id"], kind="mergesort")
+        key = (etype, bar.to_pydatetime())
+        want_keys.add(key)
+        r = got[key]
+        assert r["open"] == float(grp["value"].iloc[0]), key
+        assert r["close"] == float(grp["value"].iloc[-1]), key
+        assert r["high"] == float(grp["value"].max()), key
+        assert r["low"] == float(grp["value"].min()), key
+        assert r["n_events"] == len(grp), key
+        vol = sum(int(_rhu(v * 1000, 0)) for v in grp["value"])
+        assert r["vol_mv"] == vol, key
+    assert set(got) == want_keys
+
+
+def test_lttb_matches_paper_reference(spark, sf_dir):
+    """Steinarsson's LTTB re-derived with arbitrary-precision python
+    ints: first/last pinned, interior bucket map 1 + (j·(B−2)) // m,
+    per-bucket argmax of the effective triangle area vs the PREVIOUS
+    SELECTED point and the NEXT bucket's average (cross-multiplied by
+    the next-bucket count; ties broken by (t, event_id))."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.operators.analytics import _LTTB_B
+
+    registry.load_all()
+    got = {}
+    for r in registry.QUERIES["ts_downsample_lttb"](
+        spark, sf_dir
+    ).collect():
+        got[(r["user_id"], r["bucket_idx"])] = (r["sel_t"], r["sel_v"])
+
+    ev = _events_pd(sf_dir)
+    ev = ev[ev["event_type"] == "view"]
+    B = _LTTB_B
+    inner = B - 2
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"], kind="mergesort")
+        t = [int(ts.timestamp()) for ts in grp["ts"]]  # µs-floored ts
+        v = [int(_rhu(val * 1000, 0)) for val in grp["value"]]
+        eid = list(grp["event_id"])
+        n = len(t)
+        if n < B:
+            continue  # excluded by contract
+        m = n - 2
+        bucket = [1 + (j * inner) // m for j in range(m)]
+        sel = [(t[0], v[0])]
+        for i in range(1, inner + 1):
+            cand = [k + 1 for k in range(m) if bucket[k] == i]
+            if i < inner:
+                nxt = [k + 1 for k in range(m) if bucket[k] == i + 1]
+                st, sv, cn = (
+                    sum(t[k] for k in nxt),
+                    sum(v[k] for k in nxt),
+                    len(nxt),
+                )
+            else:
+                st, sv, cn = t[n - 1], v[n - 1], 1
+            ta, va = sel[-1]
+            best = None
+            for k in cand:
+                area = abs(
+                    (ta * cn - st) * (v[k] - va)
+                    - (ta - t[k]) * (sv - va * cn)
+                )
+                key = (-area, t[k], eid[k])
+                if best is None or key < best[0]:
+                    best = (key, t[k], v[k])
+            sel.append((best[1], best[2]))
+        sel.append((t[n - 1], v[n - 1]))
+        for idx, (st_, sv_) in enumerate(sel):
+            want[(uid, idx)] = (st_, sv_)
+    assert want, "no series reached B points — vacuous fixture"
+    assert got == want
