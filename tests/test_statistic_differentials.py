@@ -311,3 +311,206 @@ def test_lttb_matches_paper_reference(spark, sf_dir):
             want[(uid, idx)] = (st_, sv_)
     assert want, "no series reached B points — vacuous fixture"
     assert got == want
+
+
+def test_window_twa_matches_python(spark, sf_dir):
+    """LOCF time-weighted average: each observation weighs the
+    integer seconds to its successor (last sample weightless);
+    degenerate series fall back to the plain mean — re-derived with
+    python ints per user."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        r["user_id"]: r.asDict()
+        for r in registry.QUERIES["window_twa"](spark, sf_dir).collect()
+    }
+    ev = _events_pd(sf_dir)
+    for uid, grp in ev.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"], kind="mergesort")
+        sec = [int(ts.timestamp()) for ts in grp["ts"]]
+        v_mv = [int(_rhu(v * 1000, 0)) for v in grp["value"]]
+        num = sum(
+            v_mv[i] * (sec[i + 1] - sec[i]) for i in range(len(sec) - 1)
+        )
+        den = sum(sec[i + 1] - sec[i] for i in range(len(sec) - 1))
+        if den > 0:
+            twa = float(num) / (1000.0 * float(den))
+        else:
+            twa = float(sum(v_mv)) / (1000.0 * len(v_mv))
+        r = got[uid]
+        assert r["n_obs"] == len(sec)
+        assert r["twa"] == twa, (uid, r["twa"], twa)
+
+
+def test_ts_interpolate_matches_python(spark, sf_dir):
+    """Hourly bucket means, then linear interpolation between the
+    bracketing observed buckets (nearest observation at the edges) —
+    re-derived per user on a dense grid."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        (r["user_id"], r["grid_ts"]): (r["value_interp"], r["filled"])
+        for r in registry.QUERIES["ts_interpolate"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = _events_pd(sf_dir)
+    ev = ev.assign(hr=ev["ts"].dt.floor("h"))
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        obs = {
+            hr.to_pydatetime(): float(g["value"].mean())
+            for hr, g in grp.groupby("hr")
+        }
+        hours = sorted(obs)
+        grid = pd.date_range(hours[0], hours[-1], freq="h")
+        for hr in grid:
+            hr_py = hr.to_pydatetime()
+            if hr_py in obs:
+                want[(uid, hr_py)] = (obs[hr_py], 0)
+                continue
+            prev = [h for h in hours if h < hr_py]
+            nxt = [h for h in hours if h > hr_py]
+            if not prev:
+                v = obs[nxt[0]]
+            elif not nxt:
+                v = obs[prev[-1]]
+            else:
+                ph, nh = prev[-1], nxt[0]
+                frac = float(
+                    int(hr_py.timestamp()) - int(ph.timestamp())
+                ) / float(int(nh.timestamp()) - int(ph.timestamp()))
+                v = obs[ph] + (obs[nh] - obs[ph]) * frac
+            want[(uid, hr_py)] = (v, 1)
+    assert set(got) == set(want)
+    n_filled = 0
+    for k, (v, filled) in want.items():
+        gv, gf = got[k]
+        assert gf == filled, k
+        assert abs(gv - v) <= 1e-9 * max(1.0, abs(v)), (k, gv, v)
+        n_filled += filled
+    assert n_filled > 0, "no gap on the grid — interpolation vacuous"
+
+
+def test_funnel_steps_matches_python(spark, sf_dir):
+    """signup → click → purchase with strict first-occurrence
+    ordering, re-derived from per-user minima."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["funnel_steps"](spark, sf_dir).collect()[0]
+    ev = _events_pd(sf_dir)
+    firsts = {}
+    for (uid, et), grp in ev.groupby(["user_id", "event_type"]):
+        firsts.setdefault(uid, {})[et] = grp["ts"].min()
+    n_users = ev["user_id"].nunique()
+    s1 = sum(1 for f in firsts.values() if "signup" in f)
+    s2 = sum(
+        1
+        for f in firsts.values()
+        if "signup" in f and "click" in f and f["click"] > f["signup"]
+    )
+    s3 = sum(
+        1
+        for f in firsts.values()
+        if "signup" in f
+        and "click" in f
+        and "purchase" in f
+        and f["click"] > f["signup"]
+        and f["purchase"] > f["click"]
+    )
+    assert (
+        r["n_users"],
+        r["step1_signup"],
+        r["step2_clicked_after"],
+        r["step3_purchased_after"],
+    ) == (n_users, s1, s2, s3)
+    assert s3 > 0, "funnel never completes — vacuous fixture"
+
+
+def test_cohort_retention_matches_python(spark, sf_dir):
+    """(cohort_week, week_offset, n_active) re-derived with
+    Monday-truncated weeks and day-difference // 7 offsets."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_active"]
+        for r in registry.QUERIES["cohort_retention"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = _events_pd(sf_dir)
+
+    def week_start(ts):
+        d = ts.normalize() - pd.Timedelta(days=ts.weekday())
+        return d.date()
+
+    cohort = {
+        uid: week_start(grp["ts"].min())
+        for uid, grp in ev.groupby("user_id")
+    }
+    active = {
+        (uid, week_start(ts))
+        for uid, ts in zip(ev["user_id"], ev["ts"])
+    }
+    want: dict[tuple, set] = {}
+    for uid, wk in active:
+        cw = cohort[uid]
+        off = (wk - cw).days // 7
+        want.setdefault((cw, off), set()).add(uid)
+    assert got == {k: len(v) for k, v in want.items()}
+
+
+def test_lang_id_matches_python(spark, sf_dir):
+    """Marker-hit argmax with the fixed tie priority
+    en > es > fr > de > zh and 'und' on zero hits — the confusion
+    table re-derived token-for-token."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.operators.text import _LANG_MARKERS
+
+    registry.load_all()
+    got = {
+        (r["lang"], r["lang_pred"]): r["n_docs"]
+        for r in registry.QUERIES["lang_id"](spark, sf_dir).collect()
+    }
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    order = ["en", "es", "fr", "de", "zh"]
+    want: dict[tuple, int] = {}
+    for lang, text in zip(d["lang"], d["text"]):
+        toks = text.split(" ")
+        hits = {
+            lg: sum(1 for t in toks if t in set(m))
+            for lg, m in _LANG_MARKERS.items()
+        }
+        if max(hits.values()) == 0:
+            pred = "und"
+        else:
+            pred = next(
+                lg
+                for i, lg in enumerate(order)
+                if hits[lg] >= max(hits[o] for o in order[i + 1 :] or [lg])
+            )
+        want[(lang, pred)] = want.get((lang, pred), 0) + 1
+    assert got == want
+
+
+def test_hll_mergeable_matches_exact_distinct(spark, sf_dir):
+    """The published columns are the exact per-type distinct count
+    and a 5% sketch-accuracy flag; the exact side re-derives in
+    pandas and every flag must hold."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        r["event_type"]: r.asDict()
+        for r in registry.QUERIES["agg_hll_mergeable"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = _events_pd(sf_dir)
+    want = ev.groupby("event_type")["user_id"].nunique().to_dict()
+    assert {t: r["exact_users"] for t, r in got.items()} == want
+    assert all(r["within_5pct"] for r in got.values())
