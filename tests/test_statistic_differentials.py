@@ -514,3 +514,285 @@ def test_hll_mergeable_matches_exact_distinct(spark, sf_dir):
     want = ev.groupby("event_type")["user_id"].nunique().to_dict()
     assert {t: r["exact_users"] for t, r in got.items()} == want
     assert all(r["within_5pct"] for r in got.values())
+
+
+def test_corpus_sample_hash_matches_hashlib(spark, sf_dir):
+    """Split membership is a pure md5-prefix function of doc_id —
+    replayed with python hashlib (an independent md5) — and the
+    realized fractions must sit near the designed rates (sample
+    ≈ 26/256, train ≈ 230/256 of the remainder)."""
+    import hashlib
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        r["doc_id"]: r["split"]
+        for r in registry.QUERIES["corpus_sample_hash"](
+            spark, sf_dir
+        ).collect()
+    }
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def h2(doc_id, salt):
+        return hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()[:2]
+
+    want = {}
+    for doc_id in d["doc_id"]:
+        doc_id = int(doc_id)
+        if h2(doc_id, "/corpus-v1") < "1a":
+            want[doc_id] = "sample"
+        elif h2(doc_id, "/split-v1") < "e6":
+            want[doc_id] = "train"
+        else:
+            want[doc_id] = "test"
+    assert got == want
+    n = len(want)
+    frac_sample = sum(1 for s in want.values() if s == "sample") / n
+    rest = [s for s in want.values() if s != "sample"]
+    frac_train = sum(1 for s in rest if s == "train") / len(rest)
+    assert abs(frac_sample - 26 / 256) < 0.1
+    assert abs(frac_train - 230 / 256) < 0.1
+
+
+def test_corpus_mix_weighted_matches_hashlib(spark, sf_dir):
+    """Stratum keep-rates (en 50%, de/es/fr 75%, rest 100%) replayed
+    with hashlib md5 4-hex-prefix thresholds."""
+    import hashlib
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        r["doc_id"]
+        for r in registry.QUERIES["corpus_mix_weighted"](
+            spark, sf_dir
+        ).collect()
+    }
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    want = set()
+    rates: dict[str, list[int]] = {}
+    for doc_id, lang in zip(d["doc_id"], d["lang"]):
+        doc_id = int(doc_id)
+        thr = (
+            "8000"
+            if lang == "en"
+            else "c000" if lang in ("de", "es", "fr") else "g"
+        )
+        keep = (
+            hashlib.md5(f"{doc_id}/mix-v1".encode()).hexdigest()[:4] < thr
+        )
+        if keep:
+            want.add(doc_id)
+        rates.setdefault(lang, []).append(int(keep))
+    assert got == want
+    for lang, kept in rates.items():
+        target = (
+            0.5
+            if lang == "en"
+            else 0.75 if lang in ("de", "es", "fr") else 1.0
+        )
+        assert abs(sum(kept) / len(kept) - target) < 0.2, lang
+
+
+def test_corpus_decontaminate_matches_python(spark, sf_dir):
+    """Word-5-gram overlap against the md5-selected benchmark slice,
+    replayed with python string grams (the Spark side streams
+    xxhash64-hashed spans — a seed or slicing bug shows up here as a
+    count mismatch)."""
+    import hashlib
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in registry.QUERIES["corpus_decontaminate"](
+            spark, sf_dir
+        ).collect()
+    }
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def grams(text):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[j : j + 5]) for j in range(len(toks) - 4)
+        }
+
+    bench: set = set()
+    train: dict[int, set] = {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        dg = hashlib.md5(text.encode()).hexdigest()
+        if dg < "20":
+            bench |= grams(text)
+        else:
+            train[int(doc_id)] = grams(text)
+    want = {
+        doc_id: len(g & bench)
+        for doc_id, g in train.items()
+        if g & bench
+    }
+    assert got == want
+    assert want, "benchmark shares no gram with training — vacuous"
+
+
+def test_pii_redact_matches_python_re(spark, sf_dir):
+    """Counts and the md5 of the redacted text replayed with python
+    re + hashlib — a byte-exact check of the whole scan → count →
+    mask → digest pipeline."""
+    import hashlib
+    import re
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.operators.training_data import (
+        _EMAIL_RE,
+        _PHONE_RE,
+    )
+
+    registry.load_all()
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in registry.QUERIES["pii_redact"](spark, sf_dir).collect()
+    }
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        doc_id = int(doc_id)
+        t = (
+            f"{text} contact user{doc_id}@example.com"
+            f" or +1-555-{doc_id % 10000:04d}"
+        )
+        red = re.sub(
+            _PHONE_RE, "<PHONE>", re.sub(_EMAIL_RE, "<EMAIL>", t)
+        )
+        r = got[doc_id]
+        assert r["n_emails"] == len(re.findall(_EMAIL_RE, t)), doc_id
+        assert r["n_phones"] == len(re.findall(_PHONE_RE, t)), doc_id
+        assert r["red_hash"] == hashlib.md5(red.encode()).hexdigest(), (
+            doc_id
+        )
+        assert r["n_emails"] >= 1 and r["n_phones"] >= 1
+
+
+def test_text_normalize_matches_python(spark, sf_dir):
+    """lowercase → non-alnum to space → collapse runs → trim,
+    digest-verified byte-for-byte via hashlib."""
+    import hashlib
+    import re
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in registry.QUERIES["text_normalize"](
+            spark, sf_dir
+        ).collect()
+    }
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        doc_id = int(doc_id)
+        norm = re.sub(
+            " +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())
+        ).strip()
+        r = got[doc_id]
+        assert r["n_chars_norm"] == len(norm), doc_id
+        assert r["norm_hash"] == hashlib.md5(norm.encode()).hexdigest()
+
+
+def _cos(a, b):
+    import numpy as np
+
+    a = np.asarray(a, dtype="float64")
+    b = np.asarray(b, dtype="float64")
+    den = math.sqrt(float(a @ a)) * math.sqrt(float(b @ b))
+    return float(a @ b) / den
+
+
+def test_dedup_embedding_matches_numpy(spark, sf_dir):
+    """Top-20 most-similar pairs by rounded cosine with id
+    tie-breaks, replayed with a numpy all-pairs scan."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = [
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in registry.QUERIES["dedup_embedding"](
+            spark, sf_dir
+        ).collect()
+    ]
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = [int(v) for v in e["vec_id"]]
+    emb = list(e["embedding"])
+    pairs = []
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j]:
+                pairs.append(
+                    (ids[i], ids[j], _rhu(_cos(emb[i], emb[j]), 4))
+                )
+    pairs.sort(key=lambda p: (-p[2], p[0], p[1]))
+    assert got == pairs[:20]
+
+
+def test_embedding_centroids_matches_numpy(spark, sf_dir):
+    """Per-label element-wise centroid replayed with numpy means."""
+    import numpy as np
+
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        (r["label"], r["dim"]): r.asDict()
+        for r in registry.QUERIES["embedding_centroids"](
+            spark, sf_dir
+        ).collect()
+    }
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    for label, grp in e.groupby("label"):
+        m = np.stack(grp["embedding"].to_numpy()).astype("float64")
+        means = m.mean(axis=0)
+        for dim in range(1, m.shape[1] + 1):
+            r = got[(label, dim)]
+            assert r["n_vectors"] == len(grp)
+            assert abs(r["centroid_v"] - means[dim - 1]) <= 1e-6, (
+                label,
+                dim,
+            )
+    assert len(got) == e["label"].nunique() * 64
+
+
+def test_sim_search_rerank_matches_bruteforce(spark, sf_dir):
+    """The two-stage int8-prefilter + exact-rerank output must EQUAL
+    exact brute-force top-k (the key's own published claim) —
+    replayed with numpy float64 cosine and (sim desc, id asc)
+    ranking."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.operators.similarity import (
+        _N_QUERIES,
+        _TOP_K,
+    )
+
+    registry.load_all()
+    got = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["cos_sim"])
+        for r in registry.QUERIES["sim_search_rerank"](
+            spark, sf_dir
+        ).collect()
+    )
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = [int(v) for v in e["vec_id"]]
+    emb = {int(v): a for v, a in zip(e["vec_id"], e["embedding"])}
+    want = []
+    for q in ids:
+        if q >= _N_QUERIES:
+            continue
+        scored = sorted(
+            (
+                (-_rhu(_cos(emb[q], emb[c]), 4), c)
+                for c in ids
+                if c != q
+            ),
+        )[:_TOP_K]
+        for rnk, (neg, c) in enumerate(scored, start=1):
+            want.append((q, rnk, c, -neg))
+    assert got == sorted(want)
