@@ -796,3 +796,89 @@ def test_sim_search_rerank_matches_bruteforce(spark, sf_dir):
         for rnk, (neg, c) in enumerate(scored, start=1):
             want.append((q, rnk, c, -neg))
     assert got == sorted(want)
+
+
+def test_graph_kcore_matches_python_peeling(spark, sf_dir):
+    """Synchronous k-core peeling over the part co-order graph,
+    re-derived with dict-based python peeling: k = (4·|E|) //
+    (5·|V|) on the symmetric edge list, then each round keeps nodes
+    whose degree within the previous survivors' subgraph is ≥ k."""
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.operators.graph import (
+        _KCORE_DEN,
+        _KCORE_NUM,
+        _KCORE_ROUNDS,
+    )
+
+    registry.load_all()
+    got = {
+        r["round"]: r.asDict()
+        for r in registry.QUERIES["graph_kcore"](spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    items = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    pairs = set()
+    for _, grp in items.groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                pairs.add((int(parts[i]), int(parts[j])))
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    nodes = {s for s, _ in sym}
+    k = (_KCORE_NUM * len(sym)) // (_KCORE_DEN * len(nodes))
+    alive = sym
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg: dict[int, int] = {}
+        for s, _ in alive:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        alive = [(s, t) for s, t in alive if s in keep and t in keep]
+        r = got[rnd]
+        assert r["k"] == k
+        assert r["n_nodes"] == len(keep), (rnd, r["n_nodes"], len(keep))
+        assert r["n_edges"] == len(alive), rnd
+        assert r["id_checksum"] == sum(keep), rnd
+        assert 0 < len(keep) < len(nodes) or rnd > 1, (
+            "first round peels nothing — k vacuous on this fixture"
+        )
+
+
+def test_sessionization_matches_pandas(spark, sf_dir):
+    """30-minute-gap sessionization replayed per user in pandas:
+    gap flags from microsecond deltas, running-sum session ids,
+    per-session (start, end, n_events)."""
+    from data_pipeline_spark_spark import registry
+
+    registry.load_all()
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+        )
+        for r in registry.QUERIES["sessionization"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = _events_pd(sf_dir)
+    want = {}
+    multi = 0
+    for uid, grp in ev.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"], kind="mergesort")
+        sid = 0
+        prev = None
+        sessions: dict[int, list] = {}
+        for ts in grp["ts"]:
+            if prev is None or (ts - prev) > pd.Timedelta(minutes=30):
+                sid += 1
+            sessions.setdefault(sid, []).append(ts)
+            prev = ts
+        multi += len(sessions) > 1
+        for sid, tss in sessions.items():
+            want[(uid, sid)] = (
+                tss[0].to_pydatetime(),
+                tss[-1].to_pydatetime(),
+                len(tss),
+            )
+    assert got == want
+    assert multi > 0, "every user has one session — gap rule vacuous"
