@@ -112,9 +112,16 @@ def _bloom_probe_ok(bf_col, h1m, h2m, m_bits: int = _BLOOM_M_BITS):
 
 def _bloom_hash_cols():
     """The two pre-masked xxhash64 streams over a digest column
-    ``h`` (47/31 bits — see [[_bloom_positions]])."""
+    ``h`` (47/31 bits — see [[_bloom_positions]]). Seed FIRST in the
+    second stream (the [[duplication_profile_of]] rule, r16
+    self-review fix): Spark folds multi-arg xxhash64 left-to-right
+    with the running hash as the next seed, so ``xxhash64(h, lit(1))``
+    is a deterministic function of ``xxhash64(h)`` — two digests
+    colliding on the first stream would share every probe position,
+    voiding the independent-hash FP model; ``xxhash64(lit(1), h)``
+    hashes h under a different effective seed and is independent."""
     h1m = F.xxhash64(F.col("h")).bitwiseAND(F.lit((1 << 47) - 1))
-    h2m = F.xxhash64(F.col("h"), F.lit(1)).bitwiseAND(
+    h2m = F.xxhash64(F.lit(1), F.col("h")).bitwiseAND(
         F.lit((1 << 31) - 1)
     )
     return h1m, h2m
@@ -361,7 +368,9 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_centroids",
     oracle="""
     SELECT label, i AS dim,
-           ROUND(AVG(embedding[i]::DOUBLE), 6) AS centroid_v,
+           CAST(SUM(CAST(round(embedding[i]::DOUBLE * 1000000)
+                         AS BIGINT)) AS DOUBLE)
+             / (1000000.0 * COUNT(*)) AS centroid_v,
            COUNT(*) AS n_vectors
     FROM embeddings, range(1, 65) t(i)
     GROUP BY label, i
@@ -369,9 +378,24 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column, element-wise:
-    posexplode → groupBy(label, dim) → avg. The shuffle carries
-    (label, dim, partial sums) — at 100 TB this is the map-side-combined
-    reduction that feeds k-means/IVF training, never a driver collect.
+    posexplode → groupBy(label, dim) → exact micro-unit sum → one
+    final division. The shuffle carries (label, dim, partial sums) —
+    at 100 TB this is the map-side-combined reduction that feeds
+    k-means/IVF training, never a driver collect.
+
+    Numerics (r16 self-review fix): the earlier ROUND(AVG(double), 6)
+    rounded an order-dependent float sum at a fractional digit — the
+    exact hazard this module documents at
+    [[corpus_mix_temperature]]/[[duplication_profile_of]] (a mean
+    within a summation-order ulp of a 0.5e-6 boundary flips the 6th
+    decimal per engine or per partitioning). Now each element
+    quantizes ONCE to integer micro-units (round-to-integer of the
+    same double is engine-identical: repr-vs-binary divergence only
+    bites at fractional digits, and both engines tie away from
+    zero), the cross-row sum is an associative BIGINT, and the one
+    double division at the end is the same IEEE op everywhere — the
+    [[rollup_reaggregate]] discipline applied to vectors. Centroid
+    granularity is unchanged (the old form also reported 1e-6).
 
     NB the oracle enumerates dims 1..64 LITERALLY (range(1, 65))
     while this side posexplodes whatever length the arrays have — a
@@ -380,10 +404,19 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .select("label", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+        .select(
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.round(F.col("v").cast("double") * 1000000)
+            .cast("bigint")
+            .alias("v_micro"),
+        )
         .groupBy("label", "dim")
         .agg(
-            F.round(F.avg("v"), 6).alias("centroid_v"),
+            (
+                F.sum("v_micro").cast("double")
+                / (F.lit(1000000.0) * F.count("*"))
+            ).alias("centroid_v"),
             F.count("*").alias("n_vectors"),
         )
     )

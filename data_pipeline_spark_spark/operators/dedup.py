@@ -81,6 +81,15 @@ def _shingles(col, n: int = 3):
     Guarded so docs with < n tokens yield an empty array (Spark's
     sequence(1, 0) would otherwise produce [1, 0], not []).
 
+    This is the per-doc ARRAY shape the Spark-ML MinHashLSH path
+    ([[minhash_lsh_pairs]]) needs for HashingTF; every other rung
+    shingles via the [[span_stream]] generator. The two definitions
+    MUST stay identical (tokenize on single spaces, size ≥ n guard,
+    space-joined n-grams) — pinned by
+    tests/test_dedup_recall.py::test_shingle_definitions_agree, so a
+    change to either desyncs loudly instead of silently (r16
+    self-review).
+
     The split is LET-BOUND via a 1-element transform (the r13 FFD
     interpreted-HOF lesson, r14 registry audit): referenced directly
     from the per-shingle lambda, split(text) would re-tokenize the
@@ -134,6 +143,12 @@ _JACCARD_SQL = """
 #: corpus size; shingles that common carry ~0 Jaccard discrimination.
 #: Far above the fixtures' max df (7 at sf0.01, 25 at sf0.1), so
 #: fixture output is byte-identical to the uncapped form.
+#: NB the two rungs sharing this constant measure df over DIFFERENT
+#: streams (r16 self-review — per-rung semantics, both bound the
+#: quadratic fan-out): ``jaccard_pairs`` counts df over the PREFIX
+#: explosion (both join sides are prefixes, so the prefix df is the
+#: fan-out that matters there), ``containment_pairs`` over the full
+#: posting list (its probe side explodes every shingle).
 _SHINGLE_DF_CAP = 1000
 
 
@@ -1048,9 +1063,16 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(
+    # Hand back a localCheckpoint and release the loop's pinned
+    # cache (r16 self-review): a returned .cache() frame that
+    # callers never unpersist leaks one cached DataFrame per
+    # invocation for the session lifetime; checkpoint blocks are
+    # instead GC-managed by the ContextCleaner once the frame drops.
+    out = labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
-    )
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 @query("dedup_cluster", oracle=_CLUSTER_SQL)

@@ -345,25 +345,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RERANK_CANDIDATES = 50
 
 
-@query(
-    "sim_search_rerank",
-    oracle=f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}),
-         scored AS (
-           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                  ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
-                                               e.embedding::DOUBLE[]), 4) AS cos_sim
-           FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
-         ),
-         ranked AS (
-           SELECT query_id, neighbor_id, cos_sim,
-                  row_number() OVER (PARTITION BY query_id
-                                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
-           FROM scored
-         )
-    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {_TOP_K}
-    """,
-)
+@query("sim_search_rerank", oracle=_EXACT_TOPK_SQL)
 def sim_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage ANN — the standard serving architecture: stage 1
     scores EVERY candidate with int8-quantized vectors
@@ -1305,6 +1287,25 @@ def _trained_codebook_cached(
     )
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return spark.read.parquet(path)
+    # Repair path (r16 self-review): an artifact dir WITHOUT
+    # _SUCCESS is an incomplete write — a crashed promotion, or a
+    # session configured with marksuccessfuljobs=false. Left in
+    # place it poisons the cache permanently: every later run
+    # retrains, loses the rename to the occupied path, finds no
+    # _SUCCESS, and raises. Remove it (the artifact is a
+    # deterministic retrain away) along with any stale stage dirs
+    # leaked by crashed writers of the same key.
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    for stale in (
+        d
+        for d in os.listdir(os.path.dirname(path))
+        if d.startswith(os.path.basename(path) + ".stage")
+    ):
+        shutil.rmtree(
+            os.path.join(os.path.dirname(path), stale),
+            ignore_errors=True,
+        )
     cbt = trained_pq_codebook(squ)
     stage = f"{path}.stage{os.getpid()}"
     cbt.write.mode("overwrite").parquet(stage)
@@ -1804,6 +1805,8 @@ def sim_search_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plain-string docstrings: expand the constant placeholders (the
 # corpus.py __doc__.replace pattern) so rendered help shows values,
 # not literal braces
+for _fn in (sim_search, sim_search_lsh):
+    _fn.__doc__ = _fn.__doc__.replace("{k}", str(_TOP_K))
 for _fn, _subs in (
     (sim_search_rerank, ("_RERANK_CANDIDATES", "_TOP_K")),
     (sim_search_pq, ("_PQ_M", "_PQ_K", "_N_QUERIES")),

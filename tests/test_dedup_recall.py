@@ -144,3 +144,35 @@ def test_stop_shingle_df_cap_bounds_pair_blowup(spark):
     with_dup = docs.unionByName(dup)
     found = jaccard_pairs(with_dup, threshold=0.8, df_cap=10).collect()
     assert {(r.doc_a, r.doc_b) for r in found} == {(0, 1000)}
+
+
+def test_shingle_definitions_agree(spark, sf_dir):
+    """The repo has exactly two shingle definitions: _shingles (the
+    per-doc array shape Spark-ML's HashingTF needs) and span_stream
+    (the shared generator every other rung uses). The dedup ladder's
+    recall cross-checks assume they tokenize identically — pin it:
+    per doc, distinct span_stream strings == the _shingles array as
+    a set, and docs under n tokens yield empty/absent on both
+    sides."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.dedup import (
+        _shingles,
+        span_stream,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    arrs = {
+        r["doc_id"]: set(r["sh"])
+        for r in d.select(
+            "doc_id", _shingles(F.col("text")).alias("sh")
+        ).collect()
+    }
+    streams: dict = {}
+    for r in span_stream(d, n=3, hashed=False).collect():
+        streams.setdefault(r["doc_id"], set()).add(r["s"])
+    for doc_id, sh in arrs.items():
+        assert sh == streams.get(doc_id, set()), doc_id
+    assert set(streams) <= set(arrs)
+    assert any(arrs.values()), "no doc shingled — vacuous fixture"

@@ -735,7 +735,9 @@ def test_dedup_embedding_matches_numpy(spark, sf_dir):
 
 
 def test_embedding_centroids_matches_numpy(spark, sf_dir):
-    """Per-label element-wise centroid replayed with numpy means."""
+    """Per-label element-wise centroid replayed with exact python
+    integer micro-unit sums (the key's r16 exact form) and, as a
+    sanity bound, the plain numpy mean within quantization error."""
     import numpy as np
 
     from data_pipeline_spark_spark import registry
@@ -750,14 +752,18 @@ def test_embedding_centroids_matches_numpy(spark, sf_dir):
     e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     for label, grp in e.groupby("label"):
         m = np.stack(grp["embedding"].to_numpy()).astype("float64")
-        means = m.mean(axis=0)
+        n = len(grp)
         for dim in range(1, m.shape[1] + 1):
-            r = got[(label, dim)]
-            assert r["n_vectors"] == len(grp)
-            assert abs(r["centroid_v"] - means[dim - 1]) <= 1e-6, (
-                label,
-                dim,
+            s = sum(
+                int(_rhu(v * 1_000_000, 0)) for v in m[:, dim - 1]
             )
+            want = float(s) / (1_000_000.0 * n)
+            r = got[(label, dim)]
+            assert r["n_vectors"] == n
+            assert r["centroid_v"] == want, (label, dim)
+            assert (
+                abs(r["centroid_v"] - m[:, dim - 1].mean()) <= 5e-7
+            ), (label, dim)
     assert len(got) == e["label"].nunique() * 64
 
 
