@@ -83,6 +83,13 @@ _ROUND16_PRIORITY = [
     "agg_mutual_information",
     "cohort_survival_km",
     "text_readability",
+    # (a') r16 session-4 semantic changes — outputs differ from their
+    # last graded form, so they need fresh driver evidence this round
+    # (embedding_centroids, also changed, is already in block (b)):
+    # privacy_l_diversity's entropy moved to the exact micro-ln
+    # clearing; the phash keys' sf0.01 output is bit-identical (their
+    # r15 grades stand) and stays out of the budget.
+    "privacy_l_diversity",
     # (b) latest green row r10 — the full 38-key staleness debt the
     # r15 landing spree deferred (r15 verdict ask #2): after this
     # grade no key's latest row predates r11

@@ -503,6 +503,9 @@ def _basket_affinity_from(
     # expressions are interpreted (excluded from whole-stage codegen),
     # which measured 2-4× slower on the fan-out stage and JIT-warmed
     # far more slowly; generators keep the expansion inside codegen.
+    # NB graph._co_order_edges carries a deliberate twin of this
+    # expansion (minus the basket-only knobs) — a fix to the slice
+    # arithmetic here must be applied there too (r16 self-review).
     pair = (
         baskets.select(
             F.posexplode("items").alias("i", "part_a"), "items"
@@ -1640,8 +1643,12 @@ _LDIV_SQL = f"""
     SELECT cohort_week, activity_bucket, fav_type,
            CAST(SUM(cnt) AS BIGINT) AS class_size,
            CAST(COUNT(*) AS BIGINT) AS distinct_l,
-           CAST(ROUND((LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt))
-                      * 1e6) AS BIGINT) AS entropy_micronats,
+           CAST(ROUND(
+             CAST(CAST(SUM(cnt) AS BIGINT)
+                    * CAST(round(LN(SUM(cnt)) * 1e6) AS BIGINT)
+                  - CAST(SUM(cnt * CAST(round(LN(cnt) * 1e6) AS BIGINT))
+                         AS BIGINT) AS DOUBLE)
+             / CAST(SUM(cnt) AS DOUBLE)) AS BIGINT) AS entropy_micronats,
            COUNT(*) >= {_L_DIVERSITY} AS diverse
     FROM cls
     GROUP BY cohort_week, activity_bucket, fav_type
@@ -1659,10 +1666,11 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     over exact centi-unit totals with user_id tie-break — total
     order, so quintile assignment is engine-identical). Per class:
     distinct-l (distinct sensitive values), entropy l-diversity in
-    micro-nats (H = ln k − Σ c·ln c / k, computed operand-identically
-    from integer counts and rounded ONCE — the [[drift_psi_report]] /
-    bigram-perplexity micro-unit discipline), and the ≥ {_L_DIVERSITY}
-    verdict.
+    micro-nats (H·1e6 = (k·mln k − Σ c·mln c)/k with mln = micro_ln —
+    each ln quantized ONCE to integer micro-nats so every cross-row
+    sum is an associative BIGINT, the [[agg_entropy_profile]]
+    clearing; r16 replaced the earlier order-dependent float
+    Σ c·ln c), and the ≥ {_L_DIVERSITY} verdict.
 
     Scale shape: three user-keyed aggregations (type counts, spend
     totals, profile) feeding one class-keyed aggregate — every
@@ -1769,13 +1777,26 @@ def l_diversity_of(e: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
-    h = F.log(F.sum("cnt")) - F.sum(
-        F.col("cnt") * F.log("cnt")
-    ) / F.sum("cnt")
+    # Entropy in exact micro-nats (r16 self-review fix — this was
+    # the one graded-exact BIGINT fed by a cross-row FLOAT sum,
+    # Σ cnt·ln(cnt), whose accumulation order differs per engine and
+    # per partitioning): quantize each ln ONCE to integer micro-nats
+    # (the [[agg_entropy_profile]] clearing), so both sums are
+    # associative BIGINTs, and the single double division + integer
+    # round at the end are engine-identical.
+    from ..functions.exact import micro_ln
+
+    s = F.sum("cnt").cast("bigint")
+    num = s * micro_ln(s) - F.sum(
+        F.col("cnt") * micro_ln(F.col("cnt"))
+    ).cast("bigint")
+    h_micro = F.round(num.cast("double") / s.cast("double")).cast(
+        "bigint"
+    )
     return cls.groupBy("cohort_week", "activity_bucket", "fav_type").agg(
-        F.sum("cnt").cast("bigint").alias("class_size"),
+        s.alias("class_size"),
         F.count("*").cast("bigint").alias("distinct_l"),
-        F.round(h * 1e6).cast("bigint").alias("entropy_micronats"),
+        h_micro.alias("entropy_micronats"),
         (F.count("*") >= _L_DIVERSITY).alias("diverse"),
     )
 

@@ -248,7 +248,14 @@ def _co_order_edges(li: DataFrame) -> DataFrame:
     # collect each order's distinct sorted part set in ONE fact
     # shuffle, then expand successor pairs IN-ROW with chained
     # generators (posexplode + explode of the successor slice; HOF
-    # lambdas are interpreted and 2-4× slower here). Replaces the
+    # lambdas are interpreted and 2-4× slower here). NB this is a
+    # DELIBERATE twin of analytics._basket_affinity_from's expansion,
+    # not a shared helper: the basket rung carries knobs this graph
+    # build must not inherit (item_cap mega-basket bound, min-support
+    # prune) — a fix to the expansion itself (slice off-by-one,
+    # codegen regression) must be applied in BOTH places (r16
+    # self-review note; same cross-pin at the analytics site).
+    # Replaces the
     # r14 items self-join: same (src < dst, w) frame bit-for-bit,
     # one fewer corpus-proportional pass (no second join-side read
     # of items) — measured 4.04 s → 2.6 s solo for the build at
@@ -331,6 +338,11 @@ def pagerank_of(
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # r16 self-review: _PR_SCALE // 0 would raise a bare
+        # ZeroDivisionError on the driver; empty inputs are
+        # in-contract for this module-level entry point
+        raise ValueError("pagerank_of: empty edge frame (no nodes)")
     broadcast_state = _bcast_pinned(sym.sparkSession, broadcast_state)
     if broadcast_state is None:
         broadcast_state = _fits_broadcast(sym.sparkSession, n_nodes)
@@ -982,13 +994,23 @@ def lpa_of(
             .distinct()
             .withColumn("label", F.col("id"))
         )
+    # Round-1 shortcut: every src is its own label, so the vote
+    # needs no join with a labels frame — but the vote weight is the
+    # SUMMED weight per (dst, src), so collapse parallel edges first
+    # (r16 self-review: the earlier direct max(struct(w, -src)) over
+    # raw edge rows was silently wrong for multigraph inputs, which
+    # rounds 2+ handle correctly via groupBy(dst, label).sum). Both
+    # folds hash on dst(,src) and run exchange-free under the
+    # upfront HashPartitioning(dst); the registered key's edge build
+    # already emits collapsed edges, so the first fold is a cheap
+    # pass-through there.
     labels = (
-        edges.groupBy(F.col("dst").alias("id"))
+        edges.groupBy(F.col("dst").alias("id"), F.col("src"))
+        .agg(F.sum("w").alias("v"))
+        .groupBy("id")
         .agg(
             F.max(
-                F.struct(
-                    F.col("w").alias("v"), (-F.col("src")).alias("nl")
-                )
+                F.struct(F.col("v"), (-F.col("src")).alias("nl"))
             ).alias("m")
         )
         .select("id", (-F.col("m.nl")).alias("label"))
@@ -1372,6 +1394,9 @@ def kcore_rounds_of(
         F.count("*").alias("e"),
         F.countDistinct("src").alias("n"),
     ).collect()[0]
+    if tot.n == 0:
+        # r16 self-review: same empty-input guard as pagerank_of
+        raise ValueError("kcore_rounds_of: empty edge frame (no nodes)")
     k = (_KCORE_NUM * tot.e) // (_KCORE_DEN * tot.n)
     pinned = _bcast_pinned(spark, broadcast_state)
     alive = edges
@@ -1384,7 +1409,10 @@ def kcore_rounds_of(
             .select("id")
             .localCheckpoint()
         )
-        n_keep = keep.count()
+        # count only when auto-resolving (the bfs_reach_of pattern,
+        # r16 self-review): on a pinned path the count is a wasted
+        # driver-blocking job per round
+        n_keep = keep.count() if pinned is None else 0
         bs = pinned if pinned is not None else _fits_broadcast(
             spark, n_keep
         )

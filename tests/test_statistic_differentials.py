@@ -888,3 +888,105 @@ def test_sessionization_matches_pandas(spark, sf_dir):
             )
     assert got == want
     assert multi > 0, "every user has one session — gap rule vacuous"
+
+
+def test_l_diversity_entropy_matches_python(spark, sf_dir):
+    """entropy_micronats = round((S·mln S − Σ c·mln c)/S) with
+    mln(x) = HALF_UP(ln(x)·1e6) — the r16 exact clearing — re-derived
+    in python from the class compositions (grouping fetched via
+    DuckDB's independent engine), plus a sanity bound against the
+    true float entropy within quantization error."""
+    import duckdb
+
+    from data_pipeline_spark_spark import registry
+    from data_pipeline_spark_spark.operators.analytics import (
+        _LDIV_SQL,
+        _QI_CTES,
+    )
+
+    registry.load_all()
+    got = {
+        (r["cohort_week"], r["activity_bucket"], r["fav_type"]): r.asDict()
+        for r in registry.QUERIES["privacy_l_diversity"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    base = _LDIV_SQL.format(qi=_QI_CTES.strip())
+    cls_sql = base[: base.rindex("SELECT")] + (
+        "SELECT cohort_week, activity_bucket, fav_type, cnt FROM cls"
+    )
+    rows = con.execute(cls_sql).fetchall()
+    by_class: dict = {}
+    for cw, ab, ft, cnt in rows:
+        by_class.setdefault((cw, ab, ft), []).append(int(cnt))
+
+    def mln(x: int) -> int:
+        return int(_rhu(math.log(x) * 1_000_000, 0))
+
+    assert set(got) == set(by_class)
+    for key, cnts in by_class.items():
+        s = sum(cnts)
+        num = s * mln(s) - sum(c * mln(c) for c in cnts)
+        want = int(_rhu(float(num) / float(s), 0))
+        r = got[key]
+        assert r["class_size"] == s
+        assert r["distinct_l"] == len(cnts)
+        assert r["entropy_micronats"] == want, key
+        true_h = math.log(s) - sum(
+            c * math.log(c) for c in cnts
+        ) / s
+        assert abs(r["entropy_micronats"] - true_h * 1e6) <= 2 + s, key
+
+
+def test_lpa_round1_shortcut_multigraph(spark):
+    """The round-1 shortcut must sum parallel-edge weights before
+    the argmax (r16 self-review: the earlier direct max over raw
+    edge rows picked label 3 for node 2 on this input — true vote is
+    label 1 with summed weight 4 > 3)."""
+    from data_pipeline_spark_spark.operators.graph import lpa_of
+
+    sym = spark.createDataFrame(
+        [(1, 2, 2), (1, 2, 2), (3, 2, 3),
+         (2, 1, 2), (2, 1, 2), (2, 3, 3)],
+        "src long, dst long, w long",
+    )
+    labels = {
+        r["id"]: r["label"]
+        for r in lpa_of(sym, iters=1, checkpoint_edges=False).collect()
+    }
+    assert labels[2] == 1, labels
+    # and the shortcut must agree with an explicit pre-collapsed run
+    collapsed = spark.createDataFrame(
+        [(1, 2, 4), (3, 2, 3), (2, 1, 4), (2, 3, 3)],
+        "src long, dst long, w long",
+    )
+    want = {
+        r["id"]: r["label"]
+        for r in lpa_of(
+            collapsed, iters=1, checkpoint_edges=False
+        ).collect()
+    }
+    assert labels == want
+
+
+def test_graph_loops_reject_empty_edges(spark):
+    """pagerank_of / kcore_rounds_of raise a contract ValueError on
+    an empty edge frame instead of a bare ZeroDivisionError (r16
+    self-review)."""
+    import pytest
+
+    from data_pipeline_spark_spark.operators.graph import (
+        kcore_rounds_of,
+        pagerank_of,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="empty edge frame"):
+        pagerank_of(empty)
+    with pytest.raises(ValueError, match="empty edge frame"):
+        kcore_rounds_of(empty.select("src", "dst"))
