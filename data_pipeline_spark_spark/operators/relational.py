@@ -1592,8 +1592,13 @@ def agg_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n", F.count("*").over(W.partitionBy("grp"))
         )
     )
+    # cast the rank to BIGINT before 2·i: row_number is IntegerType
+    # and 2·i in int32 wraps past ~1.07e9 rows/group — far below the
+    # stated envelope; wide_sum widens only AFTER this expression is
+    # built (r16 self-review)
     num = wide_sum(
-        F.lit(2) * F.col("i") - F.col("n") - F.lit(1), F.col("x")
+        F.lit(2) * F.col("i").cast("bigint") - F.col("n") - F.lit(1),
+        F.col("x"),
     )
     g = v.groupBy("grp").agg(
         F.max("n").cast("bigint").alias("n_rows"),
@@ -1757,6 +1762,38 @@ _CHI2_SQL = f"""
 """
 
 
+def seg_pri_cells(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """The (seg, pri, c) contingency-cell frame — market segment ×
+    order priority counts over orders⋈broadcast(customer) — shared
+    by the whole categorical-inference family
+    ([[agg_chi_square_indep]], [[agg_entropy_profile]],
+    [[agg_mutual_information]]): ONE definition of the table build
+    so the three keys can never diverge on their inputs (r16
+    self-review — they carried three verbatim copies, one already
+    missing the checkpoint). ``checkpoint`` cuts lineage for
+    multi-branch consumers (marginals + totals + term join each
+    re-read the frame); single-pass consumers skip it."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = F.broadcast(
+        load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return cells.localCheckpoint(eager=False) if checkpoint else cells
+
+
 @query("agg_chi_square_indep", oracle=_CHI2_SQL)
 def agg_chi_square_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson χ² test of independence between market segment and
@@ -1784,19 +1821,7 @@ def agg_chi_square_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost; marginals, the 25-cell cross join, and the sorted fold run
     on report-sized frames. dof and Cramér's V are shared expression
     strings over the fold outputs."""
-    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
-    c = F.broadcast(
-        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    )
-    cells = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .groupBy(
-            F.col("c_mktsegment").alias("seg"),
-            F.col("o_orderpriority").alias("pri"),
-        )
-        .agg(F.count("*").cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)
-    )
+    cells = seg_pri_cells(spark, sf_dir)
     rt = cells.groupBy("seg").agg(F.sum("c").cast("bigint").alias("r"))
     ct = cells.groupBy("pri").agg(F.sum("c").cast("bigint").alias("cc"))
     tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
@@ -1907,8 +1932,6 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the SAME checkpointed ranked frame (no second sort of the
     data), one clamped fold. Same per-group range-sort contract as
     every rank statistic at 100 TB."""
-    from pyspark.sql.window import Window as W2
-
     x = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     v = (
         load(spark, sf_dir, "lineitem")
@@ -1921,14 +1944,14 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rn",
             F.row_number().over(
-                W2.partitionBy("grp").orderBy(
+                W.partitionBy("grp").orderBy(
                     "x", "l_orderkey", "l_linenumber"
                 )
             ),
         )
         .withColumn(
             "n",
-            F.count("*").over(W2.partitionBy("grp")).cast("bigint"),
+            F.count("*").over(W.partitionBy("grp")).cast("bigint"),
         )
         .localCheckpoint(eager=False)
     )
@@ -2025,22 +2048,8 @@ def agg_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast customer dim, then a report-sized per-segment fold.
     At 100 TB the cell count is bounded by the label alphabet (25
     here), so the second fold never grows with data."""
-    o = load(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderpriority"
-    )
-    c = F.broadcast(
-        load(spark, sf_dir, "customer").select(
-            "c_custkey", "c_mktsegment"
-        )
-    )
-    cells = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .groupBy(
-            F.col("c_mktsegment").alias("seg"),
-            F.col("o_orderpriority").alias("pri"),
-        )
-        .agg(F.count("*").cast("bigint").alias("c"))
-    )
+    # single-consumer here → no checkpoint (one groupBy reads it)
+    cells = seg_pri_cells(spark, sf_dir, checkpoint=False)
     g = cells.groupBy("seg").agg(
         F.count("*").cast("bigint").alias("k"),
         F.sum("c").cast("bigint").alias("n"),
@@ -2146,23 +2155,7 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤|X|·|Y| cell frame (25 rows), folded to ONE report row. The
     single data-proportional cost is the first groupBy's
     map-combined exchange — unchanged at 100 TB."""
-    o = load(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderpriority"
-    )
-    c = F.broadcast(
-        load(spark, sf_dir, "customer").select(
-            "c_custkey", "c_mktsegment"
-        )
-    )
-    cells = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .groupBy(
-            F.col("c_mktsegment").alias("seg"),
-            F.col("o_orderpriority").alias("pri"),
-        )
-        .agg(F.count("*").cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)
-    )
+    cells = seg_pri_cells(spark, sf_dir)
     rt = cells.groupBy("seg").agg(
         F.sum("c").cast("bigint").alias("r")
     )

@@ -17,7 +17,6 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

@@ -74,19 +74,29 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
              dense_rank() OVER w AS price_dense_rank
       FROM orders
       WINDOW w AS (PARTITION BY o_orderpriority
-                   ORDER BY round(o_totalprice, 2) DESC, o_orderkey)
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                            // 100000 DESC)
     )
     WHERE price_rank <= 5
     """,
 )
 def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank/dense_rank top-K per group. Rounding the ordering key to 2
-    decimals keeps rank ties identical across engines (double
-    formatting is the only cross-engine hazard here)."""
+    """rank/dense_rank top-K per group, ordered by the $1000 price
+    BAND (exact integer cents div 100000) so ties genuinely occur —
+    r16 self-review: the earlier (rounded price, o_orderkey) order
+    was TOTAL, which made rank == dense_rank == row_number on every
+    row and stopped the key from exercising the tie/gap semantics it
+    exists to verify (15 of 39 output rows differ between the two at
+    sf0.01). Rank values are deterministic per row even under ties
+    (they depend only on the key value), and the rank ≤ 5 filter
+    admits every tied row, so the output SET needs no tiebreak; the
+    integer band makes the ordering key bit-identical across
+    engines."""
     o = load(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy(
-        F.round("o_totalprice", 2).desc(), F.col("o_orderkey")
+    band = F.expr(
+        "CAST(round(o_totalprice * 100) AS BIGINT) div 100000"
     )
+    w = W.partitionBy("o_orderpriority").orderBy(band.desc())
     return (
         o.select(
             "o_orderpriority",
@@ -386,11 +396,13 @@ _ROLLCORR_SQL = f"""
     ),
     w AS (
       SELECT user_id, event_id,
-             CAST(COUNT(*) OVER fr AS BIGINT) AS n_w,
-             CAST(SUM(x) OVER fr AS BIGINT) AS sx,
+             CAST(COUNT(y) OVER fr AS BIGINT) AS n_w,
+             CAST(SUM(CASE WHEN y IS NOT NULL THEN x END)
+                  OVER fr AS BIGINT) AS sx,
              CAST(SUM(y) OVER fr AS BIGINT) AS sy,
              CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy,
-             CAST(SUM(x * x) OVER fr AS BIGINT) AS sx2,
+             CAST(SUM(CASE WHEN y IS NOT NULL THEN x * x END)
+                  OVER fr AS BIGINT) AS sx2,
              CAST(SUM(y * y) OVER fr AS BIGINT) AS sy2
       FROM m
       WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -429,7 +441,10 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result even if a reader ignores the float), and the final
     corr is one division by one sqrt of double-cast exact integers
     — identical operation order in both engines, NULL (via nullif)
-    exactly when a window series is constant.
+    exactly when a window series is constant. All six moments
+    restrict to VALID PAIRS — rows whose JSON y parsed — so a
+    missing '$.k' shrinks n_w rather than contaminating the
+    variance terms with mixed-row-set sums (r16 self-review fix).
 
     Plan: one shuffle on user_id, one sort per partition, zero
     joins; the frame sums are O(1) per row (Spark's sliding
@@ -450,14 +465,21 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-(_ROLLCORR_N - 1), 0)
     )
+    # Every moment restricts to VALID PAIRS (rows whose y parsed):
+    # counting all rows while the y-terms skip NULLs would mix a
+    # 10-row count with 9-pair sums — not any correlation, and |corr|
+    # can exceed 1 (r16 self-review; the fixture has no NULL y, so
+    # fixture output is unchanged — pinned by the synthetic-NULL
+    # test).
+    xv = F.when(F.col("y").isNotNull(), F.col("x"))
     w = m.select(
         "user_id",
         "event_id",
-        F.count("*").over(fr).cast("bigint").alias("n_w"),
-        F.sum("x").over(fr).cast("bigint").alias("sx"),
+        F.count("y").over(fr).cast("bigint").alias("n_w"),
+        F.sum(xv).over(fr).cast("bigint").alias("sx"),
         F.sum("y").over(fr).cast("bigint").alias("sy"),
         F.sum(F.col("x") * F.col("y")).over(fr).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).over(fr).cast("bigint").alias("sx2"),
+        F.sum(xv * xv).over(fr).cast("bigint").alias("sx2"),
         F.sum(F.col("y") * F.col("y")).over(fr).cast("bigint").alias("sy2"),
     )
     num = F.col("n_w") * F.col("sxy") - F.col("sx") * F.col("sy")

@@ -889,7 +889,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier is SF-scaled — no broadcast hint (tpch_q7 rule)
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(F.year("o_orderdate").alias("o_year"), "vol_u", "supp_nation")
     )
@@ -963,7 +964,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("rev_u") == F.col("max_u"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier is SF-scaled — no broadcast hint (tpch_q7 rule); the
+        # ~1-row max-revenue side is the one AQE auto-broadcasts
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -1047,7 +1050,8 @@ def tpch_q21_suppliers_who_kept_waiting(
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         sole_late_supplier_counts(item)
-        .join(F.broadcast(s), F.col("lsk") == F.col("s_suppkey"))
+        # supplier is SF-scaled — no broadcast hint (tpch_q7 rule)
+        .join(s, F.col("lsk") == F.col("s_suppkey"))
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
@@ -1221,8 +1225,11 @@ def tpch_q2_min_cost_supplier(
     subquery DECORRELATED into a per-part aggregate + integer-cents
     equality join (the [[tpch_q15_top_supplier]] pattern: an exact
     integer comparison cannot drop a last-ulp-equal winner on one
-    engine only). Region/nation/supplier are dimension-sized →
-    broadcast; the per-part MIN is a partial-aggregating shuffle on
+    engine only). Region/nation are dimension-sized → broadcast;
+    supplier is SF-scaled so it carries NO hard hint (the
+    [[tpch_q7_volume_shipping]] rule — AQE auto-broadcasts the
+    pruned side below threshold, and a forced broadcast OOMs above
+    it); the per-part MIN is a partial-aggregating shuffle on
     ps_partkey over the 4·|part| derived rows. Within a part the 4
     derived costs are distinct (i·101 is injective mod 99901), so
     the winner is unique and the (acctbal DESC, n_name, s_name,
@@ -1233,10 +1240,14 @@ def tpch_q2_min_cost_supplier(
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eligible = (
         ps.join(
-            F.broadcast(
-                s.join(n, s.s_nationkey == n.n_nationkey).join(
-                    r, F.col("n_regionkey") == r.r_regionkey
-                )
+            # supplier is SF-scaled — no broadcast HINT on it (the
+            # tpch_q7 rule, r16 self-review): below the auto
+            # threshold AQE broadcasts this nation/region-pruned side
+            # anyway; above it a forced broadcast OOMs at the 100 TB
+            # target. Only the dimension-sized nation/region earn
+            # unconditional hints.
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+                F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
             ),
             ps.ps_suppkey == F.col("s_suppkey"),
         )
@@ -1282,7 +1293,7 @@ def tpch_q2_min_cost_supplier(
            CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
            CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
-                    - ps_cost_c * CAST(l_quantity AS BIGINT) * 100)
+                    - ps_cost_c * CAST(ROUND(l_quantity) AS BIGINT) * 100)
                 AS DOUBLE) / 1e4 AS sum_profit
     FROM lineitem
     JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
@@ -1321,7 +1332,7 @@ def tpch_q9_product_type_profit(
         100 - F.round(F.col("l_discount") * 100).cast("bigint")
     )
     cost_u = (
-        F.col("ps_cost_c") * F.col("l_quantity").cast("bigint") * 100
+        F.col("ps_cost_c") * F.round("l_quantity").cast("bigint") * 100
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -1330,7 +1341,8 @@ def tpch_q9_product_type_profit(
             (li.l_partkey == ps.ps_partkey)
             & (li.l_suppkey == ps.ps_suppkey),
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # supplier is SF-scaled — no broadcast hint (tpch_q7 rule)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
@@ -1465,7 +1477,7 @@ def tpch_q16_supplier_relationship(
     WITH {_PARTSUPP_CTE.strip()},
     qty AS (
       SELECT l_partkey, l_suppkey,
-             SUM(CAST(l_quantity AS BIGINT)) AS q
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -1507,7 +1519,7 @@ def tpch_q20_potential_promotion(
         & (F.col("l_shipdate") < "1997-01-01")
     )
     qty = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("bigint")).alias("q")
+        F.sum(F.round("l_quantity").cast("bigint")).alias("q")
     )
     sp = (
         load(spark, sf_dir, "part")

@@ -990,3 +990,53 @@ def test_graph_loops_reject_empty_edges(spark):
         pagerank_of(empty)
     with pytest.raises(ValueError, match="empty edge frame"):
         kcore_rounds_of(empty.select("src", "dst"))
+
+
+def test_rolling_corr_null_y_restricts_to_pairs(spark):
+    """A row whose JSON props lacks '$.k' must shrink the window's
+    pair count rather than contaminate the moments (r16 self-review:
+    counting all rows while the y-terms skip NULLs mixes a 10-row
+    count with 9-pair sums — not any correlation). Synthetic frame:
+    one NULL-y row inside an otherwise perfectly correlated run."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark_spark.operators.windows import (
+        _ROLLCORR_N,
+    )
+
+    rows = []
+    for i in range(12):
+        props = "{}" if i == 6 else '{"k": %d}' % (10 + i)
+        rows.append((1, i, f"2024-01-01 00:{i:02d}:00", float(i), props))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double, props string"
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+        "props",
+    )
+    import data_pipeline_spark_spark.operators.windows as wmod
+
+    # drive the registered key's body over the synthetic frame by
+    # monkeypatching load (the frame matches the events schema cols
+    # the operator reads)
+    orig = wmod.load
+    wmod.load = lambda spark_, sf_, name: df
+    try:
+        out = {
+            r["event_id"]: r.asDict()
+            for r in wmod.window_rolling_corr(spark, "unused").collect()
+        }
+    finally:
+        wmod.load = orig
+    # windows fully inside the valid run: perfectly correlated
+    for eid, r in out.items():
+        lo = max(0, eid - (_ROLLCORR_N - 1))
+        n_valid = sum(1 for j in range(lo, eid + 1) if j != 6)
+        assert r["n_w"] == n_valid, (eid, r["n_w"], n_valid)
+        if n_valid >= 2:
+            assert abs(r["corr"] - 1.0) < 1e-12, (eid, r["corr"])
+        # the old mixed-row-set bug made dy negative / corr > 1 here
+        assert r["dy"] >= 0 and r["dx"] >= 0, (eid, r)
