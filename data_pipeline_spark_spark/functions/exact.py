@@ -77,3 +77,28 @@ def md5_u32_col(operand: Column) -> Column:
     return F.conv(F.substring(F.md5(operand), 1, 8), 16, 10).cast(
         "bigint"
     )
+
+
+def md5_u60_sql(operand: str) -> str:
+    """Spark SQL fragment for the cross-engine 60-bit md5 hash of
+    ``operand`` — the wide twin of [[md5_u32_sql]] for FULL value
+    oracles over hashed features where 32 bits would collide at
+    corpus scale (birthday bound ~2^16 keys): 15 hex chars = 60 bits
+    fits BIGINT on both engines. Same contract: change the three
+    md5_u60_* forms together or not at all."""
+    return (
+        f"CAST(conv(substring(md5({operand}), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def md5_u60_duck(operand: str) -> str:
+    """DuckDB SQL fragment computing the SAME integer as
+    [[md5_u60_sql]] for the same input."""
+    return f"CAST(concat('0x', substr(md5({operand}), 1, 15)) AS BIGINT)"
+
+
+def md5_u60_col(operand: Column) -> Column:
+    """Column twin of [[md5_u60_sql]]."""
+    return F.conv(F.substring(F.md5(operand), 1, 15), 16, 10).cast(
+        "bigint"
+    )

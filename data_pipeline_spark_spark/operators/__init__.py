@@ -84,12 +84,21 @@ _ROUND16_PRIORITY = [
     "cohort_survival_km",
     "text_readability",
     # (a') r16 session-4 semantic changes — outputs differ from their
-    # last graded form, so they need fresh driver evidence this round
-    # (embedding_centroids, also changed, is already in block (b)):
-    # privacy_l_diversity's entropy moved to the exact micro-ln
-    # clearing; the phash keys' sf0.01 output is bit-identical (their
-    # r15 grades stand) and stays out of the budget.
-    "privacy_l_diversity",
+    # last graded form, so their OLD grades are void and fresh driver
+    # evidence outranks regrading unchanged r10 keys (validity beats
+    # staleness; the displaced r10-block tail slips to r17 if the
+    # budget cuts). embedding_centroids / window_rank_dense /
+    # stream_late_data_accounting, also changed, are already in
+    # block (b); the phash keys' sf0.01 output is bit-identical
+    # (their r15 grades stand) and stay out of the budget, as does
+    # corpus_decontaminate (md5_u60 rehash, output identical at
+    # sf0.01, dry-run verified).
+    "privacy_l_diversity",  # exact micro-ln entropy clearing
+    "stream_window_agg",  # milli-unit window totals
+    "stream_stateful_agg",  # integer state fold
+    "retrieval_prf_expand",  # sorted contribution fold
+    "agg_ddsketch_quantile",  # est_value rounded once per bucket
+    "stream_ddsketch",  # inherits ddsketch_serve's rounding
     # (b) latest green row r10 — the full 38-key staleness debt the
     # r15 landing spree deferred (r15 verdict ask #2): after this
     # grade no key's latest row predates r11

@@ -787,8 +787,19 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = e.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
-    cells = cms_cells(per_user)
-    probes = per_user.select(
+    return cms_serve(per_user, cms_cells(per_user))
+
+
+def cms_serve(per_key: DataFrame, cells: DataFrame) -> DataFrame:
+    """The probe/estimate tail over a built (r, b, cell) grid —
+    shared verbatim by the batch key and [[stream_countmin]]'s
+    streaming twin (r16 self-review: the two carried ~30 duplicated
+    lines that could silently drift, the exact hazard the adjacent
+    ddsketch pair avoids via [[ddsketch_serve]]). ``per_key`` is a
+    (user_id, cnt) truth frame; every key probes its _CMS_D cells
+    and takes the min, with the never-undercount flag the oracle
+    asserts."""
+    probes = per_key.select(
         "user_id",
         "cnt",
         F.explode(
@@ -854,8 +865,8 @@ hit AS (
   GROUP BY event_type, q
 )
 SELECT event_type, CAST(q AS BIGINT) AS q, CAST(bucket AS BIGINT) AS bucket,
-       exp(((2 * bucket + 1) * {_DDS_LNG}) / 2000000.0) / 1000.0
-         AS est_value
+       ROUND(exp(((2 * bucket + 1) * {_DDS_LNG}) / 2000000.0)
+             / 1000.0, 4) AS est_value
 FROM hit
 ORDER BY event_type, q
 """
@@ -930,17 +941,24 @@ def ddsketch_serve(cells: DataFrame) -> DataFrame:
         .groupBy("event_type", "q")
         .agg(F.min("b").alias("bucket"))
     )
+    # est_value is rounded ONCE at 4 decimals (r16 self-review):
+    # exp() is not IEEE-correctly-rounded, so the two engines' libms
+    # may disagree by an ulp on a bucket midpoint — the only float
+    # the key publishes. Rounding quantizes per SERVED BUCKET (a
+    # handful of values, the micro_ln exposure argument), and 1e-4
+    # absolute is far inside the sketch's ±1% relative guarantee.
     return hit.select(
         "event_type",
         F.col("q").cast("bigint").alias("q"),
         F.col("bucket").cast("bigint").alias("bucket"),
-        (
+        F.round(
             F.exp(
                 (F.lit(2) * F.col("bucket") + 1)
                 * F.lit(_DDS_LNG)
                 / F.lit(2000000.0)
             )
-            / F.lit(1000.0)
+            / F.lit(1000.0),
+            4,
         ).alias("est_value"),
     ).orderBy("event_type", "q")
 

@@ -46,7 +46,7 @@ def _stamp_in_order(src: str, names: list[str]) -> None:
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           SUM(CAST(round(value * 1000) AS BIGINT)) / 1000.0 AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -54,13 +54,21 @@ def _stamp_in_order(src: str, names: list[str]) -> None:
 def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event_type. Identical
     code runs under readStream with a watermark (see
-    streaming/ingest.py::windowed_event_counts)."""
+    streaming/ingest.py::windowed_event_counts). The window total
+    travels as exact integer milli-units with one final division
+    (the [[rollup_reaggregate]] discipline; r16 self-review replaced
+    a ROUND of an order-dependent float sum — the fixture's measures
+    are ≤3-decimal, so this is the exact total, not an
+    approximation)."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (
+                F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+                / F.lit(1000.0)
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -102,7 +110,8 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stateful_agg",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           SUM(CAST(round(value * 1000) AS BIGINT)) / 1000.0
+             AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -135,16 +144,28 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(src).schema
 
         def running(key, pdfs, state: GroupState):
+            # state carries exact integer MILLI-units (r16
+            # self-review: a float running sum accumulates in
+            # batch/partition order and can round differently from
+            # the oracle at a digit boundary — the
+            # rollup_reaggregate discipline applies to state folds
+            # too); one division at publish time
             if state.exists:
-                n, tot = state.get
+                n, tot_mv = state.get
             else:
-                n, tot = 0, 0.0
+                n, tot_mv = 0, 0
             for pdf in pdfs:
                 n += len(pdf)
-                tot += float(pdf["value"].sum())
-            state.update((n, tot))
+                tot_mv += int(
+                    (pdf["value"] * 1000).round().astype("int64").sum()
+                )
+            state.update((n, tot_mv))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [tot_mv / 1000.0],
+                }
             )
 
         stream = (
@@ -155,7 +176,7 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandasWithState(
                 running,
                 outputStructType="user_id long, n_events long, total_value double",
-                stateStructType="n long, total double",
+                stateStructType="n long, total_mv long",
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
@@ -177,7 +198,7 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(
-                "user_id", "n_events", F.round("total_value", 4).alias("total_value")
+                "user_id", "n_events", "total_value"
             )
         )
         return spark.createDataFrame(final.collect(), final.schema)
@@ -817,7 +838,6 @@ def stream_late_data_accounting(
             .start()
         )
         q.awaitTermination()
-        bump_ws = max_even_ts.replace(minute=0, second=0, microsecond=0)
         streamed = (
             spark.table(sink)
             .filter(
@@ -830,11 +850,21 @@ def stream_late_data_accounting(
             .withColumn(
                 # take the bump row back out of its window's count —
                 # it is plumbing, not data, and the oracle counts
-                # events only
+                # events only. Identify the bump's window by
+                # MEMBERSHIP (start ≤ bump ts < end) rather than by
+                # hour-truncating the collected datetime in python:
+                # PySpark's non-Arrow collect/lit roundtrip goes
+                # through the OS timezone, so a python :00 truncation
+                # lands off the UTC-aligned window grid on any host
+                # with a fractional-hour offset (r16 self-review —
+                # the lit() roundtrip itself is tz-consistent, only
+                # the truncation was wrong)
                 "n_accepted",
                 F.col("n_accepted")
                 - F.when(
-                    F.col("window_start") == F.lit(bump_ws), F.lit(1)
+                    (F.col("window_start") <= F.lit(max_even_ts))
+                    & (F.col("window_end") > F.lit(max_even_ts)),
+                    F.lit(1),
                 ).otherwise(F.lit(0)),
             )
         )
@@ -1176,33 +1206,12 @@ def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user = e.groupBy("user_id").agg(
             F.count("*").cast("bigint").alias("cnt")
         )
-        probes = per_user.select(
-            "user_id",
-            "cnt",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("r"),
-                            F.expr(_cms_bucket_sql(s, "user_id")).alias(
-                                "b"
-                            ),
-                        )
-                        for s in range(_CMS_D)
-                    ]
-                )
-            ).alias("rb"),
-        ).select("user_id", "cnt", "rb.r", "rb.b")
+        # the probe/estimate tail is the batch key's, verbatim (r16
+        # self-review: was a ~30-line duplicate that could drift)
+        from .scale_patterns import cms_serve
+
         result = (
-            probes.join(F.broadcast(grid), ["r", "b"])
-            .groupBy("user_id", "cnt")
-            .agg(F.min("cell").cast("bigint").alias("cms_est"))
-            .select(
-                "user_id",
-                F.col("cnt").alias("true_cnt"),
-                "cms_est",
-                (F.col("cms_est") >= F.col("cnt")).alias("never_under"),
-            )
+            cms_serve(per_user, grid)
         )
         return spark.createDataFrame(result.collect(), result.schema)
     finally:

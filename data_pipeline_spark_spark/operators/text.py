@@ -670,7 +670,9 @@ _PRF_SQL = f"""
       SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
     ),
     scored AS (
-      SELECT tf.doc_id, SUM({_PRF_CONTRIB}) AS s
+      SELECT tf.doc_id,
+             list_reduce(list_sort(list({_PRF_CONTRIB})),
+                         (a, b) -> a + b) AS s
       FROM tf
       JOIN dfs USING (term)
       JOIN dls USING (doc_id), stats
@@ -705,7 +707,10 @@ def retrieval_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass-one ranking compares ROUND(score,6) then doc_id, and the
     second pass scores dynamic (doc, term) ROWS with the same
     operand tree as the static pass — ints in, one ln() wobble
-    absorbed by the final ROUND(,6).
+    absorbed by the final ROUND(,6), and the per-doc contribution
+    sum runs as a SORTED left-to-right fold on both engines (the
+    [[agg_chi_square_indep]] device — a plain float SUM's
+    accumulation order is partition-dependent; r16 self-review).
 
     Scale shape: pass one is scan → 1-row broadcast stats → filter
     (zero data-proportional shuffles); the relevant-set mining
@@ -715,8 +720,6 @@ def retrieval_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, so the shuffled volume is matching-postings-sized,
     not corpus-sized (the inverted-index shape, same as BM25 at
     100 TB)."""
-    from pyspark.sql import Window as W
-
     d = load(spark, sf_dir, "documents")
     base = keyword_search_bm25(spark, sf_dir)
     top = (
@@ -772,10 +775,21 @@ def retrieval_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf")
         + F.lit(1.25) * (F.lit(0.25) + F.lit(0.75) * dl_norm)
     )
+    # SORTED fold of the per-term contributions (the chi-square
+    # device, r16 self-review): a plain float SUM accumulates in
+    # partition-dependent order on Spark and row order on DuckDB —
+    # non-associative double addition can land a doc's score an ulp
+    # across a ROUND(,6) boundary or swap the rank-10 cutoff. Both
+    # engines now fold the sorted ≤10-element array left-to-right.
     scored = (
         j.select("doc_id", (idf * body).alias("contrib"))
         .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("s"))
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(contrib)),"
+                " CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("s")
+        )
     )
     expcol = exp2.agg(
         F.array_join(F.sort_array(F.collect_list("term")), ",").alias(
@@ -2033,8 +2047,6 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     else). At web scale per-lang vocab windows get large; the same
     range-partitioned-rank swap as [[spend_quintiles_of]] applies,
     noted not needed at fixture vocab."""
-    from pyspark.sql import Window as W
-
     from .relational import ols_fit
 
     d = load(spark, sf_dir, "documents")

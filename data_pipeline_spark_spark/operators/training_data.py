@@ -260,7 +260,9 @@ _DECON_SQL = f"""
       SELECT doc_id, md5(text) AS dg,
              CASE WHEN len(toks) >= 5 THEN
                list_distinct(list_transform(range(1, len(toks) - 3),
-                             i -> array_to_string(toks[i:i+4], ' ')))
+                 i -> CAST(concat('0x',
+                        substr(md5(array_to_string(toks[i:i+4], ' ')),
+                               1, 15)) AS BIGINT)))
              ELSE [] END AS sh
       FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
             FROM documents)
@@ -288,15 +290,26 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sliver — shuffle for the per-doc distinct count. 5-grams are
     hashed to int64 in the generator projection (dedup._shingle_sets
     pattern), so the broadcast table and join keys are 8-byte longs,
-    not strings."""
+    not strings — through the CROSS-ENGINE md5_u60, not xxhash64
+    (r16 self-review: this key publishes a FULL per-doc value oracle
+    over the hashed features, and exact.py's rule is that such
+    oracles must hash through an md5_* twin so both engines share
+    every collision by construction; the oracle now hashes the same
+    way instead of comparing raw strings against Spark-only
+    xxhash64 groups)."""
+    from ..functions.exact import md5_u60_col
+
     d = load(spark, sf_dir, "documents")
 
     def grams(side, n=5):
-        # the shared span generator (dedup.span_stream: codegen hash,
-        # fan_out, size guard — one definition across the ladder)
+        # the shared span generator (dedup.span_stream: codegen,
+        # fan_out, size guard — one definition across the ladder),
+        # string form, hashed here through the cross-engine md5_u60
         from .dedup import span_stream
 
-        return span_stream(side, n=n).withColumnRenamed("h", "g")
+        return span_stream(side, n=n, hashed=False).select(
+            "doc_id", md5_u60_col(F.col("s")).alias("g")
+        )
 
     bench = grams(d.filter(F.md5("text") < _BENCH_THR)).select("g").distinct()
     train = grams(d.filter(F.md5("text") >= _BENCH_THR))
