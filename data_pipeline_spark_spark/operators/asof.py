@@ -54,7 +54,13 @@ def asof_join(
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.struct(*[F.col(c) for c in right_cols]).alias("_payload"),
-    )
+        # NULL-ts right rows sort nulls-first and would be carried
+        # as "predecessors" of every early left row; ASOF semantics
+        # (and DuckDB's native form, where ts >= NULL is unknown)
+        # never match them — drop before the union (r16 self-review;
+        # the fixture has no NULL ts, callers with nullable
+        # timestamps do)
+    ).filter(F.col("_ts").isNotNull())
     l = left.withColumn("_k", F.col(on)).withColumn("_ts", F.col(ts)).withColumn(
         "_side", F.lit(1)
     ).withColumn("_payload", F.lit(None).cast(r.schema["_payload"].dataType))

@@ -214,7 +214,15 @@ def eeg_distinct_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = (
         df.select(F.input_file_name().alias("path"))
         .distinct()
-        .select(F.element_at(F.split("path", "/"), -1).alias("file"))
+        # input_file_name() is percent-encoded; decode so a staged
+        # 'my session.csv' reports under its real name — the same
+        # fix streaming/ingest.py documents for this primitive (r16
+        # self-review)
+        .select(
+            F.url_decode(
+                F.element_at(F.split("path", "/"), -1)
+            ).alias("file")
+        )
         .orderBy("file")
     )
     return files
@@ -245,16 +253,42 @@ def eeg_row_offset_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def eeg_csv_scan_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-INFERRED scan of a session file (reference
     sparkle-v5.py:87 / sparkle-v7.py:134) — kept as the explicit
-    anti-pattern: inference forces an extra pass and, with the
-    metadata prelude, degrades every column to string (why v8 went
-    schema-explicit: 'REALLY slow', sparkle-v7.py:14). Returns the
-    inferred shape so the contrast is visible."""
+    anti-pattern, now measuring BOTH failure modes (r16 self-review:
+    the earlier single raw-infer row reported a different phenomenon
+    than its docstring claimed): ``raw`` infers over the whole file,
+    where the CSV reader sizes the schema from the metadata
+    prelude's first 2-field line and silently TRUNCATES all signal
+    columns; ``data_section`` infers over the prelude-stripped lines
+    and shows inference's remaining costs (the extra pass — why v8
+    went schema-explicit: 'REALLY slow', sparkle-v7.py:14 — and
+    any mixed-type column degrading to string). Returns both shapes
+    so the contrast with the schema-explicit scan is visible."""
     path = eeg_csv.list_input_files(fixture_dir())[0]
-    inferred = spark.read.option("inferSchema", "true").csv(path)
-    str_cols = sum(1 for _, t in inferred.dtypes if t == "string")
+
+    def shape(mode, df):
+        str_cols = sum(1 for _, t in df.dtypes if t == "string")
+        return (
+            mode,
+            os.path.basename(path),
+            len(df.columns),
+            str_cols,
+            df.count(),
+        )
+
+    raw = spark.read.option("inferSchema", "true").csv(path)
+    body = (
+        spark.sparkContext.textFile(path)
+        .zipWithIndex()
+        .filter(lambda x: x[1] >= 7)  # header line + data rows
+        .map(lambda x: x[0])
+    )
+    data = spark.read.option("inferSchema", "true").option(
+        "header", "true"
+    ).csv(body)
     return spark.createDataFrame(
-        [(os.path.basename(path), len(inferred.columns), str_cols, inferred.count())],
-        "file string, n_columns int, n_string_columns int, n_rows long",
+        [shape("raw", raw), shape("data_section", data)],
+        "mode string, file string, n_columns int,"
+        " n_string_columns int, n_rows long",
     )
 
 
@@ -344,6 +378,13 @@ def tidy_store(spark: SparkSession) -> str:
     return _TIDY_STORE
 
 
+# NB this oracle reads the CURATED STORE the Spark side writes, not
+# the immutable sf fixtures like every other oracle — so it is
+# ORDER-DEPENDENT: the harness must run the Spark query before the
+# SQL (the round driver does; a fresh machine evaluating the oracle
+# first gets a missing-file error, not a wrong answer — loud, by
+# design, since replaying the whole EEG ingest in SQL would
+# duplicate the pipeline under test). (r16 self-review note.)
 _TIDY_HOURLY_SQL = f"""
     WITH tidy AS (
       UNPIVOT (SELECT * FROM

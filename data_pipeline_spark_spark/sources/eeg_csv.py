@@ -93,7 +93,11 @@ def probe_header(spark: SparkSession, path: str) -> SessionHeader:
             .limit(PRELUDE_ROWS)
             .collect()
         )
-        lines = [r.value for r in raw]
+        # universal-newlines parity with the local open() branch: a
+        # CRLF file read with lineSep='\n' leaves a trailing \r on
+        # every line, which would smuggle a \r-suffixed last header
+        # column into the curated store (r16 self-review)
+        lines = [r.value.rstrip("\r") for r in raw]
     meta: dict[str, str] = {}
     for line in lines[:6]:
         key, _, value = line.partition(",")

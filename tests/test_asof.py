@@ -60,3 +60,34 @@ def test_asof_join_single_shuffle(spark):
     plan = formatted_plan(out)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert shuffle_count(out) <= 2  # union sides co-partitioned at most once each
+
+
+def test_asof_join_drops_null_ts_right_rows(spark):
+    """ASOF semantics never match a right row with a NULL timestamp
+    (ts >= NULL is unknown in SQL); the union+carry-forward form
+    previously let a nulls-first NULL-ts payload be carried as the
+    'predecessor' of every early left row (r16 self-review)."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, "2024-01-01 09:00:00", 7)],
+        "k long, ts string, payload long",
+    ).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "payload"
+    )
+    out = asof_join(
+        left, right, on="k", ts="ts", right_cols=["payload"]
+    ).collect()
+    assert len(out) == 1 and out[0]["matched_payload"] == 7
+    # and with ONLY a NULL-ts right row, inner semantics drop the
+    # left row entirely
+    right_null = right.filter(F.col("ts").isNull())
+    out2 = asof_join(
+        left, right_null, on="k", ts="ts", right_cols=["payload"]
+    ).collect()
+    assert out2 == []
