@@ -389,13 +389,14 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = d.mapInPandas(
         feature_batch, schema="doc_id long, feature array<float>"
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("feature", lambda x: (x * x).cast("double")),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
+    # the L2 fold is functions/vector.py's norm() over the
+    # double-cast array — ONE definition with the similarity family
+    # (r16 self-review: this was a value-identical private copy; the
+    # extracted arrays are 'exactly the shape sim_search consumes',
+    # so they norm through the same code)
+    from ..functions.vector import as_double_array, norm as l2_norm
+
+    norm = l2_norm(as_double_array(F.col("feature")))
     return (
         feats.select(
             "doc_id",
@@ -583,9 +584,17 @@ _PH_CTES = f"""base AS (
       WHERE octet_length(encode(text)) >= {_PH_CELLS}
     ),
     u AS (
-      SELECT doc_id, text FROM base
-      UNION ALL
-      {_PH_PLANT_SQL}
+      -- the byte-length gate re-applies AFTER planting: a planted
+      -- companion can shrink below the hash's {_PH_CELLS}-byte
+      -- minimum when the edit replaces a multi-byte character with
+      -- 'Z' (r16 self-review — the Spark side's phash64 has always
+      -- enforced this on its payload input; all-ASCII fixtures never
+      -- exercise it, non-ASCII corpora would)
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        {_PH_PLANT_SQL}
+      ) WHERE octet_length(encode(text)) >= {_PH_CELLS}
     ),
     h AS (
       SELECT doc_id, hex(encode(text)) AS hx,
@@ -1073,9 +1082,16 @@ def multimodal_phash_dedup_apply(
         F.countDistinct("cluster_id").cast("bigint").alias(
             "n_clusters"
         ),
-        F.sum(
-            F.when(F.col("doc_id") != F.col("cluster_id"), 1)
-            .otherwise(0)
+        # coalesce: SUM over an empty membership frame is NULL while
+        # the oracle's COUNT(*) is 0 — an empty pair set must report
+        # n_dropped = 0 / n_kept = n_items, not NULLs (r16
+        # self-review, confirmed live)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("doc_id") != F.col("cluster_id"), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         ).cast("bigint").alias("n_dropped"),
         F.coalesce(
             F.sum(

@@ -36,12 +36,27 @@ def pushed_filters(df: DataFrame) -> str:
 
 
 def scan_columns(df: DataFrame) -> list[str]:
-    """Column names in the first parquet ReadSchema of the plan."""
+    """Column names in the first parquet ReadSchema of the plan.
+    The field split is BRACKET-AWARE (r16 self-review): a nested
+    column like ``a:struct<x:int,y:int>`` contains commas and
+    closing brackets, so the earlier naive comma split produced
+    phantom names ('y>') the moment any audited scan projected a
+    nested column."""
     for line in formatted_plan(df).splitlines():
         line = line.strip()
         if line.startswith("ReadSchema"):
             inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
-            return [f.split(":")[0] for f in inner.split(",") if f]
+            cols, depth, start = [], 0, 0
+            for i, ch in enumerate(inner):
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    cols.append(inner[start:i])
+                    start = i + 1
+            cols.append(inner[start:])
+            return [f.split(":")[0] for f in cols if f]
     return []
 
 

@@ -98,11 +98,33 @@ def stream_ingest_eeg(
     data_dir = os.path.join(output_dir, "data")
     before_files = _committed_files(data_dir)
 
+    # Stream a STABLE staging dir holding exactly the snapshot just
+    # probed (hardlink per file, copy across devices) rather than
+    # input_dir itself (r16 self-review): the source does its own
+    # listing, so a CSV landing between the os.listdir snapshot and
+    # the source's list would otherwise be ingested with NULL
+    # metadata (it is absent from the broadcast lookup) and
+    # checkpoint-marked processed forever. Staged names are the
+    # original names, so the checkpoint's no-op re-run contract
+    # holds; files that land later are staged — with their metadata
+    # probed — on the next run.
+    staged_dir = os.path.join(output_dir, "_staged")
+    os.makedirs(staged_dir, exist_ok=True)
+    for f in files:
+        dst = os.path.join(staged_dir, f)
+        if not os.path.exists(dst):
+            try:
+                os.link(os.path.join(input_dir, f), dst)
+            except OSError:
+                import shutil
+
+                shutil.copy2(os.path.join(input_dir, f), dst)
+
     stream = (
         spark.readStream.schema(schema)
         .option("header", "false")
         .option("pathGlobFilter", "*.csv")
-        .csv(input_dir)
+        .csv(staged_dir)
         .filter(F.col("ClockDateTime").isNotNull())
         # input_file_name() is a URI (percent-encoded), but meta_df keys
         # on raw os.listdir names — url_decode so "my file.csv" matches
