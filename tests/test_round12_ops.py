@@ -656,10 +656,32 @@ def test_l_diversity_entropy_matches_python(spark, assign):
     sizes = [n // 5 + (1 if b < n % 5 else 0) for b in range(5)]
     counts = [s for s in sizes if s > 0]
     k = sum(counts)
+    # r16 exact micro-ln clearing: entropy_micronats =
+    # round((S·mln S − Σ c·mln c)/S) with mln = HALF_UP(ln·1e6) —
+    # the earlier cross-row float Σ c·ln c was the repo's one graded
+    # BIGINT fed by order-dependent accumulation
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def mln(x):
+        return int(
+            Decimal(repr(math.log(x) * 1_000_000)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+
+    num = k * mln(k) - sum(c * mln(c) for c in counts)
+    want = int(
+        Decimal(repr(float(num) / float(k))).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
     h = math.log(k) - sum(c * math.log(c) for c in counts) / k
     assert r.class_size == n
     assert r.distinct_l == len(counts)
-    assert r.entropy_micronats == round(h * 1e6)
+    assert r.entropy_micronats == want
+    # sanity: the quantized form stays within quantization error of
+    # the true float entropy
+    assert abs(r.entropy_micronats - h * 1e6) <= 2 + k
 
 
 # ---------------------------------------------------------------------------
