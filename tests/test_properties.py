@@ -412,3 +412,161 @@ def test_duplication_profile_matches_reference(spark, docs):
             # no doc reaches 5 tokens: the gram tree aggregates an
             # empty stream — counts must be 0/0-safe, not crash
             assert row.n_ngrams == 0
+
+
+# ---------------------------------------------------------------------------
+# r16 session-4 fixed paths — random-input properties
+# ---------------------------------------------------------------------------
+
+_acf_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3_000_000),  # epoch offset s
+        st.integers(min_value=1, max_value=5),  # event_id
+        st.sampled_from(["a", "b"]),  # event_type
+        st.integers(min_value=-5000, max_value=5000),  # milli value
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(_acf_events, st.sampled_from([60, 3600, 86400]))
+@settings(max_examples=8, deadline=None)
+def test_acf_bucketed_frame_random_streams(spark, rows, width):
+    """The bucketed ACF moment frame (boundary repair + the r16
+    g-div-K block join) must be BIT-identical to the series form on
+    RANDOM streams — arbitrary inter-event spacing, duplicate
+    timestamps (tie-broken by event_id), tiny series, and bucket
+    widths from finer-than-spacing to coarser-than-span. The fixture
+    tests pin real-data shapes; this pins the algebra itself."""
+    import datetime
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        _acf_moment_frame,
+        _acf_moment_frame_series,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (
+            t0 + datetime.timedelta(seconds=off),
+            1_000_000 + i,  # unique event ids
+            et,
+            mv / 1000.0,
+        )
+        for i, (off, _eid, et, mv) in enumerate(rows)
+    ]
+    e = spark.createDataFrame(
+        data, "ts timestamp, event_id long, event_type string, value double"
+    )
+    a = {
+        r["event_type"]: r.asDict()
+        for r in _acf_moment_frame(
+            e, bucket_sec=width, max_series_rows=0
+        ).collect()
+    }
+    b = {
+        r["event_type"]: r.asDict()
+        for r in _acf_moment_frame_series(e).collect()
+    }
+    assert set(a) == set(b)
+    for t in a:
+        for c in a[t]:
+            assert a[t][c] == b[t][c], (width, t, c)
+
+
+_geo_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4000),
+        st.integers(min_value=0, max_value=4000),
+    ),
+    min_size=2,
+    max_size=60,
+    unique=True,
+)
+
+
+@given(_geo_points, st.sampled_from([300, 500, 1000]))
+@settings(max_examples=8, deadline=None)
+def test_geo_grid_radius_join_random_points(spark, pts, r):
+    """The grid-bucketed radius self-join equals the all-pairs scan
+    on RANDOM integer point sets for several radii — the planar
+    pigeonhole recall claim as a property, not a fixture
+    coincidence (points clustered at cell corners and boundary
+    distances == r are the interesting generated cases)."""
+    from data_pipeline_spark_spark.operators.geo import (
+        grid_radius_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "id long, x long, y long",
+    )
+    got = sorted(
+        tuple(row) for row in grid_radius_pairs(df, r).collect()
+    )
+    want = []
+    for i, (xa, ya) in enumerate(pts):
+        for j, (xb, yb) in enumerate(pts):
+            if i < j:
+                d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+                if d2 <= r * r:
+                    want.append((i, j, d2))
+    assert got == sorted(want)
+
+
+_asof_rights = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=100)),
+        st.integers(min_value=1, max_value=99),
+    ),
+    min_size=0,
+    max_size=12,
+)
+_asof_lefts = st.lists(
+    st.integers(min_value=0, max_value=100),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+
+
+@given(_asof_lefts, _asof_rights)
+@settings(max_examples=8, deadline=None)
+def test_asof_join_random_null_mix(spark, lefts, rights):
+    """asof_join vs a literal python reference over random right
+    sides including NULL timestamps (dropped — the r16 fix) and
+    duplicate right timestamps (documented max-payload tie rule)."""
+    import datetime
+
+    from data_pipeline_spark_spark.operators.asof import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return None if s is None else t0 + datetime.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, ts(s)) for s in lefts], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(s), p) for s, p in rights],
+        "k long, ts timestamp, payload long",
+    )
+    out = {
+        r["ts"]: r["matched_payload"]
+        for r in asof_join(
+            left, right, on="k", ts="ts", right_cols=["payload"]
+        ).collect()
+    }
+    want = {}
+    valid = [(s, p) for s, p in rights if s is not None]
+    for s in lefts:
+        preds = [(rs, p) for rs, p in valid if rs <= s]
+        if preds:
+            # latest ts; among equal ts the MAX payload (the
+            # documented struct-ordering tie rule)
+            best_ts = max(rs for rs, _ in preds)
+            payload = max(p for rs, p in preds if rs == best_ts)
+            want[ts(s)] = payload
+    assert out == want
