@@ -99,6 +99,9 @@ _ROUND16_PRIORITY = [
     "retrieval_prf_expand",  # sorted contribution fold
     "agg_ddsketch_quantile",  # est_value rounded once per bucket
     "stream_ddsketch",  # inherits ddsketch_serve's rounding
+    "window_rank_dense",  # tie-real price-band ordering (moved up
+    # from the r10 block: its old grade is void, position 53 was
+    # past the budget)
     # (b) latest green row r10 — the full 38-key staleness debt the
     # r15 landing spree deferred (r15 verdict ask #2): after this
     # grade no key's latest row predates r11
@@ -138,7 +141,6 @@ _ROUND16_PRIORITY = [
     "unpivot_long",
     "window_analytic",
     "window_rank",
-    "window_rank_dense",
     "window_twa",
     # (c) latest green row r11 — filler to the ~50-key budget,
     # headline members first (their bench numbers should rest on
