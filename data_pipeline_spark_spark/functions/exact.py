@@ -34,6 +34,21 @@ def micro_ln(col) -> Column:
     return F.round(F.log(col) * 1000000).cast("bigint")
 
 
+def pd_round_half_away(s, scale: int):
+    """HALF-AWAY-FROM-ZERO rounding of ``s * 10**scale`` for a pandas
+    Series — the pandas twin of Spark ``F.round`` and DuckDB
+    ``round()``. pandas/numpy ``.round()`` is half-to-EVEN, so a
+    pandas-side state fold that quantizes with it diverges from both
+    engines for any value whose scaled form lands exactly on .5 (r17
+    advisor finding on the applyInPandasWithState milli-unit fold;
+    masked at fixture scale only because measures carry ≤3 decimals).
+    Returns a float Series of integral values — caller casts."""
+    import numpy as np
+
+    scaled = s * (10**scale)
+    return np.copysign(np.floor(np.abs(scaled) + 0.5), scaled)
+
+
 def wide_sum(*factors) -> Column:
     """Exact 128-bit-class product-sum: Σ(f1·f2·…) with the FIRST
     factor cast to decimal(38,0) BEFORE the multiply, so neither the

@@ -32,6 +32,27 @@ def norm(a: Column) -> Column:
     )
 
 
+def norm_f32sq(a: Column) -> Column:
+    """L2 norm over an ``array<float>`` with each square computed in
+    float32 and only then widened to double for the fold. This is the
+    parity-exact twin of a DuckDB oracle written as
+    ``CAST(x_i * x_i AS DOUBLE)`` over FLOAT columns: DuckDB's
+    FLOAT*FLOAT narrows the product to f32 (verified, r17), so the
+    oracle's addends are f32-rounded squares — folding f64 squares
+    instead (``norm(as_double_array(a))``) differs by up to half an
+    f32 ulp per element and flips a ROUND(·, 4) output for ~7e-5 of
+    random 8-dim vectors (measured; zero flips on current fixtures,
+    but latent). Use THIS form whenever the oracle squares f32
+    values; use plain :func:`norm` when both sides fold doubles."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
 def unit_normalize(a: Column) -> Column:
     """``a / ‖a‖`` with the norm STRUCTURALLY let-bound via a
     1-element transform (the FFD binder): the norm is itself a fold,

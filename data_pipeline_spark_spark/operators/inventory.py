@@ -429,7 +429,9 @@ def event_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_out = tempfile.mkdtemp(prefix="dps_evt_stream_")
     batch_out = tempfile.mkdtemp(prefix="dps_evt_batch_")
     try:
-        stream_rows = stream_ingest_eeg(spark, src, stream_out)
+        # settle_s=0: the fixture corpus is fully written before
+        # this call (single thread, no concurrent producer)
+        stream_rows = stream_ingest_eeg(spark, src, stream_out, settle_s=0.0)
         stream_patients = (
             spark.read.parquet(os.path.join(stream_out, "data"))
             .filter(F.col("PatientID") != "")

@@ -389,14 +389,16 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = d.mapInPandas(
         feature_batch, schema="doc_id long, feature array<float>"
     )
-    # the L2 fold is functions/vector.py's norm() over the
-    # double-cast array — ONE definition with the similarity family
-    # (r16 self-review: this was a value-identical private copy; the
-    # extracted arrays are 'exactly the shape sim_search consumes',
-    # so they norm through the same code)
-    from ..functions.vector import as_double_array, norm as l2_norm
+    # the L2 fold is functions/vector.py's norm_f32sq() over the RAW
+    # float array: the oracle's CAST(x*x AS DOUBLE) addends are
+    # f32-narrowed squares (DuckDB FLOAT*FLOAT yields FLOAT), so the
+    # Spark fold must square in f32 too — norm(as_double_array(·))
+    # squares in f64 and differs by up to half an f32 ulp per addend
+    # (r17 advisor finding; the r16 'value-identical' dedup into the
+    # similarity family's double-norm was NOT value-identical).
+    from ..functions.vector import norm_f32sq
 
-    norm = l2_norm(as_double_array(F.col("feature")))
+    norm = norm_f32sq(F.col("feature"))
     return (
         feats.select(
             "doc_id",

@@ -352,6 +352,10 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal normalization wants."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        from data_pipeline_spark_spark.functions.exact import (
+            pd_round_half_away,
+        )
+
         mu = pdf["value"].mean()
         sd = pdf["value"].std(ddof=1)
         z = (pdf["value"] - mu) / sd if sd and sd == sd else pd.Series([None] * len(pdf))
@@ -360,7 +364,11 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
                 "day": pdf["day"],
-                "zscore": (z * 10000).round() / 10000,
+                # HALF-AWAY like the oracle's ROUND(·, 4), not
+                # pandas' half-to-even (same hazard class as the r17
+                # advisor's state-fold finding; z is irrational so a
+                # .5 landing is measure-zero, fixed for consistency)
+                "zscore": pd_round_half_away(z, 4) / 10000,
             }
         )
         return out

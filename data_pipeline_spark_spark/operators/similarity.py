@@ -1297,15 +1297,28 @@ def _trained_codebook_cached(
     # leaked by crashed writers of the same key.
     if os.path.isdir(path):
         shutil.rmtree(path, ignore_errors=True)
+    # Only reap stage dirs that are STALE by mtime (r17 advisor fix):
+    # a fresh foreign stage belongs to a live concurrent writer — an
+    # unconditional rmtree would delete session A's in-progress stage
+    # from session B's cold path, failing A's os.rename loudly where
+    # the promotion race used to be benign. 10 min dwarfs any real
+    # codebook train+write; a crashed writer's leak is reaped on the
+    # first cold pass after that.
+    import time as _time
+
+    _STAGE_STALE_S = 600
     for stale in (
         d
         for d in os.listdir(os.path.dirname(path))
         if d.startswith(os.path.basename(path) + ".stage")
     ):
-        shutil.rmtree(
-            os.path.join(os.path.dirname(path), stale),
-            ignore_errors=True,
-        )
+        full = os.path.join(os.path.dirname(path), stale)
+        try:
+            age = _time.time() - os.stat(full).st_mtime
+        except OSError:
+            continue  # vanished: its owner just promoted or cleaned
+        if age > _STAGE_STALE_S:
+            shutil.rmtree(full, ignore_errors=True)
     cbt = trained_pq_codebook(squ)
     stage = f"{path}.stage{os.getpid()}"
     cbt.write.mode("overwrite").parquet(stage)

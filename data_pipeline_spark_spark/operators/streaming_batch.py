@@ -149,7 +149,13 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             # batch/partition order and can round differently from
             # the oracle at a digit boundary — the
             # rollup_reaggregate discipline applies to state folds
-            # too); one division at publish time
+            # too); one division at publish time. The milli-scaling
+            # rounds HALF-AWAY like both engines' round(), not
+            # pandas' half-to-even (r17 advisor fix).
+            from data_pipeline_spark_spark.functions.exact import (
+                pd_round_half_away,
+            )
+
             if state.exists:
                 n, tot_mv = state.get
             else:
@@ -157,7 +163,9 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pdf in pdfs:
                 n += len(pdf)
                 tot_mv += int(
-                    (pdf["value"] * 1000).round().astype("int64").sum()
+                    pd_round_half_away(pdf["value"], 3)
+                    .astype("int64")
+                    .sum()
                 )
             state.update((n, tot_mv))
             yield pd.DataFrame(

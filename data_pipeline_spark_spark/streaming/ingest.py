@@ -37,6 +37,7 @@ def stream_ingest_eeg(
     input_dir: str,
     output_dir: str,
     header: SessionHeader | None = None,
+    settle_s: float = 2.0,
 ) -> int:
     """availableNow streaming ingest of an EEG staging directory.
     Returns the number of rows written by THIS run (0 on a no-op
@@ -54,7 +55,32 @@ def stream_ingest_eeg(
     the directory — enforced here by probing one file. Mixed-schema
     staging dirs go through the batch path instead.
     """
-    files = sorted(f for f in os.listdir(input_dir) if f.endswith(".csv"))
+    # Settle guard (r17 advisor fix): the staging hardlinks share the
+    # source inode, so a CSV still being APPENDED after the listdir
+    # snapshot would be ingested half-written through the staged link
+    # and checkpoint-marked processed forever — staging closes the
+    # new-file race, not the in-flight-write one. A file whose
+    # (size, mtime) has not been stable for `settle_s` is deferred to
+    # the next run (it is absent from this snapshot entirely, so the
+    # checkpoint never sees it). Producers that move files into
+    # input_dir atomically (the reference's upload→rename pattern)
+    # always pass the guard immediately because a rename preserves
+    # the completed file's mtime. Callers whose producer is known
+    # quiescent (tests, the inventory demo — files fully written
+    # before the call, same thread) pass ``settle_s=0.0``.
+    import time as _time
+
+    now = _time.time()
+    files = []
+    for f in sorted(os.listdir(input_dir)):
+        if not f.endswith(".csv"):
+            continue
+        try:
+            st = os.stat(os.path.join(input_dir, f))
+        except OSError:
+            continue  # vanished between listdir and stat
+        if now - st.st_mtime >= settle_s:
+            files.append(f)
     if not files:
         return 0
     if header is None:

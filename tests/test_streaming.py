@@ -19,19 +19,19 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
                     rows_per_session=40, n_signals=8, seed=3)
     out = str(tmp_path / "curated_stream")
 
-    n1 = stream_ingest_eeg(spark, src, out)
+    n1 = stream_ingest_eeg(spark, src, out, settle_s=0.0)
     assert n1 == 2 * 40
 
     # second availableNow run over the same dir: checkpoint makes it a
     # no-op — and the return value is rows written THIS run, so 0
-    n2 = stream_ingest_eeg(spark, src, out)
+    n2 = stream_ingest_eeg(spark, src, out, settle_s=0.0)
     assert n2 == 0
 
     # new file arrives → only its rows are added (and reported)
     generate_corpus(src, n_patients=1, max_sessions=1,
                     rows_per_session=25, n_signals=8, seed=11,
                     patient_offset=10)
-    n3 = stream_ingest_eeg(spark, src, out)
+    n3 = stream_ingest_eeg(spark, src, out, settle_s=0.0)
     assert n3 == 25
 
     assert os.path.isdir(os.path.join(out, "_checkpoint"))
@@ -43,6 +43,30 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
             "TestTime"} <= set(curated.columns)
     patients = {r.PatientID for r in curated.select("PatientID").distinct().collect()}
     assert len(patients) == 3 and all(p for p in patients)
+
+
+def test_stream_ingest_settle_guard_defers_inflight_files(spark, tmp_path):
+    """A CSV whose mtime is inside the settle window is a possibly
+    in-flight write: it must be DEFERRED (absent from this snapshot,
+    so the checkpoint never marks it processed), then ingested once
+    its mtime is old enough — the r17 advisor's in-flight-write race
+    on the hardlinked staging snapshot."""
+    src = str(tmp_path / "staging")
+    generate_corpus(src, n_patients=1, max_sessions=1,
+                    rows_per_session=20, n_signals=8, seed=5)
+    out = str(tmp_path / "curated_stream")
+
+    # freshly written (mtime = now) → deferred under a wide window
+    n = stream_ingest_eeg(spark, src, out, settle_s=3600.0)
+    assert n == 0
+
+    # backdate the file past the window → ingested in full
+    for f in os.listdir(src):
+        p = os.path.join(src, f)
+        st = os.stat(p)
+        os.utime(p, (st.st_atime, st.st_mtime - 7200))
+    n = stream_ingest_eeg(spark, src, out, settle_s=3600.0)
+    assert n == 20
 
 
 def test_stream_ingest_recovers_crashed_dir_and_odd_filenames(spark, tmp_path):
@@ -61,7 +85,7 @@ def test_stream_ingest_recovers_crashed_dir_and_odd_filenames(spark, tmp_path):
     out = str(tmp_path / "curated_stream")
     os.makedirs(os.path.join(out, "data"))  # crashed-run debris: no files
 
-    n = stream_ingest_eeg(spark, src, out)
+    n = stream_ingest_eeg(spark, src, out, settle_s=0.0)
     assert n == 30
 
     curated = spark.read.parquet(os.path.join(out, "data"))
