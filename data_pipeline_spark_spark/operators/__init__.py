@@ -2,13 +2,12 @@
 query into data_pipeline_spark_spark.registry.
 
 The driver's correctness harness walks queries() in dict order under a
-time budget (~50 keys/round), so the explicit ``_ROUND16_PRIORITY``
+time budget (~50 keys/round), so the explicit ``_ROUND17_PRIORITY``
 list below decides which keys earn a CORRECTNESS row this round.
-Round 16 is the staleness-paydown round (r15 verdict ask #2): new
-r16 keys first (every key lands with driver evidence in its landing
-round — deliberately few this round), then ALL 38 keys whose latest
-green row is r10, then r11-stale filler with headline members first.
-Keys past the budget keep their most recent row from earlier rounds.
+Round 17 retires the remaining r10/r11 staleness debt (r16 verdict
+ask #1): all 49 stale oracle keys, then the one new r17 key, then
+the r11 rows-only reruns. Keys past the budget keep their most
+recent row from earlier rounds.
 """
 
 from . import (  # noqa: F401
@@ -61,99 +60,48 @@ ALL_MODULES = (
     inventory,
 )
 
-# Round-16 check order. The driver walks queries() in dict order
-# under a ~50-key time budget (exactly 50 keys earned rows in each
-# of r8-r15; positions 51+ were cut). This round pays the staleness
-# debt the r15 landing spree deferred: (a) the handful of new r16
-# keys (capped deliberately — r15 verdict ask #2 limits landing
-# velocity so the budget covers rotation), then (b) ALL 38 r10-stale
-# keys, then (c) r11-stale filler, headline members first.
-# Everything else keeps its registration order behind the priority
-# block and retains its latest row.
-_ROUND16_PRIORITY = [
-    # (a) new round-16 keys — appended here as each lands, so every
-    # key ships with driver evidence in its landing round
-    "geo_grid_radius_join",
-    "geo_cell_stats",
-    "label_cohens_kappa",
-    "label_fleiss_kappa",
-    "abtest_two_proportion_z",
-    "window_rolling_corr",
-    "agg_entropy_profile",
-    "agg_mutual_information",
-    "cohort_survival_km",
-    "text_readability",
-    # (a') r16 session-4 semantic changes — outputs differ from their
-    # last graded form, so their OLD grades are void and fresh driver
-    # evidence outranks regrading unchanged r10 keys (validity beats
-    # staleness; the displaced r10-block tail slips to r17 if the
-    # budget cuts). embedding_centroids / window_rank_dense /
-    # stream_late_data_accounting, also changed, are already in
-    # block (b); the phash keys' sf0.01 output is bit-identical
-    # (their r15 grades stand) and stay out of the budget, as does
-    # corpus_decontaminate (md5_u60 rehash, output identical at
-    # sf0.01, dry-run verified).
-    "privacy_l_diversity",  # exact micro-ln entropy clearing
-    "stream_window_agg",  # milli-unit window totals
-    "stream_stateful_agg",  # integer state fold
-    "retrieval_prf_expand",  # sorted contribution fold
-    "agg_ddsketch_quantile",  # est_value rounded once per bucket
-    "stream_ddsketch",  # inherits ddsketch_serve's rounding
-    "window_rank_dense",  # tie-real price-band ordering (moved up
-    # from the r10 block: its old grade is void, position 53 was
-    # past the budget)
-    # (b) latest green row r10 — the full 38-key staleness debt the
-    # r15 landing spree deferred (r15 verdict ask #2): after this
-    # grade no key's latest row predates r11
-    "dedup_cluster",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_substring_apply",
-    "dedup_substring_spans",
-    "doc_fingerprint_winnow",
-    "embedding_centroids",
-    "embedding_profile",
-    "format_roundtrip",
-    "join_asof_nearest",
-    "join_bloom_runtime",
-    "join_cross",
-    "join_range_asof",
-    "join_semi",
-    "multimodal_meta",
-    "ngram_lm_counts",
-    "pivot_wide",
-    "profile_join_skew",
-    "quality_classifier_nb",
-    "scd2_intervals",
-    "setop_intersect",
-    "setop_union_all",
-    "sim_search_ivf",
-    "sim_search_ivfpq_trained",
-    "sim_search_lsh",
-    "sort_paginate",
-    "stream_late_data_accounting",
-    "tokenizer_bpe_train",
-    "tokenizer_fertility_report",
-    "ts_anomaly_mad",
-    "ts_interpolate",
+# Round-17 check order (r16 verdict ask #1: retire the staleness
+# debt for real). The driver walks queries() in dict order under a
+# ~50-key budget (exactly 50 rows each round r8-r16). Order:
+#   (1-49) ALL 49 keys whose latest green row predates r12 — the 4
+#          r10 keys, then the 45 r11 keys with bench-headline
+#          members first (their bench numbers should rest on fresh
+#          rows). multimodal_feature_extract sits early in the r11
+#          block: its r17 norm-parity fix RESTORES the f32 fold the
+#          r11 grade was earned on, and fresh evidence should
+#          confirm that.
+#   (50)   multimodal_phash_near_dup_4band — the ONE new key this
+#          round (verdict ask #6): the resolver's 4-band arm has
+#          never earned a driver row because the sf0.01 fixture sits
+#          below the 1,600-item switch. Placed at 50 rather than
+#          behind the rows-only reruns (a deliberate, documented
+#          deviation from ask #1's literal order): under the
+#          exact-50 budget this is the only order in which BOTH the
+#          full 49-key oracle debt AND ask #6's bands=4 row land,
+#          and the standing convention that a new key lands with
+#          driver evidence in its landing round holds. The rows-only
+#          reruns queue immediately behind — they are the one
+#          evidence class that cannot fail by value (no oracle, the
+#          driver records rows+clean-run only), so if the budget is
+#          a hard 50 they are the least-costly residue to roll to
+#          r18.
+#   (51-55) the 5 r11 rows-only keys (csv probes, eeg ingest).
+# Everything else keeps registration order behind the priority block
+# and retains its latest row (nothing else predates r12 after this
+# grade).
+_ROUND17_PRIORITY = [
+    # (1) latest green row r10
     "unpivot_long",
     "window_analytic",
     "window_rank",
     "window_twa",
-    # (c) latest green row r11 — filler to the ~50-key budget,
-    # headline members first (their bench numbers should rest on
-    # fresh correctness rows), then the rest in report order
+    # latest green row r11 — headline members first
     "keyword_search_bm25",
     "quality_bigram_perplexity",
     "retrieval_hybrid_rrf",
     "tokenizer_unigram_segment",
     "vocab_oov_report",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_orders",
+    "multimodal_feature_extract",
     "adhoc_sql",
     "cohort_retention",
     "corpus_pack_sequences",
@@ -165,7 +113,6 @@ _ROUND16_PRIORITY = [
     "funnel_steps",
     "layout_zorder_locality",
     "multimodal_arrow_scan",
-    "multimodal_feature_extract",
     "multimodal_frame_sample",
     "multimodal_resize",
     "not_in_null_semantics",
@@ -180,16 +127,23 @@ _ROUND16_PRIORITY = [
     "setop_intersect_except",
     "stream_dedup_bounded_state",
     "stream_drift_psi",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
     "tpch_q12_priority_by_status",
     "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
-    "tpch_q7_volume_shipping",
     "ts_downsample_lttb",
     "ts_gap_fill",
     "udf_grouped_zscore",
     "window_distribution",
     "window_gaps_islands",
     "window_range_frame",
+    # (50) the one new r17 key — the resolver's 4-band arm
+    "multimodal_phash_near_dup_4band",
+    # (51-55) r11 rows-only reruns
     "csv_header_probe",
     "csv_scan_infer",
     "csv_scan_schema",
@@ -201,10 +155,10 @@ _ROUND16_PRIORITY = [
 def _apply_priority_order() -> None:
     from .. import registry
 
-    missing = [k for k in _ROUND16_PRIORITY if k not in registry.QUERIES]
+    missing = [k for k in _ROUND17_PRIORITY if k not in registry.QUERIES]
     if missing:  # fail loudly: a typo here silently wastes a round
-        raise KeyError(f"_ROUND16_PRIORITY names unknown keys: {missing}")
-    ordered = {k: registry.QUERIES[k] for k in _ROUND16_PRIORITY}
+        raise KeyError(f"_ROUND17_PRIORITY names unknown keys: {missing}")
+    ordered = {k: registry.QUERIES[k] for k in _ROUND17_PRIORITY}
     ordered.update(
         (k, v) for k, v in registry.QUERIES.items() if k not in ordered
     )

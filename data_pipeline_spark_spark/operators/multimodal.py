@@ -822,6 +822,27 @@ def multimodal_phash_near_dup(
     )
 
 
+@query("multimodal_phash_near_dup_4band", oracle=_PH_SQL)
+def multimodal_phash_near_dup_4band(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[[multimodal_phash_near_dup]] with the band count PINNED at 4
+    — the arm [[resolve_phash_bands]] selects above 1,600 hashed
+    items, which the sf0.01 grading fixture (505 items → 8 bands)
+    never reaches, so without this twin the 4×16-bit plan had only
+    builder-side evidence (bit-equality unit tests + an sf0.1
+    side-by-side), never a driver CORRECTNESS row (r16 verdict ask
+    #6). The oracle is the SAME static ``_PH_SQL``: 4 disjoint
+    16-bit slices still certify the fixed radius hamming ≤ 3 by
+    pigeonhole, so the band count is a pure plan knob and both arms
+    share one fixed point — a driver-graded proof of exactly the
+    resolver contract ('changes the PLAN, never the ANSWER')."""
+    bits = phash64(_ph_population(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    return phash_near_dup_pairs(bits, bands=4, maxh=_PH_MAXH)
+
+
 def _ph_population(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hashed payload population (eligible fixture docs + the
     planted near-dup companions) — factored so the pair key and

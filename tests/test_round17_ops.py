@@ -67,6 +67,42 @@ def test_norm_f32sq_bit_matches_numpy_f32_fold(spark):
     assert f64_diverged > 0, "f64 fold never diverged — test has no teeth"
 
 
+# ---------------------------------------------------------------------------
+# phash 4-band twin: the resolver's other arm, driver-gradable
+# ---------------------------------------------------------------------------
+
+
+def test_phash_4band_twin_equals_resolved_arm(spark):
+    """The pinned-4-band twin and the auto-resolved key (8 bands at
+    this fixture size) must return IDENTICAL rows — the resolver
+    contract: band count changes the plan, never the answer."""
+    a = (
+        registry.QUERIES["multimodal_phash_near_dup"](spark, SF_ORACLE)
+        .toPandas()
+        .values.tolist()
+    )
+    b = (
+        registry.QUERIES["multimodal_phash_near_dup_4band"](
+            spark, SF_ORACLE
+        )
+        .toPandas()
+        .values.tolist()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_phash_4band_twin_oracle(spark):
+    df = registry.QUERIES["multimodal_phash_near_dup_4band"](
+        spark, SF_ORACLE
+    )
+    assert_matches_oracle(
+        df,
+        registry.ORACLE_SQL["multimodal_phash_near_dup_4band"],
+        SF_ORACLE,
+        "multimodal_phash_near_dup_4band",
+    )
+
+
 def test_multimodal_feature_extract_oracle_sf001(spark):
     df = registry.QUERIES["multimodal_feature_extract"](spark, SF_ORACLE)
     assert_matches_oracle(
