@@ -1447,10 +1447,10 @@ _CUSUM_SQL = f"""
 """
 
 
-def cusum_stats(e: DataFrame, k_c: int = _CUSUM_K_C, h_c: int = _CUSUM_H_C):
-    """The CUSUM fold over any (user_id, ts, event_id, value) frame —
-    module-level so the hypothesis differential drives it with the
-    literal max(0, S+x) recurrence."""
+def _cusum_s_rows_series(x: DataFrame) -> DataFrame:
+    """Single-window reference form of the per-row CUSUM statistic
+    s_c: stacked prefix-sum / prefix-min windows, one series per
+    sort task."""
     from pyspark.sql import Window as W
 
     w = (
@@ -1458,15 +1458,118 @@ def cusum_stats(e: DataFrame, k_c: int = _CUSUM_K_C, h_c: int = _CUSUM_H_C):
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    p = x.withColumn("p_c", F.sum("x_c").over(w))
+    return p.withColumn(
+        "s_c", F.col("p_c") - F.least(F.min("p_c").over(w), F.lit(0))
+    )
+
+
+def _cusum_s_rows(
+    x: DataFrame,
+    bucket_sec: int | None = None,
+    max_series_rows: int | None = None,
+) -> DataFrame:
+    """Per-row CUSUM statistic, SIZE-RESOLVED (r16 verdict ask #3:
+    the audit's 'sequential semantic' claim was too strong — the
+    closed form P_n − min(0, min_{k≤n} P_k) is an ASSOCIATIVE
+    integer scan, so the bucketed escape applies, unlike ewma/holt
+    whose float recurrences genuinely serialize). The bucketed form
+    needs NO fringe join, only dim-frame carries: per (user, bucket)
+    local prefix sums lp and local prefix-mins lm, then over the
+    per-user bucket DIM frame (the only sequential-per-series fold,
+    and it is dim-sized) the exclusive bucket-total carry
+    C_b = Σ_{b'<b} T_{b'} and the exclusive global-min carry
+    G_b = min_{b'<b}(C_{b'} + M_{b'}); per row
+    P = C_b + lp and min_{k≤n} P_k = least(G_b, C_b + lm) — F.least
+    skips the NULL G_b of each series' first bucket. All integer
+    centi-units; addition and min are associative, so the split is
+    bit-exact (pinned by equality + random-stream tests).
+
+    The series key is user_id — cardinality GROWS with the corpus,
+    so the hazard variable is rows per user, not total rows; the
+    total-count resolver is the same conservative proxy the ACF
+    family uses."""
+    from pyspark.sql import Window as W
+
+    from .rolling import ROLLING_BUCKET_SEC, SERIES_FORM_MAX_ROWS
+
+    cutoff = (
+        max_series_rows
+        if max_series_rows is not None
+        else SERIES_FORM_MAX_ROWS
+    )
+    if x.count() <= cutoff:
+        return _cusum_s_rows_series(x)
+
+    width = bucket_sec if bucket_sec is not None else ROLLING_BUCKET_SEC
+    xb = x.withColumn(
+        "b",
+        F.floor(
+            F.col("ts").cast("timestamp_ltz").cast("long")
+            / F.lit(width)
+        ),
+    )
+    wb = (
+        W.partitionBy("user_id", "b")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    loc = xb.withColumn("lp", F.sum("x_c").over(wb)).withColumn(
+        "lm", F.min("lp").over(wb)
+    )
+    # checkpoint: the (user, b)-windowed frame feeds both the dim
+    # fold and the per-row join-back (the shared ACF/rolling cut)
+    loc = loc.localCheckpoint(eager=False)
+    dim = loc.groupBy("user_id", "b").agg(
+        F.sum("x_c").alias("tb"), F.min("lp").alias("mb")
+    )
+    wdim = (
+        W.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carries = (
+        dim.select("user_id", "b", "tb", "mb")
+        .withColumn(
+            "cb", F.coalesce(F.sum("tb").over(wdim), F.lit(0))
+        )
+        .withColumn("gb", F.min(F.col("cb") + F.col("mb")).over(wdim))
+        .select("user_id", "b", "cb", "gb")
+    )
+    # plain (user_id, b) equi-join, NOT broadcast: the dim frame is
+    # users × buckets — dim-sized per series but user cardinality
+    # grows with the corpus, so it must co-partition, not replicate
+    out = loc.join(carries, ["user_id", "b"])
+    p_c = F.col("cb") + F.col("lp")
+    prefmin = F.least(F.col("gb"), F.col("cb") + F.col("lm"))
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "x_c",
+        p_c.alias("p_c"),
+        (p_c - F.least(prefmin, F.lit(0))).alias("s_c"),
+    )
+
+
+def cusum_stats(
+    e: DataFrame,
+    k_c: int = _CUSUM_K_C,
+    h_c: int = _CUSUM_H_C,
+    bucket_sec: int | None = None,
+    max_series_rows: int | None = None,
+):
+    """The CUSUM fold over any (user_id, ts, event_id, value) frame —
+    module-level so the hypothesis differential drives it with the
+    literal max(0, S+x) recurrence."""
     x = e.select(
         "user_id",
         "ts",
         "event_id",
         (F.round(F.col("value") * 100).cast("bigint") - k_c).alias("x_c"),
     )
-    p = x.withColumn("p_c", F.sum("x_c").over(w))
-    s = p.withColumn(
-        "s_c", F.col("p_c") - F.least(F.min("p_c").over(w), F.lit(0))
+    s = _cusum_s_rows(
+        x, bucket_sec=bucket_sec, max_series_rows=max_series_rows
     )
     return s.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_points"),
@@ -4362,6 +4465,114 @@ _BOLL_SQL = f"""
 """
 
 
+def _boll_moment_rows_series(m: DataFrame) -> DataFrame:
+    """Single-window reference form of the per-row frame moments
+    (cnt, s, ss): one rolling frame per series — fastest at fixture
+    decades, and the semantic reference the bucketed form must
+    bit-match. Scale hazard: one sort task per event_type (5
+    values), the exact shape the ACF family escaped in r16."""
+    from pyspark.sql.window import Window as W2
+
+    fr = (
+        W2.partitionBy("event_type")
+        .orderBy("sec", "event_id")
+        .rowsBetween(-(_BOLL_N - 1), 0)
+    )
+    return m.select(
+        "event_type",
+        "event_id",
+        "sec",
+        "x",
+        F.count("*").over(fr).cast("bigint").alias("cnt"),
+        F.sum(F.col("x").cast("decimal(38,0)")).over(fr).alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .over(fr)
+        .alias("ss"),
+    )
+
+
+def _boll_moment_rows(
+    m: DataFrame,
+    bucket_sec: int | None = None,
+    max_series_rows: int | None = None,
+) -> DataFrame:
+    """Per-row exact frame moments, SIZE-RESOLVED (r16 verdict ask
+    #2 — this key was one of the two flagged carriers of the
+    low-cardinality-series sort hazard after the ACF family got its
+    escape): below [[rolling.SERIES_FORM_MAX_ROWS]] the measured-
+    faster single-window form; above it the bucketed form — the
+    (type, bucket)-partitioned frame plus an exact boundary repair
+    that adds each carried predecessor's (x, x²) into its head
+    row's moments. All three moments are exact integers
+    (decimal(38,0) milli-units), addition is associative, so the
+    split never changes an output bit — pinned by the bit-equality,
+    width-independence, and straddling tests in
+    tests/test_round17_ops.py, mirroring the ACF suite."""
+    from .rolling import (
+        ROLLING_BUCKET_SEC,
+        SERIES_FORM_MAX_ROWS,
+        bucketed_positions,
+        carried_predecessors,
+    )
+
+    cutoff = (
+        max_series_rows
+        if max_series_rows is not None
+        else SERIES_FORM_MAX_ROWS
+    )
+    if m.count() <= cutoff:
+        return _boll_moment_rows_series(m)
+
+    width = bucket_sec if bucket_sec is not None else ROLLING_BUCKET_SEC
+    lagged, offs = bucketed_positions(m, width)
+    from pyspark.sql.window import Window as W2
+
+    fr = (
+        W2.partitionBy("event_type", "b")
+        .orderBy("sec", "event_id")
+        .rowsBetween(-(_BOLL_N - 1), 0)
+    )
+    ib = lagged.select(
+        "event_type",
+        "event_id",
+        "sec",
+        "x",
+        "b",
+        "rn",
+        F.count("*").over(fr).cast("bigint").alias("cnt_ib"),
+        F.sum(F.col("x").cast("decimal(38,0)")).over(fr).alias("s_ib"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .over(fr)
+        .alias("ss_ib"),
+    )
+    pre = carried_predecessors(lagged, offs, _BOLL_N)
+    bstats = pre.groupBy("event_type", "b", "rn").agg(
+        F.count("*").cast("bigint").alias("bc"),
+        F.sum(F.col("xt").cast("decimal(38,0)")).alias("bs"),
+        F.sum(F.col("xt").cast("decimal(38,0)") * F.col("xt")).alias(
+            "bss"
+        ),
+    )
+    z = F.lit(0).cast("decimal(38,0)")
+    return ib.join(
+        F.broadcast(bstats), ["event_type", "b", "rn"], "left"
+    ).select(
+        "event_type",
+        "event_id",
+        "sec",
+        "x",
+        (F.col("cnt_ib") + F.coalesce(F.col("bc"), F.lit(0)))
+        .cast("bigint")
+        .alias("cnt"),
+        (F.col("s_ib") + F.coalesce(F.col("bs"), z))
+        .cast("decimal(38,0)")
+        .alias("s"),
+        (F.col("ss_ib") + F.coalesce(F.col("bss"), z))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+
+
 @query("ts_bollinger_bands", oracle=_BOLL_SQL)
 def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bollinger envelope per series — trailing-{_BOLL_N} mean ±
@@ -4382,10 +4593,17 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single-element frames yield NULL bands (σ undefined), identical
     CASE both sides.
 
-    Plan: one window exchange; three running aggregates share the
-    frame; output is row-proportional like every per-event
-    annotator. O(1) state per row — this is also the shape the
-    streaming twin would keep in [[stream_window_sliding]]'s
+    Plan: SIZE-RESOLVED ([[_boll_moment_rows]], r17 — closing this
+    key's weak flag): below ~1e8 rows, one window exchange with
+    three running aggregates sharing the frame (the measured-faster
+    form at every fixture decade); above it, the bucketed form —
+    (event_type, time-bucket)-partitioned sorts so no single task
+    ever sorts a whole series, with the ≤ N−1 frame rows that cross
+    each bucket boundary repaired exactly through the shared
+    [[rolling.carried_predecessors]] block-keyed fringe join. The
+    resolver changes the plan, never the answer (bit-equality
+    pinned). O(1) state per row either way — this is also the shape
+    the streaming twin would keep in [[stream_window_sliding]]'s
     state store."""
     m = load(spark, sf_dir, "events").select(
         "event_type",
@@ -4393,24 +4611,7 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").alias("sec"),
         F.round(F.col("value") * 1000).cast("bigint").alias("x"),
     )
-    from pyspark.sql.window import Window as W2
-
-    fr = (
-        W2.partitionBy("event_type")
-        .orderBy("sec", "event_id")
-        .rowsBetween(-(_BOLL_N - 1), 0)
-    )
-    w = m.select(
-        "event_type",
-        "event_id",
-        "sec",
-        "x",
-        F.count("*").over(fr).cast("bigint").alias("cnt"),
-        F.sum(F.col("x").cast("decimal(38,0)")).over(fr).alias("s"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
-        .over(fr)
-        .alias("ss"),
-    )
+    w = _boll_moment_rows(m)
     return (
         w.select(
             "event_type",

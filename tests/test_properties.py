@@ -570,3 +570,71 @@ def test_asof_join_random_null_mix(spark, lefts, rights):
             payload = max(p for rs, p in preds if rs == best_ts)
             want[ts(s)] = payload
     assert out == want
+
+
+# ---------------------------------------------------------------------------
+# r17 rolling-frame dual paths — random-input properties
+# ---------------------------------------------------------------------------
+
+_rolling_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3_000_000),  # epoch offset s
+        st.sampled_from(["a", "b"]),  # event_type
+        st.integers(min_value=-5000, max_value=5000),  # milli value
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+@given(_rolling_events, st.sampled_from([60, 3600, 86400]))
+@settings(max_examples=8, deadline=None)
+def test_rolling_bucketed_forms_random_streams(spark, rows, width):
+    """The shared bucketed rolling-frame escape (rolling.py) must be
+    BIT-identical to each key's series form on RANDOM streams —
+    duplicate timestamps (tie-broken by event_id), series shorter
+    than the frame, bucket widths from finer-than-spacing to
+    coarser-than-span, frames spanning several buckets. The fixture
+    tests pin real-data shapes; this pins the algebra itself."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        _boll_moment_rows,
+        _boll_moment_rows_series,
+    )
+    from data_pipeline_spark_spark.operators.windows import (
+        _rollmed_frame,
+        _rollmed_frame_series,
+    )
+
+    data = [
+        (off, 1_000_000 + i, et, mv)
+        for i, (off, et, mv) in enumerate(rows)
+    ]
+    m = spark.createDataFrame(
+        data, "sec long, event_id long, event_type string, x long"
+    ).select("event_type", "event_id", "sec", F.col("x").cast("bigint"))
+
+    a = {
+        (r["event_type"], r["event_id"]): (r["cnt"], r["s"], r["ss"])
+        for r in _boll_moment_rows(
+            m, bucket_sec=width, max_series_rows=0
+        ).collect()
+    }
+    b = {
+        (r["event_type"], r["event_id"]): (r["cnt"], r["s"], r["ss"])
+        for r in _boll_moment_rows_series(m).collect()
+    }
+    assert a == b
+
+    fa = {
+        (r["event_type"], r["event_id"]): r["frame"]
+        for r in _rollmed_frame(
+            m, bucket_sec=width, max_series_rows=0
+        ).collect()
+    }
+    fb = {
+        (r["event_type"], r["event_id"]): r["frame"]
+        for r in _rollmed_frame_series(m).collect()
+    }
+    assert fa == fb

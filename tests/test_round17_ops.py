@@ -111,3 +111,203 @@ def test_multimodal_feature_extract_oracle_sf001(spark):
         SF_ORACLE,
         "multimodal_feature_extract",
     )
+
+
+# ---------------------------------------------------------------------------
+# size-resolved rolling-frame escapes (r16 verdict ask #2): the two
+# flagged weak keys adopt the ACF dual-path template — bit-equality,
+# width-independence, and straddling tests mirror the r16 ACF suite.
+# ---------------------------------------------------------------------------
+
+
+def _events_milli(spark, sf):
+    from data_pipeline_spark_spark.catalog import load
+
+    return load(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.col("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("x"),
+    )
+
+
+def _plan(spark, df):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_bollinger_bucketed_bit_identical(spark):
+    """The bucketed per-row moment form (parallel (type, bucket)
+    sorts + exact carried-predecessor repair) must be BIT-identical
+    to the single-window reference — every moment is the same exact
+    decimal/bigint integer, so equality is ==, no tolerance."""
+    from data_pipeline_spark_spark.operators.analytics import (
+        _boll_moment_rows,
+        _boll_moment_rows_series,
+    )
+
+    for sf in [SF_UNIT, SF_ORACLE]:
+        m = _events_milli(spark, sf)
+        a = {
+            (r["event_type"], r["event_id"]): (r["cnt"], r["s"], r["ss"])
+            for r in _boll_moment_rows(m, max_series_rows=0).collect()
+        }
+        b = {
+            (r["event_type"], r["event_id"]): (r["cnt"], r["s"], r["ss"])
+            for r in _boll_moment_rows_series(m).collect()
+        }
+        assert a == b and len(a) > 0, sf
+
+
+def test_bollinger_bucketed_width_independent(spark):
+    """Bucket width is pure plan shape: 60 s (several boundaries per
+    frame) and 1 day (almost none) both match the reference."""
+    from data_pipeline_spark_spark.operators.analytics import (
+        _boll_moment_rows,
+        _boll_moment_rows_series,
+    )
+
+    m = _events_milli(spark, SF_UNIT)
+    want = {
+        (r["event_type"], r["event_id"]): (r["cnt"], r["s"], r["ss"])
+        for r in _boll_moment_rows_series(m).collect()
+    }
+    for width in (60, 86400):
+        got = {
+            (r["event_type"], r["event_id"]): (r["cnt"], r["s"], r["ss"])
+            for r in _boll_moment_rows(
+                m, bucket_sec=width, max_series_rows=0
+            ).collect()
+        }
+        assert got == want, width
+
+
+def test_bollinger_form_resolver_straddle(spark):
+    """Cutoff pinned AT the fixture row count → series form; one row
+    lower → bucketed form (verified by plan shape: the bucketed
+    plan windows over (event_type, b)); identical outputs either
+    side, so the switch can never change an answer."""
+    from data_pipeline_spark_spark.operators.analytics import (
+        _boll_moment_rows,
+    )
+
+    m = _events_milli(spark, SF_UNIT)
+    n = m.count()
+    series_df = _boll_moment_rows(m, max_series_rows=n)
+    bucket_df = _boll_moment_rows(m, max_series_rows=n - 1)
+    assert ", b#" not in _plan(spark, series_df)
+    assert ", b#" in _plan(spark, bucket_df)
+    a = {
+        (r["event_type"], r["event_id"]): (r["cnt"], r["s"], r["ss"])
+        for r in series_df.collect()
+    }
+    b = {
+        (r["event_type"], r["event_id"]): (r["cnt"], r["s"], r["ss"])
+        for r in bucket_df.collect()
+    }
+    assert a == b
+
+
+def test_rollmed_bucketed_bit_identical_and_width_independent(spark):
+    """Same contract for the rolling-median frame: both forms build
+    the SAME sorted integer multiset per row (the median is not
+    sum-decomposable, but the frame multiset is), at hourly and
+    extreme bucket widths."""
+    from data_pipeline_spark_spark.operators.windows import (
+        _rollmed_frame,
+        _rollmed_frame_series,
+    )
+
+    for sf in [SF_UNIT, SF_ORACLE]:
+        m = _events_milli(spark, sf)
+        want = {
+            (r["event_type"], r["event_id"]): r["frame"]
+            for r in _rollmed_frame_series(m).collect()
+        }
+        arms = [dict(max_series_rows=0)]
+        if sf == SF_UNIT:
+            arms += [
+                dict(max_series_rows=0, bucket_sec=60),
+                dict(max_series_rows=0, bucket_sec=86400),
+            ]
+        for kw in arms:
+            got = {
+                (r["event_type"], r["event_id"]): r["frame"]
+                for r in _rollmed_frame(m, **kw).collect()
+            }
+            assert got == want and len(got) > 0, (sf, kw)
+
+
+def test_cusum_bucketed_bit_identical_and_width_independent(spark):
+    """r16 verdict ask #3: the CUSUM closed form is an associative
+    integer scan, so the bucketed escape applies — per-(user,
+    bucket) local prefix sums/mins plus dim-frame carries, no fringe
+    join. Both arms must agree exactly on every per-user output."""
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        cusum_stats,
+    )
+
+    for sf in [SF_UNIT, SF_ORACLE]:
+        e = load(spark, sf, "events").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        want = {
+            r["user_id"]: r.asDict() for r in cusum_stats(e).collect()
+        }
+        arms = [dict(max_series_rows=0)]
+        if sf == SF_UNIT:
+            arms += [
+                dict(max_series_rows=0, bucket_sec=60),
+                dict(max_series_rows=0, bucket_sec=86400),
+            ]
+        for kw in arms:
+            got = {
+                r["user_id"]: r.asDict()
+                for r in cusum_stats(e, **kw).collect()
+            }
+            assert got == want and len(got) > 0, (sf, kw)
+
+
+def test_cusum_form_resolver_straddle(spark):
+    from data_pipeline_spark_spark.catalog import load
+    from data_pipeline_spark_spark.operators.analytics import (
+        cusum_stats,
+    )
+
+    e = load(spark, SF_UNIT, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    n = e.count()
+    series_df = cusum_stats(e, max_series_rows=n)
+    bucket_df = cusum_stats(e, max_series_rows=n - 1)
+    assert ", b#" not in _plan(spark, series_df)
+    assert ", b#" in _plan(spark, bucket_df)
+    a = {r["user_id"]: r.asDict() for r in series_df.collect()}
+    b = {r["user_id"]: r.asDict() for r in bucket_df.collect()}
+    assert a == b
+
+
+def test_rollmed_form_resolver_straddle(spark):
+    from data_pipeline_spark_spark.operators.windows import (
+        _rollmed_frame,
+    )
+
+    m = _events_milli(spark, SF_UNIT)
+    n = m.count()
+    series_df = _rollmed_frame(m, max_series_rows=n)
+    bucket_df = _rollmed_frame(m, max_series_rows=n - 1)
+    assert ", b#" not in _plan(spark, series_df)
+    assert ", b#" in _plan(spark, bucket_df)
+    a = {
+        (r["event_type"], r["event_id"]): r["frame"]
+        for r in series_df.collect()
+    }
+    b = {
+        (r["event_type"], r["event_id"]): r["frame"]
+        for r in bucket_df.collect()
+    }
+    assert a == b
