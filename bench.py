@@ -149,6 +149,20 @@ HEADLINE = [
     "cohort_rfm_segments",
     "agg_chi_square_indep",
     "abtest_cuped",
+    # r17 promotions (r16 VERDICT ask #5): seven r16 keys graded
+    # green on their first driver row (CORRECTNESS_r16), all
+    # floor-flat on their landing probes (agg_entropy_profile
+    # 0.63 s, cohort_survival_km 0.70, label_fleiss_kappa 0.72,
+    # label_cohens_kappa 0.66, text_readability 0.56, geo_cell_stats
+    # 0.66 post-fix, abtest_two_proportion_z 0.48 at sf0.1 —
+    # SCALE.md round-16); 71 → 78 keys
+    "agg_entropy_profile",
+    "cohort_survival_km",
+    "label_fleiss_kappa",
+    "label_cohens_kappa",
+    "text_readability",
+    "geo_cell_stats",
+    "abtest_two_proportion_z",
 ]
 
 

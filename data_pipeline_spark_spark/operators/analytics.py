@@ -1491,24 +1491,26 @@ def _cusum_s_rows(
     family uses."""
     from pyspark.sql import Window as W
 
-    from .rolling import ROLLING_BUCKET_SEC, SERIES_FORM_MAX_ROWS
+    from .rolling import SERIES_FORM_MAX_ROWS, resolve_bucket_sec
 
     cutoff = (
         max_series_rows
         if max_series_rows is not None
         else SERIES_FORM_MAX_ROWS
     )
-    if x.count() <= cutoff:
+    n = x.count()
+    if n <= cutoff:
         return _cusum_s_rows_series(x)
 
-    width = bucket_sec if bucket_sec is not None else ROLLING_BUCKET_SEC
-    xb = x.withColumn(
-        "b",
-        F.floor(
-            F.col("ts").cast("timestamp_ltz").cast("long")
-            / F.lit(width)
-        ),
+    sec = F.col("ts").cast("timestamp_ltz").cast("long")
+    width = (
+        bucket_sec
+        if bucket_sec is not None
+        else resolve_bucket_sec(
+            x.select(sec.alias("sec"), "user_id"), n, "user_id"
+        )
     )
+    xb = x.withColumn("b", F.floor(sec / F.lit(width)))
     wb = (
         W.partitionBy("user_id", "b")
         .orderBy("ts", "event_id")
@@ -4465,6 +4467,19 @@ _BOLL_SQL = f"""
 """
 
 
+#: Bollinger's own series-form cutoff — MEASURED, unlike the shared
+#: 1e8 conservative floor: the series form's per-row decimal(38,0)
+#: sliding sums in one sort task per event_type go superlinear a
+#: full two decades earlier than the ACF moment fold. Clean
+#: sequential best-of probes (r17, fresh sessions, no co-resident
+#: work): sf0.1 (100k rows) series 2.91 s vs bucketed 7.85 s —
+#: series wins; sf1 (1M rows) series 30.7 s vs bucketed 8.94 s —
+#: bucketed wins 3.4×. 500k splits the bracket; either side of it
+#: both arms are within ~2× of optimal, and the answer is
+#: bit-identical by test whichever arm runs.
+_BOLL_SERIES_MAX_ROWS = 500_000
+
+
 def _boll_moment_rows_series(m: DataFrame) -> DataFrame:
     """Single-window reference form of the per-row frame moments
     (cnt, s, ss): one rolling frame per series — fastest at fixture
@@ -4509,21 +4524,25 @@ def _boll_moment_rows(
     width-independence, and straddling tests in
     tests/test_round17_ops.py, mirroring the ACF suite."""
     from .rolling import (
-        ROLLING_BUCKET_SEC,
-        SERIES_FORM_MAX_ROWS,
         bucketed_positions,
         carried_predecessors,
+        resolve_bucket_sec,
     )
 
     cutoff = (
         max_series_rows
         if max_series_rows is not None
-        else SERIES_FORM_MAX_ROWS
+        else _BOLL_SERIES_MAX_ROWS
     )
-    if m.count() <= cutoff:
+    n = m.count()
+    if n <= cutoff:
         return _boll_moment_rows_series(m)
 
-    width = bucket_sec if bucket_sec is not None else ROLLING_BUCKET_SEC
+    width = (
+        bucket_sec
+        if bucket_sec is not None
+        else resolve_bucket_sec(m, n)
+    )
     lagged, offs = bucketed_positions(m, width)
     from pyspark.sql.window import Window as W2
 

@@ -63,6 +63,47 @@ SERIES_FORM_MAX_ROWS = 100_000_000
 #: so this is pure plan shape — tested at 60 s and 86 400 s.
 ROLLING_BUCKET_SEC = 3600
 
+#: Density target for [[resolve_bucket_sec]]: aim for ~this many
+#: rows per (series, bucket). Sparse buckets are the bucketed form's
+#: one cost cliff — when typical occupancy drops below the frame
+#: width K, EVERY row is fringe (bsz − rn < K), the head/tail frames
+#: approach the whole table, and the repair join dominates (measured
+#: r17: a 300k-row sample spread over the full sf1 time span ran the
+#: hourly-bucket form at ~6× its dense-bucket cost). ~4k rows per
+#: bucket keeps the fringe ≤ ~1% of rows for K ≤ 40 while leaving
+#: thousands of parallel sorts at engagement scale.
+ROLLING_TARGET_BUCKET_ROWS = 4096
+
+
+def resolve_bucket_sec(
+    m: DataFrame,
+    n_rows: int,
+    series_col: str = "event_type",
+    default: int = ROLLING_BUCKET_SEC,
+) -> int:
+    """Resolve the bucket width from the stream's measured time
+    density so a typical (series, bucket) holds
+    ~[[ROLLING_TARGET_BUCKET_ROWS]] rows — never narrower than
+    ``default``. A pure PLAN knob: the repair is width-independent
+    by construction and bit-equality-tested at 60 s and 86 400 s, so
+    this resolver can only change cost, never an answer (the phash
+    lesson, r16). One tiny aggregate over ``m`` — only ever run on
+    the bucketed arm, i.e. above the row-count cutoff where one
+    more metadata pass is noise."""
+    stats = m.agg(
+        F.min("sec").alias("lo"),
+        F.max("sec").alias("hi"),
+        F.countDistinct(series_col).alias("k"),
+    ).first()
+    if stats["lo"] is None:
+        return default
+    span = max(1, int(stats["hi"]) - int(stats["lo"]) + 1)
+    k = max(1, int(stats["k"]))
+    width = (
+        span * k * ROLLING_TARGET_BUCKET_ROWS // max(1, n_rows)
+    ) + 1
+    return max(default, width)
+
 
 def bucketed_positions(
     m: DataFrame, bucket_sec: int = ROLLING_BUCKET_SEC

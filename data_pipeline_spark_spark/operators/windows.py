@@ -354,10 +354,10 @@ def _rollmed_frame(
     construction). Pinned by bit-equality, width-independence, and
     straddling tests in tests/test_round17_ops.py."""
     from .rolling import (
-        ROLLING_BUCKET_SEC,
         SERIES_FORM_MAX_ROWS,
         bucketed_positions,
         carried_predecessors,
+        resolve_bucket_sec,
     )
 
     cutoff = (
@@ -365,10 +365,15 @@ def _rollmed_frame(
         if max_series_rows is not None
         else SERIES_FORM_MAX_ROWS
     )
-    if m.count() <= cutoff:
+    n = m.count()
+    if n <= cutoff:
         return _rollmed_frame_series(m)
 
-    width = bucket_sec if bucket_sec is not None else ROLLING_BUCKET_SEC
+    width = (
+        bucket_sec
+        if bucket_sec is not None
+        else resolve_bucket_sec(m, n)
+    )
     lagged, offs = bucketed_positions(m, width)
     fr = (
         W.partitionBy("event_type", "b")
