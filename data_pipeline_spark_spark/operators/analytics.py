@@ -4467,17 +4467,19 @@ _BOLL_SQL = f"""
 """
 
 
-#: Bollinger's own series-form cutoff — MEASURED, unlike the shared
-#: 1e8 conservative floor: the series form's per-row decimal(38,0)
-#: sliding sums in one sort task per event_type go superlinear a
-#: full two decades earlier than the ACF moment fold. Clean
-#: sequential best-of probes (r17, fresh sessions, no co-resident
-#: work): sf0.1 (100k rows) series 2.91 s vs bucketed 7.85 s —
-#: series wins; sf1 (1M rows) series 30.7 s vs bucketed 8.94 s —
-#: bucketed wins 3.4×. 500k splits the bracket; either side of it
-#: both arms are within ~2× of optimal, and the answer is
-#: bit-identical by test whichever arm runs.
-_BOLL_SERIES_MAX_ROWS = 500_000
+#: Bollinger's series-form cutoff — the shared conservative 1e8
+#: floor, same rationale as ACF and the rolling median. An earlier
+#: r17 probe read "series 30.7 s vs bucketed 8.94 s at 1M" and
+#: briefly set this to a measured 500k — but the verified-clean
+#: re-run (fresh host, zero co-resident JVMs, best-of-3) reversed
+#: it at EVERY decade: 1M series 6.96 s vs bucketed 11.28; 3M
+#: 12.10 vs 25.03; 10M 25.73 vs 37.21 (density-resolved width).
+#: The first probe overlapped a synthetic sweep — the
+#: single-session-contention trap, again. Series wins every
+#: measured decade; the bucketed arm exists for the real hazard
+#: (ONE series beyond a single task's sort capacity), not for
+#: fixture wall time.
+_BOLL_SERIES_MAX_ROWS = 100_000_000
 
 
 def _boll_moment_rows_series(m: DataFrame) -> DataFrame:
@@ -4514,8 +4516,9 @@ def _boll_moment_rows(
     """Per-row exact frame moments, SIZE-RESOLVED (r16 verdict ask
     #2 — this key was one of the two flagged carriers of the
     low-cardinality-series sort hazard after the ACF family got its
-    escape): below [[rolling.SERIES_FORM_MAX_ROWS]] the measured-
-    faster single-window form; above it the bucketed form — the
+    escape): below [[_BOLL_SERIES_MAX_ROWS]] (the shared 1e8
+    conservative floor — see the constant's probe history) the
+    measured-faster single-window form; above it the bucketed form — the
     (type, bucket)-partitioned frame plus an exact boundary repair
     that adds each carried predecessor's (x, x²) into its head
     row's moments. All three moments are exact integers
