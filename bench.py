@@ -383,7 +383,17 @@ class ContentionMeter:
         host external RSS is a few percent (this python + system
         daemons; the JVM is INSIDE the tree), so 20% ≈ a co-resident
         multi-GB process; 15% MemAvailable means the page cache the
-        parquet scans rely on is already squeezed."""
+        parquet scans rely on is already squeezed.
+
+        TODO (r16 verdict ask #8): all of these meters are
+        WINDOW-level — a single-key transient (a co-resident burst
+        that lands inside one key's timing and is gone by the
+        window close, like corpus_pack_apply's one-off 3.9 s spike
+        in r16) is invisible to every one of them. Closing it needs
+        per-key sampling (read /proc/stat + MemAvailable around
+        each timed run, flag keys whose run straddled a spike); not
+        built yet — until then, any single-key cross-round delta
+        still requires the solo/A-B protocol before being believed."""
         if self.mem is None:
             return None
         ext_rss, avail = self.mem
