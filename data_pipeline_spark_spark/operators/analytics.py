@@ -1542,7 +1542,19 @@ def _cusum_s_rows(
     # users × buckets — dim-sized per series but user cardinality
     # grows with the corpus, so it must co-partition, not replicate
     out = loc.join(carries, ["user_id", "b"])
-    p_c = F.col("cb") + F.col("lp")
+    # NULL x_c parity with the series arm (r17 review): the series
+    # running SUM skips NULLs, so a row's p_c is NULL iff its whole
+    # global prefix is NULL-valued — which here is exactly "no
+    # non-NULL in the in-bucket prefix (lp NULL) AND none in any
+    # earlier bucket (gb NULL)". A bare cb + lp would instead go
+    # NULL whenever the IN-BUCKET prefix alone is all-NULL,
+    # diverging from the series form off-fixture. prefmin needs no
+    # guard: min/least skip NULLs, and whenever p_c is non-NULL at
+    # least one of (gb, cb+lm) is non-NULL.
+    p_c = F.when(
+        F.col("lp").isNotNull() | F.col("gb").isNotNull(),
+        F.col("cb") + F.coalesce(F.col("lp"), F.lit(0)),
+    )
     prefmin = F.least(F.col("gb"), F.col("cb") + F.col("lm"))
     return out.select(
         "user_id",
@@ -4467,19 +4479,21 @@ _BOLL_SQL = f"""
 """
 
 
-#: Bollinger's series-form cutoff — the shared conservative 1e8
-#: floor, same rationale as ACF and the rolling median. An earlier
-#: r17 probe read "series 30.7 s vs bucketed 8.94 s at 1M" and
-#: briefly set this to a measured 500k — but the verified-clean
-#: re-run (fresh host, zero co-resident JVMs, best-of-3) reversed
-#: it at EVERY decade: 1M series 6.96 s vs bucketed 11.28; 3M
-#: 12.10 vs 25.03; 10M 25.73 vs 37.21 (density-resolved width).
-#: The first probe overlapped a synthetic sweep — the
-#: single-session-contention trap, again. Series wins every
-#: measured decade; the bucketed arm exists for the real hazard
-#: (ONE series beyond a single task's sort capacity), not for
-#: fixture wall time.
-_BOLL_SERIES_MAX_ROWS = 100_000_000
+# Bollinger's series-form cutoff is the SAME shared conservative
+# 1e8 floor as ACF and the rolling median ([[rolling.
+# SERIES_FORM_MAX_ROWS]], used via the function-local import below
+# like every other consumer, so a future retune can't silently
+# leave this key switching at a different size). Probe history: an
+# earlier r17 probe read "series 30.7 s vs bucketed 8.94 s at 1M"
+# and briefly gave this key its own measured 500k cutoff — but the
+# verified-clean re-run (fresh host, zero co-resident JVMs,
+# best-of-3) reversed it at EVERY decade: 1M series 6.96 s vs
+# bucketed 11.28; 3M 12.10 vs 25.03; 10M 25.73 vs 37.21
+# (density-resolved width). The first probe overlapped a synthetic
+# sweep — the single-session-contention trap, again. Series wins
+# every measured decade; the bucketed arm exists for the real
+# hazard (ONE series beyond a single task's sort capacity), not
+# for fixture wall time.
 
 
 def _boll_moment_rows_series(m: DataFrame) -> DataFrame:
@@ -4516,8 +4530,8 @@ def _boll_moment_rows(
     """Per-row exact frame moments, SIZE-RESOLVED (r16 verdict ask
     #2 — this key was one of the two flagged carriers of the
     low-cardinality-series sort hazard after the ACF family got its
-    escape): below [[_BOLL_SERIES_MAX_ROWS]] (the shared 1e8
-    conservative floor — see the constant's probe history) the
+    escape): below [[rolling.SERIES_FORM_MAX_ROWS]] (the shared
+    1e8 conservative floor — see the probe-history note above) the
     measured-faster single-window form; above it the bucketed form — the
     (type, bucket)-partitioned frame plus an exact boundary repair
     that adds each carried predecessor's (x, x²) into its head
@@ -4527,6 +4541,7 @@ def _boll_moment_rows(
     width-independence, and straddling tests in
     tests/test_round17_ops.py, mirroring the ACF suite."""
     from .rolling import (
+        SERIES_FORM_MAX_ROWS,
         bucketed_positions,
         carried_predecessors,
         resolve_bucket_sec,
@@ -4535,7 +4550,7 @@ def _boll_moment_rows(
     cutoff = (
         max_series_rows
         if max_series_rows is not None
-        else _BOLL_SERIES_MAX_ROWS
+        else SERIES_FORM_MAX_ROWS
     )
     n = m.count()
     if n <= cutoff:
@@ -4586,10 +4601,30 @@ def _boll_moment_rows(
         (F.col("cnt_ib") + F.coalesce(F.col("bc"), F.lit(0)))
         .cast("bigint")
         .alias("cnt"),
-        (F.col("s_ib") + F.coalesce(F.col("bs"), z))
+        # NULL x parity with the series arm (r17 review): the series
+        # SUM over the whole frame skips NULLs and is NULL iff EVERY
+        # frame value is NULL — so each split sum must go NULL only
+        # when BOTH parts are (a bare s_ib + coalesce(bs, 0) would
+        # poison the total whenever the in-bucket part alone is
+        # all-NULL, even with non-NULL carried predecessors).
+        # cnt needs no guard: count(*) is never NULL.
+        F.when(
+            F.col("s_ib").isNull() & F.col("bs").isNull(),
+            F.lit(None),
+        )
+        .otherwise(
+            F.coalesce(F.col("s_ib"), z) + F.coalesce(F.col("bs"), z)
+        )
         .cast("decimal(38,0)")
         .alias("s"),
-        (F.col("ss_ib") + F.coalesce(F.col("bss"), z))
+        F.when(
+            F.col("ss_ib").isNull() & F.col("bss").isNull(),
+            F.lit(None),
+        )
+        .otherwise(
+            F.coalesce(F.col("ss_ib"), z)
+            + F.coalesce(F.col("bss"), z)
+        )
         .cast("decimal(38,0)")
         .alias("ss"),
     )

@@ -59,19 +59,26 @@ def stream_ingest_eeg(
     # source inode, so a CSV still being APPENDED after the listdir
     # snapshot would be ingested half-written through the staged link
     # and checkpoint-marked processed forever — staging closes the
-    # new-file race, not the in-flight-write one. A file whose
-    # (size, mtime) has not been stable for `settle_s` is deferred to
-    # the next run (it is absent from this snapshot entirely, so the
-    # checkpoint never sees it). Producers that move files into
-    # input_dir atomically (the reference's upload→rename pattern)
-    # always pass the guard immediately because a rename preserves
-    # the completed file's mtime. Callers whose producer is known
-    # quiescent (tests, the inventory demo — files fully written
-    # before the call, same thread) pass ``settle_s=0.0``.
+    # new-file race, not the in-flight-write one. Guard (two
+    # observations): a file whose mtime is within ±`settle_s` of now
+    # is deferred to the next run (abs(), so a producer with a
+    # skewed-FORWARD clock defers one cycle instead of forever),
+    # and any file whose (size, mtime) changes between this stat and
+    # a re-stat after the metadata-probe pass below is dropped from
+    # the snapshot (a deferred/dropped file is absent from this
+    # snapshot entirely, so the checkpoint never sees it). Residual,
+    # stated honestly: a producer that stalls for > settle_s AND
+    # writes nothing during the probe pass still slips through —
+    # only the reference's atomic upload→rename pattern fully closes
+    # that; renames preserve the completed file's mtime, so atomic
+    # movers always pass immediately. Callers whose producer is
+    # known quiescent (tests, the inventory demo — files fully
+    # written before the call, same thread) pass ``settle_s=0.0``.
     import time as _time
 
     now = _time.time()
     files = []
+    first_stat = {}
     for f in sorted(os.listdir(input_dir)):
         if not f.endswith(".csv"):
             continue
@@ -79,8 +86,9 @@ def stream_ingest_eeg(
             st = os.stat(os.path.join(input_dir, f))
         except OSError:
             continue  # vanished between listdir and stat
-        if now - st.st_mtime >= settle_s:
+        if abs(now - st.st_mtime) >= settle_s:
             files.append(f)
+            first_stat[f] = (st.st_size, st.st_mtime)
     if not files:
         return 0
     if header is None:
@@ -104,6 +112,26 @@ def stream_ingest_eeg(
                 m.get("TestTime", ""),
             )
         )
+    # Second observation: drop any file whose (size, mtime) moved
+    # while the probes above ran — an active writer observed across
+    # a real I/O interval, not a point-in-time mtime guess. Only
+    # meaningful when the caller asked for settling at all.
+    if settle_s > 0:
+        settled = []
+        for f in files:
+            try:
+                st = os.stat(os.path.join(input_dir, f))
+            except OSError:
+                continue  # vanished mid-probe: defer, not ingest
+            if (st.st_size, st.st_mtime) == first_stat[f]:
+                settled.append(f)
+        if len(settled) != len(files):
+            kept = set(settled)
+            meta_rows = [r for r in meta_rows if r[0] in kept]
+            files = settled
+        if not files:
+            return 0
+
     meta_df = spark.createDataFrame(
         meta_rows,
         "_file string, PatientName string, PatientID string, "

@@ -311,3 +311,141 @@ def test_rollmed_form_resolver_straddle(spark):
         for r in bucket_df.collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# NULL-value arm parity (r17 self-review findings): the running SUM
+# in the series arm SKIPS NULLs, so a bucketed split must never let
+# a NULL part poison the recombined total (NULL + x = NULL). The
+# fixtures carry no NULL measures, so these pins run on a synthetic
+# stream with the three hazard shapes: leading NULLs, an all-NULL
+# series, and whole-bucket NULL runs (bucket_sec=60 makes minute
+# buckets, and rows 0-5 of series "gap" are one all-NULL minute).
+# ---------------------------------------------------------------------------
+
+
+def _null_stream_rows():
+    rows = []
+    # series "lead": two leading NULLs, then values
+    for i, v in enumerate([None, None, 7, -3, None, 5, 2]):
+        rows.append(("lead", i, 10_000 + i, v))
+    # series "gap": a full all-NULL minute bucket, then values
+    for i, v in enumerate([None] * 6 + [4, -9, 1, None, 8]):
+        rows.append(("gap", i, 20_000 + i * 15, v))
+    # series "allnull": every value NULL
+    for i in range(5):
+        rows.append(("allnull", i, 30_000 + i, None))
+    # series "dense": plain values with scattered NULLs
+    for i, v in enumerate([3, None, -2, 6, None, None, 9, -1]):
+        rows.append(("dense", i, 40_000 + i * 40, v))
+    return rows
+
+
+def test_cusum_bucketed_null_parity(spark):
+    """p_c must be NULL iff the whole global prefix is NULL-valued —
+    not whenever the IN-BUCKET prefix alone is (the bare cb + lp
+    would diverge from the series arm on every post-NULL-bucket
+    row). Checked per ROW, both arms, plus the literal recurrence."""
+    from data_pipeline_spark_spark.operators.analytics import (
+        _cusum_s_rows,
+    )
+
+    x = spark.createDataFrame(
+        _null_stream_rows(),
+        "key string, event_id long, t long, x_c long",
+    ).select(
+        F.xxhash64("key").alias("user_id"),
+        F.timestamp_seconds(F.col("t")).alias("ts"),
+        "event_id",
+        "x_c",
+    )
+    series = {
+        (r["user_id"], r["event_id"]): (r["p_c"], r["s_c"])
+        for r in _cusum_s_rows(x, max_series_rows=10**12).collect()
+    }
+    for width in (60, 86400):
+        bucketed = {
+            (r["user_id"], r["event_id"]): (r["p_c"], r["s_c"])
+            for r in _cusum_s_rows(
+                x, max_series_rows=0, bucket_sec=width
+            ).collect()
+        }
+        assert bucketed == series and len(series) > 0, width
+    # literal recurrence differential on one series: p_c follows the
+    # NULL-skipping running sum, s_c = p - min(0, running-min of p)
+    vals = [None, None, 7, -3, None, 5, 2]
+    run, seen, want = 0, False, []
+    mins = []
+    for v in vals:
+        if v is not None:
+            run, seen = run + v, True
+        if seen:
+            mins.append(run)
+            want.append((run, run - min(min(mins), 0)))
+        else:
+            want.append((None, None))
+    import pyspark.sql.functions as SF
+
+    lead_uid = (
+        spark.range(1).select(SF.xxhash64(SF.lit("lead"))).first()[0]
+    )
+    got = [series[(lead_uid, i)] for i in range(len(vals))]
+    assert got == want
+
+
+def test_bollinger_bucketed_null_parity(spark):
+    """Frame sums must be NULL iff EVERY frame value is NULL — the
+    split sum recombination may not poison a non-NULL carried part
+    with a NULL in-bucket part (or vice versa)."""
+    from data_pipeline_spark_spark.operators.analytics import (
+        _boll_moment_rows,
+        _boll_moment_rows_series,
+    )
+
+    m = spark.createDataFrame(
+        _null_stream_rows(),
+        "event_type string, i long, sec long, x long",
+    ).select(
+        "event_type",
+        F.col("i").alias("event_id"),
+        "sec",
+        "x",
+    )
+    want = {
+        (r["event_type"], r["event_id"]): (r["cnt"], r["s"], r["ss"])
+        for r in _boll_moment_rows_series(m).collect()
+    }
+    for width in (60, 86400):
+        got = {
+            (r["event_type"], r["event_id"]): (r["cnt"], r["s"], r["ss"])
+            for r in _boll_moment_rows(
+                m, max_series_rows=0, bucket_sec=width
+            ).collect()
+        }
+        assert got == want and len(want) > 0, width
+
+
+def test_rollmed_bucketed_null_parity(spark):
+    """The median frame multiset drops NULLs via collect_list on
+    BOTH arms — pin that symmetry on the same NULL stream."""
+    from data_pipeline_spark_spark.operators.windows import (
+        _rollmed_frame,
+    )
+
+    m = spark.createDataFrame(
+        _null_stream_rows(),
+        "event_type string, i long, sec long, x long",
+    ).select(
+        "event_type", F.col("i").alias("event_id"), "sec", "x"
+    )
+    want = {
+        (r["event_type"], r["event_id"]): r["frame"]
+        for r in _rollmed_frame(m, max_series_rows=10**12).collect()
+    }
+    got = {
+        (r["event_type"], r["event_id"]): r["frame"]
+        for r in _rollmed_frame(
+            m, max_series_rows=0, bucket_sec=60
+        ).collect()
+    }
+    assert got == want and len(want) > 0
