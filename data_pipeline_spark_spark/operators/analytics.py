@@ -2979,13 +2979,20 @@ def _acf_moment_frame(
     bnd_aggs = []
     for k in range(1, K + 1):
         isk = F.col("k") == k
+        # NULL-measure parity with the series aggs (r17 hazard class
+        # 11): st{k} sums x only WHERE l_k IS NOT NULL and cnt{k} is
+        # count(l_k) — so the boundary twins must gate on the
+        # PREDECESSOR value (xt) being non-NULL, exactly as the lag
+        # column would be. bxy/bh need no gate: the product and the
+        # bare xt sum already skip NULLs identically.
+        has_pred = isk & F.col("xt").isNotNull()
         bnd_aggs += [
             wide_sum(F.when(isk, F.col("xh")), F.col("xt")).alias(
                 f"bxy{k}"
             ),
             wide_sum(F.when(isk, F.col("xt"))).alias(f"bh{k}"),
-            wide_sum(F.when(isk, F.col("xh"))).alias(f"bt{k}"),
-            F.count(F.when(isk, F.lit(1))).cast("bigint").alias(
+            wide_sum(F.when(has_pred, F.col("xh"))).alias(f"bt{k}"),
+            F.count(F.when(has_pred, F.lit(1))).cast("bigint").alias(
                 f"bc{k}"
             ),
         ]
@@ -2999,28 +3006,30 @@ def _acf_moment_frame(
     for k in range(1, K + 1):
         # either side may be NULL alone (a type with no in-bucket
         # lag-k pair at sparse SFs, or no boundary pair): coalesce
-        # BOTH, but keep the reference's no-pairs-at-all → NULL
-        # contract via the combined count
-        total = (
-            F.col(f"cnt{k}") + F.coalesce(F.col(f"bc{k}"), F.lit(0))
-        ).cast("bigint")
+        # BOTH, with each sum NULL iff BOTH parts are NULL — the
+        # series SUM skips NULLs, so with NULL measures a positive
+        # pair COUNT does not imply a non-NULL sum (hazard class 11,
+        # r17: the old `combined count > 0` guard coalesced an
+        # all-NULL-product sxy to 0 where the series arm says NULL).
+        # On a NULL-free stream the two guards are equivalent.
+        def _both(a: str, bcol: str):
+            return F.when(
+                F.col(a).isNull() & F.col(bcol).isNull(),
+                F.lit(None),
+            ).otherwise(
+                F.coalesce(F.col(a), z) + F.coalesce(F.col(bcol), z)
+            )
+
         exprs += [
-            F.when(
-                total > 0,
-                F.coalesce(F.col(f"sxy{k}"), z)
-                + F.coalesce(F.col(f"bxy{k}"), z),
-            ).alias(f"sxy{k}"),
-            F.when(
-                total > 0,
-                F.coalesce(F.col(f"sh{k}"), z)
-                + F.coalesce(F.col(f"bh{k}"), z),
-            ).alias(f"sh{k}"),
-            F.when(
-                total > 0,
-                F.coalesce(F.col(f"st{k}"), z)
-                + F.coalesce(F.col(f"bt{k}"), z),
-            ).alias(f"st{k}"),
-            total.alias(f"cnt{k}"),
+            _both(f"sxy{k}", f"bxy{k}").alias(f"sxy{k}"),
+            _both(f"sh{k}", f"bh{k}").alias(f"sh{k}"),
+            _both(f"st{k}", f"bt{k}").alias(f"st{k}"),
+            (
+                F.col(f"cnt{k}")
+                + F.coalesce(F.col(f"bc{k}"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias(f"cnt{k}"),
         ]
     return merged.select(*exprs)
 

@@ -423,7 +423,13 @@ _acf_events = st.lists(
         st.integers(min_value=0, max_value=3_000_000),  # epoch offset s
         st.integers(min_value=1, max_value=5),  # event_id
         st.sampled_from(["a", "b"]),  # event_type
-        st.integers(min_value=-5000, max_value=5000),  # milli value
+        # milli value, or a NULL measure (hazard class 11, r17:
+        # split-and-recombine must preserve NULL-skipping sums —
+        # fixtures are NULL-free so only synthetic streams pin it)
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-5000, max_value=5000),
+        ),
     ),
     min_size=2,
     max_size=40,
@@ -452,7 +458,7 @@ def test_acf_bucketed_frame_random_streams(spark, rows, width):
             t0 + datetime.timedelta(seconds=off),
             1_000_000 + i,  # unique event ids
             et,
-            mv / 1000.0,
+            None if mv is None else mv / 1000.0,
         )
         for i, (off, _eid, et, mv) in enumerate(rows)
     ]
