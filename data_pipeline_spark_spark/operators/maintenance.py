@@ -284,9 +284,18 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "ship_year",
         (F.coalesce("n_h", zero) + F.coalesce("n_d", zero)).alias("n_items"),
-        (F.coalesce("rev_h", zero) + F.coalesce("rev_d", zero)).alias(
-            "revenue_c"
-        ),
+        # NULL-iff-both-NULL (hazard class 11): a full recompute's
+        # SUM is NULL when every measure in the group is NULL; the
+        # merged form must not turn that into 0 (a side being absent
+        # from the outer join and a side present with an all-NULL
+        # measure both surface here as NULL). Non-nullable on the
+        # TPC-H fixture; guarded for parity off-fixture.
+        F.when(
+            F.col("rev_h").isNull() & F.col("rev_d").isNull(),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(F.coalesce("rev_h", zero) + F.coalesce("rev_d", zero))
+        .alias("revenue_c"),
     )
 
 
@@ -547,9 +556,16 @@ def mv_join_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_b", zero) + F.coalesce("n_d", zero)).alias(
                 "n_items"
             ),
-            (
+            # NULL-iff-both-NULL merge, same rationale as
+            # [[mv_incremental_refresh]] (hazard class 11)
+            F.when(
+                F.col("rev_b").isNull() & F.col("rev_d").isNull(),
+                F.lit(None).cast("bigint"),
+            )
+            .otherwise(
                 F.coalesce("rev_b", zero) + F.coalesce("rev_d", zero)
-            ).alias("revenue_c"),
+            )
+            .alias("revenue_c"),
         )
     )
 
