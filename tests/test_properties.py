@@ -644,3 +644,90 @@ def test_rolling_bucketed_forms_random_streams(spark, rows, width):
         for r in _rollmed_frame_series(m).collect()
     }
     assert fa == fb
+
+
+_rolling_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=300_000),  # epoch offset s
+        st.sampled_from(["a", "b"]),  # series key
+        # milli value or NULL measure (hazard class 11)
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-5000, max_value=5000),
+        ),
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(_rolling_events, st.sampled_from([60, 3600, 86400]))
+@settings(max_examples=8, deadline=None)
+def test_rolling_duals_random_null_streams(spark, rows, width):
+    """The r17 dual paths (bollinger moments, median frames, CUSUM
+    scan) must be BIT-identical to their series forms on RANDOM
+    streams WITH NULL measures — the shape class that caught the
+    ACF boundary repair's NULL defects (class 11: aggregate sums
+    skip NULLs, `+` recombination does not). Arbitrary spacing,
+    duplicate timestamps, all-NULL prefixes/series included by
+    generation."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_spark.operators.analytics import (
+        _boll_moment_rows,
+        _boll_moment_rows_series,
+        _cusum_s_rows,
+        _cusum_s_rows_series,
+    )
+    from data_pipeline_spark_spark.operators.windows import (
+        _rollmed_frame,
+    )
+
+    data = [
+        (et, i, off, mv) for i, (off, et, mv) in enumerate(rows)
+    ]
+    m = spark.createDataFrame(
+        data, "event_type string, event_id long, sec long, x long"
+    )
+    key = lambda r: (r["event_type"], r["event_id"])  # noqa: E731
+
+    a = {
+        key(r): (r["cnt"], r["s"], r["ss"])
+        for r in _boll_moment_rows(
+            m, max_series_rows=0, bucket_sec=width
+        ).collect()
+    }
+    b = {
+        key(r): (r["cnt"], r["s"], r["ss"])
+        for r in _boll_moment_rows_series(m).collect()
+    }
+    assert a == b
+
+    a = {
+        key(r): r["frame"]
+        for r in _rollmed_frame(
+            m, max_series_rows=0, bucket_sec=width
+        ).collect()
+    }
+    b = {
+        key(r): r["frame"] for r in _rollmed_frame(m, 10**9).collect()
+    }
+    assert a == b
+
+    x = m.select(
+        F.xxhash64("event_type").alias("user_id"),
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+        "event_id",
+        F.col("x").alias("x_c"),
+    )
+    a = {
+        (r["user_id"], r["event_id"]): (r["p_c"], r["s_c"])
+        for r in _cusum_s_rows(
+            x, max_series_rows=0, bucket_sec=width
+        ).collect()
+    }
+    b = {
+        (r["user_id"], r["event_id"]): (r["p_c"], r["s_c"])
+        for r in _cusum_s_rows_series(x).collect()
+    }
+    assert a == b
