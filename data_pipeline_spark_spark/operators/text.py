@@ -558,6 +558,19 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term columns, not a row aggregate), so the only cross-engine
     wobble is ln()'s ≤1 ulp, absorbed by ROUND(..., 6). The integer
     tf filter (not the float score) decides membership."""
+    return _bm25_parts(spark, sf_dir)[2]
+
+
+def _bm25_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(per_doc, stats, scored) — the BM25 pass shared by
+    [[keyword_search_bm25]] and [[retrieval_prf_expand]]'s pass one.
+    One construction site so the two queries build byte-identical
+    subtrees: when PRF embeds both the pass-one ranking and its own
+    corpus-stats crossJoin in a single plan, Spark's ReuseExchange
+    dedupes the broadcast stats build instead of aggregating the
+    corpus twice (r17 optimization, guide §2.4)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
 
@@ -600,12 +613,13 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     for w in _BM25_TERMS[1:]:
         score = score + term_score(w)
     tf_any = sum((F.col(f"tf_{w}") for w in _BM25_TERMS), F.lit(0))
-    return j.filter(tf_any > 0).select(
+    scored = j.filter(tf_any > 0).select(
         "doc_id",
         *[f"tf_{w}" for w in _BM25_TERMS],
         F.col("dl").cast("bigint").alias("dl"),
         F.round(score, 6).alias("score"),
     )
+    return per_doc, stats, scored
 
 
 # ---------------------------------------------------------------------------
@@ -721,14 +735,26 @@ def retrieval_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     not corpus-sized (the inverted-index shape, same as BM25 at
     100 TB)."""
     d = load(spark, sf_dir, "documents")
-    base = keyword_search_bm25(spark, sf_dir)
+    # pass one via the shared construction site: `stats` is the SAME
+    # subtree `base` broadcasts internally, so ReuseExchange dedupes
+    # the corpus-stats build (previously a second full scan + agg +
+    # broadcast just for n_docs/sum_dl; r17 optimization). sum_dl is
+    # a double sum of integer dl values — exact below 2^53 tokens,
+    # bit-identical to the integer sum the oracle takes.
+    _, stats, base = _bm25_parts(spark, sf_dir)
     top = (
         base.orderBy(F.col("score").desc(), "doc_id")
         .limit(_PRF_R)
         .select("doc_id")
     )
+    # dl rides the token stream (constant per doc), replacing the
+    # separate dls projection + doc_id join after the tf rollup —
+    # one join fewer in the scoring path (r17 optimization); it is
+    # pruned before the mining exchange, which groups by term only
     toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
     )
     rel = (
         toks.join(F.broadcast(top), "doc_id")
@@ -745,27 +771,18 @@ def retrieval_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(w) for w in _BM25_TERMS])
     ).alias("term")
     qterms = exp2.unionByName(d.sparkSession.range(1).select(statics))
-    dls = d.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("double").alias("dl"),
-    )
-    stats = d.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("sum_dl"),
-    )
     tf = (
         toks.join(F.broadcast(qterms), "term")
         .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("bigint").alias("tf"))
+        .agg(
+            F.count("*").cast("bigint").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
     )
     dfs = tf.groupBy("term").agg(
         F.count("*").cast("double").alias("df")
     )
-    j = (
-        tf.join(F.broadcast(dfs), "term")
-        .join(dls, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
+    j = tf.join(F.broadcast(dfs), "term").crossJoin(F.broadcast(stats))
     n = F.col("n_docs").cast("double")
     idf = F.log(
         F.lit(1) + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -1769,17 +1786,24 @@ def unigram_segment_of(d: DataFrame) -> DataFrame:
         .limit(_UNI_TOPK)
     )
     voc0 = singles.unionByName(multis)
-    tot = voc0.agg(F.sum("c").cast("bigint").alias("t"))
-    voc = voc0.crossJoin(F.broadcast(tot)).select(
-        "piece",
-        (
-            F.lit(32) * (micro_ln(F.col("c")) - micro_ln(F.col("t")))
-            - F.lit(1)
-        ).alias("aw"),
-    )
-    vmap = voc.agg(
+    # ONE aggregation builds both the piece→count map and the total
+    # (previously a separate tot agg + broadcast fed a per-row aw
+    # projection and a second agg+broadcast for the map — two extra
+    # serial jobs; r17 optimization, guide §2.4); the per-piece
+    # log-weight aw = 32·(ln(c)−ln(t))·1e6 − 1 is then computed by
+    # transform_values over the map — same micro_ln on the same
+    # integers, so every aw is bit-identical to the join form
+    vmap = voc0.agg(
         F.map_from_entries(
-            F.collect_list(F.struct("piece", "aw"))
+            F.collect_list(F.struct("piece", "c"))
+        ).alias("cmap"),
+        F.sum("c").cast("bigint").alias("t"),
+    ).select(
+        F.transform_values(
+            "cmap",
+            lambda _, v: F.lit(32)
+            * (micro_ln(v) - micro_ln(F.col("t")))
+            - F.lit(1),
         ).alias("vmap")
     )
     seg = words.filter(F.length("word") <= _UNI_MAXW).crossJoin(
@@ -1806,12 +1830,14 @@ def unigram_segment_of(d: DataFrame) -> DataFrame:
         *[F.col(f"b{i}") for i in range(_UNI_MAXW, 0, -1)]
     )
     np_ = (-best) % F.lit(32)
+    # single consumer (the broadcast build below) — a checkpoint here
+    # only added a materialization job (r17 optimization)
     rep = seg.select(
         "word",
         "cnt",
         np_.cast("bigint").alias("np"),
         ((best + np_) / F.lit(32)).cast("bigint").alias("score6"),
-    ).localCheckpoint(eager=False)
+    )
     tok = (
         d.select(
             "lang", F.explode(F.split("text", " ")).alias("word")
@@ -1898,18 +1924,18 @@ def bigram_perplexity_of(docs: DataFrame) -> DataFrame:
         .agg(F.countDistinct("term").alias("vsz"))
     )
     # ONE corpus-proportional bigram-count shuffle builds the model;
-    # the lazy checkpoint lets both the context totals and the lp6
-    # table read it back at model size instead of re-running the
-    # corpus scan + count exchange (the unigram key's r8 review
-    # finding, same treatment)
-    bc = (
-        big.groupBy("w1", "w2")
-        .agg(F.count("*").alias("c12"))
-        .localCheckpoint(eager=False)
-    )
-    cc = bc.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    # the context totals c1 = Σc12 per w1 ride a window sum over the
+    # model-sized count table (one exchange by w1, partitions bounded
+    # by vocab — bigram TYPES, not occurrences) instead of a separate
+    # groupBy + join-back, which cost an extra aggregate job, a
+    # broadcast build, and a lazy checkpoint to share the counts
+    # between the two consumers (r17 optimization; guide §2.4)
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     lp = (
-        bc.join(cc, "w1")
+        bc.withColumn(
+            "c1",
+            F.sum("c12").over(W.partitionBy("w1")).cast("bigint"),
+        )
         .crossJoin(F.broadcast(vsz))
         .select(
             "w1",

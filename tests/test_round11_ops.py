@@ -635,7 +635,10 @@ def test_bigram_perplexity_plan_shape(spark, sf_dir):
     doc-ordered tokens, no doc-keyed sort, nothing in Python; the
     model joins back as broadcasts (no corpus-sized shuffle join at
     fixture scale) and the only cartesian is the 1-row vocab-size
-    broadcast."""
+    broadcast. The one allowed Window is the r17 context-total sum
+    over the MODEL-sized bigram count table, partitioned by w1
+    (bigram TYPES, vocab-bounded) — never by doc_id over the
+    corpus-proportional token stream."""
     from data_pipeline_spark_spark.operators.text import (
         quality_bigram_perplexity,
     )
@@ -643,9 +646,18 @@ def test_bigram_perplexity_plan_shape(spark, sf_dir):
 
     plan = formatted_plan(quality_bigram_perplexity(spark, sf_dir))
     assert "EvalPython" not in plan
-    assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,)]+)", plan)
+    assert specs, "expected the w1-partitioned context-total window"
+    for spec in specs:
+        assert spec.startswith("w1#"), (
+            f"window partitioned by {spec!r} — the context-total "
+            "window must partition by w1 (model-sized), never the "
+            "doc-keyed token stream"
+        )
 
 
 def test_bigram_perplexity_contract(spark, sf_dir):
