@@ -49,9 +49,11 @@ def _exclusive_token_offsets(spark, d: DataFrame):
     ``ORDER BY`` window would serialize the whole corpus through one
     task; instead this is the textbook scan-parallel form:
     range-partition by doc_id → per-partition exclusive cumsum → fold
-    the P per-partition subtotals into global offsets on the driver
-    (O(partitions) rows, never O(docs)) → broadcast the offsets back
-    onto the partitions. Keep ``d`` SLIM (doc_id + n_tok only): both
+    the P per-partition subtotals into global offsets via an
+    unpartitioned window over the O(partitions)-row subtotal frame
+    (one task over P rows, never O(docs); in-plan since r17 — the
+    driver collect round trip it replaces was a data step in a query
+    path) → broadcast the offsets back onto the partitions. Keep ``d`` SLIM (doc_id + n_tok only): both
     the range exchange and the window's pid re-clustering move every
     row of ``d`` — payload columns would ride both exchanges, which
     is why [[corpus_pack_apply]] joins the returned offsets back onto
@@ -81,17 +83,24 @@ def _exclusive_token_offsets(spark, d: DataFrame):
         local = t.withColumn(
             "local_off", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0))
         )
-        subtotals = (
+        # fold the P per-partition subtotals into exclusive global
+        # offsets INSIDE the plan: an unpartitioned window over the
+        # O(partitions)-row subtotal frame (single task over P rows —
+        # exactly the O(P) work the driver fold did, minus the
+        # collect + createDataFrame JVM→driver→JVM round trip, which
+        # also kept a driver-side data step in a query path; r17
+        # optimization, guide §5)
+        w_pid = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+        off_df = (
             t.groupBy("pid")
             .agg(F.sum("n_tok").alias("tot"))
-            .orderBy("pid")
-            .collect()
+            .select(
+                "pid",
+                F.coalesce(F.sum("tot").over(w_pid), F.lit(0))
+                .cast("long")
+                .alias("glob_off"),
+            )
         )
-        offsets, acc = [], 0
-        for r in subtotals:
-            offsets.append((r["pid"], acc))
-            acc += r["tot"]
-        off_df = spark.createDataFrame(offsets, "pid int, glob_off long")
         out = local.join(F.broadcast(off_df), "pid").select(
             "doc_id",
             "n_tok",
