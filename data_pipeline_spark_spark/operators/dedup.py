@@ -1607,17 +1607,34 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("seed_id"), F.col("emb").alias("semb"))
     )
     cs = F.round(cosine(F.col("emb"), F.col("semb")), 6)
-    rn_assign = F.row_number().over(
-        W.partitionBy("vec_id").orderBy(
-            F.col("cs").desc(), F.col("seed_id").asc()
+    # argmax as ONE aggregation instead of a rank window (r17, guide
+    # §2.3): the window form shuffled the full K-way fan-out — K rows
+    # PER VECTOR, each dragging the 64-dim embedding — through a
+    # vec_id exchange plus a sort; max(struct) partial-aggregates
+    # map-side, so the exchange carries one struct per vector (K×
+    # fewer bytes) and needs no sort. Ordering is identical: struct
+    # max realizes (cs DESC, seed_id ASC) via the negated-seed field
+    # (cs is the same ROUND(cos, 6); NaN sorts greatest in both
+    # forms; seed_id is unique per group so the embedding field is
+    # never compared).
+    best = F.max(
+        F.struct(
+            F.col("cs").alias("cs"),
+            (-F.col("seed_id")).alias("nseed"),
+            F.col("seed_id").alias("seed_id"),
+            F.col("emb").alias("emb"),
         )
     )
     assign = (
         e.crossJoin(F.broadcast(seeds))
         .select("vec_id", "seed_id", "emb", cs.alias("cs"))
-        .withColumn("rn", rn_assign)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "seed_id", "emb")
+        .groupBy("vec_id")
+        .agg(best.alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.seed_id").alias("seed_id"),
+            F.col("b.emb").alias("emb"),
+        )
     )
 
     def _round_half_away(x, d: int):

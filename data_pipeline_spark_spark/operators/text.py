@@ -980,17 +980,26 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = vocab_cnt.select("term", micro_ln("cnt").alias("lp6"))
     tot = vocab_cnt.agg(micro_ln(F.sum("cnt")).alias("ln_total6"))
-    scored = toks.join(F.broadcast(vocab), "term").crossJoin(
-        F.broadcast(tot)
-    )
-    return scored.groupBy("doc_id", "ln_total6").agg(
+    # the 1-row total attaches AFTER the per-doc rollup (doc-count
+    # rows, not token-count rows) — previously it rode every token
+    # row and its broadcast was a second serial build before the
+    # corpus scan could start (r17 optimization, guide §2.3/§2.4)
+    scored = toks.join(F.broadcast(vocab), "term")
+    per_doc = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.sum("lp6").cast("bigint").alias("sum_lp6"),
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_lp6",
         (
-            (F.sum("lp6") - F.count("*") * F.first("ln_total6")).cast("double")
-            / (F.lit(1000000.0) * F.count("*"))
+            (
+                F.col("sum_lp6") - F.col("n_tokens") * F.col("ln_total6")
+            ).cast("double")
+            / (F.lit(1000000.0) * F.col("n_tokens"))
         ).alias("mean_logprob"),
-    ).drop("ln_total6")
+    )
 
 
 _DECILE_SQL = f"""
