@@ -1066,9 +1066,22 @@ def sole_late_supplier_counts(item: DataFrame) -> DataFrame:
     exactly COUNT(*) of the classic EXISTS / NOT EXISTS form.
     Module-level so the hypothesis differential test runs the SAME
     aggregation against a brute-force subquery evaluation."""
-    per_pair = item.groupBy(
-        "l_orderkey", "l_suppkey", "o_orderstatus"
-    ).agg(F.sum("late").alias("n_late_s"))
+    # ONE order-keyed exchange for both aggregations (r17, guide
+    # §2.4): with orders auto-broadcast, the fact stream reaches the
+    # first groupBy scan-partitioned, so Spark inserted a (l_orderkey,
+    # l_suppkey, o_orderstatus) exchange AND a second (l_orderkey,
+    # o_orderstatus) exchange — the subset-clustering reuse the
+    # docstring claims never fired. Hash-partitioning by l_orderkey
+    # alone satisfies BOTH groupBys (partitioning keys ⊆ group keys
+    # co-locates every group), so the order-level re-exchange
+    # disappears; the lost map-side combine is ~nothing (lineitem has
+    # single-digit rows per (order, supplier)). Values unchanged —
+    # same groups, same sums.
+    per_pair = (
+        item.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey", "o_orderstatus")
+        .agg(F.sum("late").alias("n_late_s"))
+    )
     return (
         per_pair.groupBy("l_orderkey", "o_orderstatus")
         .agg(
