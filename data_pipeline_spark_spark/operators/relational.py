@@ -1821,49 +1821,75 @@ def agg_chi_square_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost; marginals, the 25-cell cross join, and the sorted fold run
     on report-sized frames. dof and Cramér's V are shared expression
     strings over the fold outputs."""
-    cells = seg_pri_cells(spark, sf_dir)
-    rt = cells.groupBy("seg").agg(F.sum("c").cast("bigint").alias("r"))
-    ct = cells.groupBy("pri").agg(F.sum("c").cast("bigint").alias("cc"))
-    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    # single-pass fold (r17, guide §2.4): the branch form computed
+    # row totals, column totals, the grand total, the 25-cell term
+    # join, the sorted fold, and the dims frame as SIX separate
+    # aggregation branches over the checkpointed cell frame — each
+    # an exchange and/or broadcast build (19 Spark jobs for a 25-row
+    # post-scan problem, i.e. 19 global barriers at scale). The cell
+    # frame now folds to ONE row (collect_list) and every marginal,
+    # zero-included term, and the sorted float fold run as
+    # higher-order expressions over the ≤|X|·|Y| in-row array —
+    # interpreted, but over 25 elements. Every arithmetic step is
+    # textually the same expression tree (decimal(38,0) widening,
+    # coalesce-0 for empty cells, array_sort before the float fold),
+    # so chi2 and every count are bit-identical to the branch form.
+    cells = seg_pri_cells(spark, sf_dir, checkpoint=False)
+    # r_s / cc_p / c_sp as in-row lookups over the collected cells;
+    # 25×25 rescans of a 25-element array are report-sized work
+    r_s = (
+        "aggregate(filter(cl, x -> x.seg = s), CAST(0 AS BIGINT),"
+        " (a, x) -> a + x.c)"
+    )
+    cc_p = (
+        "aggregate(filter(cl, x -> x.pri = p), CAST(0 AS BIGINT),"
+        " (a, x) -> a + x.c)"
+    )
+    c_sp = (
+        "aggregate(filter(cl, x -> x.seg = s AND x.pri = p),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x.c)"
+    )
     num = (
-        F.col("n").cast("decimal(38,0)") * F.coalesce(F.col("c"), F.lit(0))
-        - F.col("r").cast("decimal(38,0)") * F.col("cc")
+        f"(CAST(n AS DECIMAL(38,0)) * coalesce({c_sp}, CAST(0 AS BIGINT))"
+        f" - CAST({r_s} AS DECIMAL(38,0)) * {cc_p})"
     )
-    terms = (
-        rt.crossJoin(ct)
-        .crossJoin(F.broadcast(tot))
-        .join(cells, ["seg", "pri"], "left")
+    term = (
+        f"CAST({num} * {num} AS DOUBLE)"
+        f" / CAST(CAST(n AS DECIMAL(38,0)) * {r_s} * {cc_p} AS DOUBLE)"
+    )
+    chi2 = (
+        "aggregate(array_sort(flatten(transform(segs, s ->"
+        f" transform(pris, p -> {term})))),"
+        " CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    folded = (
+        cells.agg(F.collect_list(F.struct("seg", "pri", "c")).alias("cl"))
+        .select(
+            F.expr(
+                "aggregate(cl, CAST(0 AS BIGINT), (a, x) -> a + x.c)"
+            ).alias("n"),
+            F.expr("array_distinct(transform(cl, x -> x.seg))").alias(
+                "segs"
+            ),
+            F.expr("array_distinct(transform(cl, x -> x.pri))").alias(
+                "pris"
+            ),
+            "cl",
+        )
         .select(
             "n",
-            (
-                (num * num).cast("double")
-                / (
-                    F.col("n").cast("decimal(38,0)")
-                    * F.col("r")
-                    * F.col("cc")
-                ).cast("double")
-            ).alias("term")
+            F.expr("CAST(size(segs) AS BIGINT)").alias("n_rows"),
+            F.expr("CAST(size(pris) AS BIGINT)").alias("n_cols"),
+            F.expr(chi2).alias("chi2"),
         )
     )
-    folded = terms.groupBy("n").agg(
-        F.expr(
-            "aggregate(array_sort(collect_list(term)),"
-            " CAST(0 AS DOUBLE), (a, b) -> a + b)"
-        ).alias("chi2"),
-    )
-    dims = rt.agg(
-        F.count("*").cast("bigint").alias("n_rows")
-    ).crossJoin(ct.agg(F.count("*").cast("bigint").alias("n_cols")))
-    return (
-        folded.crossJoin(F.broadcast(dims))
-        .select(
-            "n",
-            "n_rows",
-            "n_cols",
-            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
-            "chi2",
-            F.expr(_CHI2_V_EXPR).alias("cramers_v"),
-        )
+    return folded.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+        "chi2",
+        F.expr(_CHI2_V_EXPR).alias("cramers_v"),
     )
 
 
@@ -2155,60 +2181,75 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤|X|·|Y| cell frame (25 rows), folded to ONE report row. The
     single data-proportional cost is the first groupBy's
     map-combined exchange — unchanged at 100 TB."""
-    cells = seg_pri_cells(spark, sf_dir)
-    rt = cells.groupBy("seg").agg(
-        F.sum("c").cast("bigint").alias("r")
+    # single-pass fold (r17, guide §2.4 — the chi-square device):
+    # the branch form ran row totals, column totals, grand total,
+    # the term join, and two marginal-entropy aggregates as separate
+    # branches over the checkpointed cell frame. The ≤|X|·|Y| cell
+    # frame folds to ONE row and every sum runs as a higher-order
+    # expression over the in-row array, with the micro_ln/wide_sum
+    # arithmetic textually identical (round(ln·1e6) per distinct
+    # integer, DECIMAL(38,0) widening before the product) — so smi,
+    # sx, sy and all four outputs are bit-identical to the branch
+    # form. Observed cells only, exactly as before (empty cells
+    # contribute 0 to MI).
+    cells = seg_pri_cells(spark, sf_dir, checkpoint=False)
+    mln = "CAST(round(ln({v}) * 1000000, 0) AS BIGINT)"
+    r_of = (
+        "aggregate(filter(cl, y -> y.seg = x.seg), CAST(0 AS BIGINT),"
+        " (a, y) -> a + y.c)"
     )
-    ct = cells.groupBy("pri").agg(
-        F.sum("c").cast("bigint").alias("cc")
+    cc_of = (
+        "aggregate(filter(cl, y -> y.pri = x.pri), CAST(0 AS BIGINT),"
+        " (a, y) -> a + y.c)"
     )
-    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
     smi = (
-        cells.join(rt, "seg")
-        .join(ct, "pri")
-        .crossJoin(F.broadcast(tot))
-        .agg(
-            wide_sum(
-                F.col("c"),
-                micro_ln(F.col("c"))
-                + micro_ln(F.col("n"))
-                - micro_ln(F.col("r"))
-                - micro_ln(F.col("cc")),
-            ).alias("smi")
-        )
+        "aggregate(cl, CAST(0 AS DECIMAL(38,0)), (a, x) ->"
+        " a + CAST(x.c AS DECIMAL(38,0)) * ("
+        f"{mln.format(v='x.c')} + {mln.format(v='n')}"
+        f" - {mln.format(v=r_of)} - {mln.format(v=cc_of)}))"
     )
-    sx = (
-        rt.crossJoin(F.broadcast(tot))
-        .groupBy("n")
-        .agg(
-            (
-                F.col("n").cast("decimal(38,0)")
-                * micro_ln(F.col("n"))
-                - wide_sum(F.col("r"), micro_ln(F.col("r")))
-            ).alias("sx")
-        )
+    marg_sum = (
+        "aggregate({arr}, CAST(0 AS DECIMAL(38,0)), (a, m) ->"
+        " a + CAST(m AS DECIMAL(38,0)) * " + mln.format(v="m") + ")"
     )
-    sy = (
-        ct.crossJoin(F.broadcast(tot))
-        .groupBy("n")
-        .agg(
-            (
-                F.col("n").cast("decimal(38,0)")
-                * micro_ln(F.col("n"))
-                - wide_sum(F.col("cc"), micro_ln(F.col("cc")))
-            ).alias("sy")
+    seg_marg = (
+        "transform(array_distinct(transform(cl, x -> x.seg)), s ->"
+        " aggregate(filter(cl, x -> x.seg = s), CAST(0 AS BIGINT),"
+        " (a, x) -> a + x.c))"
+    )
+    pri_marg = (
+        "transform(array_distinct(transform(cl, x -> x.pri)), p ->"
+        " aggregate(filter(cl, x -> x.pri = p), CAST(0 AS BIGINT),"
+        " (a, x) -> a + x.c))"
+    )
+    ndec = "CAST(n AS DECIMAL(38,0))"
+    folded = (
+        cells.agg(F.collect_list(F.struct("seg", "pri", "c")).alias("cl"))
+        .select(
+            F.expr(
+                "aggregate(cl, CAST(0 AS BIGINT), (a, x) -> a + x.c)"
+            ).alias("n"),
+            "cl",
+        )
+        .select(
+            "n",
+            F.expr(smi).alias("smi"),
+            F.expr(
+                f"{ndec} * {mln.format(v='n')}"
+                f" - {marg_sum.format(arr=seg_marg)}"
+            ).alias("sx"),
+            F.expr(
+                f"{ndec} * {mln.format(v='n')}"
+                f" - {marg_sum.format(arr=pri_marg)}"
+            ).alias("sy"),
         )
     )
     den = F.col("n").cast("double") * F.lit(1000000.0)
-    scaled = (
-        sx.join(sy, "n")
-        .crossJoin(F.broadcast(smi))
-        .select(
-            "n",
-            (F.col("sx").cast("double") / den).alias("h_seg"),
-            (F.col("sy").cast("double") / den).alias("h_pri"),
-            (F.col("smi").cast("double") / den).alias("mi_nats"),
-        )
+    scaled = folded.select(
+        "n",
+        (F.col("sx").cast("double") / den).alias("h_seg"),
+        (F.col("sy").cast("double") / den).alias("h_pri"),
+        (F.col("smi").cast("double") / den).alias("mi_nats"),
     )
     return scaled.select(
         "n",
