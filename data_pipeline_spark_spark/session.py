@@ -95,6 +95,30 @@ def get_spark(app_name: str = "data-pipeline-spark-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite a sort-merge join to a shuffled HASH join at
+        # runtime when every post-shuffle partition is under this
+        # threshold (default 0 = never). Set equal to
+        # advisoryPartitionSizeInBytes per the Spark SQL performance
+        # docs' recommendation — a partition AQE already targets to
+        # 64m can always build a 64m hash table. Decision is made
+        # from RUNTIME sizes per join, so it is scale-adaptive, not a
+        # local-mode tune: it fires exactly when sorting both sides
+        # costs more than hashing the partition (the engine's
+        # remaining sort-merge joins are full-outer merges —
+        # merge_upsert, mv_incremental_refresh, retrieval_hybrid_rrf
+        # — which cannot broadcast; guide §3.1).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
+        )
+        # Allow the static planner to pick shuffled hash join when a
+        # side is provably buildable (size guard scales with the
+        # shuffle partition count) and 3× smaller than the other —
+        # the guide §9 baseline. Measured here: flips merge_upsert's
+        # full-outer join from sort-merge (two sorts) to hash build;
+        # joins with size-symmetric sides (rrf fuse, mv refresh)
+        # correctly stay sort-merge.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.shuffle.partitions", str(cpus))
         # --- semantics ------------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
