@@ -863,69 +863,31 @@ def _ivfpq_coarse(sub: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select(F.col("m").alias("ccm"), F.col("vec_id").alias("cell"),
                 F.col("sv").alias("ccent"))
     )
-    # r17 ONE-exchange form (guide §2.4): the previous form summed
-    # the per-(vec, cell, m) distance rows through a (vec, cell)
-    # exchange, pinned that, then spent a SECOND exchange (argmin
-    # groupBy) and a rank window on it. Here ONE groupBy(vec_id)
-    # folds the same fan-out rows into 16 per-cell conditional sums
-    # (cell ids are ⊂ {0..15} BY CONSTRUCTION of the vec_id <
-    # _IVFPQ_CELLS filter, so the sums can unroll as literals while
-    # each per-row expression stays small — a 16-wide unrolled
-    # distance projection was tried first and blew Janino's 64 KB
-    # method limit, silently de-optimizing the whole stage to
-    # interpreted mode), and both the cell argmin (assign) and the
-    # top-nprobe selection (probes) resolve IN-ROW on the 16-column
-    # result. Same bigint addends, same (cdist_u, cell)
-    # lexicographic tie-breaks — bit-identical outputs with one
-    # data-proportional exchange, no checkpointed intermediate, and
-    # no rank window. A cell with no centroid row (corpus < 16
-    # vectors) yields a NULL sum and is excluded from the candidate
-    # array, exactly as it had no (vec, cell) row before.
-    cd = sub.join(F.broadcast(ccb), F.col("m") == F.col("ccm")).select(
-        "vec_id",
-        "cell",
-        F.round(_pq_sq_spark(F.col("sv"), F.col("ccent")) * 1000000)
-        .cast("bigint")
-        .alias("cdist_u"),
-    )
-    pervec = (
-        cd.groupBy("vec_id")
-        .agg(
-            *[
-                F.sum(F.when(F.col("cell") == c, F.col("cdist_u")))
-                .cast("bigint")
-                .alias(f"_cd{c}")
-                for c in range(_IVFPQ_CELLS)
-            ]
+    cd = (
+        sub.join(F.broadcast(ccb), F.col("m") == F.col("ccm"))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(_pq_sq_spark(F.col("sv"), F.col("ccent")) * 1000000)
+            .cast("bigint")
+            .alias("cdist_u"),
         )
+        .groupBy("vec_id", "cell")
+        .agg(F.sum("cdist_u").cast("bigint").alias("cdist_u"))
         # both the corpus assignment and the query probes read this
         # frame; pin it so the 16-way fan-out runs once
         .localCheckpoint(eager=False)
     )
-    cellarr = F.filter(
-        F.array(
-            *[
-                F.struct(
-                    F.col(f"_cd{c}").alias("cdist_u"),
-                    F.lit(c).cast("bigint").alias("cell"),
-                )
-                for c in range(_IVFPQ_CELLS)
-            ]
-        ),
-        lambda s: s.getField("cdist_u").isNotNull(),
+    assign = cd.groupBy("vec_id").agg(
+        F.min(F.struct("cdist_u", "cell")).getField("cell").alias("cell")
     )
-    assign = pervec.select(
-        "vec_id", F.array_min(cellarr).getField("cell").alias("cell")
-    )
+    probe_w = W.partitionBy("query_id").orderBy("cdist_u", "cell")
     probes = (
-        pervec.filter(F.col("vec_id") < _N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.slice(F.array_sort(cellarr), 1, _IVFPQ_NPROBE)
-            ).alias("_pc"),
-        )
-        .select("query_id", F.col("_pc.cell").alias("cell"))
+        cd.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "cell", "cdist_u")
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("query_id", "cell")
     )
     return assign, probes
 

@@ -27,7 +27,11 @@ TREE = sys.argv[1]
 sys.path.insert(0, TREE)
 
 # The 8 keys the r15 verdict names as uniformly drifted (+31% class)
-# on code-identical paths; all exist in both trees.
+# on code-identical paths; all exist in both trees. AB_KEYS
+# (comma-separated env var) overrides the list — the r17 optimization
+# round A/Bs its changed keys against the pre-round commit this way.
+import os  # noqa: E402
+
 KEYS = [
     "sim_search_pq",
     "corpus_duplication_profile_hashed",
@@ -38,6 +42,8 @@ KEYS = [
     "join_inner_equi",
     "tpch_q21_suppliers_who_kept_waiting",
 ]
+if os.environ.get("AB_KEYS"):
+    KEYS = os.environ["AB_KEYS"].split(",")
 
 SF = "/root/testdata/sf0.1"
 
