@@ -735,13 +735,19 @@ def retrieval_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     not corpus-sized (the inverted-index shape, same as BM25 at
     100 TB)."""
     d = load(spark, sf_dir, "documents")
-    # pass one via the shared construction site: `stats` is the SAME
-    # subtree `base` broadcasts internally, so ReuseExchange dedupes
-    # the corpus-stats build (previously a second full scan + agg +
-    # broadcast just for n_docs/sum_dl; r17 optimization). sum_dl is
-    # a double sum of integer dl values — exact below 2^53 tokens,
-    # bit-identical to the integer sum the oracle takes.
-    _, stats, base = _bm25_parts(spark, sf_dir)
+    # Sharing `base`'s internal stats subtree for the second pass was
+    # tried this round (hoping ReuseExchange would dedupe the
+    # broadcast build) and MEASURED OFF: the two subtrees never
+    # canonicalize equal (ReusedExchange: 0 in the executed plan —
+    # the same no-reuse trap the basket code documents), so the
+    # second pass was re-running the EXPENSIVE per-term tf stats
+    # instead of this cheap two-column aggregate. Kept cheap and
+    # local.
+    _, _, base = _bm25_parts(spark, sf_dir)
+    stats = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("sum_dl"),
+    )
     top = (
         base.orderBy(F.col("score").desc(), "doc_id")
         .limit(_PRF_R)
