@@ -7,10 +7,12 @@ local[$SPARK_GRAFT_CPUS]; prints ONE full JSON line:
      "queries": {name: sec, ...}, "sf": ...,
      "contended_queries": [name, ...], "contended": bool,
      "duckdb": {name: sec, ...}, "ratio": {name: x, ...}}
-followed by ONE short summary line (metric
-"headline_queries_total_runtime_summary" with just the scalar
-totals), so an artifact that captures only the head or tail of the
-output still carries the headline numbers.
+followed by ONE summary line (metric
+"headline_queries_total_runtime_summary" with the scalar totals AND,
+since r18, the compact per-key {name: sec} map — the round driver's
+per-query comparison parses only this final line, so the map must
+ride it; r17 VERDICT ask #1), so an artifact that captures only the
+head or tail of the output still carries the headline numbers.
 
 Contention is metered PER QUERY, around exactly its timed runs
 (never warm-ups), through three independent signals: external-tree
@@ -410,6 +412,25 @@ class ContentionMeter:
         )
 
 
+def _noop_floor(spark) -> float:
+    """Min-of-3 1-row noop writes — the multi-core scheduling-floor
+    probe. The spin canary is single-threaded and stays clean through
+    this host's wave degradation (r17 postmortem: floor_vs_best swung
+    1.13→2.88 with every spin/steal/CPU signal green — the hypervisor
+    only time-slices multi-core work), so the only per-key detector
+    that sees the waves is the same probe the window-level
+    floor_vs_best uses, sampled around each key's timed runs. Min of
+    3 because a single noop right after a heavy key rides that key's
+    GC/AQE-cleanup tail (~1.5-2× self-noise, measured); three
+    back-to-back samples always include one past the tail."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        execute_fully(spark.range(1))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def time_query(
     spark,
     name: str,
@@ -489,6 +510,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     contended_queries: list[str] = []
     spin_cal = SpinCal()
+    # Per-key scheduling-floor samples (r16 verdict ask #8 / r17 ask
+    # #5): one 1-row-noop floor probe BETWEEN consecutive keys, shared
+    # by both neighbours (key i's local floor = min(sample before it,
+    # sample after it)), so a host degradation wave that straddles one
+    # key's timed runs is attributable to THAT key even when the
+    # window-level floor_vs_best stays clean. ~0.07 s × 79 samples of
+    # untimed overhead; the timed runs themselves are untouched.
+    floor_samples: list[float] = [floor]  # sample 0 = pre-first-key
     for name in HEADLINE:
         best, dirty = time_query(
             spark, name, sf_dir, runs, warmup, retries, spin_cal
@@ -497,6 +526,27 @@ def main() -> None:
         if dirty:
             contended_queries.append(name)
         release_pinned_rdds(spark)
+        floor_samples.append(_noop_floor(spark))
+    # a key is floor-flagged when even the BETTER of its two
+    # neighbouring floor probes ran ≥2× the MEDIAN floor of this run.
+    # Median, not min: the probe's clean-window self-noise spans
+    # ~1.5× around its own minimum (the first samples additionally
+    # ride session warm-up), so a min-referenced 1.4× threshold flags
+    # half a healthy run; the r17 wave degradation this flag exists
+    # to catch multiplied floors ≥2× (floor_vs_best 1.13→2.88), which
+    # clears the 2×-median bar while clean-window jitter does not.
+    # A run MOSTLY degraded raises the median and mutes the per-key
+    # flag — that case is the window-level floor_vs_best's job.
+    srt = sorted(floor_samples)
+    median_floor = srt[len(srt) // 2]
+    best_local_floor = srt[0]
+    key_floor = {
+        name: min(floor_samples[i], floor_samples[i + 1])
+        for i, name in enumerate(HEADLINE)
+    }
+    floor_flagged = [
+        n for n in HEADLINE if key_floor[n] >= 2.0 * median_floor
+    ]
 
     # DuckDB single-node baseline on the same parquet + SQL oracles —
     # embedded in the JSON so the per-round artifact carries the
@@ -573,6 +623,18 @@ def main() -> None:
         # not be read as regressions; [] means every number is clean
         "contended_queries": contended_queries,
         "contended": bool(contended_queries),
+        # keys whose surrounding 1-row-noop floor probes BOTH ran
+        # ≥1.4× the best floor in this run — the per-key wave-
+        # degradation flag (see the floor_samples comment); numbers
+        # for these keys were timed inside a degraded slice of the
+        # window and must not be read as regressions
+        "floor_flagged_queries": floor_flagged,
+        "floor_per_key_best": round(best_local_floor, 3),
+        "floor_per_key_median": round(median_floor, 3),
+        # the raw between-key floor probes (sample i sits between key
+        # i-1 and key i), so a reader can re-derive the flags or apply
+        # a different threshold post-hoc
+        "floor_samples": [round(s, 3) for s in floor_samples],
     }
     mem = _mem_signals(os.getpid())
     if mem is not None:
@@ -627,6 +689,16 @@ def main() -> None:
         "spark_floor_sec": out["spark_floor_sec"],
         "floor_vs_best": out["floor_vs_best"],
         "contended_queries": contended_queries,
+        # r17 VERDICT ask #1: the driver's per-query comparison parses
+        # only this final line, so it also carries the full per-key
+        # map (additions-only — every pre-existing field above is
+        # unchanged, so cross-round scalar comparison stays valid).
+        # Compact separators keep the 78-key line ~2.5 kB, inside the
+        # driver's tail capture (the r8/r9 truncation postmortems).
+        "queries": timings,
+        # count of keys whose local floor probes ran ≥1.4× the run's
+        # best floor (per-key wave flag; names in the full line above)
+        "floor_flagged_n": len(floor_flagged),
     }
     if duck:
         summary["duckdb_total"] = out["duckdb_total"]
@@ -643,7 +715,7 @@ def main() -> None:
             if out["duckdb_total"]
             else None
         )
-    print(json.dumps(summary))
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":
