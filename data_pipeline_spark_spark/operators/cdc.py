@@ -100,7 +100,17 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("new_bal"),
         F.lit("D").alias("op"),
     )
-    src = upd.unionAll(ins).unionAll(dele)
+    # SHUFFLE_HASH on the CDC batch: the full-outer merge cannot
+    # broadcast, and sort-merge pays two full sorts; hashing the
+    # BATCH side is safe at every scale because a CDC batch is
+    # bounded by the change rate (~16% of target rows here), while
+    # the target streams. Scoped hint rather than a session-wide
+    # preferSortMergeJoin=false (ADVICE r17: the global flip lets
+    # size MISestimates pick an unspillable build side anywhere;
+    # the hint applies the flip only where the builder knows the
+    # bound). AQE's maxShuffledHashJoinLocalMapThreshold stays as
+    # the runtime-sized version for every other join.
+    src = upd.unionAll(ins).unionAll(dele).hint("shuffle_hash")
     j = t.join(src, t.c_custkey == src.k, "full_outer")
     # coalesce op: it is NULL for unmatched target rows, and ~(NULL)
     # would silently drop every untouched row from the filter

