@@ -1834,21 +1834,28 @@ def agg_chi_square_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # textually the same expression tree (decimal(38,0) widening,
     # coalesce-0 for empty cells, array_sort before the float fold),
     # so chi2 and every count are bit-identical to the branch form.
-    cells = seg_pri_cells(spark, sf_dir, checkpoint=False)
-    # r_s / cc_p / c_sp as in-row lookups over the collected cells;
-    # 25×25 rescans of a 25-element array are report-sized work
-    r_s = (
-        "aggregate(filter(cl, x -> x.seg = s), CAST(0 AS BIGINT),"
-        " (a, x) -> a + x.c)"
-    )
-    cc_p = (
-        "aggregate(filter(cl, x -> x.pri = p), CAST(0 AS BIGINT),"
-        " (a, x) -> a + x.c)"
-    )
-    c_sp = (
-        "aggregate(filter(cl, x -> x.seg = s AND x.pri = p),"
-        " CAST(0 AS BIGINT), (a, x) -> a + x.c)"
-    )
+    return chi2_fold(seg_pri_cells(spark, sf_dir, checkpoint=False))
+
+
+def chi2_fold(cells: DataFrame) -> DataFrame:
+    """The single-pass χ² fold over any (seg, pri, c) cell frame —
+    factored from [[agg_chi_square_indep]] so the cardinality-bound
+    test can drive synthetic |X|×|Y| tables through the exact
+    production expressions (r17 verdict ask #6)."""
+    # Marginals and cell counts as PRECOMPUTED in-row maps (r17
+    # verdict ask #6): the first fold form re-scanned the collected
+    # array per term (filter-per-cell — O(cells²) inside one task),
+    # fine at the declared 5×5 but silently pathological if either
+    # categorical grew. The maps are built in one transform pass per
+    # axis — O(cells·(|X|+|Y|)) build, and each term does map
+    # lookups instead of array rescans. Values are the SAME bigint
+    # aggregates over the same filters, so every downstream
+    # decimal/double expression is textually unchanged and the
+    # output stays bit-identical (differential test pins it;
+    # test_chi2_fold_cardinality_bound pins the scaling).
+    r_s = "try_element_at(rmap, s)"
+    cc_p = "try_element_at(pmap, p)"
+    c_sp = "try_element_at(try_element_at(cmap, s), p)"
     num = (
         f"(CAST(n AS DECIMAL(38,0)) * coalesce({c_sp}, CAST(0 AS BIGINT))"
         f" - CAST({r_s} AS DECIMAL(38,0)) * {cc_p})"
@@ -1864,6 +1871,11 @@ def agg_chi_square_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     folded = (
         cells.agg(F.collect_list(F.struct("seg", "pri", "c")).alias("cl"))
+        # empty-input parity with the pre-r17 branch form (ADVICE
+        # r17): a global collect_list always emits one row; on an
+        # empty cell frame the branch form emitted none, so guard.
+        # Fixture frames are never empty — output unchanged there.
+        .filter(F.size("cl") > 0)
         .select(
             F.expr(
                 "aggregate(cl, CAST(0 AS BIGINT), (a, x) -> a + x.c)"
@@ -1875,6 +1887,26 @@ def agg_chi_square_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pris"
             ),
             "cl",
+        )
+        .select(
+            "n",
+            "segs",
+            "pris",
+            F.expr(
+                "map_from_entries(transform(segs, s -> struct(s,"
+                " aggregate(filter(cl, x -> x.seg = s),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x.c))))"
+            ).alias("rmap"),
+            F.expr(
+                "map_from_entries(transform(pris, p -> struct(p,"
+                " aggregate(filter(cl, x -> x.pri = p),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x.c))))"
+            ).alias("pmap"),
+            F.expr(
+                "map_from_entries(transform(segs, s -> struct(s,"
+                " map_from_entries(transform(filter(cl, x -> x.seg = s),"
+                " x -> struct(x.pri, x.c))))))"
+            ).alias("cmap"),
         )
         .select(
             "n",
@@ -2192,16 +2224,22 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sx, sy and all four outputs are bit-identical to the branch
     # form. Observed cells only, exactly as before (empty cells
     # contribute 0 to MI).
-    cells = seg_pri_cells(spark, sf_dir, checkpoint=False)
+    return mi_fold(seg_pri_cells(spark, sf_dir, checkpoint=False))
+
+
+def mi_fold(cells: DataFrame) -> DataFrame:
+    """The single-pass MI/NMI fold over any (seg, pri, c) cell frame
+    — factored from [[agg_mutual_information]] for the same
+    cardinality-bound test as [[chi2_fold]] (r17 verdict ask #6)."""
     mln = "CAST(round(ln({v}) * 1000000, 0) AS BIGINT)"
-    r_of = (
-        "aggregate(filter(cl, y -> y.seg = x.seg), CAST(0 AS BIGINT),"
-        " (a, y) -> a + y.c)"
-    )
-    cc_of = (
-        "aggregate(filter(cl, y -> y.pri = x.pri), CAST(0 AS BIGINT),"
-        " (a, y) -> a + y.c)"
-    )
+    # marginals as PRECOMPUTED in-row maps — same device and same
+    # rationale as [[agg_chi_square_indep]] (r17 verdict ask #6): the
+    # per-cell filter-rescans were O(cells²); the maps build in one
+    # transform pass per axis and hold the SAME bigint totals, so
+    # every micro_ln/wide_sum term is numerically unchanged
+    # (differential test pins bit-identity)
+    r_of = "try_element_at(rmap, x.seg)"
+    cc_of = "try_element_at(pmap, x.pri)"
     smi = (
         "aggregate(cl, CAST(0 AS DECIMAL(38,0)), (a, x) ->"
         " a + CAST(x.c AS DECIMAL(38,0)) * ("
@@ -2212,23 +2250,31 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate({arr}, CAST(0 AS DECIMAL(38,0)), (a, m) ->"
         " a + CAST(m AS DECIMAL(38,0)) * " + mln.format(v="m") + ")"
     )
-    seg_marg = (
-        "transform(array_distinct(transform(cl, x -> x.seg)), s ->"
-        " aggregate(filter(cl, x -> x.seg = s), CAST(0 AS BIGINT),"
-        " (a, x) -> a + x.c))"
-    )
-    pri_marg = (
-        "transform(array_distinct(transform(cl, x -> x.pri)), p ->"
-        " aggregate(filter(cl, x -> x.pri = p), CAST(0 AS BIGINT),"
-        " (a, x) -> a + x.c))"
-    )
+    # map_values preserves entry order = the array_distinct
+    # first-occurrence order the r17 transform arrays used, so the
+    # marginal-entropy folds see the same values in the same order
     ndec = "CAST(n AS DECIMAL(38,0))"
     folded = (
         cells.agg(F.collect_list(F.struct("seg", "pri", "c")).alias("cl"))
+        # empty-input parity with the pre-r17 branch form (ADVICE
+        # r17) — see [[agg_chi_square_indep]]
+        .filter(F.size("cl") > 0)
         .select(
             F.expr(
                 "aggregate(cl, CAST(0 AS BIGINT), (a, x) -> a + x.c)"
             ).alias("n"),
+            F.expr(
+                "map_from_entries(transform("
+                " array_distinct(transform(cl, x -> x.seg)), s ->"
+                " struct(s, aggregate(filter(cl, x -> x.seg = s),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x.c))))"
+            ).alias("rmap"),
+            F.expr(
+                "map_from_entries(transform("
+                " array_distinct(transform(cl, x -> x.pri)), p ->"
+                " struct(p, aggregate(filter(cl, x -> x.pri = p),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x.c))))"
+            ).alias("pmap"),
             "cl",
         )
         .select(
@@ -2236,11 +2282,11 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(smi).alias("smi"),
             F.expr(
                 f"{ndec} * {mln.format(v='n')}"
-                f" - {marg_sum.format(arr=seg_marg)}"
+                f" - {marg_sum.format(arr='map_values(rmap)')}"
             ).alias("sx"),
             F.expr(
                 f"{ndec} * {mln.format(v='n')}"
-                f" - {marg_sum.format(arr=pri_marg)}"
+                f" - {marg_sum.format(arr='map_values(pmap)')}"
             ).alias("sy"),
         )
     )
