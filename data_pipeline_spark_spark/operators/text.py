@@ -566,11 +566,16 @@ def _bm25_parts(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(per_doc, stats, scored) — the BM25 pass shared by
     [[keyword_search_bm25]] and [[retrieval_prf_expand]]'s pass one.
-    One construction site so the two queries build byte-identical
-    subtrees: when PRF embeds both the pass-one ranking and its own
-    corpus-stats crossJoin in a single plan, Spark's ReuseExchange
-    dedupes the broadcast stats build instead of aggregating the
-    corpus twice (r17 optimization, guide §2.4)."""
+    One construction site so the two queries can never desync on the
+    score formula, and so PRF's second pass can reuse the per_doc tf
+    columns for the static query terms (r18). NOTE the limits,
+    measured in r17: sharing the `stats` subtree with PRF's own
+    corpus-stats aggregate does NOT dedupe at runtime — the two
+    subtrees never canonicalize equal, ReusedExchange fired 0 times,
+    and PRF's second pass ended up re-running the expensive per-term
+    tf stats — so PRF keeps its own cheap two-column aggregate; this
+    refactor is a single construction site, not an exchange-reuse
+    device."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
 
@@ -736,14 +741,13 @@ def retrieval_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB)."""
     d = load(spark, sf_dir, "documents")
     # Sharing `base`'s internal stats subtree for the second pass was
-    # tried this round (hoping ReuseExchange would dedupe the
-    # broadcast build) and MEASURED OFF: the two subtrees never
-    # canonicalize equal (ReusedExchange: 0 in the executed plan —
-    # the same no-reuse trap the basket code documents), so the
-    # second pass was re-running the EXPENSIVE per-term tf stats
-    # instead of this cheap two-column aggregate. Kept cheap and
-    # local.
-    _, _, base = _bm25_parts(spark, sf_dir)
+    # tried in r17 (hoping ReuseExchange would dedupe the broadcast
+    # build) and MEASURED OFF: the two subtrees never canonicalize
+    # equal (ReusedExchange: 0 in the executed plan — the same
+    # no-reuse trap the basket code documents), so the second pass
+    # was re-running the EXPENSIVE per-term tf stats instead of this
+    # cheap two-column aggregate. Kept cheap and local.
+    per_doc, _, base = _bm25_parts(spark, sf_dir)
     stats = d.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("sum_dl"),
@@ -753,38 +757,76 @@ def retrieval_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PRF_R)
         .select("doc_id")
     )
-    # dl rides the token stream (constant per doc), replacing the
-    # separate dls projection + doc_id join after the tf rollup —
-    # one join fewer in the scoring path (r17 optimization); it is
-    # pruned before the mining exchange, which groups by term only
+    # mining explodes ONLY the _PRF_R pseudo-relevant docs: the
+    # broadcast semi-join runs on whole-doc rows BEFORE the token
+    # explode (r18, guide §2.4/§3.3 "explode after the join") — the
+    # r17 form exploded the full corpus and then kept 10 docs' tokens
+    rel = (
+        d.join(F.broadcast(top), "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(~F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    # lazily pinned: exp2 (≤_PRF_E rows) is consumed by the dynamic
+    # tf filter AND the exp_terms report column, and its lineage is
+    # the ENTIRE mining pass including pass one's ranking — unpinned,
+    # every consumer re-runs that chain (the plan showed it 3×; AQE
+    # stage reuse deduped only some of it at runtime)
+    exp2 = (
+        rel.orderBy(F.col("cnt").desc(), "term")
+        .limit(_PRF_E)
+        .select("term")
+        .localCheckpoint(eager=False)
+    )
+    # Second pass, split by term class (r17 verdict ask #4):
+    # the STATIC query terms' (doc, term, tf, dl) rows come straight
+    # from pass one's per_doc tf columns (in-row array counting — no
+    # explode, no exchange: the rows are already per-doc aggregated),
+    # and only the ≤_PRF_E DYNAMIC expansion terms ride the corpus
+    # explode → broadcast term filter → (doc, term) rollup. The
+    # exploded-and-shuffled volume drops from 5-term to 2-term
+    # postings and the qterms union + its broadcast build disappear.
+    # exp2 is disjoint from _BM25_TERMS by construction (the mining
+    # filter above), so the union cannot double-count a (doc, term).
     toks = d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("double").alias("dl"),
         F.explode(F.split("text", " ")).alias("term"),
     )
-    rel = (
-        toks.join(F.broadcast(top), "doc_id")
-        .filter(~F.col("term").isin(*_BM25_TERMS))
-        .groupBy("term")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-    )
-    exp2 = (
-        rel.orderBy(F.col("cnt").desc(), "term")
-        .limit(_PRF_E)
-        .select("term")
-    )
-    statics = F.explode(
-        F.array(*[F.lit(w) for w in _BM25_TERMS])
-    ).alias("term")
-    qterms = exp2.unionByName(d.sparkSession.range(1).select(statics))
-    tf = (
-        toks.join(F.broadcast(qterms), "term")
+    dyn_tf = (
+        toks.join(F.broadcast(exp2), "term")
         .groupBy("doc_id", "term")
         .agg(
             F.count("*").cast("bigint").alias("tf"),
             F.first("dl").alias("dl"),
         )
     )
+    static_tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("term"),
+                        F.col(f"tf_{w}").alias("tf"),
+                    )
+                    for w in _BM25_TERMS
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "doc_id", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"), "dl"
+    ).filter(F.col("tf") > 0)
+    # lazily pinned: tf feeds BOTH the df aggregate and the scoring
+    # join — unpinned, the whole union subtree (corpus explode +
+    # rollup + static unpivot) is duplicated under the dfs broadcast
+    # build (r18 before-plan). The pin is matching-postings-sized
+    # (≤ query-term postings per doc), the inverted-index bound.
+    tf = dyn_tf.unionByName(
+        static_tf.select("doc_id", "term", "tf", "dl")
+    ).localCheckpoint(eager=False)
     dfs = tf.groupBy("term").agg(
         F.count("*").cast("double").alias("df")
     )
@@ -1931,23 +1973,52 @@ def bigram_perplexity_of(docs: DataFrame) -> DataFrame:
         F.slice(F.col("t"), 2, n - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    big = docs_arr.select(
-        "doc_id", F.explode(pairs).alias("bg")
-    ).select("doc_id", "bg.w1", "bg.w2")
-    vsz = (
-        docs_arr.select(F.explode("t").alias("term"))
-        .agg(F.countDistinct("term").alias("vsz"))
+    # single-token docs ride the SAME explode as (w1=token, w2=NULL)
+    # sentinel rows, so the vocabulary can be derived from the
+    # MODEL-sized count table below instead of a second full-corpus
+    # token explode + distinct (r18, guide §2.4): every token of a
+    # ≥2-token doc appears as some bigram's w1 (all but the last) or
+    # w2 (the last), and the sentinel rows add the only tokens that
+    # ride no bigram. Sentinel rows drop out of the model (w2 IS
+    # NULL filter below) and of scoring (inner join on non-null
+    # bigram keys), so only vsz sees them. Docs with NULL text keep
+    # contributing nothing: their sentinel struct is (NULL, NULL)
+    # and count-distinct ignores NULL terms — same as the old
+    # explode(t)-over-NULL-array behaviour.
+    single = F.array(
+        F.struct(
+            F.col("t").getItem(0).alias("w1"),
+            F.lit(None).cast("string").alias("w2"),
+        )
     )
+    big = docs_arr.select(
+        "doc_id",
+        F.explode(F.when(n >= 2, pairs).otherwise(single)).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
     # ONE corpus-proportional bigram-count shuffle builds the model;
     # the context totals c1 = Σc12 per w1 ride a window sum over the
     # model-sized count table (one exchange by w1, partitions bounded
     # by vocab — bigram TYPES, not occurrences) instead of a separate
-    # groupBy + join-back, which cost an extra aggregate job, a
-    # broadcast build, and a lazy checkpoint to share the counts
-    # between the two consumers (r17 optimization; guide §2.4)
-    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # groupBy + join-back (r17; guide §2.4). The count table is
+    # lazily pinned because it now has TWO consumers (the lp model
+    # and the vocabulary) — without the pin each would re-run the
+    # corpus explode + count exchange (the no-reuse trap).
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    bcr = bc.filter(F.col("w2").isNotNull())
+    # V = |distinct tokens| from the count table itself: all w1
+    # (bigram heads + single-token sentinels) ∪ non-null w2 (doc-final
+    # tokens) — model-sized input, zero extra corpus passes
+    vsz = (
+        bc.select(F.col("w1").alias("term"))
+        .unionByName(bcr.select(F.col("w2").alias("term")))
+        .agg(F.countDistinct("term").alias("vsz"))
+    )
     lp = (
-        bc.withColumn(
+        bcr.withColumn(
             "c1",
             F.sum("c12").over(W.partitionBy("w1")).cast("bigint"),
         )
