@@ -304,11 +304,21 @@ def jaccard_pairs(
         F.explode(F.slice("sh", 1, plen)).alias("shingle"),
     )
     if df_cap is not None:
+        # lazy-checkpoint the hot list: pref is consumed as BOTH join
+        # sides below, and without the pin each side re-embeds the
+        # whole hot subtree — a SECOND full prefix explode + count
+        # exchange for one tiny (≤ occurrences/cap rows, usually
+        # empty) stop-shingle list; the two subtrees never
+        # canonicalize equal, so ReuseExchange does not fire (the
+        # r17 PRF/basket no-reuse trap, re-measured here: 2 hot
+        # chains in the r18 before-plan). One pin = one pass
+        # (guide §2.4; r18 A/B −9%, plan Exchange 3→2)
         hot = (
             pref.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > df_cap)
             .select("shingle")
+            .localCheckpoint(eager=False)
         )
         # NB: a USING join puts the join column first — re-project to
         # the order the positional renames below need
@@ -441,11 +451,17 @@ def containment_pairs(
         "doc_id", n.alias("n_sh"), F.explode("sh").alias("shingle")
     )
     if df_cap is not None:
+        # pinned for the same reason as the Jaccard rung, and worth
+        # MORE here: the hot list counts df over the FULL posting
+        # explosion, and it is applied to both pref and post — the
+        # unpinned form ran that full explode + count exchange twice
+        # (r18 before-plan: two identical hot chains)
         hot = (
             post.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > df_cap)
             .select("shingle")
+            .localCheckpoint(eager=False)
         )
         pref = pref.join(F.broadcast(hot), "shingle", "left_anti")
         post = post.join(F.broadcast(hot), "shingle", "left_anti")
