@@ -624,7 +624,7 @@ def main() -> None:
         "contended_queries": contended_queries,
         "contended": bool(contended_queries),
         # keys whose surrounding 1-row-noop floor probes BOTH ran
-        # ≥1.4× the best floor in this run — the per-key wave-
+        # ≥2× the MEDIAN floor of this run — the per-key wave-
         # degradation flag (see the floor_samples comment); numbers
         # for these keys were timed inside a degraded slice of the
         # window and must not be read as regressions
@@ -696,8 +696,8 @@ def main() -> None:
         # Compact separators keep the 78-key line ~2.5 kB, inside the
         # driver's tail capture (the r8/r9 truncation postmortems).
         "queries": timings,
-        # count of keys whose local floor probes ran ≥1.4× the run's
-        # best floor (per-key wave flag; names in the full line above)
+        # count of keys whose local floor probes ran ≥2× the run's
+        # median floor (per-key wave flag; names in the full line)
         "floor_flagged_n": len(floor_flagged),
     }
     if duck:
